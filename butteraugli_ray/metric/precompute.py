@@ -1,0 +1,108 @@
+"""Warm-reference precompute — the engine analog of
+``ButteraugliReference`` (/root/reference/butteraugli/src/precompute.rs:127-1020).
+
+A ``ReferencePrecompute`` holds the reference image's psycho pyramids and
+mask-pipeline intermediates at full and half scale, so repeated compares
+against the same reference only pay the candidate-side work (~40-50%
+speedup in the reference; similar here).  This is exactly the state a Ray
+actor-pool scorer keeps per worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kernels as K
+from .api import ButteraugliParams, ButteraugliResult, reflect_pad_to_min
+
+
+class _ScaleData:
+    """Per-scale precomputed reference state (precompute.rs:45-58):
+    psycho pyramid + combine/blur intermediates for the mask."""
+
+    __slots__ = ("psycho", "blurred_mask", "mask", "rgb")
+
+    def __init__(self, rgb_planar: np.ndarray, intensity_target: float):
+        self.rgb = rgb_planar
+        xyb = K.opsin_dynamics_image(rgb_planar, intensity_target)
+        self.psycho = K.separate_frequencies(xyb)
+        diff0 = K.combine_and_precompute(self.psycho.hf, self.psycho.uhf)
+        self.blurred_mask = K.gaussian_blur(diff0, K.MASK_RADIUS)
+        self.mask = K.fuzzy_erosion(self.blurred_mask)
+
+
+class ReferencePrecompute:
+    """Build once per reference image; ``compare`` per candidate.
+
+    Produces scores identical to the one-shot path: the pair mask is
+    derived from the reference side's blur (fuzzy-eroded) plus the
+    10·(b0−b1)² correction accumulated from the candidate side
+    (mask.rs:433-482), exactly as ``compare_linear_impl``
+    (precompute.rs:957-1020) does.
+    """
+
+    def __init__(self, rgb_u8: np.ndarray,
+                 params: ButteraugliParams = ButteraugliParams()):
+        params.validate()
+        self.params = params
+        h, w = rgb_u8.shape[0], rgb_u8.shape[1]
+        if h == 0 or w == 0:
+            raise ValueError("image too small")
+        self.height, self.width = h, w
+        self.src_u8 = rgb_u8
+        padded = reflect_pad_to_min(rgb_u8, 8)
+        lin = K.srgb_to_linear_planar(padded)
+        self.lin = lin
+        ph, pw = lin.shape[1], lin.shape[2]
+        self.full = _ScaleData(lin, params.intensity_target)
+        self.half = None
+        small = pw < K.MIN_SIZE_FOR_MULTIRESOLUTION or ph < K.MIN_SIZE_FOR_MULTIRESOLUTION
+        if (not params.single_resolution and not small
+                and pw >= K.MIN_SIZE_FOR_SUBSAMPLE and ph >= K.MIN_SIZE_FOR_SUBSAMPLE):
+            sub = np.stack([K.subsample_2x(lin[c]) for c in range(3)])
+            self.half = _ScaleData(sub, params.intensity_target)
+
+    def memory_bytes(self) -> int:
+        """Rough actor-budget accounting (precompute.rs:733-834 analog)."""
+        total = self.lin.nbytes
+        for sd in (self.full, self.half):
+            if sd is None:
+                continue
+            total += sd.rgb.nbytes + sd.blurred_mask.nbytes + sd.mask.nbytes
+            ps = sd.psycho
+            total += sum(p.nbytes for p in ps.uhf) + sum(p.nbytes for p in ps.hf)
+            total += ps.mf.nbytes + ps.lf.nbytes
+        return total
+
+    def _compare_scale(self, sd: _ScaleData, cand_rgb: np.ndarray) -> np.ndarray:
+        params = self.params
+        ps1 = sd.psycho
+        ps2 = K.separate_frequencies(K.opsin_dynamics_image(cand_rgb, params.intensity_target))
+        block_diff_ac = K.compute_psycho_diff_malta(ps1, ps2, params.hf_asymmetry)
+        # candidate-side mask correction against the precomputed blur
+        diff1 = K.combine_and_precompute(ps2.hf, ps2.uhf)
+        blurred1 = K.gaussian_blur(diff1, K.MASK_RADIUS)
+        d = sd.blurred_mask - blurred1
+        block_diff_ac[1] += d * d * K.MASK_TO_ERROR_MUL
+        return K.combine_channels_to_diffmap_fused(sd.mask, ps1.lf, ps2.lf,
+                                                   block_diff_ac, params.xmul)
+
+    def compare_srgb(self, cand_u8: np.ndarray) -> ButteraugliResult:
+        if cand_u8.shape != self.src_u8.shape:
+            raise ValueError(f"dimension mismatch: {cand_u8.shape} vs {self.src_u8.shape}")
+        if np.array_equal(cand_u8, self.src_u8):
+            return ButteraugliResult(0.0, 0.0, None)
+        lin2 = K.srgb_to_linear_planar(reflect_pad_to_min(cand_u8, 8))
+        diffmap = self._compare_scale(self.full, lin2)
+        if self.half is not None:
+            sub2 = np.stack([K.subsample_2x(lin2[c]) for c in range(3)])
+            sub = self._compare_scale(self.half, sub2)
+            diffmap = K.add_supersampled_2x(sub, 0.5, diffmap)
+        score, pnorm3 = K.score_from_diffmap(diffmap)
+        dm = diffmap[:self.height, :self.width] if self.params.compute_diffmap else None
+        return ButteraugliResult(float(score), float(pnorm3), dm)
+
+    def compare_bytes(self, cand_bytes: bytes) -> ButteraugliResult:
+        cand = np.frombuffer(cand_bytes, dtype=np.uint8).reshape(
+            self.height, self.width, 3)
+        return self.compare_srgb(cand)
