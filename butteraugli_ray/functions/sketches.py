@@ -1,0 +1,228 @@
+"""Mergeable sketches for distributed column statistics.
+
+All sketches follow the StripReducer shape
+(/root/reference/butteraugli/src/strip.rs:127-209): a small partial
+state produced per block/partition, an associative+commutative
+``merge``, and a cheap ``finalize`` — so a corpus-wide statistic ships
+only sketch bytes through the shuffle, never rows.
+
+- HyperLogLog (p=12, 4096 registers): doc_id uniqueness estimate,
+  ~1.04/√m ≈ 1.6% standard error.
+- TDigest (merging variant, Dunning & Ertl): score quantiles.
+- FixedHistogram: fixed-bin counts → KS / PSI drift vs a baseline.
+
+Hashing is vectorized via polars' 64-bit row hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def hash64(values, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit hash of a string/number sequence → uint64."""
+    import polars as pl
+    s = pl.Series("v", values)
+    return s.hash(seed=seed).to_numpy().astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+class HyperLogLog:
+    P = 12
+    M = 1 << P
+
+    def __init__(self, registers: np.ndarray | None = None):
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.M, dtype=np.uint8))
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        idx = (h >> np.uint64(64 - self.P)).astype(np.int64)
+        rest = (h << np.uint64(self.P)) | np.uint64(1 << (self.P - 1))
+        # rank = leading zeros of the remaining bits + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        cur = rest.copy()
+        # count leading zeros via float log2 trick is lossy; do 6-step binary
+        shift = 32
+        acc = np.zeros(len(h), dtype=np.uint64)
+        while shift:
+            mask = (cur >> np.uint64(64 - shift)) == 0
+            acc = np.where(mask, acc + np.uint64(shift), acc)
+            cur = np.where(mask, cur << np.uint64(shift), cur)
+            shift //= 2
+        lz = acc.astype(np.uint8) + 1
+        np.maximum.at(self.registers, idx, lz)
+        return self
+
+    def add(self, values, seed: int = 0) -> "HyperLogLog":
+        return self.add_hashes(hash64(values, seed))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.M)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        reg = self.registers.astype(np.float64)
+        est = alpha * m * m / np.sum(2.0 ** (-reg))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        return cls(np.frombuffer(b, dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
+# t-digest (merging variant)
+# ---------------------------------------------------------------------------
+
+class TDigest:
+    """Compact merging t-digest with the k1 scale function."""
+
+    def __init__(self, compression: float = 100.0, means=None, weights=None):
+        self.compression = compression
+        self.means = np.asarray(means, dtype=np.float64) if means is not None else np.empty(0)
+        self.weights = np.asarray(weights, dtype=np.float64) if weights is not None else np.empty(0)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[np.isfinite(values)]
+        if len(values) == 0:
+            return self
+        means = np.concatenate([self.means, values])
+        weights = np.concatenate([self.weights, np.ones(len(values))])
+        self.means, self.weights = self._compress(means, weights)
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        means = np.concatenate([self.means, other.means])
+        weights = np.concatenate([self.weights, other.weights])
+        m, w = self._compress(means, weights)
+        return TDigest(self.compression, m, w)
+
+    def _compress(self, means, weights):
+        if len(means) == 0:
+            return means, weights
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        q0 = 0.0
+        c = self.compression
+        for i in range(1, len(means)):
+            q = q0 + (cur_w + weights[i]) / total
+            # k1 scale bound
+            k0 = _k1(q0, c)
+            k1v = _k1(min(q, 1.0), c)
+            if k1v - k0 <= 1.0:
+                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
+                cur_w += weights[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w / total
+                cur_m, cur_w = means[i], weights[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        return np.array(out_m), np.array(out_w)
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        total = self.weights.sum()
+        target = q * total
+        return float(np.interp(target, cum, self.means))
+
+    def to_dict(self) -> dict:
+        return {"compression": self.compression,
+                "means": self.means.tolist(), "weights": self.weights.tolist()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TDigest":
+        return cls(d["compression"], d["means"], d["weights"])
+
+
+def _k1(q: float, compression: float) -> float:
+    q = min(max(q, 1e-12), 1.0 - 1e-12)
+    return compression / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram + drift metrics
+# ---------------------------------------------------------------------------
+
+class FixedHistogram:
+    def __init__(self, lo: float, hi: float, n_bins: int = 64,
+                 counts: np.ndarray | None = None,
+                 n_under: int = 0, n_over: int = 0):
+        self.lo, self.hi, self.n_bins = float(lo), float(hi), int(n_bins)
+        self.counts = (counts if counts is not None
+                       else np.zeros(n_bins, dtype=np.int64))
+        self.n_under, self.n_over = int(n_under), int(n_over)
+
+    def add(self, values: np.ndarray) -> "FixedHistogram":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        self.n_under += int((v < self.lo).sum())
+        self.n_over += int((v >= self.hi).sum())
+        inb = v[(v >= self.lo) & (v < self.hi)]
+        idx = ((inb - self.lo) / (self.hi - self.lo) * self.n_bins).astype(np.int64)
+        np.add.at(self.counts, np.clip(idx, 0, self.n_bins - 1), 1)
+        return self
+
+    def merge(self, other: "FixedHistogram") -> "FixedHistogram":
+        assert (self.lo, self.hi, self.n_bins) == (other.lo, other.hi, other.n_bins)
+        return FixedHistogram(self.lo, self.hi, self.n_bins,
+                              self.counts + other.counts,
+                              self.n_under + other.n_under,
+                              self.n_over + other.n_over)
+
+    def total(self) -> int:
+        return int(self.counts.sum()) + self.n_under + self.n_over
+
+    def to_dict(self) -> dict:
+        return {"lo": self.lo, "hi": self.hi, "n_bins": self.n_bins,
+                "counts": self.counts.tolist(),
+                "n_under": self.n_under, "n_over": self.n_over}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FixedHistogram":
+        return cls(d["lo"], d["hi"], d["n_bins"],
+                   np.array(d["counts"], dtype=np.int64),
+                   d["n_under"], d["n_over"])
+
+
+def ks_statistic(a: FixedHistogram, b: FixedHistogram) -> float:
+    """Two-sample KS statistic approximated on the shared fixed bins."""
+    ca = np.concatenate([[a.n_under], a.counts, [a.n_over]]).astype(np.float64)
+    cb = np.concatenate([[b.n_under], b.counts, [b.n_over]]).astype(np.float64)
+    ta, tb = ca.sum(), cb.sum()
+    if ta == 0 or tb == 0:
+        return float("nan")
+    return float(np.abs(np.cumsum(ca) / ta - np.cumsum(cb) / tb).max())
+
+
+def psi(expected: FixedHistogram, actual: FixedHistogram,
+        eps: float = 1e-6) -> float:
+    """Population Stability Index over the shared fixed bins."""
+    ce = np.concatenate([[expected.n_under], expected.counts, [expected.n_over]]).astype(np.float64)
+    ca = np.concatenate([[actual.n_under], actual.counts, [actual.n_over]]).astype(np.float64)
+    te, ta = ce.sum(), ca.sum()
+    if te == 0 or ta == 0:
+        return float("nan")
+    pe = np.maximum(ce / te, eps)
+    pa_ = np.maximum(ca / ta, eps)
+    return float(np.sum((pa_ - pe) * np.log(pa_ / pe)))
