@@ -1,0 +1,171 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (``ray.put`` once, read per actor), partial top-k
+per batch, final merge on the driver.  Only (query_id, vec_id, sim)
+triples move; never the embeddings.
+
+Scale path: IVF — k-means-lite centroids from a sample, assign each
+vector to its centroid inside ``map_batches``, search only the nprobe
+closest centroid partitions per query.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """map_batches stage: batch embeddings × broadcast queries → per-batch
+    partial top-k rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(q)            # [nq, d]
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        emb = _normalize(np.stack(df[self.emb_col].to_numpy()))
+        sims = emb @ self.q.T             # [n, nq]
+        ids = df[self.id_col].to_numpy()
+        k = min(self.k, len(df))
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        # per-query partial top-k within this batch
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]   # [k, nq]
+        for qi in range(self.q.shape[0]):
+            rows = top[:, qi]
+            out["query_id"].extend([qi] * k)
+            out["vec_id"].extend(ids[rows].tolist())
+            out["sim"].extend(sims[rows, qi].tolist())
+        return pd.DataFrame(out)
+
+
+def knn_cosine(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
+               emb_col: str = "embedding", concurrency: int = 4) -> pd.DataFrame:
+    """Exact cosine top-k; returns (query_id, vec_id, sim, rank) sorted.
+
+    Deterministic tie-break: higher sim first, then lower vec_id.
+    """
+    import ray
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        BruteForceTopK, fn_constructor_kwargs=dict(queries_ref=qref, k=k,
+                                                   id_col=id_col, emb_col=emb_col),
+        batch_format="pandas", concurrency=concurrency)
+    pdf = partials.to_pandas()
+    out = []
+    for qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "vec_id", "sim", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the 100 TB scale path
+# ---------------------------------------------------------------------------
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                seed: int = 3) -> np.ndarray:
+    """Small k-means on a driver-side sample → centroid matrix."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class IVFAssigner:
+    def __init__(self, centroids_ref, emb_col: str = "embedding"):
+        import ray
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.cent = c
+        self.emb_col = emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        emb = _normalize(np.stack(df[self.emb_col].to_numpy()))
+        out = df.copy()
+        out["centroid"] = np.argmax(emb @ self.cent.T, axis=1).astype(np.int32)
+        return out
+
+
+def knn_cosine_ivf(ds, queries: np.ndarray, k: int, n_clusters: int = 16,
+                   nprobe: int = 4, sample_size: int = 2048,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   concurrency: int = 4, seed: int = 3) -> pd.DataFrame:
+    """IVF ANN: probe only the nprobe nearest centroid partitions.
+
+    Approximate — recall governed by nprobe/n_clusters; partitioning
+    assumption: vectors co-located by centroid assignment (the
+    ``groupby(centroid)`` shuffle).
+    """
+    import ray
+    sample_rows = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_rows[emb_col].to_numpy())
+    cent = kmeans_lite(sample, n_clusters, seed=seed)
+    cref = ray.put(cent)
+    assigned = ds.map_batches(IVFAssigner, fn_constructor_kwargs=dict(
+        centroids_ref=cref, emb_col=emb_col), batch_format="pandas",
+        concurrency=concurrency)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]    # [nq, nprobe]
+    probe_set = {}
+    for qi in range(len(q)):
+        for c in probes[qi]:
+            probe_set.setdefault(int(c), []).append(qi)
+    pref = ray.put((q, probe_set))
+
+    def search_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qm, pset = ray.get(pref)
+        c = int(g["centroid"].iloc[0])
+        qids = pset.get(c, [])
+        if not qids:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        emb = _normalize(np.stack(g[emb_col].to_numpy()))
+        ids = g[id_col].to_numpy()
+        sims = emb @ qm[qids].T
+        kk = min(k, len(g))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out = {"query_id": [], "vec_id": [], "sim": []}
+        for j, qi in enumerate(qids):
+            rows = top[:, j]
+            out["query_id"].extend([qi] * kk)
+            out["vec_id"].extend(ids[rows].tolist())
+            out["sim"].extend(sims[rows, j].tolist())
+        return pd.DataFrame(out)
+
+    pdf = assigned.groupby("centroid").map_groups(search_bucket,
+                                                  batch_format="pandas").to_pandas()
+    out = []
+    for qi, g in pdf.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_id", "vec_id", "sim", "rank"])

@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are vectorized ``map_batches`` bodies (pandas str / numpy); regexes
+compile once at module import (per worker process), never per batch.
+
+- token counting: whitespace tokens + a BPE-ish word/punct split
+- language ID: stopword + script heuristic (en/de/fr/es/zh)
+- quality scoring: length / punctuation / stopword / alpha ratios
+- fingerprinting: md5 content hash (SQL-parity) + 64-bit rolling hash
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+WS_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+BPE_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+PUNCT_RE = re.compile(r"[^\w\s]")
+ALPHA_RE = re.compile(r"[A-Za-z]")
+CJK_RE = re.compile(r"[一-鿿぀-ヿ]")
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que"},
+}
+
+
+def token_count_whitespace(texts: pd.Series) -> np.ndarray:
+    """Non-empty whitespace-separated token count (matches DuckDB
+    ``len(regexp_extract_all(text, '\\S+'))``)."""
+    return texts.fillna("").str.count(WS_TOKEN_RE).to_numpy(dtype=np.int64)
+
+
+def token_count_bpe(texts: pd.Series) -> np.ndarray:
+    """BPE-ish pre-tokenization count."""
+    return texts.fillna("").str.count(BPE_TOKEN_RE).to_numpy(dtype=np.int64)
+
+
+def detect_language(texts: pd.Series) -> pd.Series:
+    """Stopword/script heuristic language ID → {en,de,fr,es,zh,unknown}."""
+    out = []
+    for t in texts.fillna(""):
+        if CJK_RE.search(t):
+            out.append("zh")
+            continue
+        words = set(w.lower() for w in WS_TOKEN_RE.findall(t)[:200])
+        best, best_n = "unknown", 0
+        for lang, sw in _STOPWORDS.items():
+            n = len(words & sw)
+            if n > best_n:
+                best, best_n = lang, n
+        out.append(best if best_n > 0 else "unknown")
+    return pd.Series(out, index=texts.index, dtype="object")
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized quality features per document."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.int64)
+    n_tokens = t.str.count(WS_TOKEN_RE).to_numpy(dtype=np.int64)
+    n_punct = t.str.count(PUNCT_RE).to_numpy(dtype=np.int64)
+    n_alpha = t.str.count(ALPHA_RE).to_numpy(dtype=np.int64)
+    safe_chars = np.maximum(n_chars, 1)
+    safe_tokens = np.maximum(n_tokens, 1)
+    mean_word_len = (n_chars - (n_tokens - 1).clip(min=0)) / safe_tokens
+    feats = pd.DataFrame({
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct / safe_chars,
+        "alpha_ratio": n_alpha / safe_chars,
+        "mean_word_len": mean_word_len,
+    }, index=texts.index)
+    # crude composite quality in [0,1]: long enough, mostly alphabetic,
+    # not punctuation-soup, sane word lengths
+    q = (np.clip(n_tokens / 20.0, 0, 1) * 0.4
+         + feats["alpha_ratio"].to_numpy() * 0.3
+         + (1.0 - np.clip(feats["punct_ratio"].to_numpy() * 4.0, 0, 1)) * 0.2
+         + np.clip(1.0 - np.abs(mean_word_len - 5.0) / 10.0, 0, 1) * 0.1)
+    feats["quality"] = q
+    return feats
+
+
+def fingerprint_md5(texts: pd.Series) -> pd.Series:
+    """md5 of the lowercased text — exact-dedup key with a DuckDB oracle
+    (``md5(lower(text))``)."""
+    return pd.Series([hashlib.md5(t.lower().encode("utf-8")).hexdigest()
+                      for t in texts.fillna("")], index=texts.index)
+
+
+_RH_BASE = np.uint64(1099511628211)
+
+
+def rolling_fingerprint(texts: pd.Series, window: int = 16) -> np.ndarray:
+    """64-bit Karp-Rabin style document fingerprint: min of rolling window
+    hashes (shift-resistant, unlike a whole-document hash)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts.fillna("")):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) == 0:
+                out[i] = 0
+                continue
+            if len(b) <= window:
+                h = np.uint64(1469598103934665603)
+                for c in b:
+                    h = (h * _RH_BASE) ^ np.uint64(c)
+                out[i] = h
+                continue
+            # vectorized rolling polynomial hash over all windows
+            powers = np.empty(window, dtype=np.uint64)
+            p = np.uint64(1)
+            for k in range(window - 1, -1, -1):
+                powers[k] = p
+                p = p * _RH_BASE
+            win = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
+            hashes = (win * powers).sum(axis=1, dtype=np.uint64)
+            out[i] = hashes.min()
+    return out

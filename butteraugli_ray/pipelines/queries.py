@@ -1,0 +1,721 @@
+"""Query/operator suite over the driver testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a small pandas
+DataFrame (aggregate / top-k results).  Where ANSI-SQL can express the
+semantics, ``ORACLE_SQL`` carries the DuckDB-equivalent query — column
+names and rounding match exactly on both sides (the driver hash-compares
+values).  Float aggregates are rounded explicitly in BOTH the Ray code
+and the SQL so summation-order noise (~1e-9 relative) cannot flip the
+hash.
+
+Scale notes are inline: every aggregate pre-combines inside
+``map_batches`` before the (small) groupby shuffle; dimension tables are
+broadcast via ``ray.put``; sorts/top-k prune columns first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import text as T
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _final_agg(partials, keys, sum_cols):
+    """groupby over per-batch partial rows (the combiner pattern)."""
+    from ray.data.aggregate import Sum
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    return partials.groupby(keys).aggregate(*aggs).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# q_lineitem_pricing — TPC-H Q1 shape: filter → partial agg → small groupby
+# ---------------------------------------------------------------------------
+
+def q_lineitem_pricing(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate"])
+
+    cutoff = np.datetime64("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy() <= cutoff]
+        if not len(df):
+            return pd.DataFrame({k: [] for k in
+                                 ["l_returnflag", "l_linestatus", "sum_qty",
+                                  "sum_base_price", "sum_disc_price", "sum_charge",
+                                  "sum_disc", "count_order"]})
+        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+        charge = disc_price * (1 + df["l_tax"])
+        g = df.assign(disc_price=disc_price, charge=charge).groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"))
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = _final_agg(partials, ["l_returnflag", "l_linestatus"],
+                     ["sum_qty", "sum_base_price", "sum_disc_price",
+                      "sum_charge", "sum_disc", "count_order"])
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(4)
+    out["avg_disc"] = (out["sum_disc"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        out[c] = out[c].round(2)
+    out = out.drop(columns=["sum_disc"])
+    out["count_order"] = out["count_order"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_revenue_by_nation — broadcast dimension join (orders ⋈ customer ⋈ nation)
+# ---------------------------------------------------------------------------
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    import ray
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = cust.merge(nation, left_on="c_nationkey",
+                                right_on="n_nationkey")
+    lookup_ref = ray.put(dict(zip(cust_to_nation["c_custkey"],
+                                  cust_to_nation["n_name"])))
+
+    class JoinAgg:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            names = df["o_custkey"].map(self.lookup)
+            g = pd.DataFrame({"n_name": names,
+                              "revenue": df["o_totalprice"].to_numpy()})
+            return g.groupby("n_name", as_index=False).agg(
+                revenue=("revenue", "sum"), n_orders=("revenue", "size"))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(JoinAgg, batch_format="pandas", concurrency=2)
+    out = _final_agg(partials, ["n_name"], ["revenue", "n_orders"])
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_top_orders — global top-k (sort + limit on pruned projection)
+# ---------------------------------------------------------------------------
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10)
+    out = top.to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q_events_hourly — tumbling-window aggregate on the event stream
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        g = pd.DataFrame({"hour": hour, "event_type": df["event_type"],
+                          "value": df["value"]})
+        return g.groupby(["hour", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = _final_agg(partials, ["hour", "event_type"], ["n_events", "sum_value"])
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_mktsegment_stats / q_parts_by_brand — simple grouped column stats
+# ---------------------------------------------------------------------------
+
+def q_mktsegment_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_acctbal", "size"), sum_acctbal=("c_acctbal", "sum"))
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["c_mktsegment"], ["n_customers", "sum_acctbal"])
+    out["avg_acctbal"] = (out["sum_acctbal"] / out["n_customers"]).round(4)
+    out = out.drop(columns=["sum_acctbal"])
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_size", "size"), sum_retail=("p_retailprice", "sum"),
+            max_size=("p_size", "max"))
+
+    from ray.data.aggregate import Max, Sum
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("p_brand").aggregate(
+        Sum("n_parts", alias_name="n_parts"),
+        Sum("sum_retail", alias_name="sum_retail"),
+        Max("max_size", alias_name="max_size")).to_pandas()
+    out["avg_retail"] = (out["sum_retail"] / out["n_parts"]).round(4)
+    out = out.drop(columns=["sum_retail"])
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["max_size"] = out["max_size"].astype("int32")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_doc_token_stats / q_doc_quality — text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = T.token_count_whitespace(df["text"])
+        g = pd.DataFrame({"lang": df["lang"], "tokens": toks,
+                          "n_chars": df["n_chars"]})
+        return g.groupby("lang", as_index=False).agg(
+            n_docs=("tokens", "size"), sum_tokens=("tokens", "sum"),
+            sum_chars=("n_chars", "sum"))
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["lang"], ["n_docs", "sum_tokens", "sum_chars"])
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(4)
+    out = out.drop(columns=["sum_chars"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = T.quality_features(df["text"])
+        g = pd.DataFrame({"source": df["source"],
+                          "alpha_ratio": f["alpha_ratio"],
+                          "mean_word_len": f["mean_word_len"]})
+        return g.groupby("source", as_index=False).agg(
+            n_docs=("alpha_ratio", "size"), sum_alpha=("alpha_ratio", "sum"),
+            sum_mwl=("mean_word_len", "sum"))
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["source"], ["n_docs", "sum_alpha", "sum_mwl"])
+    out["avg_alpha_ratio"] = (out["sum_alpha"] / out["n_docs"]).round(4)
+    out["avg_mean_word_len"] = (out["sum_mwl"] / out["n_docs"]).round(4)
+    out = out.drop(columns=["sum_alpha", "sum_mwl"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_doc_fingerprints — md5 content fingerprint (SQL parity via md5())
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"],
+                             "fp": T.fingerprint_md5(df["text"])})
+
+    def distinct_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "n_distinct_fp": [int(g["fp"].nunique())]})
+
+    out = (ds.map_batches(add_fp, batch_format="pandas")
+           .groupby("lang").map_groups(distinct_count, batch_format="pandas")
+           .to_pandas())
+    out["n_distinct_fp"] = out["n_distinct_fp"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_exact — exact dedup over documents ∪ deterministic duplicate copies
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(sf_dir: str):
+    """documents plus a copy of every doc_id % 10 == 0 row re-keyed at
+    +1000000 — a deterministic duplicate population both Ray and SQL can
+    construct identically."""
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_dups(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 10 == 0))
+        return sel.set_column(0, "doc_id", pc.add(sel["doc_id"], 1000000))
+
+    return ds.union(ds.map_batches(make_dups, batch_format="pyarrow"))
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    ds = _docs_with_dups(sf_dir)
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "content_hash": T.fingerprint_md5(df["text"])})
+
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return pd.DataFrame({"content_hash": pd.Series([], dtype=str),
+                                 "n_dups": pd.Series([], dtype="int64"),
+                                 "keep_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"content_hash": [g["content_hash"].iloc[0]],
+                             "n_dups": [np.int64(len(g))],
+                             "keep_id": [np.int64(g["doc_id"].min())]})
+
+    out = (ds.map_batches(add_hash, batch_format="pandas")
+           .groupby("content_hash").map_groups(group, batch_format="pandas")
+           .to_pandas())
+    out["n_dups"] = out["n_dups"].astype("int64")
+    out["keep_id"] = out["keep_id"].astype("int64")
+    return out.sort_values("content_hash").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_ann_topk — brute-force cosine top-k against 3 fixed query vectors
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    from ..functions.ann import knn_cosine
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = qtbl.to_pandas()
+    qdf = qdf[qdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_cosine(ds, queries, k)
+    out["query_id"] = out["query_id"].map({0: 0, 1: 1, 2: 2}).astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    out["sim"] = out["sim"].round(4)
+    return (out[["query_id", "vec_id", "sim", "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# q_distinct_users — exact distinct count (shuffle on 1 pruned column)
+# ---------------------------------------------------------------------------
+
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    n = len(ds.unique("user_id"))
+    return pd.DataFrame({"n_distinct_users": pd.Series([n], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_near_dup — exact cosine pairs within label buckets
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        emb = emb / norm
+        sims = emb @ emb.T
+        iu = np.triu_indices(len(g), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0][mask]].astype("int64"),
+                             "id_b": ids[iu[1][mask]].astype("int64"),
+                             "cosine": np.round(sims[iu][mask], 4)})
+
+    out = (ds.groupby("label").map_groups(bucket_pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no exact SQL equivalent)
+# ---------------------------------------------------------------------------
+
+def _docs_with_near_dups(sf_dir: str):
+    """documents ∪ truncated copies (last 5 words dropped) of doc_id%7==0
+    rows re-keyed at +2000000 — a deterministic near-duplicate population."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def truncated(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["doc_id"] % 7 == 0]
+        txt = sel["text"].map(lambda t: " ".join(t.split()[:-5]))
+        return pd.DataFrame({"doc_id": sel["doc_id"] + 2000000, "text": txt})
+
+    return ds.union(ds.map_batches(truncated, batch_format="pandas"))
+
+
+def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    from ..functions.dedup import minhash_candidate_pairs, verify_jaccard_pairs
+    ds = _docs_with_near_dups(sf_dir)
+    pairs = minhash_candidate_pairs(ds, concurrency=2).to_pandas()
+    # broadcast text lookup for the (small) candidate subset
+    texts_df = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(texts_df["doc_id"], texts_df["text"]))
+    texts.update({k + 2000000: " ".join(v.split()[:-5])
+                  for k, v in texts.items() if k % 7 == 0})
+    out = verify_jaccard_pairs(pairs, texts, threshold)
+    out["jaccard"] = out["jaccard"].round(4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_near_dup(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
+    from ..functions.dedup import simhash_candidate_pairs
+    ds = _docs_with_near_dups(sf_dir)
+    out = simhash_candidate_pairs(ds, max_hamming=max_hamming,
+                                  concurrency=2).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
+    from ..functions.dedup import embedding_near_dup_pairs
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, dim=64, threshold=threshold,
+                                   n_planes=6, concurrency=2).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pred = T.detect_language(df["text"])
+        return pred.to_frame("pred_lang").groupby("pred_lang", as_index=False).size() \
+            .rename(columns={"size": "n_docs"})
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["pred_lang"], ["n_docs"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("pred_lang").reset_index(drop=True)
+
+
+def q_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = T.rolling_fingerprint(df["text"])
+        return pd.DataFrame({"source": df["source"],
+                             "fp": fp.astype(np.int64)})
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_distinct_fp": [np.int64(g["fp"].nunique())]})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("source").map_groups(distinct, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL estimate of distinct user_id: per-batch registers → merge."""
+    from ..functions.sketches import HyperLogLog
+    import base64
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog().add(df["user_id"].astype(str).tolist())
+        return pd.DataFrame({"hll": [base64.b64encode(h.to_bytes()).decode()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = HyperLogLog()
+    for b in parts["hll"]:
+        merged = merged.merge(HyperLogLog.from_bytes(base64.b64decode(b)))
+    return pd.DataFrame({"n_distinct_users_est":
+                         pd.Series([round(merged.estimate())], dtype="int64")})
+
+
+def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """t-digest quantiles of events.value: per-batch digests → merge."""
+    from ..functions.sketches import TDigest
+    import json as _json
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest().add(df["value"].to_numpy())
+        return pd.DataFrame({"td": [_json.dumps(td.to_dict())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = TDigest()
+    for s in parts["td"]:
+        merged = merged.merge(TDigest.from_dict(_json.loads(s)))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    return pd.DataFrame({"quantile": qs,
+                         "value_est": [round(merged.quantile(q), 4) for q in qs]})
+
+
+def q_event_drift(sf_dir: str) -> pd.DataFrame:
+    """KS/PSI drift of `value` between the first and second half of the
+    event stream (histogram partials per batch, merged)."""
+    from ..functions.sketches import FixedHistogram, ks_statistic, psi
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ts = tbl["ts"].to_pandas()
+    mid = ts.quantile(0.5)
+    import ray.data as rd
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = -10.0, 10.0
+        h_a = FixedHistogram(lo, hi, 32).add(df.loc[df["ts"] <= mid, "value"].to_numpy())
+        h_b = FixedHistogram(lo, hi, 32).add(df.loc[df["ts"] > mid, "value"].to_numpy())
+        import json as _json
+        return pd.DataFrame({"ha": [_json.dumps(h_a.to_dict())],
+                             "hb": [_json.dumps(h_b.to_dict())]})
+
+    import json as _json
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    ha = FixedHistogram(-10, 10, 32)
+    hb = FixedHistogram(-10, 10, 32)
+    for _, r in parts.iterrows():
+        ha = ha.merge(FixedHistogram.from_dict(_json.loads(r["ha"])))
+        hb = hb.merge(FixedHistogram.from_dict(_json.loads(r["hb"])))
+    return pd.DataFrame({"metric": ["ks", "psi"],
+                         "value": [round(ks_statistic(ha, hb), 6),
+                                   round(psi(ha, hb), 6)]})
+
+
+def q_knn_ivf(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    from ..functions.ann import knn_cosine_ivf
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).to_pandas()
+    qdf = qtbl[qtbl["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_cosine_ivf(ds, queries, k, n_clusters=8, nprobe=4)
+    out["sim"] = out["sim"].round(4)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["query_id", "vec_id", "sim", "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Flagship validation over the interleaved corpus derived from testdata
+# ---------------------------------------------------------------------------
+
+def build_interleaved_corpus(sf_dir: str, out_dir: str) -> dict:
+    """Deterministically derive the (doc_id, spans) corpus from the
+    testdata documents table (texts become text spans; image spans point
+    into the generator-backed media pool)."""
+    import os
+    import pyarrow.parquet as pq
+    from ..corpus.synth import MEDIA_SCHEMA, build_media_table, good_media_refs, bad_media_refs, DOC_SCHEMA
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    good, bad = good_media_refs(), bad_media_refs()
+    doc_ids, spans_col, part_col = [], [], []
+    n_partitions = 8
+    per_part = max(1, -(-len(docs) // n_partitions))
+    for i, (did, text) in enumerate(zip(docs["doc_id"], docs["text"])):
+        words = text.split()
+        half = max(1, len(words) // 2)
+        t1, t2 = " ".join(words[:half]), " ".join(words[half:])
+        ref = bad[did % len(bad)] if did % 17 == 0 else good[did % len(good)]
+        spans = [
+            {"kind": "text", "text": t1, "media_ref": "", "offset": 0},
+            {"kind": "image", "text": "", "media_ref": ref, "offset": len(t1)},
+            {"kind": "text", "text": t2, "media_ref": "", "offset": len(t1) + 1},
+        ]
+        doc_ids.append(f"doc-{did:08d}")
+        spans_col.append(spans)
+        part_col.append(i // per_part)
+    tbl = pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                    "spans": pa.array(spans_col, DOC_SCHEMA.field("spans").type),
+                    "partition_id": pa.array(part_col, pa.int32())})
+    dp = f"{out_dir}/documents.parquet"
+    mp = f"{out_dir}/media.parquet"
+    pq.write_table(tbl, dp)
+    pq.write_table(build_media_table(), mp)
+    return {"documents": dp, "media": mp}
+
+
+def q_validate_corpus(sf_dir: str) -> pd.DataFrame:
+    """Flagship: violations of the interleaved corpus derived from this
+    sf_dir (per-media butteraugli scores vs threshold 4.0 + structural)."""
+    import hashlib as _hl
+    import tempfile
+    from .validate import validate_corpus
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    corpus_dir = f"/tmp/butteraugli_ray_corpus_{tag}"
+    out_dir = f"/tmp/butteraugli_ray_validate_{tag}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = build_interleaved_corpus(sf_dir, corpus_dir)
+    validate_corpus(paths["documents"], paths["media"], out_dir,
+                    resume=False, scorer_concurrency=2)
+    import glob
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(f"{out_dir}/violations/part-*.parquet"))
+    if not files:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=str),
+                             "span_idx": pd.Series([], dtype="int32"),
+                             "check": pd.Series([], dtype=str)})
+    out = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    return (out[["doc_id", "span_idx", "check"]]
+            .sort_values(["doc_id", "span_idx", "check"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "lineitem_pricing": q_lineitem_pricing,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders": q_top_orders,
+    "events_hourly": q_events_hourly,
+    "mktsegment_stats": q_mktsegment_stats,
+    "parts_by_brand": q_parts_by_brand,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "ann_topk": q_ann_topk,
+    "distinct_users": q_distinct_users,
+    "embedding_near_dup": q_embedding_near_dup,
+    # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_near_dup": q_simhash_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "lang_id": q_lang_id,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "hll_distinct_users": q_hll_distinct_users,
+    "value_quantiles": q_value_quantiles,
+    "event_drift": q_event_drift,
+    "knn_ivf": q_knn_ivf,
+    "validate_corpus": q_validate_corpus,
+}
+
+_TOKS = r"regexp_extract_all(text, '\S+')"
+
+ORACLE_SQL = {
+    "lineitem_pricing": f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(sum(l_quantity), 2) AS sum_qty,
+               ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(sum(l_quantity) / count(*), 4) AS avg_qty,
+               ROUND(sum(l_extendedprice) / count(*), 4) AS avg_price,
+               ROUND(sum(l_discount) / count(*), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n_name, ROUND(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n_events,
+               ROUND(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "mktsegment_stats": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               ROUND(sum(c_acctbal) / count(*), 4) AS avg_acctbal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "parts_by_brand": """
+        SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
+               ROUND(sum(p_retailprice) / count(*), 4) AS avg_retail
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "doc_token_stats": f"""
+        SELECT lang, count(*) AS n_docs,
+               sum(len({_TOKS})) AS sum_tokens,
+               ROUND(sum(n_chars) / count(*), 4) AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "doc_quality": f"""
+        SELECT source, count(*) AS n_docs,
+               ROUND(sum(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                         / greatest(len(text), 1)) / count(*), 4) AS avg_alpha_ratio,
+               ROUND(sum((len(text) - greatest(len({_TOKS}) - 1, 0)) * 1.0
+                         / greatest(len({_TOKS}), 1)) / count(*), 4) AS avg_mean_word_len
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "doc_fingerprints": """
+        SELECT lang, count(DISTINCT md5(lower(text))) AS n_distinct_fp
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "dedup_exact": """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 10 = 0
+        )
+        SELECT md5(lower(text)) AS content_hash, count(*) AS n_dups,
+               min(doc_id) AS keep_id
+        FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id IN (0, 1, 2))
+        SELECT query_id, vec_id,
+               ROUND(CAST(list_cosine_similarity(qe, embedding) AS DOUBLE), 4) AS sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id) AS rank
+        FROM q, embeddings
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
+    """,
+    "distinct_users": """
+        SELECT count(DISTINCT user_id) AS n_distinct_users FROM events
+    """,
+    "embedding_near_dup": """
+        SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+               ROUND(CAST(list_cosine_similarity(e1.embedding, e2.embedding) AS DOUBLE), 4) AS cosine
+        FROM embeddings e1
+        JOIN embeddings e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+        WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
+        ORDER BY id_a, id_b
+    """,
+}

@@ -4,19 +4,22 @@ Ray-Data-first dataflow (SURVEY.md §7):
 
     media table ──map_batches(MediaScorer actor pool)──► {media_ref→score}
                                                          (small; ray.put broadcast)
-    documents ──read_parquet(filter: partition_id ∉ completed)───────────┐
-       ├─ map_batches(StructuralChecker)      → structural violation rows │ streaming,
-       ├─ map_batches(SpanScoreChecker)       → perceptual violation rows │ no full
-       ├─ select(doc_id, partition_id) → groupby(doc_id) → duplicate rows │ materialize
-       └─ map_batches(partials: count/HLL/histogram per partition)        │
-    violations.union() ─ groupby(partition_id).map_groups(atomic writer) ─┘
+    documents ──read_parquet(filter: partition_id ∉ completed)
+       └─ map_batches(DocChecker actor pool)   ONE heavy scan emitting
+            ├─ structural violation rows       tagged rows (row_kind):
+            ├─ perceptual violation rows       violations + per-partition
+            └─ metrics partials (count/HLL)    metrics partials
+    documents[doc_id, partition_id] ── groupby(doc_id) → duplicate rows
+            (always global — uniqueness is cross-partition; results
+             filtered to partitions this run owns)
+    violations ─ groupby(partition_id).map_groups(atomic writer) → files
     driver: merge partials per partition → manifest JSON (atomic) → summary
             (+ KS/PSI drift of the score histogram vs a baseline snapshot)
 
-Scale design: the only all-to-all shuffles are (a) the duplicate check,
-run on a 2-column projection, and (b) the per-partition violation
-grouping, which only moves violation rows (~violation_rate of the
-corpus).  Everything else is map-only; sketches ship bytes, not rows.
+Scale design: ONE pass reads the document payload; the only all-to-all
+shuffles are the duplicate check (2-column projection) and the
+per-partition violation grouping (~violation_rate of the corpus).
+Sketches ship bytes, not rows.
 """
 
 from __future__ import annotations
@@ -33,60 +36,119 @@ import pyarrow.compute as pc
 
 from ..functions.sketches import FixedHistogram, HyperLogLog, ks_statistic, psi
 from ..metric.api import ButteraugliParams
-from ..sources.tables import read_arrow, read_table_filtered
-from ..stages.scorer import MediaScorer, SpanScoreChecker
-from ..stages.structural import StructuralChecker, VIOLATION_SCHEMA, check_spans_batch
+from ..sources.tables import read_table_filtered
+from ..stages.scorer import MediaScorer
+from ..stages.structural import check_spans_batch
 from . import checkpoint as ckpt
 
 DEFAULT_SCORE_THRESHOLD = 4.0
 _HIST_RANGE = (0.0, 32.0)
 _HIST_BINS = 64
 
+_TAGGED_SCHEMA = pa.schema([
+    ("row_kind", pa.string()),          # "viol" | "metrics"
+    ("doc_id", pa.string()),
+    ("span_idx", pa.int32()),
+    ("check", pa.string()),
+    ("detail", pa.string()),
+    ("partition_id", pa.int32()),
+    ("n_docs", pa.int64()),
+    ("n_spans", pa.int64()),
+    ("hll", pa.string()),
+])
+
 
 def _attach_partition(viol: pa.Table, batch: pa.Table) -> pa.Table:
     """Vectorized doc_id → partition_id lookup within the batch."""
-    if viol.num_rows == 0:
-        return viol.append_column("partition_id", pa.array([], pa.int32()))
-    pos = pc.index_in(viol["doc_id"], value_set=batch["doc_id"].combine_chunks()
-                      if isinstance(batch["doc_id"], pa.ChunkedArray)
-                      else batch["doc_id"])
+    doc_ids = batch["doc_id"]
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    pos = pc.index_in(viol["doc_id"], value_set=doc_ids)
     pids = pc.take(batch["partition_id"], pos).cast(pa.int32())
     return viol.append_column("partition_id", pids)
 
 
-class _StructuralWithPartition(StructuralChecker):
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return _attach_partition(super().__call__(batch), batch)
+class DocChecker:
+    """The single heavy per-batch stage: structural checks + perceptual
+    score constraint + per-partition metrics partials, one pass.
 
+    Holds the broadcast media key set and {media_ref → score} map
+    (ray.put once; ray.get in __init__ — never re-shipped per batch).
+    """
 
-class _ScoreCheckWithPartition(SpanScoreChecker):
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return _attach_partition(super().__call__(batch), batch)
+    def __init__(self, media_keys_ref=None, scores_ref=None,
+                 threshold: float = DEFAULT_SCORE_THRESHOLD):
+        import ray
+        keys = (ray.get(media_keys_ref) if media_keys_ref is not None else None)
+        self.media_keys = (pa.array(sorted(keys), pa.string())
+                           if keys is not None else None)
+        scores = ray.get(scores_ref) if scores_ref is not None else {}
+        items = sorted(scores.items())
+        self._score_keys = pa.array([k for k, _ in items], pa.string())
+        self._score_vals = np.array([v for _, v in items], dtype=np.float64)
+        self.threshold = float(threshold)
 
+    def _score_violations(self, batch: pa.Table) -> pa.Table:
+        from ..stages.structural import explode_spans
+        doc_ids, span_idx, kind, _t, media_ref, _o, _p = explode_spans(batch)
+        is_image = pc.fill_null(pc.equal(kind, "image"), False).to_numpy(zero_copy_only=False)
+        pos = pc.index_in(media_ref, value_set=self._score_keys).to_numpy(zero_copy_only=False)
+        found = np.logical_and(is_image, ~np.isnan(pos.astype(np.float64)))
+        pos_i = np.where(found, pos, 0).astype(np.int64)
+        score = np.where(found, self._score_vals[pos_i], np.nan)
+        bad = np.logical_and(found, score > self.threshold)
+        idx = np.nonzero(bad)[0]
+        details = [f"butteraugli score {score[i]:.4f} > {self.threshold}" for i in idx]
+        return pa.table({
+            "doc_id": pc.take(doc_ids, pa.array(idx)),
+            "span_idx": pa.array(span_idx[idx], pa.int32()),
+            "check": pa.array(["score_exceeds_threshold"] * len(idx), pa.string()),
+            "detail": pa.array(details, pa.string()),
+        })
 
-class _PartitionPartials:
-    """Per-batch mergeable metrics row per partition: doc count, HLL
-    registers of doc_id, span count — the StripReducer pattern
-    (strip.rs:127-209) applied to corpus statistics."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _metrics_rows(self, batch: pa.Table) -> dict:
         pids = batch["partition_id"].to_numpy(zero_copy_only=False)
         n_spans = pc.list_value_length(batch["spans"]).to_numpy(zero_copy_only=False)
+        doc_arr = batch["doc_id"]
         rows = {"partition_id": [], "n_docs": [], "n_spans": [], "hll": []}
         for pid in np.unique(pids):
             mask = pids == pid
-            doc_ids = pc.filter(batch["doc_id"], pa.array(mask)).to_pylist()
-            hll = HyperLogLog().add(doc_ids)
+            hll = HyperLogLog().add(pc.filter(doc_arr, pa.array(mask)).to_pylist())
             rows["partition_id"].append(int(pid))
             rows["n_docs"].append(int(mask.sum()))
             rows["n_spans"].append(int(n_spans[mask].sum()))
             rows["hll"].append(base64.b64encode(hll.to_bytes()).decode())
+        return rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        viol = check_spans_batch(batch, self.media_keys)
+        sviol = self._score_violations(batch)
+        viol = pa.concat_tables([viol, sviol])
+        viol = _attach_partition(viol, batch)
+        m = self._metrics_rows(batch)
+        nv, nm = viol.num_rows, len(m["partition_id"])
         return pa.table({
-            "partition_id": pa.array(rows["partition_id"], pa.int32()),
-            "n_docs": pa.array(rows["n_docs"], pa.int64()),
-            "n_spans": pa.array(rows["n_spans"], pa.int64()),
-            "hll": pa.array(rows["hll"], pa.string()),
+            "row_kind": pa.array(["viol"] * nv + ["metrics"] * nm, pa.string()),
+            "doc_id": pa.concat_arrays([viol["doc_id"].combine_chunks().cast(pa.string()),
+                                        pa.array([""] * nm, pa.string())]),
+            "span_idx": pa.concat_arrays([viol["span_idx"].combine_chunks(),
+                                          pa.array([0] * nm, pa.int32())]),
+            "check": pa.concat_arrays([viol["check"].combine_chunks(),
+                                       pa.array([""] * nm, pa.string())]),
+            "detail": pa.concat_arrays([viol["detail"].combine_chunks(),
+                                        pa.array([""] * nm, pa.string())]),
+            "partition_id": pa.concat_arrays([viol["partition_id"].combine_chunks(),
+                                              pa.array(m["partition_id"], pa.int32())]),
+            "n_docs": pa.concat_arrays([pa.nulls(nv, pa.int64()),
+                                        pa.array(m["n_docs"], pa.int64())]),
+            "n_spans": pa.concat_arrays([pa.nulls(nv, pa.int64()),
+                                         pa.array(m["n_spans"], pa.int64())]),
+            "hll": pa.concat_arrays([pa.array([""] * nv, pa.string()),
+                                     pa.array(m["hll"], pa.string())]),
         })
+
+
+VIOLATION_COLS = ["doc_id", "span_idx", "check", "detail", "partition_id"]
 
 
 def score_media_table(media_path: str, params: Optional[ButteraugliParams] = None,
@@ -107,8 +169,8 @@ def score_media_table(media_path: str, params: Optional[ButteraugliParams] = Non
 def _violation_writer(out_dir: str):
     """Per-partition atomic violation writer (map_groups) → manifest row."""
 
-    def write(group: pa.Table) -> pa.Table:
-        pid = int(group["partition_id"][0].as_py())
+    def write(group: pa.Table, pid: int) -> pa.Table:
+        group = group.select(VIOLATION_COLS)
         path = os.path.join(ckpt.violations_dir(out_dir), f"part-{pid:05d}.parquet")
         ckpt.atomic_write_parquet(path, group)
         vc = pc.value_counts(group["check"])
@@ -126,6 +188,7 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                     baseline_snapshot: Optional[str] = None,
                     resume: bool = True,
                     scorer_concurrency: int = 4,
+                    checker_concurrency: Optional[int] = None,
                     batch_size: int = 1024) -> dict:
     """Run the full validation; returns the summary dict.
 
@@ -133,7 +196,6 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
     score histogram becomes the drift baseline (KS/PSI).
     """
     import ray
-    import ray.data as rd
 
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
@@ -150,90 +212,90 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
         if sc is not None and np.isfinite(sc):
             finite_scores.append(sc)
     score_hist.add(np.array(finite_scores))
-    media_keys = set(score_map)
-    keys_ref = ray.put(media_keys)
+    keys_ref = ray.put(set(score_map))
     scores_ref = ray.put(score_map)
 
-    # ---- documents (filter completed partitions at the read) -------------
+    # ---- ONE heavy scan over remaining partitions ------------------------
     filt = None
     if done:
         import pyarrow.dataset as pads
         filt = ~pads.field("partition_id").isin(sorted(done))
     docs = read_table_filtered(docs_path, filter_expr=filt)
 
-    structural = docs.map_batches(
-        _StructuralWithPartition, fn_constructor_kwargs={"media_keys_ref": keys_ref},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=scorer_concurrency)
-    score_viol = docs.map_batches(
-        _ScoreCheckWithPartition,
-        fn_constructor_kwargs={"scores_ref": scores_ref, "threshold": threshold},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=scorer_concurrency)
+    checker_kwargs = dict(media_keys_ref=keys_ref, scores_ref=scores_ref,
+                          threshold=threshold)
+    tagged = docs.map_batches(DocChecker, fn_constructor_kwargs=checker_kwargs,
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=checker_concurrency or scorer_concurrency)
 
-    # duplicate doc_id — shuffle on a pruned 2-column projection
+    # ---- duplicate doc_id — global scan on a pruned 2-column projection --
     def dup_viol(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        # deterministic "first occurrence" across runs/resumes
         extra = group.sort_by("partition_id").slice(1)
         return pa.table({
+            "row_kind": pa.array(["viol"] * extra.num_rows, pa.string()),
             "doc_id": extra["doc_id"],
             "span_idx": pa.array([-1] * extra.num_rows, pa.int32()),
             "check": pa.array(["duplicate_doc_id"] * extra.num_rows, pa.string()),
-            "detail": pa.array([f"doc_id occurs {n} times"] * extra.num_rows, pa.string()),
+            "detail": pa.array([f"doc_id occurs {n} times"] * extra.num_rows,
+                               pa.string()),
             "partition_id": extra["partition_id"].cast(pa.int32()),
+            "n_docs": pa.nulls(extra.num_rows, pa.int64()),
+            "n_spans": pa.nulls(extra.num_rows, pa.int64()),
+            "hll": pa.array([""] * extra.num_rows, pa.string()),
         })
 
-    # Global uniqueness is cross-partition: always scan the full 2-column
-    # projection (cheap — doc_id + partition_id only), then keep only rows
-    # landing in partitions this run still owns.  Completed partitions
-    # already recorded their duplicate rows.
-    docs_ids_all = read_table_filtered(docs_path, columns=["doc_id", "partition_id"])
-    dups = (docs_ids_all.groupby("doc_id")
-            .map_groups(dup_viol, batch_format="pyarrow"))
+    docs_ids_all = read_table_filtered(docs_path,
+                                       columns=["doc_id", "partition_id"])
+    dups = docs_ids_all.groupby("doc_id").map_groups(dup_viol,
+                                                     batch_format="pyarrow")
     if done:
-        done_list = sorted(done)
+        done_arr = pa.array(sorted(done), pa.int32())
         dups = dups.map_batches(
-            lambda t, _dl=done_list: t.filter(
-                pc.invert(pc.is_in(t["partition_id"],
-                                   value_set=pa.array(_dl, pa.int32())))),
+            lambda t, _d=done_arr: t.filter(
+                pc.invert(pc.is_in(t["partition_id"], value_set=_d))),
             batch_format="pyarrow")
 
-    violations = structural.union(score_viol).union(dups)
+    tagged_all = tagged.union(dups)
 
-    # ---- per-partition atomic violation files + counts -------------------
-    viol_counts = (violations.groupby("partition_id")
-                   .map_groups(_violation_writer(out_dir), batch_format="pyarrow"))
-    viol_rows = viol_counts.to_pandas()
+    # ---- split tagged stream: violations → per-partition atomic files ---
+    def split_and_count(group: pa.Table) -> pa.Table:
+        pid = int(group["partition_id"][0].as_py())
+        viol = group.filter(pc.equal(group["row_kind"], "viol"))
+        metrics = group.filter(pc.equal(group["row_kind"], "metrics"))
+        writer = _violation_writer(out_dir)
+        counts = writer(viol, pid)
+        n_docs = int(pc.sum(metrics["n_docs"]).as_py() or 0)
+        n_spans = int(pc.sum(metrics["n_spans"]).as_py() or 0)
+        hll = HyperLogLog()
+        for b in metrics["hll"].to_pylist():
+            if b:
+                hll = hll.merge(HyperLogLog.from_bytes(base64.b64decode(b)))
+        return pa.table({
+            "partition_id": counts["partition_id"],
+            "n_violations": counts["n_violations"],
+            "checks_json": counts["checks_json"],
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_spans": pa.array([n_spans], pa.int64()),
+            "hll": pa.array([base64.b64encode(hll.to_bytes()).decode()],
+                            pa.string()),
+        })
 
-    # ---- per-partition doc metrics partials ------------------------------
-    partials = docs.map_batches(_PartitionPartials(), batch_format="pyarrow",
-                                batch_size=batch_size)
-    ppdf = partials.to_pandas()
+    per_part = (tagged_all.groupby("partition_id")
+                .map_groups(split_and_count, batch_format="pyarrow")
+                .to_pandas())
 
-    # driver-side merge (one row per batch×partition → P rows)
-    merged = {}
-    for _, row in ppdf.iterrows():
+    for _, row in per_part.iterrows():
         pid = int(row["partition_id"])
-        cur = merged.setdefault(pid, {"n_docs": 0, "n_spans": 0,
-                                      "hll": HyperLogLog()})
-        cur["n_docs"] += int(row["n_docs"])
-        cur["n_spans"] += int(row["n_spans"])
-        cur["hll"] = cur["hll"].merge(
-            HyperLogLog.from_bytes(base64.b64decode(row["hll"])))
-
-    vmap = ({int(r["partition_id"]): r for _, r in viol_rows.iterrows()}
-            if len(viol_rows) else {})
-    for pid, m in sorted(merged.items()):
-        vr = vmap.get(pid)
-        nviol = int(vr["n_violations"]) if vr is not None else 0
-        checks = json.loads(vr["checks_json"]) if vr is not None else {}
+        hll = HyperLogLog.from_bytes(base64.b64decode(row["hll"]))
         manifest = {
             "partition_id": pid,
-            "n_docs": m["n_docs"],
-            "n_spans": m["n_spans"],
-            "distinct_doc_ids_est": round(m["hll"].estimate(), 1),
-            "n_violations": nviol,
-            "violations_by_check": checks,
-            "passed": nviol == 0,
+            "n_docs": int(row["n_docs"]),
+            "n_spans": int(row["n_spans"]),
+            "distinct_doc_ids_est": round(hll.estimate(), 1),
+            "n_violations": int(row["n_violations"]),
+            "violations_by_check": json.loads(row["checks_json"]),
+            "passed": int(row["n_violations"]) == 0,
             "input_fingerprint": {"docs_path": docs_path, "media_path": media_path,
                                   "threshold": threshold},
             "wall_time_s": round(time.time() - t0, 3),

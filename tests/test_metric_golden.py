@@ -1,0 +1,120 @@
+"""Golden-score parity: the numpy metric vs C++ butteraugli_main scores
+(the reference's own gate: 0.1% relative, reference_parity.rs:35).
+
+The full 908-case sweep takes ~35 s; the default test covers a stratified
+subset across every pattern family and size class.  Set
+BUTTERAUGLI_FULL_GOLDEN=1 to run all 908.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from butteraugli_ray.corpus.generators import generate_image_pair
+from butteraugli_ray.metric.api import ButteraugliParams, butteraugli_srgb
+from butteraugli_ray.metric.precompute import ReferencePrecompute
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..",
+                       "butteraugli_ray", "fixtures", "golden_cases.json")
+TOLERANCE = 1e-3
+
+
+def _cases():
+    with open(FIXTURE) as f:
+        cases = json.load(f)
+    if os.environ.get("BUTTERAUGLI_FULL_GOLDEN"):
+        return cases
+    # stratified subset: every 11th case (≈83 cases, all families)
+    return cases[::11]
+
+
+@pytest.mark.parametrize("case", _cases(), ids=lambda c: c["name"])
+def test_golden_score(case):
+    pair = generate_image_pair(case["name"], case["width"], case["height"])
+    assert pair is not None, f"generator missing for {case['name']}"
+    r = butteraugli_srgb(pair[0], pair[1])
+    rel = abs(r.score - case["expected_score"]) / max(case["expected_score"], 1e-12)
+    assert rel < TOLERANCE, (
+        f"{case['name']}: got {r.score}, expected {case['expected_score']} "
+        f"(rel {rel:.2e})")
+
+
+def test_identical_pair_scores_zero():
+    a, _ = generate_image_pair("checkerboard_vs_inverse_1px_32x32", 32, 32)
+    r = butteraugli_srgb(a, a.copy())
+    assert r.score < 1e-3 and r.pnorm_3 < 1e-3
+
+
+def test_symmetry():
+    # conformance.rs:214-247: |s(a,b) − s(b,a)| < 0.1·s + 0.01 — holds for
+    # noise/shift distortions (blur pairs are asymmetric BY DESIGN via
+    # l2_diff_asymmetric, diff.rs:185-225)
+    for name in ("random_seed0_noise_20_32x32", "gradient_diag_shift_10_32x32"):
+        a, b = generate_image_pair(name, 32, 32)
+        s1 = butteraugli_srgb(a, b).score
+        s2 = butteraugli_srgb(b, a).score
+        assert abs(s1 - s2) < 0.1 * s1 + 0.01, name
+
+
+def test_warm_precompute_matches_oneshot():
+    a, b = generate_image_pair("gradient_diag_shift_10_32x32", 32, 32)
+    one = butteraugli_srgb(a, b)
+    pre = ReferencePrecompute(a)
+    warm = pre.compare_srgb(b)
+    assert warm.score == pytest.approx(one.score, rel=1e-6)
+    assert warm.pnorm_3 == pytest.approx(one.pnorm_3, rel=1e-6)
+
+
+def test_param_validation():
+    a, b = generate_image_pair("uniform_gray_128_shift_5_8x8", 8, 8)
+    for bad in [ButteraugliParams(hf_asymmetry=0.0),
+                ButteraugliParams(hf_asymmetry=float("nan")),
+                ButteraugliParams(intensity_target=-1.0),
+                ButteraugliParams(xmul=-0.1)]:
+        with pytest.raises(ValueError):
+            butteraugli_srgb(a, b, bad)
+
+
+def test_pnorm_uniform_diffmap():
+    # lib.rs:1344-1392: uniform diffmap of v ⇒ pnorm == v for all p
+    from butteraugli_ray.metric.kernels import pnorm_slice
+    dm = np.full((16, 16), 0.7, dtype=np.float32)
+    for p in (2.0, 3.0, 4.0):
+        assert pnorm_slice(dm, p) == pytest.approx(0.7, rel=1e-6)
+
+
+def test_sub8_padding_and_crop():
+    a, b = generate_image_pair("uniform_gray_128_shift_5_8x8", 8, 8)
+    r = butteraugli_srgb(a[:3, :5], b[:3, :5],
+                         ButteraugliParams(compute_diffmap=True))
+    assert r.diffmap.shape == (3, 5)
+    assert np.isfinite(r.score)
+
+
+def test_nonfinite_rejected():
+    from butteraugli_ray.metric.api import butteraugli_linear
+    rng = np.random.default_rng(0)
+    a = rng.random((16, 16, 3)).astype(np.float32)
+    b = a.copy()
+    b[0, 0, 0] = np.inf
+    with pytest.raises(FloatingPointError):
+        butteraugli_linear(a, b)
+
+
+def test_score_partials_merge_associative():
+    # strip.rs:127-209: partial states merge to the single-pass result
+    from butteraugli_ray.metric import kernels as K
+    rng = np.random.default_rng(1)
+    dm = (rng.random((40, 40)) * 3).astype(np.float32)
+    whole = K.diffmap_partials(dm)
+    parts = [K.diffmap_partials(dm[:13]), K.diffmap_partials(dm[13:29]),
+             K.diffmap_partials(dm[29:])]
+    merged = K.merge_partials(parts)
+    assert merged["pixels"] == whole["pixels"]
+    assert merged["max"] == whole["max"]
+    assert merged["sum_p3"] == pytest.approx(whole["sum_p3"], rel=1e-12)
+    s_m, p_m = K.finalize_partials(merged)
+    s_w, p_w = K.finalize_partials(whole)
+    assert s_m == s_w and p_m == pytest.approx(p_w, rel=1e-12)

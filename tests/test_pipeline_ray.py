@@ -1,0 +1,147 @@
+"""Ray-backed integration tests: flagship validation, resume, dedup and
+ANN operators through the Dataset API (session-scoped Ray fixture)."""
+
+import collections
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_paths(ray_session, tmp_path_factory):
+    from butteraugli_ray.corpus.synth import write_corpus
+    d = tmp_path_factory.mktemp("corpus")
+    return write_corpus(str(d), n_docs=600, seed=42, violation_rate=0.02)
+
+
+def test_validate_matches_ground_truth(ray_session, corpus_paths, tmp_path):
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    out = str(tmp_path / "out")
+    summary = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                              out, resume=False, scorer_concurrency=2)
+    truth = json.load(open(corpus_paths["ground_truth"]))
+    want = collections.Counter(t["check"] for t in truth)
+    got = summary["violations_by_check"]
+    for kind in ("missing_media_ref", "null_kind", "empty_media_ref",
+                 "score_exceeds_threshold", "duplicate_doc_id"):
+        assert got.get(kind, 0) == want[kind], kind
+    assert summary["n_docs"] == 600
+
+
+def test_resume_skips_completed_and_matches(ray_session, corpus_paths, tmp_path):
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    out = str(tmp_path / "out")
+    s1 = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                         out, resume=False, scorer_concurrency=2)
+    # simulate kill: drop 3 partition manifests
+    for pid in (0, 3, 7):
+        os.remove(f"{out}/manifests/part-{pid:05d}.json")
+    s2 = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                         out, resume=True, scorer_concurrency=2)
+    assert s2["n_violations"] == s1["n_violations"]
+    assert s2["violations_by_check"] == s1["violations_by_check"]
+    assert s2["n_docs"] == s1["n_docs"]
+
+
+def test_drift_detection(ray_session, corpus_paths, tmp_path):
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    out1 = str(tmp_path / "a")
+    out2 = str(tmp_path / "b")
+    validate_corpus(corpus_paths["documents"], corpus_paths["media"], out1,
+                    resume=False, scorer_concurrency=2)
+    s2 = validate_corpus(corpus_paths["documents"], corpus_paths["media"], out2,
+                         resume=False, scorer_concurrency=2,
+                         baseline_snapshot=f"{out1}/summary.json")
+    assert "drift" in s2
+    assert s2["drift"]["ks"] == pytest.approx(0.0, abs=1e-9)  # same corpus
+    assert s2["drift"]["psi"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_span_sequence_through_executor(ray_session, corpus_paths):
+    # input_hint invariant: exact (kind, text, media_ref, offset) sequence
+    # survives a Ray Data round trip (read → map_batches → collect)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    orig = pq.read_table(corpus_paths["documents"])
+    ds = rd.read_parquet(corpus_paths["documents"])
+    roundtrip = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    got = pa.concat_tables(roundtrip.iter_batches(batch_size=1 << 16,
+                                                  batch_format="pyarrow"),
+                           promote_options="default")
+    o = {d: s for d, s in zip(orig["doc_id"].to_pylist(),
+                              orig["spans"].to_pylist())}
+    g = {d: s for d, s in zip(got["doc_id"].to_pylist(),
+                              got["spans"].to_pylist())}
+    assert o == g
+
+
+def test_minhash_finds_seeded_near_dups(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import (minhash_candidate_pairs,
+                                                 verify_jaccard_pairs, MinHasher)
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(60)]
+    near = [t.rsplit(" ", 3)[0] + " x y z" for t in texts[:10]]  # near-dups
+    df = pd.DataFrame({"doc_id": np.arange(70, dtype=np.int64),
+                       "text": texts + near})
+    ds = rd.from_pandas(df)
+    pairs = minhash_candidate_pairs(ds, concurrency=1).to_pandas()
+    texts_map = dict(zip(df["doc_id"], df["text"]))
+    verified = verify_jaccard_pairs(pairs, texts_map, threshold=0.5)
+    found = set(zip(verified["id_a"], verified["id_b"]))
+    # every seeded near-dup pair (i, 60+i) must be found
+    mh = MinHasher()
+    for i in range(10):
+        assert mh.jaccard(texts_map[i], texts_map[60 + i]) >= 0.5
+        assert (i, 60 + i) in found
+    # false-positive check: verified pairs really have jaccard ≥ 0.5
+    for a, b, j in zip(verified["id_a"], verified["id_b"], verified["jaccard"]):
+        assert mh.jaccard(texts_map[a], texts_map[b]) >= 0.5
+
+
+def test_knn_matches_numpy_oracle(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from butteraugli_ray.functions.ann import knn_cosine
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": list(emb)})
+    queries = emb[:2].astype(np.float64)
+    got = knn_cosine(rd.from_pandas(df), queries, k=5, concurrency=1)
+    # numpy oracle
+    n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    q = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = n @ q.T
+    for qi in range(2):
+        order = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+        want = [int(v) for v in order]
+        have = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert have == want
+
+
+def test_hll_query_close_to_exact(ray_session):
+    from butteraugli_ray.pipelines.queries import (q_distinct_users,
+                                                   q_hll_distinct_users)
+    sf = "/root/testdata/sf0.001"
+    exact = q_distinct_users(sf)["n_distinct_users"].iloc[0]
+    est = q_hll_distinct_users(sf)["n_distinct_users_est"].iloc[0]
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_tdigest_query_close_to_exact(ray_session):
+    import pyarrow.parquet as pq
+    from butteraugli_ray.pipelines.queries import q_value_quantiles
+    sf = "/root/testdata/sf0.001"
+    got = q_value_quantiles(sf)
+    vals = pq.read_table(f"{sf}/events.parquet", columns=["value"])["value"].to_numpy()
+    for _, row in got.iterrows():
+        exact = np.quantile(vals, row["quantile"])
+        spread = np.quantile(vals, 0.99) - np.quantile(vals, 0.01)
+        assert abs(row["value_est"] - exact) <= 0.05 * spread + 1e-6

@@ -1,0 +1,71 @@
+"""Sketch correctness: accuracy bounds + partial-merge associativity
+(FIXTURES.md §4 aggregation-merge invariants)."""
+
+import numpy as np
+import pytest
+
+from butteraugli_ray.functions.sketches import (FixedHistogram, HyperLogLog,
+                                                TDigest, ks_statistic, psi)
+
+
+def test_hll_accuracy_and_merge():
+    vals = [f"doc-{i}" for i in range(50000)]
+    whole = HyperLogLog().add(vals)
+    assert abs(whole.estimate() - 50000) / 50000 < 0.05
+    a = HyperLogLog().add(vals[:30000])
+    b = HyperLogLog().add(vals[20000:])
+    merged = a.merge(b)
+    assert np.array_equal(merged.registers, whole.registers)
+    # associativity + commutativity
+    c = HyperLogLog().add(vals[10000:40000])
+    m1 = a.merge(b).merge(c)
+    m2 = c.merge(b.merge(a))
+    assert np.array_equal(m1.registers, m2.registers)
+
+
+def test_hll_roundtrip():
+    h = HyperLogLog().add(["x", "y", "z"])
+    h2 = HyperLogLog.from_bytes(h.to_bytes())
+    assert np.array_equal(h.registers, h2.registers)
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 1, 40000)
+    parts = [TDigest().add(chunk) for chunk in np.array_split(data, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    for q in (0.1, 0.5, 0.9):
+        assert merged.quantile(q) == pytest.approx(np.quantile(data, q), abs=0.05)
+
+
+def test_tdigest_roundtrip():
+    td = TDigest().add(np.arange(100.0))
+    td2 = TDigest.from_dict(td.to_dict())
+    assert td2.quantile(0.5) == td.quantile(0.5)
+
+
+def test_histogram_merge_and_drift():
+    rng = np.random.default_rng(1)
+    a_data = rng.normal(5, 1, 20000)
+    h_parts = [FixedHistogram(0, 10, 32).add(c)
+               for c in np.array_split(a_data, 5)]
+    merged = h_parts[0]
+    for p in h_parts[1:]:
+        merged = merged.merge(p)
+    whole = FixedHistogram(0, 10, 32).add(a_data)
+    assert np.array_equal(merged.counts, whole.counts)
+    assert merged.total() == 20000
+
+    same = FixedHistogram(0, 10, 32).add(rng.normal(5, 1, 20000))
+    shifted = FixedHistogram(0, 10, 32).add(rng.normal(6, 1, 20000))
+    assert ks_statistic(whole, same) < 0.02
+    assert ks_statistic(whole, shifted) > 0.3
+    assert psi(whole, same) < 0.02
+    assert psi(whole, shifted) > 0.5
+
+
+def test_histogram_out_of_range():
+    h = FixedHistogram(0, 1, 4).add(np.array([-5.0, 0.5, 7.0, np.nan]))
+    assert h.n_under == 1 and h.n_over == 1 and h.counts.sum() == 1

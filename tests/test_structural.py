@@ -1,0 +1,78 @@
+"""Structural check correctness on the synthesized corpus (no Ray —
+pure Arrow batch functions) + span-sequence exactness invariants."""
+
+import collections
+
+import pyarrow as pa
+import pytest
+
+from butteraugli_ray.corpus.synth import (build_documents, build_media_table)
+from butteraugli_ray.stages.structural import check_spans_batch, explode_spans
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs, truth = build_documents(3000, seed=123, violation_rate=0.02)
+    media = build_media_table()
+    keys = pa.array(media["media_ref"].to_pylist())
+    return docs, truth, keys
+
+
+def test_seeded_structural_violations_found(corpus):
+    docs, truth, keys = corpus
+    viol = check_spans_batch(docs, keys)
+    found = set(zip(viol["doc_id"].to_pylist(), viol["span_idx"].to_pylist(),
+                    viol["check"].to_pylist()))
+    structural_kinds = {"missing_media_ref", "offset_nonmonotonic",
+                        "null_kind", "empty_media_ref"}
+    for t in truth:
+        if t["check"] in structural_kinds:
+            assert (t["doc_id"], t["span_idx"], t["check"]) in found, t
+
+
+def test_no_false_positives_on_clean_corpus():
+    docs, truth = build_documents(500, seed=9, violation_rate=0.0)
+    media = build_media_table()
+    keys = pa.array(media["media_ref"].to_pylist())
+    viol = check_spans_batch(docs, keys)
+    assert viol.num_rows == 0
+
+
+def test_violation_counts_match_truth(corpus):
+    docs, truth, keys = corpus
+    viol = check_spans_batch(docs, keys)
+    got = collections.Counter(viol["check"].to_pylist())
+    want = collections.Counter(t["check"] for t in truth)
+    for kind in ("missing_media_ref", "null_kind", "empty_media_ref"):
+        assert got[kind] == want[kind]
+
+
+def test_explode_preserves_span_sequence(corpus):
+    # per-row invariant: exact (kind, text, media_ref, offset) order
+    docs, _, _ = corpus
+    doc_ids, span_idx, kind, text, media_ref, offset, parents = \
+        explode_spans(docs)
+    spans_py = docs["spans"].to_pylist()
+    ids_py = docs["doc_id"].to_pylist()
+    # reconstruct from the exploded arrays and compare exactly
+    rebuilt = collections.defaultdict(list)
+    for i in range(len(parents)):
+        rebuilt[parents[i]].append({
+            "kind": kind[i].as_py(), "text": text[i].as_py(),
+            "media_ref": media_ref[i].as_py(), "offset": offset[i].as_py()})
+    for row, spans in enumerate(spans_py):
+        assert rebuilt[row] == spans, f"span order broken for {ids_py[row]}"
+
+
+def test_batch_split_equals_whole(corpus):
+    # checks are per-row: any batch partitioning yields identical violations
+    docs, _, keys = corpus
+    whole = check_spans_batch(docs, keys)
+    parts = [check_spans_batch(docs.slice(0, 1000), keys),
+             check_spans_batch(docs.slice(1000, 1000), keys),
+             check_spans_batch(docs.slice(2000), keys)]
+    combined = pa.concat_tables(parts)
+    key = lambda t: sorted(zip(t["doc_id"].to_pylist(),
+                               t["span_idx"].to_pylist(),
+                               t["check"].to_pylist()))
+    assert key(combined) == key(whole)

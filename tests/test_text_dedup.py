@@ -1,0 +1,80 @@
+"""Text analysis + dedup operator unit tests (no Ray where possible)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from butteraugli_ray.functions import text as T
+from butteraugli_ray.functions.dedup import MinHasher, SimHasher, hamming64
+
+
+def test_token_counts():
+    s = pd.Series(["a b  c", "", "  ", "one", None])
+    assert T.token_count_whitespace(s).tolist() == [3, 0, 0, 1, 0]
+    s2 = pd.Series(["don't stop!", "a1b2"])
+    # don ' t stop !  /  a 1 b 2
+    assert T.token_count_bpe(s2).tolist() == [5, 4]
+
+
+def test_detect_language():
+    s = pd.Series(["the cat and the dog in a house that was big",
+                   "der hund und die katze ist ein tier",
+                   "le chat et la maison est un lieu",
+                   "el perro y la casa es un lugar",
+                   "这是一个中文句子",
+                   "zzz qqq www"])
+    assert T.detect_language(s).tolist() == ["en", "de", "fr", "es", "zh",
+                                             "unknown"]
+
+
+def test_quality_features():
+    f = T.quality_features(pd.Series(["Hello world this is a clean sentence",
+                                      "!!! ??? ### $$$"]))
+    assert f["quality"].iloc[0] > f["quality"].iloc[1]
+    assert f["alpha_ratio"].iloc[0] > 0.7
+    assert f["punct_ratio"].iloc[1] > 0.5
+
+
+def test_fingerprint_md5_matches_sql_semantics():
+    s = pd.Series(["Hello World"])
+    assert T.fingerprint_md5(s).iloc[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_rolling_fingerprint_shift_resistant():
+    # min-window fingerprint survives a prefix shift UNLESS one of the few
+    # new windows happens to hash lower — assert the match rate, not every
+    # instance, plus determinism and discrimination.
+    base = " ".join(f"word{i}" for i in range(120))  # non-repeating content
+    prefixes = [f"P{i} " for i in range(20)]
+    s = pd.Series([base] + [p + base for p in prefixes]
+                  + ["completely different text entirely"])
+    fp = T.rolling_fingerprint(s)
+    matches = sum(fp[0] == fp[1 + i] for i in range(len(prefixes)))
+    assert matches >= 15           # ≥75% shift-survival
+    assert fp[0] != fp[len(s) - 1]
+    fp2 = T.rolling_fingerprint(pd.Series([base]))
+    assert fp2[0] == fp[0]         # deterministic
+
+
+def test_minhash_jaccard_estimate():
+    mh = MinHasher(num_perms=256)
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = "the quick brown fox jumps over the lazy dog and runs far away now"
+    sig_a, sig_b = mh.signature(a), mh.signature(b)
+    est = (sig_a == sig_b).mean()
+    true_j = mh.jaccard(a, b)
+    assert est == pytest.approx(true_j, abs=0.15)
+    # identical texts → identical signatures
+    assert np.array_equal(mh.signature(a), mh.signature(a))
+
+
+def test_simhash_near_for_near_texts():
+    sh = SimHasher()
+    a = "word " * 50 + "alpha beta gamma delta epsilon zeta eta theta"
+    b = "word " * 50 + "alpha beta gamma delta epsilon zeta eta iota"
+    c = "totally unrelated content about completely other topics here"
+    ha, hb, hc = (np.array([sh.simhash(x)], dtype=np.uint64) for x in (a, b, c))
+    assert hamming64(ha, hb)[0] < hamming64(ha, hc)[0]
+    assert hamming64(ha, ha)[0] == 0
