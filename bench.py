@@ -1,0 +1,124 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "headline": {...docs/sec detail...}}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the in-sandbox evidence protocol for
+the N→4N cluster criterion, BASELINE.md).
+``--headline-only``: headline pipeline only (used by --scaling children).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline size scales with CPU budget so both scaling levels run the
+# SAME input (fixed n_docs), long enough to dominate startup overhead
+HEADLINE_DOCS = int(os.environ.get("BENCH_HEADLINE_DOCS", "4000"))
+HEADLINE_PX = int(os.environ.get("BENCH_HEADLINE_PX", "128"))
+
+BENCH_QUERIES = [
+    "lineitem_pricing", "revenue_by_nation", "top_orders", "events_hourly",
+    "doc_token_stats", "doc_fingerprints", "dedup_exact", "ann_topk",
+    "embedding_near_dup", "minhash_near_dup", "validate_corpus",
+]
+
+
+HEADLINE_TRIALS = int(os.environ.get("BENCH_HEADLINE_TRIALS", "1"))
+
+
+def run_headline(num_cpus: int) -> dict:
+    from butteraugli_ray.pipelines.bench_corpus import score_candidates
+    return score_candidates(HEADLINE_DOCS, n_refs=48, px=HEADLINE_PX,
+                            trials=HEADLINE_TRIALS)
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        levels = tuple(int(x) for x in os.environ.get(
+            "BENCH_SCALING_LEVELS", "8,32").split(","))
+        results = {}
+        for ncpu in levels:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_HEADLINE_TRIALS=os.environ.get(
+                           "BENCH_HEADLINE_TRIALS", "3"))
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__) or ".",
+                                              "bench.py"), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        lo, hi = levels
+        t_lo = results[lo]["headline"]["docs_per_sec"]
+        t_hi = results[hi]["headline"]["docs_per_sec"]
+        eff = (t_hi / t_lo) / (hi / lo)
+        print(json.dumps({"metric": f"scaling_efficiency_{lo}_to_{hi}",
+                          f"docs_per_sec_{lo}": t_lo,
+                          f"docs_per_sec_{hi}": t_hi,
+                          f"trials_{lo}": results[lo]["headline"].get("trials_docs_per_sec"),
+                          f"trials_{hi}": results[hi]["headline"].get("trials_docs_per_sec"),
+                          "speedup": round(t_hi / t_lo, 3),
+                          "scaling_efficiency": round(eff, 3),
+                          "n_docs": HEADLINE_DOCS, "px": HEADLINE_PX}))
+        return
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    headline_only = "--headline-only" in sys.argv
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    if not headline_only:
+        import pyarrow.parquet as pq
+        for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+            try:
+                pq.read_table(f"{SF_DIR}/{t}.parquet")
+            except FileNotFoundError:
+                pass
+
+    t_total0 = time.time()
+    headline = run_headline(NUM_CPUS)
+
+    qtimes = {}
+    if not headline_only:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from butteraugli_ray.pipelines.queries import QUERIES
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            try:
+                QUERIES[name](SF_DIR)
+                qtimes[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                qtimes[name] = f"ERROR: {type(exc).__name__}"
+
+    total = round(time.time() - t_total0, 3)
+    print(json.dumps({
+        "metric": "validated docs/sec (headline) + suite wall",
+        "value": total, "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "headline": headline,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

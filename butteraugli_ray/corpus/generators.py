@@ -15,30 +15,43 @@ _LCG_MUL = np.uint64(6364136223846793005)
 _LCG_ADD = np.uint64(1442695040888963407)
 
 
+_LCG_BLOCK = 1 << 16
+_LCG_TABLES = None
+
+
+def _lcg_tables():
+    """Seed-independent jump tables MUL^i / prefix-ADD terms, built once
+    per process (they make every lcg_stream call pure numpy)."""
+    global _LCG_TABLES
+    if _LCG_TABLES is None:
+        muls = np.empty(_LCG_BLOCK, dtype=np.uint64)
+        adds = np.empty(_LCG_BLOCK, dtype=np.uint64)
+        m = np.uint64(1)
+        a = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for i in range(_LCG_BLOCK):
+                m = m * _LCG_MUL
+                a = a * _LCG_MUL + _LCG_ADD
+                muls[i] = m
+                adds[i] = a
+        _LCG_TABLES = (muls, adds)
+    return _LCG_TABLES
+
+
 def lcg_stream(seed: int, n: int) -> np.ndarray:
     """n u8 draws of the reference LCG (generators.rs:46-52), vectorized.
 
     state_{k} = seed * MUL^k + ADD * (MUL^{k-1} + ... + 1)  (mod 2^64)
-    computed with a cumulative scheme in O(n) numpy ops.
+    computed blockwise with cached jump tables — exact wrap-around
+    arithmetic via uint64.
     """
-    # Iterative in chunks: exact wrap-around arithmetic via uint64.
+    muls, adds = _lcg_tables()
     out = np.empty(n, dtype=np.uint8)
     state = np.uint64(seed)
-    # vectorized jump: precompute MUL^i and prefix ADD terms for a block
-    block = min(n, 1 << 16)
-    muls = np.empty(block, dtype=np.uint64)
-    adds = np.empty(block, dtype=np.uint64)
-    m = np.uint64(1)
-    a = np.uint64(0)
     with np.errstate(over="ignore"):
-        for i in range(block):
-            m = m * _LCG_MUL
-            a = a * _LCG_MUL + _LCG_ADD
-            muls[i] = m
-            adds[i] = a
         pos = 0
         while pos < n:
-            k = min(block, n - pos)
+            k = min(_LCG_BLOCK, n - pos)
             states = muls[:k] * state + adds[:k]
             out[pos:pos + k] = ((states >> np.uint64(33)) & np.uint64(0xFF)).astype(np.uint8)
             state = states[k - 1]

@@ -170,11 +170,37 @@ def compute_kernel(sigma: float) -> np.ndarray:
     return np.exp(scaler * (i * i)).astype(np.float32)
 
 
-def _conv_axis_zero_norm(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
-    """Zero-padded correlation along ``axis`` divided by the per-position
-    sum of in-bounds kernel taps.
+# Banded convolution matrices, cached per (sigma, length).  out = a @ M
+# (or M.T @ a for the vertical pass) computes the truncated-kernel,
+# border-renormalized correlation as one BLAS GEMM — far less memory
+# traffic than materialized sliding windows, which matters when many
+# worker processes share the memory bus.
+_BLUR_MATRIX_CACHE: dict = {}
+_BLUR_MATRIX_MAX_N = 2048   # dense n×n band matrix cap (16 MiB at f32)
 
-    This reproduces the reference blur's boundary semantics
+
+def _blur_matrix(sigma: float, n: int) -> np.ndarray:
+    key = (round(float(sigma), 9), n)
+    m = _BLUR_MATRIX_CACHE.get(key)
+    if m is None:
+        kernel = compute_kernel(sigma).astype(np.float64)
+        half = len(kernel) // 2
+        m64 = np.zeros((n, n), dtype=np.float64)
+        for j in range(n):
+            lo = max(0, j - half)
+            hi = min(n, j + half + 1)
+            taps = kernel[lo - j + half:hi - j + half]
+            m64[lo:hi, j] = taps / np.float32(taps.astype(np.float32).sum())
+        m = m64.astype(np.float32)
+        _BLUR_MATRIX_CACHE[key] = m
+    return m
+
+
+def _conv_axis_zero_norm(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
+    """Fallback path for very large axes: zero-padded correlation along
+    ``axis`` divided by the per-position sum of in-bounds kernel taps.
+
+    Both paths reproduce the reference blur's boundary semantics
     (blur.rs:78-145, 344-475 with border_ratio=0): border pixels use a
     truncated kernel renormalized over the in-bounds taps; interior
     pixels use the normalized kernel.
@@ -186,7 +212,6 @@ def _conv_axis_zero_norm(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.nda
     ap = np.pad(a, pad, mode="constant")
     win = np.lib.stride_tricks.sliding_window_view(ap, len(kernel), axis=axis)
     num = win @ kernel                     # windows are the last axis
-    # per-position denominator (same for every row/col)
     ones = np.ones(n, dtype=np.float32)
     den = np.convolve(ones, kernel, mode="full")[half:half + n].astype(np.float32)
     shape = [1] * a.ndim
@@ -196,13 +221,19 @@ def _conv_axis_zero_norm(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.nda
 
 def gaussian_blur(plane: np.ndarray, sigma: float) -> np.ndarray:
     """Separable Gaussian with truncated-renormalized borders
-    (blur.rs:866-933: H pass then V pass)."""
+    (blur.rs:866-933: H pass then V pass).
+
+    Batch-aware: ``plane`` may carry leading batch dims ([..., h, w]).
+    """
     if sigma <= 0.0:
         return plane.copy()
+    h, w = plane.shape[-2:]
+    if max(h, w) <= _BLUR_MATRIX_MAX_N:
+        out = plane @ _blur_matrix(sigma, w)           # horizontal pass
+        return np.matmul(_blur_matrix(sigma, h).T, out)  # vertical pass
     kernel = compute_kernel(sigma)
-    out = _conv_axis_zero_norm(plane, kernel, axis=1)
-    out = _conv_axis_zero_norm(out, kernel, axis=0)
-    return out
+    out = _conv_axis_zero_norm(plane, kernel, axis=plane.ndim - 1)
+    return _conv_axis_zero_norm(out, kernel, axis=plane.ndim - 2)
 
 
 def compute_separable5_weights(sigma: float) -> tuple:
@@ -213,33 +244,20 @@ def compute_separable5_weights(sigma: float) -> tuple:
     return (k[2] * s, k[1] * s, k[0] * s)
 
 
-def _mirror_idx(n: int) -> tuple:
-    """Index arrays for symmetric reflection (blur.rs:1240-1249) at ±1, ±2."""
-    idx = np.arange(n)
-
-    def mirror(x):
-        x = np.where(x < 0, -x - 1, x)
-        x = np.where(x >= n, 2 * n - 1 - x, x)
-        # repeat once more for n==1 edge cases
-        x = np.where(x < 0, -x - 1, x)
-        x = np.where(x >= n, 2 * n - 1 - x, x)
-        return x
-
-    return (mirror(idx - 2), mirror(idx - 1), mirror(idx + 1), mirror(idx + 2))
-
-
 def blur_mirrored_5x5(plane: np.ndarray, weights: tuple) -> np.ndarray:
     """Separable5 σ=1.2 blur with mirrored boundaries (blur.rs:1922-1971).
 
-    Used only by the opsin dynamics stage.
+    Used only by the opsin dynamics stage.  Implemented as symmetric
+    padding + contiguous slice adds (no fancy-index gathers).
     """
     w0, w1, w2 = weights
-    h, w = plane.shape
-    m2, m1, p1, p2 = _mirror_idx(w)
-    t = plane[:, :] * w0 + (plane[:, m1] + plane[:, p1]) * w1 + \
-        (plane[:, m2] + plane[:, p2]) * w2
-    m2, m1, p1, p2 = _mirror_idx(h)
-    out = t * w0 + (t[m1, :] + t[p1, :]) * w1 + (t[m2, :] + t[p2, :]) * w2
+    h, w = plane.shape[-2:]
+    pad = [(0, 0)] * (plane.ndim - 2) + [(2, 2), (2, 2)]
+    ap = np.pad(plane, pad, mode="symmetric")
+    t = (ap[..., :, 2:-2] * w0 + (ap[..., :, 1:-3] + ap[..., :, 3:-1]) * w1
+         + (ap[..., :, :-4] + ap[..., :, 4:]) * w2)
+    out = (t[..., 2:-2, :] * w0 + (t[..., 1:-3, :] + t[..., 3:-1, :]) * w1
+           + (t[..., :-4, :] + t[..., 4:, :]) * w2)
     return out.astype(np.float32, copy=False)
 
 
@@ -250,8 +268,15 @@ def blur_mirrored_5x5(plane: np.ndarray, weights: tuple) -> np.ndarray:
 _SEP5_WEIGHTS = compute_separable5_weights(1.2)
 
 
-def opsin_dynamics_image(rgb: np.ndarray, intensity_target: float) -> np.ndarray:
-    """Linear RGB [3,h,w] → butteraugli XYB [3,h,w] (opsin.rs:154-251).
+def opsin_dynamics_image(rgb: np.ndarray, intensity_target: float) -> list:
+    """Linear RGB [..., 3, h, w] array → XYB channel list."""
+    return opsin_dynamics_image_planes([rgb[..., c, :, :] for c in range(3)],
+                                       intensity_target)
+
+
+def opsin_dynamics_image_planes(chans: list, intensity_target: float) -> list:
+    """Linear RGB channel-plane list → butteraugli XYB channel list
+    (opsin.rs:154-251).  Batch-aware: leading dims carry the batch.
 
     Blur σ=1.2 (mirrored 5×5), sensitivity = gamma(pre)/pre on the blurred
     mix, applied to the sharp mix; X=c0−c1, Y=c0+c1, B=c2.
@@ -260,8 +285,8 @@ def opsin_dynamics_image(rgb: np.ndarray, intensity_target: float) -> np.ndarray
     mixi = [F32(v) for v in MIXI]
     min_val = F32(1e-4)
 
-    blurred = [blur_mirrored_5x5(rgb[c], _SEP5_WEIGHTS) for c in range(3)]
-    r, g, b = rgb[0] * it, rgb[1] * it, rgb[2] * it
+    blurred = [blur_mirrored_5x5(chans[c], _SEP5_WEIGHTS) for c in range(3)]
+    r, g, b = chans[0] * it, chans[1] * it, chans[2] * it
     br, bg, bb = blurred[0] * it, blurred[1] * it, blurred[2] * it
 
     pre0 = np.maximum(np.maximum(mixi[0] * br + mixi[1] * bg + mixi[2] * bb + mixi[3], MIN_01), min_val)
@@ -276,7 +301,9 @@ def opsin_dynamics_image(rgb: np.ndarray, intensity_target: float) -> np.ndarray
     cur1 = np.maximum((mixi[4] * r + mixi[5] * g + mixi[6] * b + mixi[7]) * s1, MIN_01)
     cur2 = np.maximum((mixi[8] * r + mixi[9] * g + mixi[10] * b + mixi[11]) * s2, MIN_2)
 
-    return np.stack([cur0 - cur1, cur0 + cur1, cur2]).astype(np.float32, copy=False)
+    return [(cur0 - cur1).astype(np.float32, copy=False),
+            (cur0 + cur1).astype(np.float32, copy=False),
+            cur2.astype(np.float32, copy=False)]
 
 
 # ---------------------------------------------------------------------------
@@ -306,7 +333,8 @@ def _maximum_clamp(v: np.ndarray, max_val: float) -> np.ndarray:
 
 
 class PsychoImage:
-    """Frequency pyramid: uhf[2] (X,Y), hf[2] (X,Y), mf [3,h,w], lf [3,h,w]."""
+    """Frequency pyramid: channel-plane lists uhf[2] (X,Y), hf[2] (X,Y),
+    mf[3], lf[3]; each plane is [..., h, w] (batch-aware)."""
 
     __slots__ = ("uhf", "hf", "mf", "lf")
 
@@ -314,11 +342,12 @@ class PsychoImage:
         self.uhf, self.hf, self.mf, self.lf = uhf, hf, mf, lf
 
 
-def separate_frequencies(xyb: np.ndarray) -> PsychoImage:
-    """Full pyramid decomposition (psycho.rs:520-536 sequential path)."""
+def separate_frequencies(xyb: list) -> PsychoImage:
+    """Full pyramid decomposition (psycho.rs:520-536 sequential path);
+    ``xyb`` is a 3-channel plane list, batch dims allowed."""
     # LF / MF split (psycho.rs:351-393)
-    lf = np.empty_like(xyb)
-    mf = np.empty_like(xyb)
+    lf = [None, None, None]
+    mf = [None, None, None]
     for c in range(3):
         lf[c] = gaussian_blur(xyb[c], SIGMA_LF)
         mf[c] = xyb[c] - lf[c]
@@ -437,19 +466,151 @@ def malta_diff_map(lum0: np.ndarray, lum1: np.ndarray, w_0gt1: float,
     impact = norm2_0lt1 * inv_norm * (below - above)
     diffs = (scaled_diff + sign * impact).astype(np.float32, copy=False)
 
-    h, w = diffs.shape
+    h, w = diffs.shape[-2:]
     pad = 4
-    padded = np.zeros((h + 2 * pad, w + 2 * pad), dtype=np.float32)
-    padded[pad:pad + h, pad:pad + w] = diffs
+    padded = np.zeros(diffs.shape[:-2] + (h + 2 * pad, w + 2 * pad),
+                      dtype=np.float32)
+    padded[..., pad:pad + h, pad:pad + w] = diffs
 
-    patterns = _MALTA_PATTERNS_LF if use_lf else _MALTA_PATTERNS
-    out = np.zeros((h, w), dtype=np.float32)
-    for pat in patterns:
-        dx0, dy0 = pat[0]
-        s = padded[pad + dy0:pad + dy0 + h, pad + dx0:pad + dx0 + w].copy()
+    if use_lf:
+        return _malta_pass2_lf(padded, h, w, pad)
+    return _malta_pass2_hf(padded, h, w, pad)
+
+
+def _sh(padded, pad, h, w, dx, dy):
+    """View of the padded diff image shifted by (dx, dy)."""
+    return padded[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+
+def _malta_pass2_hf(padded, h, w, pad):
+    """16-orientation filter, 9-sample lines (malta.rs:93-311), computed
+    via shared 3-tap partial sums: every line is three 3-sums, and
+    patterns 13-16 duplicate 8/7/6/5 so their squares count twice.
+    ~2.8× less memory traffic than direct per-pattern shifted adds."""
+    P = lambda dx, dy: _sh(padded, pad, h, w, dx, dy)
+    # 3-tap partial sums over the padded frame (shrunk by 1 on the sum axis)
+    ph, pw = padded.shape[-2:]
+    H3 = padded[..., :, :pw - 2] + padded[..., :, 1:pw - 1] + padded[..., :, 2:]
+    V3 = padded[..., :ph - 2, :] + padded[..., 1:ph - 1, :] + padded[..., 2:, :]
+    D3 = (padded[..., :ph - 2, :pw - 2] + padded[..., 1:ph - 1, 1:pw - 1]
+          + padded[..., 2:, 2:])
+    E3 = (padded[..., :ph - 2, 2:] + padded[..., 1:ph - 1, 1:pw - 1]
+          + padded[..., 2:, :pw - 2])
+
+    def h3(dx, dy):  # H3 centered at (x+dx, y+dy)
+        return H3[..., pad + dy:pad + dy + h, pad + dx - 1:pad + dx - 1 + w]
+
+    def v3(dx, dy):
+        return V3[..., pad + dy - 1:pad + dy - 1 + h, pad + dx:pad + dx + w]
+
+    def d3(dx, dy):  # main-diagonal 3-sum centered at (x+dx, y+dy)
+        return D3[..., pad + dy - 1:pad + dy - 1 + h, pad + dx - 1:pad + dx - 1 + w]
+
+    def e3(dx, dy):  # anti-diagonal 3-sum (x-1,y+1),(x,y),(x+1,y-1)
+        return E3[..., pad + dy - 1:pad + dy - 1 + h, pad + dx - 1:pad + dx - 1 + w]
+
+    c = P(0, 0)
+    out = np.zeros(padded.shape[:-2] + (h, w), dtype=np.float32)
+    s = h3(-3, 0) + h3(0, 0) + h3(3, 0)                  # p1 horizontal
+    out += s * s
+    s = v3(0, -3) + v3(0, 0) + v3(0, 3)                  # p2 vertical
+    out += s * s
+    s = d3(-2, -2) + c + d3(2, 2)                        # p3 diag \
+    out += s * s
+    s = e3(2, -2) + c + e3(-2, 2)                        # p4 diag /
+    out += s * s
+    s = v3(1, -3) + v3(0, 0) + v3(-1, 3)                 # p5 (= p16)
+    out += (s * s) * np.float32(2.0)
+    s = v3(-1, -3) + v3(0, 0) + v3(1, 3)                 # p6 (= p15)
+    out += (s * s) * np.float32(2.0)
+    s = h3(-3, -1) + h3(0, 0) + h3(3, 1)                 # p7 (= p14)
+    out += (s * s) * np.float32(2.0)
+    s = h3(-3, 1) + h3(0, 0) + h3(3, -1)                 # p8 (= p13)
+    out += (s * s) * np.float32(2.0)
+    # p9-p12: steep/shallow 7-tap diagonals, direct
+    for pat in (_MALTA_PATTERNS[8], _MALTA_PATTERNS[9],
+                _MALTA_PATTERNS[10], _MALTA_PATTERNS[11]):
+        s = P(*pat[0]).copy()
         for dx, dy in pat[1:]:
-            s += padded[pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+            s += P(dx, dy)
         out += s * s
+    return out
+
+
+def _malta_pass2_lf(padded, h, w, pad):
+    """16-orientation filter, 5-sample sparse lines (malta.rs:318-482),
+    via shared 2-tap pair sums."""
+    P = lambda dx, dy: _sh(padded, pad, h, w, dx, dy)
+    ph, pw = padded.shape[-2:]
+    # pair sums; index convention: result centered on its first element
+    H2 = padded[..., :, :pw - 2] + padded[..., :, 2:]    # (x-1)+(x+1) center x
+    V2 = padded[..., :ph - 2, :] + padded[..., 2:, :]
+    D2 = padded[..., :ph - 1, :pw - 1] + padded[..., 1:, 1:]
+    A2 = padded[..., :ph - 1, 1:] + padded[..., 1:, :pw - 1]
+    # slanted pair sums for p13-16
+    K2 = padded[..., 1:, :pw - 2] + padded[..., :ph - 1, 2:]
+    M2 = padded[..., :ph - 2, :pw - 1] + padded[..., 2:, 1:]
+    N2 = padded[..., :ph - 2, 1:] + padded[..., 2:, :pw - 1]
+    L2 = padded[..., :ph - 1, :pw - 2] + padded[..., 1:, 2:]
+
+    def h2(dx, dy):
+        return H2[..., pad + dy:pad + dy + h, pad + dx - 1:pad + dx - 1 + w]
+
+    def v2(dx, dy):
+        return V2[..., pad + dy - 1:pad + dy - 1 + h, pad + dx:pad + dx + w]
+
+    def d2(dx, dy):   # P(dx,dy) + P(dx+1,dy+1)
+        return D2[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+    def a2(dx, dy):   # P(dx,dy) + P(dx-1,dy+1)
+        return A2[..., pad + dy:pad + dy + h, pad + dx - 1:pad + dx - 1 + w]
+
+    def l2(dx, dy):   # P(dx,dy) + P(dx+2,dy+1)
+        return L2[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+    def k2(dx, dy):   # P(dx,dy) + P(dx+2,dy-1)
+        return K2[..., pad + dy - 1:pad + dy - 1 + h, pad + dx:pad + dx + w]
+
+    def m2(dx, dy):   # P(dx,dy) + P(dx+1,dy+2)
+        return M2[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+    def n2(dx, dy):   # P(dx,dy) + P(dx-1,dy+2)
+        return N2[..., pad + dy:pad + dy + h, pad + dx - 1:pad + dx - 1 + w]
+
+    c = P(0, 0)
+    out = np.zeros(padded.shape[:-2] + (h, w), dtype=np.float32)
+    s = h2(-3, 0) + c + h2(3, 0)            # p1: (-4,0),(-2,0),0,(2,0),(4,0)
+    out += s * s
+    s = v2(0, -3) + c + v2(0, 3)            # p2
+    out += s * s
+    s = d2(-3, -3) + c + d2(2, 2)           # p3: (-3,-3),(-2,-2),0,(2,2),(3,3)
+    out += s * s
+    s = a2(3, -3) + c + a2(-2, 2)           # p4: (3,-3),(2,-2),0,(-2,2),(-3,3)
+    out += s * s
+    s = v2(1, -3) + c + v2(-1, 3)           # p5: (1,-4),(1,-2),0,(-1,2),(-1,4)
+    out += s * s
+    s = v2(-1, -3) + c + v2(1, 3)           # p6
+    out += s * s
+    s = h2(-3, -1) + c + h2(3, 1)           # p7: (-4,-1),(-2,-1),0,(2,1),(4,1)
+    out += s * s
+    s = h2(-3, 1) + c + h2(3, -1)           # p8
+    out += s * s
+    s = d2(-2, -3) + c + d2(1, 2)           # p9: (-2,-3),(-1,-2),0,(1,2),(2,3)
+    out += s * s
+    s = a2(2, -3) + c + a2(-1, 2)           # p10
+    out += s * s
+    s = d2(-3, -2) + c + d2(2, 1)           # p11: (-3,-2),(-2,-1),0,(2,1),(3,2)
+    out += s * s
+    s = a2(3, -2) + c + a2(-2, 1)           # p12
+    out += s * s
+    s = k2(-4, 2) + c + k2(2, -1)           # p13: (-4,2),(-2,1),0,(2,-1),(4,-2)
+    out += s * s
+    s = l2(-4, -2) + c + l2(2, 1)           # p14: (-4,-2),(-2,-1),0,(2,1),(4,2)
+    out += s * s
+    s = m2(-2, -4) + c + m2(1, 2)           # p15: (-2,-4),(-1,-2),0,(1,2),(2,4)
+    out += s * s
+    s = n2(2, -4) + c + n2(-1, 2)           # p16: (2,-4),(1,-2),0,(-1,2),(-2,4)
+    out += s * s
     return out
 
 
@@ -511,7 +672,7 @@ def compute_psycho_diff_malta(ps0: PsychoImage, ps1: PsychoImage,
     d = ps0.mf[2] - ps1.mf[2]
     plane_b = d * d * F32(WMUL[5])
 
-    return np.stack([plane_x, plane_y, plane_b])
+    return [plane_x, plane_y, plane_b]
 
 
 # ---------------------------------------------------------------------------
@@ -529,13 +690,13 @@ def combine_and_precompute(hf, uhf) -> np.ndarray:
 
 
 def _shifted(a: np.ndarray, dy: int, dx: int, fill: float) -> np.ndarray:
-    """out[y,x] = a[y+dy, x+dx] where in-bounds, else ``fill``."""
-    h, w = a.shape
-    out = np.full((h, w), fill, dtype=a.dtype)
+    """out[..., y, x] = a[..., y+dy, x+dx] where in-bounds, else ``fill``."""
+    h, w = a.shape[-2:]
+    out = np.full(a.shape, fill, dtype=a.dtype)
     y0, y1 = max(0, -dy), min(h, h - dy)
     x0, x1 = max(0, -dx), min(w, w - dx)
     if y1 > y0 and x1 > x0:
-        out[y0:y1, x0:x1] = a[y0 + dy:y1 + dy, x0 + dx:x1 + dx]
+        out[..., y0:y1, x0:x1] = a[..., y0 + dy:y1 + dy, x0 + dx:x1 + dx]
     return out
 
 
@@ -627,6 +788,23 @@ def score_from_diffmap(diffmap: np.ndarray) -> tuple:
     return max_val, pnorm3
 
 
+def score_from_diffmap_batch(diffmap: np.ndarray) -> tuple:
+    """Batched score reduction over [..., h, w] → (max[...], pnorm3[...])."""
+    h, w = diffmap.shape[-2:]
+    n = h * w
+    max_val = diffmap.max(axis=(-2, -1)).astype(np.float64)
+    d = diffmap.astype(np.float64, copy=False)
+    d3 = d * d * d
+    d6 = d3 * d3
+    s3 = d3.sum(axis=(-2, -1))
+    s6 = d6.sum(axis=(-2, -1))
+    s12 = (d6 * d6).sum(axis=(-2, -1))
+    inv = 1.0 / n
+    pnorm3 = ((inv * s3) ** (1.0 / 3.0) + (inv * s6) ** (1.0 / 6.0) +
+              (inv * s12) ** (1.0 / 12.0)) / 3.0
+    return max_val, pnorm3
+
+
 def diffmap_partials(diffmap: np.ndarray) -> dict:
     """StripReducer-shaped mergeable partial state (strip.rs:127-209):
     {max, sum_p3, sum_p6, sum_p12, pixels}."""
@@ -680,41 +858,45 @@ def pnorm_slice(diffmap: np.ndarray, p: float) -> float:
 # ---------------------------------------------------------------------------
 
 def subsample_2x(plane: np.ndarray) -> np.ndarray:
-    """2× box downsample, odd-edge aware, linear space (diff.rs:551-624)."""
-    h, w = plane.shape
+    """2× box downsample, odd-edge aware, linear space (diff.rs:551-624).
+    Batch-aware over [..., h, w]."""
+    h, w = plane.shape[-2:]
     oh, ow = (h + 1) // 2, (w + 1) // 2
     ih, iw = h // 2, w // 2
-    out = np.empty((oh, ow), dtype=np.float32)
+    out = np.empty(plane.shape[:-2] + (oh, ow), dtype=np.float32)
     if ih and iw:
-        a = plane[0:2 * ih:2, 0:2 * iw:2]
-        b = plane[0:2 * ih:2, 1:2 * iw:2]
-        c = plane[1:2 * ih:2, 0:2 * iw:2]
-        d = plane[1:2 * ih:2, 1:2 * iw:2]
-        out[:ih, :iw] = ((a + b) + c + d) * F32(0.25)
+        a = plane[..., 0:2 * ih:2, 0:2 * iw:2]
+        b = plane[..., 0:2 * ih:2, 1:2 * iw:2]
+        c = plane[..., 1:2 * ih:2, 0:2 * iw:2]
+        d = plane[..., 1:2 * ih:2, 1:2 * iw:2]
+        out[..., :ih, :iw] = ((a + b) + c + d) * F32(0.25)
     if ow > iw and ih:
-        out[:ih, iw] = (plane[0:2 * ih:2, w - 1] + plane[1:2 * ih:2, w - 1]) * F32(0.5)
+        out[..., :ih, iw] = (plane[..., 0:2 * ih:2, w - 1]
+                             + plane[..., 1:2 * ih:2, w - 1]) * F32(0.5)
     if oh > ih and iw:
-        out[ih, :iw] = (plane[h - 1, 0:2 * iw:2] + plane[h - 1, 1:2 * iw:2]) * F32(0.5)
+        out[..., ih, :iw] = (plane[..., h - 1, 0:2 * iw:2]
+                             + plane[..., h - 1, 1:2 * iw:2]) * F32(0.5)
     if oh > ih and ow > iw:
-        out[ih, iw] = plane[h - 1, w - 1]
+        out[..., ih, iw] = plane[..., h - 1, w - 1]
     return out
 
 
 def add_supersampled_2x(src: np.ndarray, weight: float, dest: np.ndarray) -> np.ndarray:
     """dest = dest·(1−0.3·w) + w·upsample2x(src) (diff.rs:82-112)."""
-    h, w = dest.shape
+    h, w = dest.shape[-2:]
     blend = F32(1.0) - F32(0.3) * F32(weight)
-    up = np.repeat(np.repeat(src, 2, axis=0), 2, axis=1)[:h, :w]
+    up = np.repeat(np.repeat(src, 2, axis=-2), 2, axis=-1)[..., :h, :w]
     return (dest * blend + F32(weight) * up).astype(np.float32, copy=False)
 
 
-def compute_diffmap_single_resolution(rgb1: np.ndarray, rgb2: np.ndarray,
+def compute_diffmap_single_resolution(rgb1: list, rgb2: list,
                                       hf_asymmetry: float, xmul: float,
                                       intensity_target: float) -> np.ndarray:
     """One scale: XYB → psycho → malta/mask → combined diffmap
-    (diff.rs:627-658)."""
-    ps1 = separate_frequencies(opsin_dynamics_image(rgb1, intensity_target))
-    ps2 = separate_frequencies(opsin_dynamics_image(rgb2, intensity_target))
+    (diff.rs:627-658).  ``rgb1``/``rgb2``: 3-channel plane lists,
+    batch dims allowed (reference side may broadcast against a batch)."""
+    ps1 = separate_frequencies(opsin_dynamics_image_planes(rgb1, intensity_target))
+    ps2 = separate_frequencies(opsin_dynamics_image_planes(rgb2, intensity_target))
     block_diff_ac = compute_psycho_diff_malta(ps1, ps2, hf_asymmetry)
     mask = compute_mask_from_hf_uhf(ps1.hf, ps1.uhf, ps2.hf, ps2.uhf,
                                     diff_ac=block_diff_ac[1])
@@ -726,16 +908,27 @@ def compute_diffmap(rgb1: np.ndarray, rgb2: np.ndarray, hf_asymmetry: float = 1.
                     xmul: float = 1.0, intensity_target: float = 80.0,
                     single_resolution: bool = False) -> np.ndarray:
     """Full-res + one half-res sub-level blended at weight 0.5
-    (diff.rs:666-695); linear planar RGB [3,h,w] inputs."""
-    h, w = rgb1.shape[1], rgb1.shape[2]
+    (diff.rs:666-695); linear planar RGB [..., 3, h, w] inputs."""
+    h, w = rgb1.shape[-2], rgb1.shape[-1]
+    c1 = [rgb1[..., c, :, :] for c in range(3)]
+    c2 = [rgb2[..., c, :, :] for c in range(3)]
+    return compute_diffmap_planes(c1, c2, hf_asymmetry, xmul,
+                                  intensity_target, single_resolution)
+
+
+def compute_diffmap_planes(c1: list, c2: list, hf_asymmetry: float = 1.0,
+                           xmul: float = 1.0, intensity_target: float = 80.0,
+                           single_resolution: bool = False) -> np.ndarray:
+    """Channel-plane-list variant of :func:`compute_diffmap`."""
+    h, w = c1[0].shape[-2:]
     small = w < MIN_SIZE_FOR_MULTIRESOLUTION or h < MIN_SIZE_FOR_MULTIRESOLUTION
     need_sub = (not single_resolution and not small
                 and w >= MIN_SIZE_FOR_SUBSAMPLE and h >= MIN_SIZE_FOR_SUBSAMPLE)
-    diffmap = compute_diffmap_single_resolution(rgb1, rgb2, hf_asymmetry,
+    diffmap = compute_diffmap_single_resolution(c1, c2, hf_asymmetry,
                                                 xmul, intensity_target)
     if need_sub:
-        sub1 = np.stack([subsample_2x(rgb1[c]) for c in range(3)])
-        sub2 = np.stack([subsample_2x(rgb2[c]) for c in range(3)])
+        sub1 = [subsample_2x(p) for p in c1]
+        sub2 = [subsample_2x(p) for p in c2]
         sub = compute_diffmap_single_resolution(sub1, sub2, hf_asymmetry,
                                                 xmul, intensity_target)
         diffmap = add_supersampled_2x(sub, 0.5, diffmap)

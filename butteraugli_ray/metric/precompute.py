@@ -6,6 +6,10 @@ mask-pipeline intermediates at full and half scale, so repeated compares
 against the same reference only pay the candidate-side work (~40-50%
 speedup in the reference; similar here).  This is exactly the state a Ray
 actor-pool scorer keeps per worker.
+
+``compare_srgb_batch`` scores N candidates in one fully-stacked numpy
+pass (the kernels are batch-aware): the reference planes broadcast
+against the candidate batch, cutting per-compare Python dispatch ~N×.
 """
 
 from __future__ import annotations
@@ -20,11 +24,11 @@ class _ScaleData:
     """Per-scale precomputed reference state (precompute.rs:45-58):
     psycho pyramid + combine/blur intermediates for the mask."""
 
-    __slots__ = ("psycho", "blurred_mask", "mask", "rgb")
+    __slots__ = ("psycho", "blurred_mask", "mask", "chans")
 
-    def __init__(self, rgb_planar: np.ndarray, intensity_target: float):
-        self.rgb = rgb_planar
-        xyb = K.opsin_dynamics_image(rgb_planar, intensity_target)
+    def __init__(self, chans: list, intensity_target: float):
+        self.chans = chans
+        xyb = K.opsin_dynamics_image_planes(chans, intensity_target)
         self.psycho = K.separate_frequencies(xyb)
         diff0 = K.combine_and_precompute(self.psycho.hf, self.psycho.uhf)
         self.blurred_mask = K.gaussian_blur(diff0, K.MASK_RADIUS)
@@ -51,15 +55,16 @@ class ReferencePrecompute:
         self.height, self.width = h, w
         self.src_u8 = rgb_u8
         padded = reflect_pad_to_min(rgb_u8, 8)
-        lin = K.srgb_to_linear_planar(padded)
+        lin = K.srgb_to_linear_planar(padded)          # [3, ph, pw]
         self.lin = lin
         ph, pw = lin.shape[1], lin.shape[2]
-        self.full = _ScaleData(lin, params.intensity_target)
+        chans = [lin[0], lin[1], lin[2]]
+        self.full = _ScaleData(chans, params.intensity_target)
         self.half = None
         small = pw < K.MIN_SIZE_FOR_MULTIRESOLUTION or ph < K.MIN_SIZE_FOR_MULTIRESOLUTION
         if (not params.single_resolution and not small
                 and pw >= K.MIN_SIZE_FOR_SUBSAMPLE and ph >= K.MIN_SIZE_FOR_SUBSAMPLE):
-            sub = np.stack([K.subsample_2x(lin[c]) for c in range(3)])
+            sub = [K.subsample_2x(c) for c in chans]
             self.half = _ScaleData(sub, params.intensity_target)
 
     def memory_bytes(self) -> int:
@@ -68,24 +73,38 @@ class ReferencePrecompute:
         for sd in (self.full, self.half):
             if sd is None:
                 continue
-            total += sd.rgb.nbytes + sd.blurred_mask.nbytes + sd.mask.nbytes
+            total += sum(c.nbytes for c in sd.chans)
+            total += sd.blurred_mask.nbytes + sd.mask.nbytes
             ps = sd.psycho
             total += sum(p.nbytes for p in ps.uhf) + sum(p.nbytes for p in ps.hf)
-            total += ps.mf.nbytes + ps.lf.nbytes
+            total += sum(p.nbytes for p in ps.mf) + sum(p.nbytes for p in ps.lf)
         return total
 
-    def _compare_scale(self, sd: _ScaleData, cand_rgb: np.ndarray) -> np.ndarray:
+    def _compare_scale(self, sd: _ScaleData, cand_chans: list) -> np.ndarray:
+        """cand_chans: candidate channel planes, possibly batched
+        ([N, h, w]); the reference-side planes broadcast."""
         params = self.params
         ps1 = sd.psycho
-        ps2 = K.separate_frequencies(K.opsin_dynamics_image(cand_rgb, params.intensity_target))
+        ps2 = K.separate_frequencies(
+            K.opsin_dynamics_image_planes(cand_chans, params.intensity_target))
         block_diff_ac = K.compute_psycho_diff_malta(ps1, ps2, params.hf_asymmetry)
         # candidate-side mask correction against the precomputed blur
         diff1 = K.combine_and_precompute(ps2.hf, ps2.uhf)
         blurred1 = K.gaussian_blur(diff1, K.MASK_RADIUS)
         d = sd.blurred_mask - blurred1
-        block_diff_ac[1] += d * d * K.MASK_TO_ERROR_MUL
+        block_diff_ac[1] = block_diff_ac[1] + d * d * K.MASK_TO_ERROR_MUL
         return K.combine_channels_to_diffmap_fused(sd.mask, ps1.lf, ps2.lf,
                                                    block_diff_ac, params.xmul)
+
+    def _diffmap_for(self, lin2: np.ndarray) -> np.ndarray:
+        """lin2: [..., 3, h, w] linear candidate planes."""
+        cand = [lin2[..., 0, :, :], lin2[..., 1, :, :], lin2[..., 2, :, :]]
+        diffmap = self._compare_scale(self.full, cand)
+        if self.half is not None:
+            sub2 = [K.subsample_2x(c) for c in cand]
+            sub = self._compare_scale(self.half, sub2)
+            diffmap = K.add_supersampled_2x(sub, 0.5, diffmap)
+        return diffmap
 
     def compare_srgb(self, cand_u8: np.ndarray) -> ButteraugliResult:
         if cand_u8.shape != self.src_u8.shape:
@@ -93,14 +112,38 @@ class ReferencePrecompute:
         if np.array_equal(cand_u8, self.src_u8):
             return ButteraugliResult(0.0, 0.0, None)
         lin2 = K.srgb_to_linear_planar(reflect_pad_to_min(cand_u8, 8))
-        diffmap = self._compare_scale(self.full, lin2)
-        if self.half is not None:
-            sub2 = np.stack([K.subsample_2x(lin2[c]) for c in range(3)])
-            sub = self._compare_scale(self.half, sub2)
-            diffmap = K.add_supersampled_2x(sub, 0.5, diffmap)
+        diffmap = self._diffmap_for(lin2)
         score, pnorm3 = K.score_from_diffmap(diffmap)
         dm = diffmap[:self.height, :self.width] if self.params.compute_diffmap else None
         return ButteraugliResult(float(score), float(pnorm3), dm)
+
+    def compare_srgb_batch(self, cands_u8: np.ndarray):
+        """Score N candidates at once: [N, h, w, 3] u8 →
+        (scores[N], pnorm3[N]) float64 arrays."""
+        n, h, w = cands_u8.shape[0], cands_u8.shape[1], cands_u8.shape[2]
+        if (h, w) != (self.height, self.width):
+            raise ValueError(f"dimension mismatch: {(h, w)} vs "
+                             f"{(self.height, self.width)}")
+        if h < 8 or w < 8:
+            # reflect-padding path is per-image; fall back
+            scores = np.empty(n)
+            pnorms = np.empty(n)
+            for i in range(n):
+                r = self.compare_srgb(cands_u8[i])
+                scores[i], pnorms[i] = r.score, r.pnorm_3
+            return scores, pnorms
+        lut = K.SRGB_TO_LINEAR_LUT
+        lin2 = np.ascontiguousarray(
+            np.moveaxis(lut[cands_u8], -1, -3))        # [N, 3, h, w]
+        diffmap = self._diffmap_for(lin2)
+        scores, pnorms = K.score_from_diffmap_batch(diffmap)
+        # identical-candidate short-circuit (diff.rs:766-772)
+        same = np.all(cands_u8.reshape(n, -1) == self.src_u8.reshape(1, -1),
+                      axis=1)
+        if same.any():
+            scores = np.where(same, 0.0, scores)
+            pnorms = np.where(same, 0.0, pnorms)
+        return np.asarray(scores, dtype=np.float64), np.asarray(pnorms, dtype=np.float64)
 
     def compare_bytes(self, cand_bytes: bytes) -> ButteraugliResult:
         cand = np.frombuffer(cand_bytes, dtype=np.uint8).reshape(
