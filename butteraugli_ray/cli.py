@@ -1,0 +1,167 @@
+"""Driver CLI — the ``ray job submit`` entry point.
+
+Subcommands (exit-code contract per the reference CLI, main.rs:52-55:
+0 = all partitions passed, 1 = violations found, 2 = error):
+
+  validate   run the flagship corpus validation (resumable)
+  synth      write a synthetic interleaved corpus
+  compare    score one media pair from the media table (debug; supports
+             --strip for the bounded-memory walk and --heatmap PPM out)
+  bench      run the benchmark headline
+
+Ray session ownership: this CLI owns its ``ray.init``/``ray.shutdown``
+(guarded), unlike the library / __ray_entry__ which never init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def quality_rating(score: float) -> str:
+    """Score → rating bands (main.rs:521-534)."""
+    if score < 0.5:
+        return "excellent"
+    if score < 1.0:
+        return "very good"
+    if score < 1.5:
+        return "good"
+    if score < 2.0:
+        return "fair"
+    if score < 3.0:
+        return "poor"
+    return "bad"
+
+
+def write_heatmap_ppm(diffmap, path: str) -> None:
+    """Diffmap → blue-cyan-green-yellow-red heatmap, written as binary
+    PPM (no image codecs in this sandbox; PPM is pure bytes) —
+    main.rs:461-519 analog."""
+    import numpy as np
+    dm = np.asarray(diffmap, dtype=np.float64)
+    mx = dm.max() or 1.0
+    v = np.clip(dm / mx, 0.0, 1.0)
+    # 4-segment ramp: blue→cyan→green→yellow→red
+    r = np.clip(np.interp(v, [0.0, 0.25, 0.5, 0.75, 1.0], [0, 0, 0, 255, 255]), 0, 255)
+    g = np.clip(np.interp(v, [0.0, 0.25, 0.5, 0.75, 1.0], [0, 255, 255, 255, 0]), 0, 255)
+    b = np.clip(np.interp(v, [0.0, 0.25, 0.5, 0.75, 1.0], [255, 255, 0, 0, 0]), 0, 255)
+    img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    h, w = dm.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(img.tobytes())
+
+
+def cmd_validate(args) -> int:
+    _ray_init(args.num_cpus)
+    from .pipelines.validate import validate_corpus
+    try:
+        summary = validate_corpus(args.documents, args.media, args.out,
+                                  threshold=args.threshold,
+                                  resume=not args.no_resume,
+                                  baseline_snapshot=args.baseline,
+                                  scorer_concurrency=args.concurrency)
+    except Exception as exc:  # noqa: BLE001
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k not in ("media_scores", "score_histogram")}, indent=1))
+    return 0 if summary["n_violations"] == 0 else 1
+
+
+def cmd_synth(args) -> int:
+    from .corpus.synth import write_corpus
+    paths = write_corpus(args.out, args.n_docs, seed=args.seed,
+                         violation_rate=args.violation_rate,
+                         n_partitions=args.partitions)
+    print(json.dumps(paths))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    import numpy as np
+    import pyarrow.parquet as pq
+    from .metric.api import ButteraugliParams, butteraugli_srgb
+    from .metric.strip import butteraugli_strip
+    tbl = pq.read_table(args.media)
+    rows = {r: i for i, r in enumerate(tbl["media_ref"].to_pylist())}
+    if args.media_ref not in rows:
+        print(f"error: media_ref {args.media_ref!r} not found", file=sys.stderr)
+        return 2
+    i = rows[args.media_ref]
+    w = tbl["width"][i].as_py()
+    h = tbl["height"][i].as_py()
+    a = np.frombuffer(tbl["ref_rgb"][i].as_py(), np.uint8).reshape(h, w, 3)
+    b = np.frombuffer(tbl["dist_rgb"][i].as_py(), np.uint8).reshape(h, w, 3)
+    params = ButteraugliParams(compute_diffmap=bool(args.heatmap))
+    try:
+        if args.strip:
+            res = butteraugli_strip(a, b, strip_height=args.strip_height,
+                                    params=params)
+        else:
+            res = butteraugli_srgb(a, b, params)
+    except Exception as exc:  # noqa: BLE001
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    out = {"media_ref": args.media_ref, "score": res.score,
+           "pnorm_3": res.pnorm_3, "rating": quality_rating(res.score)}
+    if args.max_score is not None:
+        out["threshold_exceeded"] = res.score > args.max_score
+    print(json.dumps(out))
+    if args.heatmap:
+        write_heatmap_ppm(res.diffmap, args.heatmap)
+    if args.max_score is not None and res.score > args.max_score:
+        return 1
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="butteraugli-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run corpus validation")
+    v.add_argument("--documents", required=True)
+    v.add_argument("--media", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--threshold", type=float, default=4.0)
+    v.add_argument("--baseline", default=None)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--concurrency", type=int, default=4)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("synth", help="write synthetic corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-docs", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--violation-rate", type=float, default=0.01)
+    s.add_argument("--partitions", type=int, default=8)
+    s.set_defaults(fn=cmd_synth)
+
+    c = sub.add_parser("compare", help="score one media pair")
+    c.add_argument("--media", required=True)
+    c.add_argument("--media-ref", required=True)
+    c.add_argument("--max-score", type=float, default=None)
+    c.add_argument("--strip", action="store_true")
+    c.add_argument("--strip-height", type=int, default=256)
+    c.add_argument("--heatmap", default=None, help="write diffmap PPM here")
+    c.set_defaults(fn=cmd_compare)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

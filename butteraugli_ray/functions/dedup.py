@@ -270,6 +270,79 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, concurrency: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# Connected components over candidate pairs (duplicate GROUPS)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs_ds, max_iters: int = 10):
+    """Min-label propagation over (id_a, id_b) edges → Dataset(node, label)
+    where ``label`` is the smallest id in each connected component.
+
+    Shuffle-only implementation (no joins): each round, every node's
+    group (its current label + incident edges) broadcasts its min label
+    to itself and its neighbors, then a groupby-min installs the new
+    labels.  Converges in O(component diameter) rounds; ``max_iters``
+    bounds the cost (duplicate clusters are shallow in practice).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
+        b = t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
+        return pa.table({"node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                         "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["node"],
+                         "nbr": pa.nulls(t.num_rows, pa.int64())})
+
+    def first_label(g: pa.Table) -> pa.Table:
+        return pa.table({"node": g["node"].slice(0, 1),
+                         "label": pa.array([pc.min(g["label"]).as_py()], pa.int64()),
+                         "nbr": pa.nulls(1, pa.int64())})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").map_groups(first_label, batch_format="pyarrow"))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "label": pa.nulls(t.num_rows, pa.int64()),
+                         "nbr": t["nbr"]})
+
+    edge_msgs = edges.map_batches(edge_rows, batch_format="pyarrow")
+
+    def propagate(g: pa.Table) -> pa.Table:
+        lbls = pc.drop_null(g["label"])
+        if len(lbls) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64())})
+        m = pc.min(lbls).as_py()
+        nbrs = pc.drop_null(g["nbr"]).unique()
+        node = g["node"][0].as_py()
+        targets = [node] + nbrs.to_pylist()
+        return pa.table({"node": pa.array(targets, pa.int64()),
+                         "label": pa.array([m] * len(targets), pa.int64()),
+                         "nbr": pa.nulls(len(targets), pa.int64())})
+
+    def collapse(g: pa.Table) -> pa.Table:
+        return pa.table({"node": g["node"].slice(0, 1),
+                         "label": pa.array([pc.min(g["label"]).as_py()], pa.int64()),
+                         "nbr": pa.nulls(1, pa.int64())})
+
+    for _ in range(max_iters):
+        merged = labels.union(edge_msgs)
+        labels = (merged.groupby("node").map_groups(propagate, batch_format="pyarrow")
+                  .groupby("node").map_groups(collapse, batch_format="pyarrow"))
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup (hyperplane-LSH bucketed)
 # ---------------------------------------------------------------------------
 

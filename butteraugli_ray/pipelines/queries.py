@@ -356,6 +356,50 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_user_sessions — session windows (30-min gap) over the event stream
+# ---------------------------------------------------------------------------
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionize per user: a new session starts after a >30-min gap.
+    groupby(user).map_groups with in-group sort — the streaming-window
+    pattern (ordered log partitioned by key)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().reset_index(drop=True)
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gaps.sum()) + 1
+        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
+                             "n_events": [np.int64(len(g))],
+                             "n_sessions": [np.int64(n_sessions)]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    for c in ("user_id", "n_events", "n_sessions"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_near_dup_groups — minhash candidates → verified pairs → connected
+# components (duplicate GROUPS, not just pairs)
+# ---------------------------------------------------------------------------
+
+def q_near_dup_groups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    import ray.data as rd
+    from ..functions.dedup import connected_components
+    verified = q_minhash_near_dup(sf_dir, threshold)
+    if not len(verified):
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "n_members": pd.Series([], dtype="int64")})
+    pairs = rd.from_pandas(verified[["id_a", "id_b"]])
+    comp = connected_components(pairs, max_iters=6).to_pandas()
+    out = (comp.groupby("label", as_index=False).agg(n_members=("node", "nunique")))
+    out["label"] = out["label"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (no exact SQL equivalent)
 # ---------------------------------------------------------------------------
 
@@ -607,7 +651,9 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
+    "user_sessions": q_user_sessions,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
+    "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -717,5 +763,18 @@ ORACLE_SQL = {
         JOIN embeddings e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
         WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
         ORDER BY id_a, id_b
+    """,
+    "user_sessions": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, count(*) AS n_events,
+               sum(new_session) AS n_sessions
+        FROM gaps GROUP BY user_id ORDER BY user_id
     """,
 }
