@@ -1,0 +1,126 @@
+"""Joins for two large sides: explicit partitioned hash join.
+
+Ray Data's guide pattern (both sides large): add ``bucket = hash(key) % B``
+to both sides, group matching buckets, and merge pairwise inside
+``map_groups`` — an explicit hash-partitioned join whose only movement
+is the bucket shuffle.  Skewed keys are salted: a hot key's probe rows
+split across ``k`` sub-buckets while the build side's hot rows replicate
+``k`` ways, bounding any single task at ~1/k of the hot key
+(SURVEY.md §4 skew requirement).
+
+Small-side joins should NOT use this — broadcast them
+(``ray.put`` + lookup in ``map_batches``; see q_revenue_by_nation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
+    # deterministic cheap integer hash (keys here are int64)
+    v = values.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        v = v ^ (v >> np.uint64(33))
+    return (v % np.uint64(n_buckets)).astype(np.int64)
+
+
+def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
+              hot_keys: dict | None = None, how: str = "inner"):
+    """Join two Datasets on an int64 ``key`` → Dataset of merged rows.
+
+    ``hot_keys``: {key_value: salt_factor} — probe(left) rows of a hot
+    key scatter across ``salt_factor`` sub-buckets; build(right) rows
+    replicate to all of them.
+    """
+    hot_keys = hot_keys or {}
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            keys = df[key].to_numpy()
+            bucket = _bucket_of(keys, n_buckets)
+            salt = np.zeros(len(df), dtype=np.int64)
+            frames = []
+            if hot_keys:
+                for hk, k in hot_keys.items():
+                    m = keys == hk
+                    if not m.any():
+                        continue
+                    if side == "left":
+                        # scatter probe rows across k salts
+                        salt[m] = np.arange(int(m.sum())) % k
+                    else:
+                        # replicate build rows to every salt
+                        rep = df[m]
+                        for s in range(1, k):
+                            extra = rep.copy()
+                            extra["__salt"] = s
+                            frames.append(extra)
+            df["__bucket"] = bucket
+            df["__salt"] = salt
+            df["__side"] = side
+            if frames:
+                for f in frames:
+                    f["__bucket"] = _bucket_of(f[key].to_numpy(), n_buckets)
+                    f["__side"] = side
+                df = pd.concat([df] + frames, ignore_index=True)
+            return df
+        return fn
+
+    left = left_ds.map_batches(tag("left"), batch_format="pandas")
+    right = right_ds.map_batches(tag("right"), batch_format="pandas")
+
+    # union needs identical schemas: pad each side with the other's columns
+    lschema = left.schema()
+    rschema = right.schema()
+    if lschema is None or rschema is None:
+        # an empty side: inner join is empty; emit zero rows with the
+        # non-empty side's columns (minus the tags)
+        base = lschema or rschema
+        cols = ([c for c in base.names if not c.startswith("__")]
+                if base is not None else [])
+        src = left_ds if lschema is not None else right_ds
+
+        def empty(df: pd.DataFrame) -> pd.DataFrame:
+            return df.head(0)[[c for c in cols if c in df.columns]]
+
+        return src.map_batches(empty, batch_format="pandas")
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    all_cols = list(dict.fromkeys(list(lcols) + list(rcols)))
+
+    def pad(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for c in cols:
+                if c not in df.columns:
+                    df[c] = None
+            return df[all_cols]
+        return fn
+
+    both = left.map_batches(pad(all_cols), batch_format="pandas").union(
+        right.map_batches(pad(all_cols), batch_format="pandas"))
+
+    join_cols_l = [c for c in lcols if c not in ("__bucket", "__salt", "__side")]
+    join_cols_r = [c for c in rcols if c not in ("__bucket", "__salt", "__side")]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "left"][join_cols_l].dropna(axis=1, how="all")
+        r = g[g["__side"] == "right"][join_cols_r].dropna(axis=1, how="all")
+        if not len(l) or (how == "inner" and not len(r)):
+            return pd.DataFrame(columns=[c for c in all_cols
+                                         if not c.startswith("__")])
+        merged = l.merge(r, on=key, how=how)
+        for c in all_cols:
+            if c.startswith("__"):
+                continue
+            if c not in merged.columns:
+                merged[c] = None
+        return merged[[c for c in all_cols if not c.startswith("__")]]
+
+    return both.groupby(["__bucket", "__salt"]).map_groups(
+        merge_bucket, batch_format="pandas")
+
+

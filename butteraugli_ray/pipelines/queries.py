@@ -380,6 +380,73 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_order_priority_revenue — LARGE×LARGE partitioned hash join
+# ---------------------------------------------------------------------------
+
+def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ lineitem on orderkey (both sides large → explicit
+    bucket-partitioned hash join, functions/joins.py), then revenue per
+    order priority."""
+    from ..functions.joins import hash_join
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    items = items.map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["l_extendedprice"])
+        rev = df["l_extendedprice"].astype(float) * (1 - df["l_discount"].astype(float))
+        g = pd.DataFrame({"o_orderpriority": df["o_orderpriority"], "rev": rev})
+        return g.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size"))
+
+    out = _final_agg(joined.map_batches(partial, batch_format="pandas"),
+                     ["o_orderpriority"], ["revenue", "n_items"])
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_click_attribution — as-of join (click → most recent prior purchase)
+# ---------------------------------------------------------------------------
+
+def q_click_attribution(sf_dir: str) -> pd.DataFrame:
+    """For every click, the most recent prior purchase of the same user
+    (as-of join: co-group by user + pd.merge_asof inside map_groups);
+    aggregated per user.  Oracle: DuckDB native ASOF JOIN."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"][["ts"]].sort_values("ts")
+        purchases = (g[g["event_type"] == "purchase"][["ts", "value"]]
+                     .sort_values("ts"))
+        if not len(clicks) or not len(purchases):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_attributed": pd.Series([], dtype="int64"),
+                                 "sum_purchase_value": pd.Series([], dtype="float64")})
+        m = pd.merge_asof(clicks, purchases, on="ts", direction="backward",
+                          allow_exact_matches=True)
+        m = m.dropna(subset=["value"])
+        if not len(m):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_attributed": pd.Series([], dtype="int64"),
+                                 "sum_purchase_value": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
+                             "n_attributed": [np.int64(len(m))],
+                             "sum_purchase_value": [float(m["value"].sum())]})
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_attributed"] = out["n_attributed"].astype("int64")
+    out["sum_purchase_value"] = out["sum_purchase_value"].astype(float).round(2)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # q_near_dup_groups — minhash candidates → verified pairs → connected
 # components (duplicate GROUPS, not just pairs)
 # ---------------------------------------------------------------------------
@@ -652,6 +719,8 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
     "user_sessions": q_user_sessions,
+    "order_priority_revenue": q_order_priority_revenue,
+    "click_attribution": q_click_attribution,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -763,6 +832,22 @@ ORACLE_SQL = {
         JOIN embeddings e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
         WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.35
         ORDER BY id_a, id_b
+    """,
+    "order_priority_revenue": """
+        SELECT o_orderpriority,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "click_attribution": """
+        SELECT e.user_id, count(*) AS n_attributed,
+               ROUND(sum(p.value), 2) AS sum_purchase_value
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') e
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase') p
+             ON e.user_id = p.user_id AND e.ts >= p.ts
+        GROUP BY e.user_id ORDER BY e.user_id
     """,
     "user_sessions": """
         WITH gaps AS (

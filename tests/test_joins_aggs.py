@@ -1,0 +1,94 @@
+"""Partitioned hash join (incl. skew salting), as-of join, and
+Ray-native sketch AggregateFns."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestHashJoin:
+    def test_join_matches_pandas(self, ray_session):
+        import ray.data as rd
+        from butteraugli_ray.functions.joins import hash_join
+        rng = np.random.default_rng(0)
+        left = pd.DataFrame({"k": rng.integers(0, 50, 300).astype("int64"),
+                             "lv": np.arange(300)})
+        right = pd.DataFrame({"k": rng.integers(0, 50, 120).astype("int64"),
+                              "rv": np.arange(120) * 10})
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="k", n_buckets=8).to_pandas()
+        want = left.merge(right, on="k")
+        key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].astype("int64").values.tolist()))
+        assert key(got) == key(want)
+
+    def test_skew_salting_same_result(self, ray_session):
+        import ray.data as rd
+        from butteraugli_ray.functions.joins import hash_join
+        # one pathological hot key: 500 of 600 probe rows share key 7
+        left = pd.DataFrame({"k": np.array([7] * 500 + list(range(100)),
+                                           dtype="int64"),
+                             "lv": np.arange(600)})
+        right = pd.DataFrame({"k": np.arange(100, dtype="int64"),
+                              "rv": np.arange(100) * 2})
+        plain = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          key="k", n_buckets=8).to_pandas()
+        salted = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                           key="k", n_buckets=8, hot_keys={7: 4}).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].astype("int64").values.tolist()))
+        assert key(salted) == key(plain)
+        assert len(salted) == len(left.merge(right, on="k"))
+
+
+class TestAsofQuery:
+    def test_click_attribution_matches_duckdb(self, ray_session):
+        import duckdb
+        from butteraugli_ray.pipelines.queries import q_click_attribution, ORACLE_SQL
+        sf = "/root/testdata/sf0.001"
+        got = q_click_attribution(sf)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        exp = con.execute(ORACLE_SQL["click_attribution"]).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            exp.rename(columns=str).reset_index(drop=True),
+            check_dtype=False)
+
+
+class TestRayAggs:
+    def test_hll_and_tdigest_aggregate(self, ray_session):
+        import ray.data as rd
+        from butteraugli_ray.functions.rayaggs import (hll_distinct,
+                                                       tdigest_quantile)
+        df = pd.DataFrame({"u": np.arange(5000) % 700,
+                           "v": np.random.default_rng(1).normal(0, 1, 5000)})
+        ds = rd.from_pandas(df)
+        out = ds.aggregate(hll_distinct("u", alias="nd"),
+                           tdigest_quantile("v", 0.5, alias="p50"))
+        assert abs(out["nd"] - 700) / 700 < 0.05
+        assert out["p50"] == pytest.approx(np.quantile(df["v"], 0.5), abs=0.05)
+
+    def test_grouped_tdigest(self, ray_session):
+        import ray.data as rd
+        from butteraugli_ray.functions.rayaggs import tdigest_quantile
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({"g": np.repeat(["a", "b"], 3000),
+                           "v": np.concatenate([rng.normal(0, 1, 3000),
+                                                rng.normal(5, 1, 3000)])})
+        out = (rd.from_pandas(df).groupby("g")
+               .aggregate(tdigest_quantile("v", 0.5, alias="p50")).to_pandas())
+        got = dict(zip(out["g"], out["p50"]))
+        assert got["a"] == pytest.approx(0.0, abs=0.1)
+        assert got["b"] == pytest.approx(5.0, abs=0.1)
+
+    def test_score_partials_agg_matches_single_pass(self, ray_session):
+        import ray.data as rd
+        from butteraugli_ray.functions.rayaggs import score_partials_agg
+        from butteraugli_ray.metric.kernels import score_from_diffmap
+        rng = np.random.default_rng(3)
+        vals = (rng.random(8000) * 3).astype(np.float32)
+        ds = rd.from_pandas(pd.DataFrame({"s": vals})).repartition(7)
+        out = ds.aggregate(score_partials_agg("s", alias="sp"))["sp"]
+        want_max, want_pn = score_from_diffmap(vals.reshape(80, 100))
+        assert out["max_norm"] == pytest.approx(want_max, rel=1e-9)
+        assert out["pnorm_3"] == pytest.approx(want_pn, rel=1e-9)
