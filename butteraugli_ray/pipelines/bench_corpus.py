@@ -67,7 +67,12 @@ _REF_CACHE: dict = {}
 def _compare_batch_for(px: int) -> int:
     """Candidates per stacked compare: larger amortizes numpy dispatch,
     but the batch working set must stay cache-resident (measured: at
-    128px N=32 is slower than scalar; N≤16 wins)."""
+    128px N=32 is slower than scalar; N≤16 wins).  Override with
+    BENCH_COMPARE_BATCH (1 = scalar compares)."""
+    import os
+    env = os.environ.get("BENCH_COMPARE_BATCH")
+    if env:
+        return max(1, int(env))
     return int(np.clip(32 * (96 * 96) / (px * px), 4, 32))
 
 
@@ -99,7 +104,8 @@ def score_batch(df: pd.DataFrame, *, ref_table, px: int, threshold: float,
     return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                          "media_ref": refs,
                          "score": scores,
-                         "violation": scores > threshold})
+                         "violation": scores > threshold,
+                         "done_at": time.time()})
 
 
 def _attach_factory(n_refs: int, n_docs: int):
@@ -120,7 +126,9 @@ def _attach_factory(n_refs: int, n_docs: int):
 def _run_pipeline(n_docs: int, n_refs: int, px: int, threshold: float,
                   ref_table, num_cpus: int):
     import ray.data as rd
-    n_tasks = max(8, 2 * num_cpus)
+    import os
+    mult = int(os.environ.get("BENCH_TASKS_PER_CPU", "2"))
+    n_tasks = max(8, mult * num_cpus)
     batch_size = max(8, -(-n_docs // n_tasks))
     ds = rd.range(n_docs, override_num_blocks=n_tasks)
     return (ds.map_batches(_attach_factory(n_refs, n_docs), batch_format="pandas")
@@ -159,6 +167,7 @@ def score_candidates(n_docs: int, n_refs: int = 48, px: int = 128,
             pass
 
     results = []
+    steady = []
     for _ in range(max(1, trials)):
         t0 = time.time()
         scored = _run_pipeline(n_docs, n_refs, px, threshold, ref_table,
@@ -167,20 +176,37 @@ def score_candidates(n_docs: int, n_refs: int = 48, px: int = 128,
         n_viol = 0
         n_done = 0
         ssum = 0.0
-        for batch in scored.iter_batches(batch_size=4096, batch_format="pandas"):
+        # task-side completion timestamps → steady-state throughput over
+        # the last 75% of rows (the first quarter absorbs worker
+        # cold-start, which a long-running cluster job amortizes away)
+        done_at = []
+        for batch in scored.iter_batches(batch_size=1024, batch_format="pandas"):
             hist.add(batch["score"].to_numpy())
             n_viol += int(batch["violation"].sum())
             ssum += float(batch["score"].sum())
             n_done += len(batch)
+            done_at.append(batch["done_at"].to_numpy())
         wall = time.time() - t0
         results.append((wall, n_done, n_viol, ssum, hist))
+        if done_at:
+            # steady-state rate over the 25%..90% completion quantiles
+            # (drops worker cold-start and last-wave stragglers)
+            ts = np.sort(np.concatenate(done_at))
+            i0, i1 = len(ts) // 4, int(len(ts) * 0.9)
+            if ts[i1] > ts[i0]:
+                steady.append((i1 - i0) / (ts[i1] - ts[i0]))
 
     wall, n_done, n_viol, ssum, hist = min(results, key=lambda r: r[0])
     return {"n_docs": n_done, "n_refs": n_refs, "px": px,
             "n_violations": n_viol,
             "mean_score": ssum / max(n_done, 1),
             "wall_s": round(wall, 3),
+            # end-to-end throughput is the honest headline; the
+            # steady-state quantile estimate (cold-start excluded) is
+            # supplementary only
             "docs_per_sec": round(n_done / wall, 2),
+            "steady_docs_per_sec": round(max(steady), 2) if steady else None,
             "trials_docs_per_sec": [round(r[1] / r[0], 2) for r in results],
+            "trials_steady_docs_per_sec": [round(s, 2) for s in steady],
             "histogram_total": hist.total(),
             "num_cpus": num_cpus}
