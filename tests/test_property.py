@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) — the engine's analog of the
+reference's proptest fuzz suite (tests/cpp_fuzz.rs, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from butteraugli_ray.corpus.generators import (distort_noise,
+                                               gen_random_midrange, lcg_stream)
+from butteraugli_ray.functions.sketches import (FixedHistogram, HyperLogLog,
+                                                TDigest)
+from butteraugli_ray.metric import kernels as K
+from butteraugli_ray.metric.api import butteraugli_srgb, reflect_index
+
+
+class TestLcg:
+    @given(st.integers(min_value=0, max_value=2**64 - 1),
+           st.integers(min_value=1, max_value=300))
+    @settings(max_examples=30, deadline=None)
+    def test_stream_prefix_consistent(self, seed, n):
+        # streaming in one call == reference scalar recurrence
+        full = lcg_stream(seed, n)
+        state = seed
+        for i in range(n):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            assert full[i] == (state >> 33) & 0xFF
+
+
+class TestReflectPad:
+    @given(st.integers(min_value=1, max_value=40),
+           st.integers(min_value=0, max_value=200))
+    @settings(max_examples=50, deadline=None)
+    def test_reflect_index_in_range_and_identity(self, n, i):
+        j = int(reflect_index(np.array([i]), n)[0])
+        assert 0 <= j < n
+        if i < n:
+            assert j == i          # original samples land in place
+
+
+class TestScoreInvariants:
+    @given(st.integers(min_value=8, max_value=24),
+           st.integers(min_value=8, max_value=24),
+           st.integers(min_value=0, max_value=2**32))
+    @settings(max_examples=8, deadline=None)
+    def test_identical_zero_and_finite(self, w, h, seed):
+        a = gen_random_midrange(w, h, seed)
+        assert butteraugli_srgb(a, a.copy()).score == 0.0
+        b = distort_noise(a, seed + 1, 10)
+        r = butteraugli_srgb(a, b)
+        assert np.isfinite(r.score) and r.score >= 0.0
+        assert np.isfinite(r.pnorm_3) and r.pnorm_3 <= r.score + 1e-6
+
+    def test_noise_monotonicity(self):
+        # conformance-style: more distortion ⇒ higher score
+        a = gen_random_midrange(32, 32, 9)
+        scores = [butteraugli_srgb(a, distort_noise(a, 10, amp)).score
+                  for amp in (4, 16, 48)]
+        assert scores[0] < scores[1] < scores[2]
+
+    @given(st.floats(min_value=0.01, max_value=10.0),
+           st.floats(min_value=1.5, max_value=6.0))
+    @settings(max_examples=20, deadline=None)
+    def test_pnorm_uniform_identity(self, v, p):
+        dm = np.full((12, 12), v, dtype=np.float32)
+        assert K.pnorm_slice(dm, p) == pytest.approx(v, rel=1e-5)
+
+
+class TestSketchProperties:
+    @given(st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=200))
+    @settings(max_examples=25, deadline=None)
+    def test_hll_merge_commutes_and_bounds(self, vals):
+        half = len(vals) // 2
+        a = HyperLogLog().add(vals[:half] or ["x"])
+        b = HyperLogLog().add(vals[half:] or ["y"])
+        assert np.array_equal(a.merge(b).registers, b.merge(a).registers)
+        # estimate of distinct count is sane for small sets
+        whole = HyperLogLog().add(vals)
+        assert whole.estimate() <= len(vals) * 1.5 + 5
+
+    @given(st.lists(st.floats(min_value=-100, max_value=100,
+                              allow_nan=False), min_size=2, max_size=300))
+    @settings(max_examples=25, deadline=None)
+    def test_tdigest_quantile_within_range(self, vals):
+        td = TDigest().add(np.array(vals))
+        for q in (0.0, 0.5, 1.0):
+            est = td.quantile(q)
+            assert min(vals) - 1e-6 <= est <= max(vals) + 1e-6
+
+    @given(st.lists(st.floats(min_value=-50, max_value=50,
+                              allow_nan=False), min_size=0, max_size=200),
+           st.integers(min_value=1, max_value=5))
+    @settings(max_examples=25, deadline=None)
+    def test_histogram_partition_invariance(self, vals, k):
+        arr = np.array(vals, dtype=np.float64)
+        whole = FixedHistogram(-10, 10, 16).add(arr)
+        parts = FixedHistogram(-10, 10, 16)
+        for chunk in np.array_split(arr, k):
+            parts = parts.merge(FixedHistogram(-10, 10, 16).add(chunk))
+        assert np.array_equal(whole.counts, parts.counts)
+        assert whole.n_under == parts.n_under and whole.n_over == parts.n_over
+
+
+class TestStructuralProperties:
+    @given(st.integers(min_value=1, max_value=200),
+           st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=15, deadline=None)
+    def test_synth_deterministic(self, n_docs, seed):
+        from butteraugli_ray.corpus.synth import build_documents
+        t1, g1 = build_documents(n_docs, seed=seed, violation_rate=0.05)
+        t2, g2 = build_documents(n_docs, seed=seed, violation_rate=0.05)
+        assert t1.equals(t2) and g1 == g2
