@@ -17,8 +17,12 @@ function here (nor the library code they use) calls ``ray.init`` /
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from butteraugli_ray.pipelines.queries import ORACLE_SQL, QUERIES
 

@@ -356,6 +356,74 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_customers_without_orders — broadcast ANTI-join
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Customers with no orders in H1-1995: broadcast the key set
+    (ray.put once) and anti-filter inside map_batches — the semi/anti
+    join pattern for a small key side (SURVEY.md §2.5)."""
+    import ray
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+    import datetime
+    m = pc.and_(pc.greater_equal(orders["o_orderdate"],
+                                 pa.scalar(datetime.datetime(1995, 1, 1))),
+                pc.less(orders["o_orderdate"],
+                        pa.scalar(datetime.datetime(1995, 7, 1))))
+    key_set = set(orders.filter(m)["o_custkey"].to_pylist())
+    kref = ray.put(key_set)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(kref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df["c_custkey"].isin(self.keys)]
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = ds.map_batches(AntiFilter, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                             "c_name": pd.Series([], dtype=str),
+                             "c_mktsegment": pd.Series([], dtype=str)})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_shipdate_range — predicate pushdown at the read
+# ---------------------------------------------------------------------------
+
+def q_shipdate_range(sf_dir: str) -> pd.DataFrame:
+    """Row-group predicate pushdown: the date filter rides into
+    read_parquet so pruned row groups never leave storage."""
+    import datetime
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_returnflag"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") <= hi))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["l_returnflag"], ["n_items", "sum_qty"])
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # q_user_sessions — session windows (30-min gap) over the event stream
 # ---------------------------------------------------------------------------
 
@@ -721,6 +789,8 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "order_priority_revenue": q_order_priority_revenue,
     "click_attribution": q_click_attribution,
+    "customers_without_orders": q_customers_without_orders,
+    "shipdate_range": q_shipdate_range,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -848,6 +918,24 @@ ORACLE_SQL = {
                    WHERE event_type = 'purchase') p
              ON e.user_id = p.user_id AND e.ts >= p.ts
         GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-07-01')
+        ORDER BY c_custkey
+    """,
+    "shipdate_range": """
+        SELECT l_returnflag, count(*) AS n_items,
+               ROUND(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <= TIMESTAMP '1996-12-31'
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "user_sessions": """
         WITH gaps AS (

@@ -60,6 +60,31 @@ def test_drift_detection(ray_session, corpus_paths, tmp_path):
     assert s2["drift"]["psi"] == pytest.approx(0.0, abs=1e-6)
 
 
+def test_drift_detected_on_changed_media(ray_session, corpus_paths, tmp_path):
+    # baseline on the full media pool; rerun against only the high-score
+    # media → the score histogram shifts and KS/PSI fire
+    import pyarrow.parquet as pq
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    out1 = str(tmp_path / "base")
+    validate_corpus(corpus_paths["documents"], corpus_paths["media"], out1,
+                    resume=False, scorer_concurrency=2)
+    media = pq.read_table(corpus_paths["media"])
+    from butteraugli_ray.corpus.synth import bad_media_refs
+    bad = set(bad_media_refs())
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    mask = pa.array([r in bad for r in media["media_ref"].to_pylist()])
+    bad_only = media.filter(mask)
+    bad_path = str(tmp_path / "media_bad.parquet")
+    pq.write_table(bad_only, bad_path)
+    out2 = str(tmp_path / "drifted")
+    s2 = validate_corpus(corpus_paths["documents"], bad_path, out2,
+                         resume=False, scorer_concurrency=2,
+                         baseline_snapshot=f"{out1}/summary.json")
+    assert s2["drift"]["ks"] > 0.3
+    assert s2["drift"]["psi"] > 0.5
+
+
 def test_span_sequence_through_executor(ray_session, corpus_paths):
     # input_hint invariant: exact (kind, text, media_ref, offset) sequence
     # survives a Ray Data round trip (read → map_batches → collect)
