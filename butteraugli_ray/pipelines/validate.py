@@ -151,6 +151,15 @@ class DocChecker:
 VIOLATION_COLS = ["doc_id", "span_idx", "check", "detail", "partition_id"]
 
 
+def _file_stat(path: str):
+    """Input lineage stamp: (size, mtime_ns) of the backing file/dir."""
+    try:
+        st = os.stat(path)
+        return [int(st.st_size), int(st.st_mtime_ns)]
+    except OSError:
+        return None
+
+
 def score_media_table(media_path: str, params: Optional[ButteraugliParams] = None,
                       concurrency: int = 4, batch_size: int = 8):
     """Score every media pair with the actor-pool scorer; returns the
@@ -200,6 +209,21 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     done = ckpt.completed_partitions(out_dir) if resume else set()
+
+    # lineage guard: a resumed run must see the same inputs the completed
+    # partitions were produced from (manifest input_fingerprint)
+    fingerprint = {"docs_path": docs_path, "media_path": media_path,
+                   "threshold": threshold,
+                   "docs_stat": _file_stat(docs_path),
+                   "media_stat": _file_stat(media_path)}
+    if done:
+        prev = ckpt.load_manifests(out_dir)
+        sample = prev[sorted(prev)[0]]["input_fingerprint"]
+        if sample != fingerprint:
+            raise ValueError(
+                "resume refused: input fingerprint changed since the "
+                f"completed partitions were written ({sample} != "
+                f"{fingerprint}); pass resume=False to revalidate")
 
     # ---- media scoring (small side) + broadcast --------------------------
     scores_tbl = score_media_table(media_path, params, scorer_concurrency)
@@ -281,9 +305,9 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                             pa.string()),
         })
 
-    per_part = (tagged_all.groupby("partition_id")
-                .map_groups(split_and_count, batch_format="pyarrow")
-                .to_pandas())
+    rollup = tagged_all.groupby("partition_id").map_groups(
+        split_and_count, batch_format="pyarrow")
+    per_part = rollup.to_pandas()
 
     for _, row in per_part.iterrows():
         pid = int(row["partition_id"])
@@ -296,8 +320,7 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
             "n_violations": int(row["n_violations"]),
             "violations_by_check": json.loads(row["checks_json"]),
             "passed": int(row["n_violations"]) == 0,
-            "input_fingerprint": {"docs_path": docs_path, "media_path": media_path,
-                                  "threshold": threshold},
+            "input_fingerprint": fingerprint,
             "wall_time_s": round(time.time() - t0, 3),
         }
         ckpt.write_manifest(out_dir, pid, manifest)
@@ -321,6 +344,9 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                          for k, v in score_map.items()},
         "threshold": threshold,
         "wall_time_s": round(time.time() - t0, 3),
+        # per-stage wall/cpu breakdown of the main rollup pipeline
+        # (ds.stats() — the feedback loop for stage sizing)
+        "pipeline_stats": rollup.stats()[:4000],
     }
     if baseline_snapshot and os.path.exists(baseline_snapshot):
         with open(baseline_snapshot) as f:
