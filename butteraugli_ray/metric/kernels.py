@@ -196,27 +196,28 @@ def _blur_matrix(sigma: float, n: int) -> np.ndarray:
     return m
 
 
-def _conv_axis_zero_norm(a: np.ndarray, kernel: np.ndarray, axis: int) -> np.ndarray:
-    """Fallback path for very large axes: zero-padded correlation along
-    ``axis`` divided by the per-position sum of in-bounds kernel taps.
-
-    Both paths reproduce the reference blur's boundary semantics
-    (blur.rs:78-145, 344-475 with border_ratio=0): border pixels use a
-    truncated kernel renormalized over the in-bounds taps; interior
-    pixels use the normalized kernel.
-    """
+def _blur_h_blocked(a: np.ndarray, sigma: float, block: int = 1024) -> np.ndarray:
+    """Horizontal blur for very wide axes: column blocks × small banded
+    GEMMs — O(block²) matrix memory instead of a dense n² matrix, same
+    truncated-renormalized border semantics (each block's matrix is the
+    corresponding column slice of the full band matrix)."""
+    w = a.shape[-1]
+    kernel = compute_kernel(sigma).astype(np.float64)
     half = len(kernel) // 2
-    n = a.shape[axis]
-    pad = [(0, 0)] * a.ndim
-    pad[axis] = (half, half)
-    ap = np.pad(a, pad, mode="constant")
-    win = np.lib.stride_tricks.sliding_window_view(ap, len(kernel), axis=axis)
-    num = win @ kernel                     # windows are the last axis
-    ones = np.ones(n, dtype=np.float32)
-    den = np.convolve(ones, kernel, mode="full")[half:half + n].astype(np.float32)
-    shape = [1] * a.ndim
-    shape[axis] = n
-    return (num / den.reshape(shape)).astype(np.float32, copy=False)
+    out = np.empty_like(a)
+    for j0 in range(0, w, block):
+        j1 = min(w, j0 + block)
+        i0 = max(0, j0 - half)
+        i1 = min(w, j1 - 1 + half + 1)
+        m = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+        for j in range(j0, j1):
+            lo = max(0, j - half)
+            hi = min(w, j + half + 1)
+            taps = kernel[lo - j + half:hi - j + half]
+            m[lo - i0:hi - i0, j - j0] = taps / np.float32(
+                taps.astype(np.float32).sum())
+        out[..., j0:j1] = a[..., i0:i1] @ m.astype(np.float32)
+    return out
 
 
 def gaussian_blur(plane: np.ndarray, sigma: float) -> np.ndarray:
@@ -224,16 +225,21 @@ def gaussian_blur(plane: np.ndarray, sigma: float) -> np.ndarray:
     (blur.rs:866-933: H pass then V pass).
 
     Batch-aware: ``plane`` may carry leading batch dims ([..., h, w]).
+    Axes ≤ _BLUR_MATRIX_MAX_N use a cached dense band matrix (one GEMM);
+    larger axes use blocked band GEMMs with bounded memory.
     """
     if sigma <= 0.0:
         return plane.copy()
     h, w = plane.shape[-2:]
-    if max(h, w) <= _BLUR_MATRIX_MAX_N:
+    if w <= _BLUR_MATRIX_MAX_N:
         out = plane @ _blur_matrix(sigma, w)           # horizontal pass
+    else:
+        out = _blur_h_blocked(plane, sigma)
+    if h <= _BLUR_MATRIX_MAX_N:
         return np.matmul(_blur_matrix(sigma, h).T, out)  # vertical pass
-    kernel = compute_kernel(sigma)
-    out = _conv_axis_zero_norm(plane, kernel, axis=plane.ndim - 1)
-    return _conv_axis_zero_norm(out, kernel, axis=plane.ndim - 2)
+    swapped = np.swapaxes(out, -1, -2)
+    return np.ascontiguousarray(
+        np.swapaxes(_blur_h_blocked(np.ascontiguousarray(swapped), sigma), -1, -2))
 
 
 def compute_separable5_weights(sigma: float) -> tuple:
