@@ -33,11 +33,16 @@ def _next_multiple(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+class StripCancelled(Exception):
+    """Raised when ``stop_check`` signals cancellation between strips
+    (the engine analog of ``ButteraugliError::Cancelled``)."""
+
+
 def butteraugli_strip(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
                       strip_height: int = 256,
                       halo: int = HALO_ROWS_DEFAULT,
                       params: ButteraugliParams = ButteraugliParams(),
-                      ) -> ButteraugliResult:
+                      stop_check=None) -> ButteraugliResult:
     """Strip-walk score of two sRGB u8 [h, w, 3] images
     (strip.rs:491-581 semantics).
 
@@ -59,15 +64,21 @@ def butteraugli_strip(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
 
     lin1 = K.srgb_to_linear_planar(rgb1_u8)
     lin2 = K.srgb_to_linear_planar(rgb2_u8)
-    return butteraugli_strip_linear_planar(lin1, lin2, strip_height, halo, params)
+    return butteraugli_strip_linear_planar(lin1, lin2, strip_height, halo,
+                                           params, stop_check)
 
 
 def butteraugli_strip_linear_planar(lin1: np.ndarray, lin2: np.ndarray,
                                     strip_height: int = 256,
                                     halo: int = HALO_ROWS_DEFAULT,
                                     params: ButteraugliParams = ButteraugliParams(),
-                                    ) -> ButteraugliResult:
-    """Strip walk over linear planar [3, h, w] images."""
+                                    stop_check=None) -> ButteraugliResult:
+    """Strip walk over linear planar [3, h, w] images.
+
+    ``stop_check``: optional callable polled at each strip boundary
+    (never inside the per-pixel kernels — strip.rs:511-513 semantics);
+    return truthy to cancel → raises :class:`StripCancelled`.
+    """
     h, w = lin1.shape[1], lin1.shape[2]
     partials = []
     full_diffmap = (np.zeros((h, w), dtype=np.float32)
@@ -75,6 +86,8 @@ def butteraugli_strip_linear_planar(lin1: np.ndarray, lin2: np.ndarray,
 
     y = 0
     while y < h:
+        if stop_check is not None and stop_check():
+            raise StripCancelled(f"cancelled at strip row {y}/{h}")
         next_y = _next_multiple(y + strip_height, STRIP_ALIGNMENT)
         if next_y >= h or h - next_y < STRIP_ALIGNMENT:
             next_y = h

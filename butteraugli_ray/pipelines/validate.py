@@ -191,6 +191,23 @@ def _violation_writer(out_dir: str):
     return write
 
 
+def sample_violations(out_dir: str, per_check: int = 5):
+    """Violation sampling per check (SURVEY.md §2.7): up to ``per_check``
+    example rows for each check kind from the written partition files."""
+    import glob
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(ckpt.violations_dir(out_dir),
+                                          "part-*.parquet")))
+    if not files:
+        return {}
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    out = {}
+    for check in pc.unique(tbl["check"]).to_pylist():
+        sel = tbl.filter(pc.equal(tbl["check"], check)).slice(0, per_check)
+        out[check] = sel.to_pylist()
+    return out
+
+
 def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                     threshold: float = DEFAULT_SCORE_THRESHOLD,
                     params: Optional[ButteraugliParams] = None,

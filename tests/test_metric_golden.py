@@ -41,6 +41,25 @@ def test_golden_score(case):
         f"(rel {rel:.2e})")
 
 
+@pytest.mark.parametrize("case", _cases()[::5], ids=lambda c: c["name"])
+def test_diffmap_stats_match_reference(case):
+    """Diffmap min/max/mean vs the Rust regression fixtures
+    (tests/common/reference_data.rs stats).  std is skipped when the
+    diffmap is near-constant (std/mean < 1e-3): there it measures pure
+    float rounding noise, which legitimately differs between
+    implementations."""
+    pair = generate_image_pair(case["name"], case["width"], case["height"])
+    r = butteraugli_srgb(pair[0], pair[1],
+                         ButteraugliParams(compute_diffmap=True))
+    dm = r.diffmap
+    s = case["stats"]
+    for key, got in (("min", float(dm.min())), ("max", float(dm.max())),
+                     ("mean", float(dm.mean()))):
+        assert got == pytest.approx(s[key], rel=3e-3, abs=1e-6), key
+    if s["mean"] > 0 and s["std"] / s["mean"] > 1e-3:
+        assert float(dm.std()) == pytest.approx(s["std"], rel=2e-2, abs=1e-6)
+
+
 def test_identical_pair_scores_zero():
     a, _ = generate_image_pair("checkerboard_vs_inverse_1px_32x32", 32, 32)
     r = butteraugli_srgb(a, a.copy())
