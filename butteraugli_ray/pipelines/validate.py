@@ -69,8 +69,10 @@ def _attach_partition(viol: pa.Table, batch: pa.Table) -> pa.Table:
 
 
 class DocChecker:
-    """The single heavy per-batch stage: structural checks + perceptual
-    score constraint + per-partition metrics partials, one pass.
+    """The single heavy per-batch stage: every REGISTERED check
+    (engine/checks.py — built-ins: structural + perceptual score; users
+    add more with @register_check) + per-partition metrics partials,
+    one pass.
 
     Holds the broadcast media key set and {media_ref → score} map
     (ray.put once; ray.get in __init__ — never re-shipped per batch).
@@ -80,31 +82,15 @@ class DocChecker:
                  threshold: float = DEFAULT_SCORE_THRESHOLD):
         import ray
         keys = (ray.get(media_keys_ref) if media_keys_ref is not None else None)
-        self.media_keys = (pa.array(sorted(keys), pa.string())
-                           if keys is not None else None)
         scores = ray.get(scores_ref) if scores_ref is not None else {}
         items = sorted(scores.items())
-        self._score_keys = pa.array([k for k, _ in items], pa.string())
-        self._score_vals = np.array([v for _, v in items], dtype=np.float64)
-        self.threshold = float(threshold)
-
-    def _score_violations(self, batch: pa.Table) -> pa.Table:
-        from ..stages.structural import explode_spans
-        doc_ids, span_idx, kind, _t, media_ref, _o, _p = explode_spans(batch)
-        is_image = pc.fill_null(pc.equal(kind, "image"), False).to_numpy(zero_copy_only=False)
-        pos = pc.index_in(media_ref, value_set=self._score_keys).to_numpy(zero_copy_only=False)
-        found = np.logical_and(is_image, ~np.isnan(pos.astype(np.float64)))
-        pos_i = np.where(found, pos, 0).astype(np.int64)
-        score = np.where(found, self._score_vals[pos_i], np.nan)
-        bad = np.logical_and(found, score > self.threshold)
-        idx = np.nonzero(bad)[0]
-        details = [f"butteraugli score {score[i]:.4f} > {self.threshold}" for i in idx]
-        return pa.table({
-            "doc_id": pc.take(doc_ids, pa.array(idx)),
-            "span_idx": pa.array(span_idx[idx], pa.int32()),
-            "check": pa.array(["score_exceeds_threshold"] * len(idx), pa.string()),
-            "detail": pa.array(details, pa.string()),
-        })
+        self.ctx = {
+            "media_keys": (pa.array(sorted(keys), pa.string())
+                           if keys is not None else None),
+            "score_keys": pa.array([k for k, _ in items], pa.string()),
+            "score_vals": np.array([v for _, v in items], dtype=np.float64),
+            "threshold": float(threshold),
+        }
 
     def _metrics_rows(self, batch: pa.Table) -> dict:
         pids = batch["partition_id"].to_numpy(zero_copy_only=False)
@@ -121,9 +107,8 @@ class DocChecker:
         return rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        viol = check_spans_batch(batch, self.media_keys)
-        sviol = self._score_violations(batch)
-        viol = pa.concat_tables([viol, sviol])
+        from ..engine.checks import run_checks
+        viol = run_checks(batch, self.ctx)
         viol = _attach_partition(viol, batch)
         m = self._metrics_rows(batch)
         nv, nm = viol.num_rows, len(m["partition_id"])
