@@ -18,6 +18,15 @@ import numpy as np
 import pandas as pd
 
 
+
+def _safe_concurrency(requested):
+    """Actor pools sized >= num_cpus starve their own producer stage in
+    local mode; leave >=2 CPUs free."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    cap = max(1, cpus - 2)
+    return min(requested or 4, cap)
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, dtype=np.float64)
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -54,7 +63,7 @@ class BruteForceTopK:
 
 
 def knn_cosine(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
-               emb_col: str = "embedding", concurrency: int = 4) -> pd.DataFrame:
+               emb_col: str = "embedding", concurrency: int = None) -> pd.DataFrame:
     """Exact cosine top-k; returns (query_id, vec_id, sim, rank) sorted.
 
     Deterministic tie-break: higher sim first, then lower vec_id.
@@ -64,7 +73,7 @@ def knn_cosine(ds, queries: np.ndarray, k: int, id_col: str = "vec_id",
     partials = ds.map_batches(
         BruteForceTopK, fn_constructor_kwargs=dict(queries_ref=qref, k=k,
                                                    id_col=id_col, emb_col=emb_col),
-        batch_format="pandas", concurrency=concurrency)
+        batch_format="pandas", concurrency=_safe_concurrency(concurrency))
     pdf = partials.to_pandas()
     out = []
     for qi, g in pdf.groupby("query_id"):
@@ -116,7 +125,7 @@ class IVFAssigner:
 def knn_cosine_ivf(ds, queries: np.ndarray, k: int, n_clusters: int = 16,
                    nprobe: int = 4, sample_size: int = 2048,
                    id_col: str = "vec_id", emb_col: str = "embedding",
-                   concurrency: int = 4, seed: int = 3) -> pd.DataFrame:
+                   concurrency: int = None, seed: int = 3) -> pd.DataFrame:
     """IVF ANN: probe only the nprobe nearest centroid partitions.
 
     Approximate — recall governed by nprobe/n_clusters; partitioning
@@ -130,7 +139,7 @@ def knn_cosine_ivf(ds, queries: np.ndarray, k: int, n_clusters: int = 16,
     cref = ray.put(cent)
     assigned = ds.map_batches(IVFAssigner, fn_constructor_kwargs=dict(
         centroids_ref=cref, emb_col=emb_col), batch_format="pandas",
-        concurrency=concurrency)
+        concurrency=_safe_concurrency(concurrency))
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]    # [nq, nprobe]

@@ -711,7 +711,8 @@ def build_interleaved_corpus(sf_dir: str, out_dir: str) -> dict:
     into the generator-backed media pool)."""
     import os
     import pyarrow.parquet as pq
-    from ..corpus.synth import MEDIA_SCHEMA, build_media_table, good_media_refs, bad_media_refs, DOC_SCHEMA
+    from ..corpus.synth import (DOC_SCHEMA, bad_media_refs,
+                                build_media_table, good_media_refs)
     os.makedirs(out_dir, exist_ok=True)
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"]).to_pandas()
@@ -746,7 +747,6 @@ def q_validate_corpus(sf_dir: str) -> pd.DataFrame:
     """Flagship: violations of the interleaved corpus derived from this
     sf_dir (per-media butteraugli scores vs threshold 4.0 + structural)."""
     import hashlib as _hl
-    import tempfile
     from .validate import validate_corpus
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     corpus_dir = f"/tmp/butteraugli_ray_corpus_{tag}"

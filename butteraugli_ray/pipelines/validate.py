@@ -38,7 +38,7 @@ from ..functions.sketches import FixedHistogram, HyperLogLog, ks_statistic, psi
 from ..metric.api import ButteraugliParams
 from ..sources.tables import read_table_filtered
 from ..stages.scorer import MediaScorer
-from ..stages.structural import check_spans_batch
+
 from . import checkpoint as ckpt
 
 DEFAULT_SCORE_THRESHOLD = 4.0

@@ -151,6 +151,20 @@ def test_knn_matches_numpy_oracle(ray_session):
         assert have == want
 
 
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    # IVF with nprobe=4/8 clusters must recover most of the exact top-5
+    from butteraugli_ray.pipelines.queries import q_ann_topk, q_knn_ivf
+    sf = "/root/testdata/sf0.001"
+    exact = q_ann_topk(sf)
+    approx = q_knn_ivf(sf)
+    recall_hits = 0
+    for qid in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall_hits += len(e & a)
+    assert recall_hits >= 9  # ≥60% recall across 15 slots
+
+
 def test_hll_query_close_to_exact(ray_session):
     from butteraugli_ray.pipelines.queries import (q_distinct_users,
                                                    q_hll_distinct_users)
