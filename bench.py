@@ -72,7 +72,7 @@ def main() -> None:
                                               "bench.py"), "--headline-only"],
                 env=env, capture_output=True, text=True, check=True).stdout
             results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        lo, hi = levels
+        lo, hi = min(levels), max(levels)
         t_lo = results[lo]["headline"]["docs_per_sec"]
         t_hi = results[hi]["headline"]["docs_per_sec"]
         eff = (t_hi / t_lo) / (hi / lo)

@@ -77,10 +77,21 @@ def _compare_batch_for(px: int) -> int:
 
 
 def score_batch(df: pd.DataFrame, *, ref_table, px: int, threshold: float,
-                noise_amplitude: int = 12) -> pd.DataFrame:
-    """Group rows by media_ref and score each group's candidates in
-    stacked batched compares against the shared precompute."""
+                noise_amplitude: int = 12, n_refs: int = None,
+                n_docs: int = None) -> pd.DataFrame:
+    """Score one batch of docs: derive (media_ref, seed) from the doc id
+    when given bare ``range`` ids (fused attach — one stage, fewer
+    tasks), group rows by media_ref, and run stacked batched compares
+    against the shared precompute."""
     import ray
+    if "media_ref" not in df.columns:
+        ids = df["id"].to_numpy()
+        ref_ix = ids * n_refs // max(n_docs, 1)
+        df = pd.DataFrame({
+            "doc_id": ids,
+            "media_ref": [f"ref-{i}" for i in ref_ix],
+            "seed": ids * 2654435761 % (1 << 31),
+        })
     scores = np.empty(len(df), dtype=np.float64)
     refs = df["media_ref"].to_numpy()
     seeds = df["seed"].to_numpy()
@@ -131,11 +142,11 @@ def _run_pipeline(n_docs: int, n_refs: int, px: int, threshold: float,
     n_tasks = max(8, mult * num_cpus)
     batch_size = max(8, -(-n_docs // n_tasks))
     ds = rd.range(n_docs, override_num_blocks=n_tasks)
-    return (ds.map_batches(_attach_factory(n_refs, n_docs), batch_format="pandas")
-            .map_batches(score_batch,
-                         fn_kwargs=dict(ref_table=ref_table, px=px,
-                                        threshold=threshold),
-                         batch_format="pandas", batch_size=batch_size))
+    return ds.map_batches(score_batch,
+                          fn_kwargs=dict(ref_table=ref_table, px=px,
+                                         threshold=threshold, n_refs=n_refs,
+                                         n_docs=n_docs),
+                          batch_format="pandas", batch_size=batch_size)
 
 
 def score_candidates(n_docs: int, n_refs: int = 48, px: int = 128,
