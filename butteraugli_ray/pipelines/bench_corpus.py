@@ -119,21 +119,6 @@ def score_batch(df: pd.DataFrame, *, ref_table, px: int, threshold: float,
                          "done_at": time.time()})
 
 
-def _attach_factory(n_refs: int, n_docs: int):
-    """Assign media_refs in contiguous runs — co-partitioning by the join
-    key (SURVEY.md §2.5): each task's batch touches only 1-2 references."""
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["id"].to_numpy()
-        ref_ix = ids * n_refs // max(n_docs, 1)
-        return pd.DataFrame({
-            "doc_id": ids,
-            "media_ref": [f"ref-{i}" for i in ref_ix],
-            "seed": ids * 2654435761 % (1 << 31),
-        })
-    return attach
-
-
 def _run_pipeline(n_docs: int, n_refs: int, px: int, threshold: float,
                   ref_table, num_cpus: int):
     import ray.data as rd

@@ -356,6 +356,24 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_value_median_by_type — exact grouped median (sort inside map_groups)
+# ---------------------------------------------------------------------------
+
+def q_value_median_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median via groupby().map_groups (in-group sort);
+    contrast with the t-digest approximation in q_value_quantiles."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "median_value": [float(g["value"].median())]})
+
+    out = ds.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    out["median_value"] = out["median_value"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # q_customers_without_orders — broadcast ANTI-join
 # ---------------------------------------------------------------------------
 
@@ -791,6 +809,7 @@ QUERIES = {
     "click_attribution": q_click_attribution,
     "customers_without_orders": q_customers_without_orders,
     "shipdate_range": q_shipdate_range,
+    "value_median_by_type": q_value_median_by_type,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -918,6 +937,10 @@ ORACLE_SQL = {
                    WHERE event_type = 'purchase') p
              ON e.user_id = p.user_id AND e.ts >= p.ts
         GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    "value_median_by_type": """
+        SELECT event_type, ROUND(median(value), 4) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment
