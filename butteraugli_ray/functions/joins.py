@@ -19,12 +19,16 @@ import pandas as pd
 
 
 def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
-    # deterministic cheap integer hash (keys here are int64)
-    v = values.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        v = v ^ (v >> np.uint64(33))
-    return (v % np.uint64(n_buckets)).astype(np.int64)
+    """Deterministic bucket hash; int64 keys use a mix hash, other
+    dtypes (strings) a vectorized 64-bit row hash."""
+    if np.issubdtype(np.asarray(values).dtype, np.integer):
+        v = values.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            v = v ^ (v >> np.uint64(33))
+        return (v % np.uint64(n_buckets)).astype(np.int64)
+    from .sketches import hash64
+    return (hash64(list(values)) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
@@ -107,12 +111,18 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     join_cols_r = [c for c in rcols if c not in ("__bucket", "__salt", "__side")]
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "left"][join_cols_l].dropna(axis=1, how="all")
-        r = g[g["__side"] == "right"][join_cols_r].dropna(axis=1, how="all")
+        l = g[g["__side"] == "left"][join_cols_l]
+        r = g[g["__side"] == "right"][join_cols_r]
         if not len(l) or (how == "inner" and not len(r)):
             return pd.DataFrame(columns=[c for c in all_cols
                                          if not c.startswith("__")])
-        merged = l.merge(r, on=key, how=how)
+        if not len(r):              # left join against an empty build side
+            merged = l.copy()
+            for c in join_cols_r:
+                if c != key:
+                    merged[c] = None
+        else:
+            merged = l.merge(r, on=key, how=how)
         for c in all_cols:
             if c.startswith("__"):
                 continue

@@ -200,11 +200,19 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                     resume: bool = True,
                     scorer_concurrency: int = 4,
                     checker_concurrency: Optional[int] = None,
-                    batch_size: int = 1024) -> dict:
+                    batch_size: int = 1024,
+                    broadcast_scores: bool = True) -> dict:
     """Run the full validation; returns the summary dict.
 
     ``baseline_snapshot``: path to a summary.json of a previous run whose
     score histogram becomes the drift baseline (KS/PSI).
+
+    ``broadcast_scores``: the {media_ref → score} map rides to every
+    checker via ``ray.put`` (right for media tables up to ~10^7 keys).
+    ``False`` switches the perceptual constraint to a hash-partitioned
+    shuffle join (exploded image spans ⋈ scores on media_ref) for media
+    tables too large to broadcast — referential integrity then also
+    derives from the join (missing key ⇒ no score row).
     """
     import ray
 
@@ -238,8 +246,15 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
         if sc is not None and np.isfinite(sc):
             finite_scores.append(sc)
     score_hist.add(np.array(finite_scores))
-    keys_ref = ray.put(set(score_map))
-    scores_ref = ray.put(score_map)
+    if broadcast_scores:
+        keys_ref = ray.put(set(score_map))
+        scores_ref = ray.put(score_map)
+    else:
+        # large-media mode: the score/referential constraints move into a
+        # hash-partitioned shuffle join below; the checker runs only the
+        # broadcast-free checks
+        keys_ref = None
+        scores_ref = None
 
     # ---- ONE heavy scan over remaining partitions ------------------------
     filt = None
@@ -283,6 +298,75 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
             batch_format="pyarrow")
 
     tagged_all = tagged.union(dups)
+
+    if not broadcast_scores:
+        # perceptual + referential constraints as a shuffle join:
+        # exploded image spans ⋈ scores on media_ref (left join — a
+        # missing score row IS the referential violation)
+        import ray.data as rd
+        from ..functions.joins import hash_join
+        from ..stages.structural import explode_spans
+
+        def explode_image_spans(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"media_ref": pa.array([], pa.string()),
+                                 "doc_id": pa.array([], pa.string()),
+                                 "span_idx": pa.array([], pa.int32()),
+                                 "partition_id": pa.array([], pa.int32())})
+            doc_ids, span_idx, kind, _t, media_ref, _o, parents = \
+                explode_spans(batch)
+            is_img = pc.fill_null(pc.equal(kind, "image"), False).to_numpy(zero_copy_only=False)
+            nonempty = pc.fill_null(pc.invert(pc.equal(media_ref, "")), False).to_numpy(zero_copy_only=False)
+            m = np.logical_and(is_img, nonempty)
+            idx = np.nonzero(m)[0]
+            pids = pc.take(batch["partition_id"], pa.array(parents[idx]))
+            return pa.table({
+                "media_ref": pc.take(media_ref, pa.array(idx)),
+                "doc_id": pc.take(doc_ids, pa.array(idx)),
+                "span_idx": pa.array(span_idx[idx], pa.int32()),
+                "partition_id": pids.cast(pa.int32()),
+            })
+
+        spans_img = docs.map_batches(explode_image_spans, batch_format="pyarrow",
+                                     batch_size=batch_size)
+        scores_ds = rd.from_arrow(scores_tbl.select(["media_ref", "score"]))
+        joined = hash_join(spans_img, scores_ds, key="media_ref",
+                           n_buckets=16, how="left")
+
+        def join_violations(df) -> pa.Table:
+            import pandas as pd
+            missing = df["score"].isna()
+            bad = (~missing) & (df["score"].astype(float) > threshold)
+            rows = df[missing | bad]
+            if not len(rows):
+                return pa.table({f.name: pa.array([], f.type)
+                                 for f in _TAGGED_SCHEMA})
+            checks = np.where(rows["score"].isna(), "missing_media_ref",
+                              "score_exceeds_threshold")
+            details = [("media_ref not in media table" if c == "missing_media_ref"
+                        else f"butteraugli score {s:.4f} > {threshold}")
+                       for c, s in zip(checks, rows["score"])]
+            n = len(rows)
+            return pa.table({
+                "row_kind": pa.array(["viol"] * n, pa.string()),
+                "doc_id": pa.array(rows["doc_id"].astype(str), pa.string()),
+                "span_idx": pa.array(rows["span_idx"].astype("int64"), pa.int32()),
+                "check": pa.array(checks, pa.string()),
+                "detail": pa.array(details, pa.string()),
+                "partition_id": pa.array(rows["partition_id"].astype("int64"), pa.int32()),
+                "n_docs": pa.nulls(n, pa.int64()),
+                "n_spans": pa.nulls(n, pa.int64()),
+                "hll": pa.array([""] * n, pa.string()),
+            })
+
+        jviol = joined.map_batches(join_violations, batch_format="pandas")
+        if done:
+            done_arr2 = pa.array(sorted(done), pa.int32())
+            jviol = jviol.map_batches(
+                lambda t, _d=done_arr2: t.filter(
+                    pc.invert(pc.is_in(t["partition_id"], value_set=_d))),
+                batch_format="pyarrow")
+        tagged_all = tagged_all.union(jviol)
 
     # ---- split tagged stream: violations → per-partition atomic files ---
     def split_and_count(group: pa.Table) -> pa.Table:

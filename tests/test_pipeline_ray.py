@@ -60,6 +60,20 @@ def test_drift_detection(ray_session, corpus_paths, tmp_path):
     assert s2["drift"]["psi"] == pytest.approx(0.0, abs=1e-6)
 
 
+def test_join_mode_matches_broadcast(ray_session, corpus_paths, tmp_path):
+    # broadcast_scores=False (large-media shuffle-join path) must find
+    # exactly the same violations as the broadcast path
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    s_b = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                          str(tmp_path / "b"), resume=False,
+                          scorer_concurrency=2)
+    s_j = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                          str(tmp_path / "j"), resume=False,
+                          scorer_concurrency=2, broadcast_scores=False)
+    assert s_j["violations_by_check"] == s_b["violations_by_check"]
+    assert s_j["n_docs"] == s_b["n_docs"]
+
+
 def test_drift_detected_on_changed_media(ray_session, corpus_paths, tmp_path):
     # baseline on the full media pool; rerun against only the high-score
     # media → the score histogram shifts and KS/PSI fire
