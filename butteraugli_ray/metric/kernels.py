@@ -196,27 +196,84 @@ def _blur_matrix(sigma: float, n: int) -> np.ndarray:
     return m
 
 
-def _blur_h_blocked(a: np.ndarray, sigma: float, block: int = 1024) -> np.ndarray:
-    """Horizontal blur for very wide axes: column blocks × small banded
-    GEMMs — O(block²) matrix memory instead of a dense n² matrix, same
-    truncated-renormalized border semantics (each block's matrix is the
-    corresponding column slice of the full band matrix)."""
-    w = a.shape[-1]
-    kernel = compute_kernel(sigma).astype(np.float64)
+def _blur_den(kernel: np.ndarray, n: int) -> np.ndarray:
+    """Per-position sum of in-bounds taps (the border renormalizer)."""
     half = len(kernel) // 2
+    ones = np.ones(n, dtype=np.float32)
+    return np.convolve(ones, kernel, mode="full")[half:half + n].astype(np.float32)
+
+
+def _blur_shifted(a: np.ndarray, sigma: float, axis: int) -> np.ndarray:
+    """Blur along ``axis`` (-1 or -2) via kernel-tap shifted adds over a
+    zero-padded copy, then divide by the in-bounds tap sum — O(n·k)
+    instead of the dense band GEMM's O(n²); wins for large axes."""
+    kernel = compute_kernel(sigma)
+    half = len(kernel) // 2
+    n = a.shape[axis]
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (half, half)
+    ap = np.pad(a, pad, mode="constant")
+    out = np.zeros_like(a)
+    for ki, kv in enumerate(kernel):
+        if axis == a.ndim - 1 or axis == -1:
+            out += kv * ap[..., ki:ki + n]
+        else:
+            out += kv * ap[..., ki:ki + n, :]
+    den = _blur_den(kernel, n)
+    shape = [1] * a.ndim
+    shape[axis] = n
+    out /= den.reshape(shape)
+    return out
+
+
+# dense band GEMM only for tiny axes; above this the cached blocked
+# band GEMM wins (measured: blocked ≤ dense from n≈256, 3x faster at 768)
+_BLUR_GEMM_MAX_N = 192
+
+
+_BLOCKED_CACHE: dict = {}
+
+
+def _blur_blocks(sigma: float, n: int, block: int = 192):
+    """Cached per-block band-matrix slices [(i0, i1, j0, j1, M), ...] —
+    O(block·(block+kernel)) memory per block, same border semantics as
+    the dense matrix (each M is a column slice of it)."""
+    key = (round(float(sigma), 9), n, block)
+    blocks = _BLOCKED_CACHE.get(key)
+    if blocks is None:
+        kernel = compute_kernel(sigma).astype(np.float64)
+        half = len(kernel) // 2
+        blocks = []
+        for j0 in range(0, n, block):
+            j1 = min(n, j0 + block)
+            i0 = max(0, j0 - half)
+            i1 = min(n, j1 - 1 + half + 1)
+            m = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+            for j in range(j0, j1):
+                lo = max(0, j - half)
+                hi = min(n, j + half + 1)
+                taps = kernel[lo - j + half:hi - j + half]
+                m[lo - i0:hi - i0, j - j0] = taps / np.float32(
+                    taps.astype(np.float32).sum())
+            blocks.append((i0, i1, j0, j1, m.astype(np.float32)))
+        _BLOCKED_CACHE[key] = blocks
+    return blocks
+
+
+def _blur_h_blocked(a: np.ndarray, sigma: float, block: int = 192) -> np.ndarray:
+    """Horizontal blur for wide axes via cached blocked band GEMMs."""
     out = np.empty_like(a)
-    for j0 in range(0, w, block):
-        j1 = min(w, j0 + block)
-        i0 = max(0, j0 - half)
-        i1 = min(w, j1 - 1 + half + 1)
-        m = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
-        for j in range(j0, j1):
-            lo = max(0, j - half)
-            hi = min(w, j + half + 1)
-            taps = kernel[lo - j + half:hi - j + half]
-            m[lo - i0:hi - i0, j - j0] = taps / np.float32(
-                taps.astype(np.float32).sum())
-        out[..., j0:j1] = a[..., i0:i1] @ m.astype(np.float32)
+    for i0, i1, j0, j1, m in _blur_blocks(sigma, a.shape[-1], block):
+        out[..., j0:j1] = a[..., i0:i1] @ m
+    return out
+
+
+def _blur_v_blocked(a: np.ndarray, sigma: float, block: int = 192) -> np.ndarray:
+    """Vertical blur for tall axes: out[j0:j1] = Mᵀ @ a[i0:i1] — no
+    transposes, C-contiguous GEMMs."""
+    out = np.empty_like(a)
+    for i0, i1, j0, j1, m in _blur_blocks(sigma, a.shape[-2], block):
+        out[..., j0:j1, :] = np.matmul(m.T, a[..., i0:i1, :])
     return out
 
 
@@ -231,15 +288,13 @@ def gaussian_blur(plane: np.ndarray, sigma: float) -> np.ndarray:
     if sigma <= 0.0:
         return plane.copy()
     h, w = plane.shape[-2:]
-    if w <= _BLUR_MATRIX_MAX_N:
+    if w <= _BLUR_GEMM_MAX_N:
         out = plane @ _blur_matrix(sigma, w)           # horizontal pass
     else:
         out = _blur_h_blocked(plane, sigma)
-    if h <= _BLUR_MATRIX_MAX_N:
+    if h <= _BLUR_GEMM_MAX_N:
         return np.matmul(_blur_matrix(sigma, h).T, out)  # vertical pass
-    swapped = np.swapaxes(out, -1, -2)
-    return np.ascontiguousarray(
-        np.swapaxes(_blur_h_blocked(np.ascontiguousarray(swapped), sigma), -1, -2))
+    return _blur_v_blocked(out, sigma)
 
 
 def compute_separable5_weights(sigma: float) -> tuple:
@@ -516,30 +571,33 @@ def _malta_pass2_hf(padded, h, w, pad):
         return E3[..., pad + dy - 1:pad + dy - 1 + h, pad + dx - 1:pad + dx - 1 + w]
 
     c = P(0, 0)
-    out = np.zeros(padded.shape[:-2] + (h, w), dtype=np.float32)
-    s = h3(-3, 0) + h3(0, 0) + h3(3, 0)                  # p1 horizontal
-    out += s * s
-    s = v3(0, -3) + v3(0, 0) + v3(0, 3)                  # p2 vertical
-    out += s * s
-    s = d3(-2, -2) + c + d3(2, 2)                        # p3 diag \
-    out += s * s
-    s = e3(2, -2) + c + e3(-2, 2)                        # p4 diag /
-    out += s * s
-    s = v3(1, -3) + v3(0, 0) + v3(-1, 3)                 # p5 (= p16)
-    out += (s * s) * np.float32(2.0)
-    s = v3(-1, -3) + v3(0, 0) + v3(1, 3)                 # p6 (= p15)
-    out += (s * s) * np.float32(2.0)
-    s = h3(-3, -1) + h3(0, 0) + h3(3, 1)                 # p7 (= p14)
-    out += (s * s) * np.float32(2.0)
-    s = h3(-3, 1) + h3(0, 0) + h3(3, -1)                 # p8 (= p13)
-    out += (s * s) * np.float32(2.0)
+    shape = padded.shape[:-2] + (h, w)
+    out = np.zeros(shape, dtype=np.float32)
+    s = np.empty(shape, dtype=np.float32)      # reused line-sum buffer
+    sq = np.empty(shape, dtype=np.float32)     # reused square buffer
+
+    def acc(terms, weight=None):
+        np.add(terms[0], terms[1], out=s)
+        for t in terms[2:]:
+            np.add(s, t, out=s)
+        np.multiply(s, s, out=sq)
+        if weight is not None:
+            np.multiply(sq, weight, out=sq)
+        np.add(out, sq, out=out)
+
+    two = np.float32(2.0)
+    acc((h3(-3, 0), h3(0, 0), h3(3, 0)))                 # p1 horizontal
+    acc((v3(0, -3), v3(0, 0), v3(0, 3)))                 # p2 vertical
+    acc((d3(-2, -2), c, d3(2, 2)))                       # p3 diag \
+    acc((e3(2, -2), c, e3(-2, 2)))                       # p4 diag /
+    acc((v3(1, -3), v3(0, 0), v3(-1, 3)), two)           # p5 (= p16)
+    acc((v3(-1, -3), v3(0, 0), v3(1, 3)), two)           # p6 (= p15)
+    acc((h3(-3, -1), h3(0, 0), h3(3, 1)), two)           # p7 (= p14)
+    acc((h3(-3, 1), h3(0, 0), h3(3, -1)), two)           # p8 (= p13)
     # p9-p12: steep/shallow 7-tap diagonals, direct
     for pat in (_MALTA_PATTERNS[8], _MALTA_PATTERNS[9],
                 _MALTA_PATTERNS[10], _MALTA_PATTERNS[11]):
-        s = P(*pat[0]).copy()
-        for dx, dy in pat[1:]:
-            s += P(dx, dy)
-        out += s * s
+        acc(tuple(P(dx, dy) for dx, dy in pat))
     return out
 
 
@@ -584,39 +642,33 @@ def _malta_pass2_lf(padded, h, w, pad):
         return N2[..., pad + dy:pad + dy + h, pad + dx - 1:pad + dx - 1 + w]
 
     c = P(0, 0)
-    out = np.zeros(padded.shape[:-2] + (h, w), dtype=np.float32)
-    s = h2(-3, 0) + c + h2(3, 0)            # p1: (-4,0),(-2,0),0,(2,0),(4,0)
-    out += s * s
-    s = v2(0, -3) + c + v2(0, 3)            # p2
-    out += s * s
-    s = d2(-3, -3) + c + d2(2, 2)           # p3: (-3,-3),(-2,-2),0,(2,2),(3,3)
-    out += s * s
-    s = a2(3, -3) + c + a2(-2, 2)           # p4: (3,-3),(2,-2),0,(-2,2),(-3,3)
-    out += s * s
-    s = v2(1, -3) + c + v2(-1, 3)           # p5: (1,-4),(1,-2),0,(-1,2),(-1,4)
-    out += s * s
-    s = v2(-1, -3) + c + v2(1, 3)           # p6
-    out += s * s
-    s = h2(-3, -1) + c + h2(3, 1)           # p7: (-4,-1),(-2,-1),0,(2,1),(4,1)
-    out += s * s
-    s = h2(-3, 1) + c + h2(3, -1)           # p8
-    out += s * s
-    s = d2(-2, -3) + c + d2(1, 2)           # p9: (-2,-3),(-1,-2),0,(1,2),(2,3)
-    out += s * s
-    s = a2(2, -3) + c + a2(-1, 2)           # p10
-    out += s * s
-    s = d2(-3, -2) + c + d2(2, 1)           # p11: (-3,-2),(-2,-1),0,(2,1),(3,2)
-    out += s * s
-    s = a2(3, -2) + c + a2(-2, 1)           # p12
-    out += s * s
-    s = k2(-4, 2) + c + k2(2, -1)           # p13: (-4,2),(-2,1),0,(2,-1),(4,-2)
-    out += s * s
-    s = l2(-4, -2) + c + l2(2, 1)           # p14: (-4,-2),(-2,-1),0,(2,1),(4,2)
-    out += s * s
-    s = m2(-2, -4) + c + m2(1, 2)           # p15: (-2,-4),(-1,-2),0,(1,2),(2,4)
-    out += s * s
-    s = n2(2, -4) + c + n2(-1, 2)           # p16: (2,-4),(1,-2),0,(-1,2),(-2,4)
-    out += s * s
+    shape = padded.shape[:-2] + (h, w)
+    out = np.zeros(shape, dtype=np.float32)
+    s = np.empty(shape, dtype=np.float32)
+    sq = np.empty(shape, dtype=np.float32)
+
+    def acc(t0, t1, t2):
+        np.add(t0, t1, out=s)
+        np.add(s, t2, out=s)
+        np.multiply(s, s, out=sq)
+        np.add(out, sq, out=out)
+
+    acc(h2(-3, 0), c, h2(3, 0))             # p1: (-4,0),(-2,0),0,(2,0),(4,0)
+    acc(v2(0, -3), c, v2(0, 3))             # p2
+    acc(d2(-3, -3), c, d2(2, 2))            # p3: (-3,-3),(-2,-2),0,(2,2),(3,3)
+    acc(a2(3, -3), c, a2(-2, 2))            # p4: (3,-3),(2,-2),0,(-2,2),(-3,3)
+    acc(v2(1, -3), c, v2(-1, 3))            # p5: (1,-4),(1,-2),0,(-1,2),(-1,4)
+    acc(v2(-1, -3), c, v2(1, 3))            # p6
+    acc(h2(-3, -1), c, h2(3, 1))            # p7: (-4,-1),(-2,-1),0,(2,1),(4,1)
+    acc(h2(-3, 1), c, h2(3, -1))            # p8
+    acc(d2(-2, -3), c, d2(1, 2))            # p9: (-2,-3),(-1,-2),0,(1,2),(2,3)
+    acc(a2(2, -3), c, a2(-1, 2))            # p10
+    acc(d2(-3, -2), c, d2(2, 1))            # p11: (-3,-2),(-2,-1),0,(2,1),(3,2)
+    acc(a2(3, -2), c, a2(-2, 1))            # p12
+    acc(k2(-4, 2), c, k2(2, -1))            # p13: (-4,2),(-2,1),0,(2,-1),(4,-2)
+    acc(l2(-4, -2), c, l2(2, 1))            # p14: (-4,-2),(-2,-1),0,(2,1),(4,2)
+    acc(m2(-2, -4), c, m2(1, 2))            # p15: (-2,-4),(-1,-2),0,(1,2),(2,4)
+    acc(n2(2, -4), c, n2(-1, 2))            # p16: (2,-4),(1,-2),0,(-1,2),(-2,4)
     return out
 
 
