@@ -128,6 +128,36 @@ def butteraugli_linear(rgb1: np.ndarray, rgb2: np.ndarray,
     return ButteraugliResult(float(score), float(pnorm3), dm)
 
 
+def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray):
+    """Score N same-size pairs in one stacked pass: [N, h, w, 3] u8 on
+    both sides → (scores[N], pnorm3[N]).  The kernels are batch-aware,
+    so both pyramids compute stacked; per-pair identical-image
+    short-circuits apply.  Requires h, w ≥ 8 (no per-image padding in
+    the batched path)."""
+    if rgb1_u8.shape != rgb2_u8.shape:
+        raise ValueError(f"dimension mismatch: {rgb1_u8.shape} vs {rgb2_u8.shape}")
+    n, h, w = rgb1_u8.shape[0], rgb1_u8.shape[1], rgb1_u8.shape[2]
+    if h < 8 or w < 8:
+        scores = np.empty(n)
+        pnorms = np.empty(n)
+        for i in range(n):
+            r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i])
+            scores[i], pnorms[i] = r.score, r.pnorm_3
+        return scores, pnorms
+    lut = K.SRGB_TO_LINEAR_LUT
+    lin1 = np.ascontiguousarray(np.moveaxis(lut[rgb1_u8], -1, -3))
+    lin2 = np.ascontiguousarray(np.moveaxis(lut[rgb2_u8], -1, -3))
+    diffmap = K.compute_diffmap(lin1, lin2)
+    scores, pnorms = K.score_from_diffmap_batch(diffmap)
+    same = np.all(rgb1_u8.reshape(n, -1) == rgb2_u8.reshape(n, -1), axis=1)
+    if same.any():
+        scores = np.where(same, 0.0, scores)
+        pnorms = np.where(same, 0.0, pnorms)
+    if not np.isfinite(scores).all():
+        raise FloatingPointError("non-finite butteraugli score in batch")
+    return np.asarray(scores, dtype=np.float64), np.asarray(pnorms, dtype=np.float64)
+
+
 def score_pair(ref_bytes: bytes, dist_bytes: bytes, width: int, height: int,
                params: ButteraugliParams = ButteraugliParams()) -> ButteraugliResult:
     """Score two raw sRGB byte buffers (w*h*3, row-major) — the engine's

@@ -8,21 +8,18 @@ reference image per actor and reused across candidates
 batch_format="pyarrow")``).
 
 Scale notes (SURVEY.md §4): decoded media is large — keep ``batch_size``
-small (8-32 rows) so batch × concurrency fits the worker heap; co-locate
-rows sharing ``media_ref`` (repartition on the key upstream) so each
-actor's precompute cache hits; the cache is LRU-capped by estimated
-bytes (precompute.rs:733-834 budgeting analog).
+small (8-32 rows) so batch × concurrency fits the worker heap; the
+build-once/probe-many warm cache (precompute.rs:733-834 budgeting
+analog) lives with ``ReferencePrecompute`` consumers such as
+``pipelines/bench_corpus.CandidateScorer``, co-located by media_ref.
 """
 
 from __future__ import annotations
-
-from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
 
 from ..metric.api import ButteraugliParams
-from ..metric.precompute import ReferencePrecompute
 
 SCORE_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
@@ -33,32 +30,19 @@ SCORE_SCHEMA = pa.schema([
 
 
 class MediaScorer:
-    """Score (ref_rgb, dist_rgb) pairs per media row.
+    """Score (ref_rgb, dist_rgb) pairs per media row — one stacked
+    batched compare per same-size group within each batch.
 
     Emits (media_ref, score, pnorm_3, scorer_error); errors become
     violation strings instead of raising (M4/M6 as violation rows).
+    (The warm build-once/probe-many pattern — many candidates against
+    one reference — lives in ``ReferencePrecompute`` /
+    ``pipelines/bench_corpus.CandidateScorer``; here every row carries
+    its own pair.)
     """
 
-    def __init__(self, params: ButteraugliParams = None,
-                 cache_bytes: int = 256 << 20):
+    def __init__(self, params: ButteraugliParams = None):
         self.params = params or ButteraugliParams()
-        self.cache: OrderedDict[str, ReferencePrecompute] = OrderedDict()
-        self.cache_bytes = cache_bytes
-        self.cached_bytes = 0
-
-    def _get_ref(self, key: str, ref_rgb: bytes, w: int, h: int) -> ReferencePrecompute:
-        hit = self.cache.get(key)
-        if hit is not None:
-            self.cache.move_to_end(key)
-            return hit
-        arr = np.frombuffer(ref_rgb, dtype=np.uint8).reshape(h, w, 3)
-        pre = ReferencePrecompute(arr, self.params)
-        self.cache[key] = pre
-        self.cached_bytes += pre.memory_bytes()
-        while self.cached_bytes > self.cache_bytes and len(self.cache) > 1:
-            _, old = self.cache.popitem(last=False)
-            self.cached_bytes -= old.memory_bytes()
-        return pre
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
@@ -66,25 +50,40 @@ class MediaScorer:
         heights = batch["height"].to_pylist()
         ref_bytes = batch["ref_rgb"].to_pylist()
         dist_bytes = batch["dist_rgb"].to_pylist()
-        scores, pnorms, errors = [], [], []
-        for mr, w, h, rb, db in zip(refs, widths, heights, ref_bytes, dist_bytes):
+        n_rows = batch.num_rows
+        scores = np.full(n_rows, np.nan)
+        pnorms = np.full(n_rows, np.nan)
+        errors = [None] * n_rows
+
+        # group same-size valid rows → one stacked batched compare per
+        # (w, h); invalid rows become scorer_error violation strings
+        groups: dict = {}
+        for i, (w, h, rb, db) in enumerate(zip(widths, heights,
+                                               ref_bytes, dist_bytes)):
+            nbytes = (w or 0) * (h or 0) * 3
+            if (rb is None or db is None or nbytes == 0
+                    or len(rb) != nbytes or len(db) != nbytes):
+                errors[i] = f"ValueError: invalid buffer size (expected {nbytes})"
+                continue
+            groups.setdefault((w, h), []).append(i)
+
+        from ..metric.api import butteraugli_srgb_batch
+        for (w, h), idxs in groups.items():
             try:
-                n = w * h * 3
-                if rb is None or db is None or len(rb) != n or len(db) != n:
-                    raise ValueError(f"invalid buffer size (expected {n})")
-                pre = self._get_ref(mr, rb, w, h)
-                res = pre.compare_bytes(db)
-                scores.append(res.score)
-                pnorms.append(res.pnorm_3)
-                errors.append(None)
-            except Exception as exc:  # noqa: BLE001 — violation row, not crash
-                scores.append(float("nan"))
-                pnorms.append(float("nan"))
-                errors.append(f"{type(exc).__name__}: {exc}")
+                a = np.stack([np.frombuffer(ref_bytes[i], np.uint8)
+                              .reshape(h, w, 3) for i in idxs])
+                b = np.stack([np.frombuffer(dist_bytes[i], np.uint8)
+                              .reshape(h, w, 3) for i in idxs])
+                sc, pn = butteraugli_srgb_batch(a, b)
+                for j, i in enumerate(idxs):
+                    scores[i], pnorms[i] = sc[j], pn[j]
+            except Exception as exc:  # noqa: BLE001 — violation, not crash
+                for i in idxs:
+                    errors[i] = f"{type(exc).__name__}: {exc}"
         return pa.table({
             "media_ref": batch["media_ref"],
-            "score": pa.array(scores, pa.float64()),
-            "pnorm_3": pa.array(pnorms, pa.float64()),
+            "score": pa.array(scores.tolist(), pa.float64()),
+            "pnorm_3": pa.array(pnorms.tolist(), pa.float64()),
             "scorer_error": pa.array(errors, pa.string()),
         })
 
