@@ -40,7 +40,12 @@ def _empty_violations() -> pa.Table:
 
 def explode_spans(batch: pa.Table):
     """Flatten the spans list column → (doc_ids, span_idx, kind, text,
-    media_ref, offset) aligned flat arrays."""
+    media_ref, offset) aligned flat arrays.
+
+    Note: ``.field()`` on a struct array does NOT inherit struct-level
+    nulls (a null span yields kind=""/offset=0 children), so null spans
+    are folded into the field null masks here explicitly.
+    """
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -51,8 +56,15 @@ def explode_spans(batch: pa.Table):
     starts = offsets_np[parents]
     span_idx = (np.arange(len(parents)) - starts).astype(np.int32)
     doc_ids = pc.take(batch["doc_id"], pa.array(parents))
-    return doc_ids, span_idx, flat.field("kind"), flat.field("text"), \
-        flat.field("media_ref"), flat.field("offset"), parents
+
+    struct_null = pc.is_null(flat)
+
+    def field(name):
+        child = flat.field(name)
+        return pc.if_else(struct_null, pa.nulls(len(flat), child.type), child)
+
+    return doc_ids, span_idx, field("kind"), field("text"), \
+        field("media_ref"), field("offset"), parents
 
 
 def check_spans_batch(batch: pa.Table,
@@ -102,16 +114,23 @@ def check_spans_batch(batch: pa.Table,
                                   np.logical_and(~ref_missing_field, ~known))
         emit(dangling, "missing_media_ref", "media_ref not in media table")
 
-    off = offset.to_numpy(zero_copy_only=False).astype(np.int64)
+    off_null = pc.is_null(offset).to_numpy(zero_copy_only=False)
+    emit(off_null, "null_offset", "span.offset is null")
+    off = np.where(off_null, 0,
+                   offset.to_numpy(zero_copy_only=False)).astype(np.int64)
     same_doc = np.zeros(len(parents), dtype=bool)
     if len(parents) > 1:
         same_doc[1:] = parents[1:] == parents[:-1]
     nonmono = np.zeros(len(parents), dtype=bool)
     if len(off) > 1:
         nonmono[1:] = off[1:] <= off[:-1]
-    emit(np.logical_and(same_doc, nonmono), "offset_nonmonotonic",
+    ok_pair = ~off_null
+    if len(off) > 1:
+        ok_pair[1:] &= ~off_null[:-1]
+    emit(np.logical_and(np.logical_and(same_doc, nonmono), ok_pair),
+         "offset_nonmonotonic",
          "offset not strictly increasing within span list")
-    neg = off < 0
+    neg = np.logical_and(off < 0, ~off_null)
     emit(neg, "negative_offset", "offset < 0")
 
     if not out_doc:

@@ -64,6 +64,32 @@ def test_explode_preserves_span_sequence(corpus):
         assert rebuilt[row] == spans, f"span order broken for {ids_py[row]}"
 
 
+def test_adversarial_span_shapes():
+    """Null span lists, empty lists, null structs, and null fields must
+    be flagged (or skipped) — never crash; struct-level nulls fold into
+    field null masks (Arrow .field() does not propagate them)."""
+    span_t = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                                 ("media_ref", pa.string()),
+                                 ("offset", pa.int32())]))
+    cases = {
+        "null_list": ([None], set()),
+        "empty_list": ([[]], set()),
+        "null_struct": ([[None]], {"null_kind", "null_offset"}),
+        "null_fields": ([[{"kind": None, "text": None, "media_ref": None,
+                           "offset": None}]], {"null_kind", "null_offset"}),
+        "null_offset_only": ([[{"kind": "text", "text": "a",
+                                "media_ref": "", "offset": 0},
+                               {"kind": "text", "text": "b",
+                                "media_ref": "", "offset": None}]],
+                             {"null_offset"}),
+    }
+    for name, (spans, want) in cases.items():
+        t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(len(spans))]),
+                      "spans": pa.array(spans, span_t)})
+        v = check_spans_batch(t, pa.array(["m"]))
+        assert set(v["check"].to_pylist()) == want, name
+
+
 def test_batch_split_equals_whole(corpus):
     # checks are per-row: any batch partitioning yields identical violations
     docs, _, keys = corpus
