@@ -125,16 +125,20 @@ class IVFAssigner:
 def knn_cosine_ivf(ds, queries: np.ndarray, k: int, n_clusters: int = 16,
                    nprobe: int = 4, sample_size: int = 2048,
                    id_col: str = "vec_id", emb_col: str = "embedding",
-                   concurrency: int = None, seed: int = 3) -> pd.DataFrame:
+                   concurrency: int = None, seed: int = 3,
+                   sample: np.ndarray = None) -> pd.DataFrame:
     """IVF ANN: probe only the nprobe nearest centroid partitions.
 
     Approximate — recall governed by nprobe/n_clusters; partitioning
     assumption: vectors co-located by centroid assignment (the
-    ``groupby(centroid)`` shuffle).
+    ``groupby(centroid)`` shuffle).  Pass ``sample`` (an [n, d] matrix)
+    for deterministic centroids — ``ds.limit`` depends on block
+    completion order under the streaming executor.
     """
     import ray
-    sample_rows = ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_rows[emb_col].to_numpy())
+    if sample is None:
+        sample_rows = ds.limit(sample_size).to_pandas()
+        sample = np.stack(sample_rows[emb_col].to_numpy())
     cent = kmeans_lite(sample, n_clusters, seed=seed)
     cref = ray.put(cent)
     assigned = ds.map_batches(IVFAssigner, fn_constructor_kwargs=dict(

@@ -709,8 +709,10 @@ def q_knn_ivf(sf_dir: str, k: int = 5) -> pd.DataFrame:
                          columns=["vec_id", "embedding"]).to_pandas()
     qdf = qtbl[qtbl["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy())
+    # deterministic centroid sample: first rows in vec_id order
+    sample = np.stack(qtbl.sort_values("vec_id").head(2048)["embedding"].to_numpy())
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = knn_cosine_ivf(ds, queries, k, n_clusters=8, nprobe=4)
+    out = knn_cosine_ivf(ds, queries, k, n_clusters=8, nprobe=4, sample=sample)
     out["sim"] = out["sim"].round(4)
     out["query_id"] = out["query_id"].astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")
