@@ -585,7 +585,7 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def q_simhash_near_dup(sf_dir: str, max_hamming: int = 10) -> pd.DataFrame:
+def q_simhash_near_dup(sf_dir: str, max_hamming: int = 5) -> pd.DataFrame:
     from ..functions.dedup import simhash_candidate_pairs
     ds = _docs_with_near_dups(sf_dir)
     out = simhash_candidate_pairs(ds, max_hamming=max_hamming,
