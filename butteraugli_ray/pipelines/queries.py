@@ -875,7 +875,7 @@ ORACLE_SQL = {
     """,
     "doc_token_stats": f"""
         SELECT lang, count(*) AS n_docs,
-               sum(len({_TOKS})) AS sum_tokens,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS sum_tokens,
                ROUND(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -972,7 +972,7 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         )
         SELECT user_id, count(*) AS n_events,
-               sum(new_session) AS n_sessions
+               CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM gaps GROUP BY user_id ORDER BY user_id
     """,
 }
