@@ -168,10 +168,11 @@ def minhash_candidate_pairs(ds, num_perms=128, bands=16, shingle=3, seed=7,
 
     pairs = (banded.groupby(["band_id", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pyarrow"))
-    # dedup pairs discovered in multiple bands
-    def first_pair(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pyarrow")
+    # dedup pairs discovered in multiple bands: NATIVE count aggregate
+    # (vectorized partial+final, no per-pair Python), then drop the count
+    uniq = pairs.groupby(["id_a", "id_b"]).count()
+    return uniq.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                            batch_format="pyarrow")
 
 
 def verify_jaccard_pairs(pairs_df: pd.DataFrame, texts: dict, threshold: float,
@@ -264,9 +265,13 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, concurrency: int = 4,
     pairs = hashed.groupby(["chunk_id", "chunk_val"]).map_groups(
         bucket_pairs, batch_format="pandas")
 
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+    # dedup pairs found in multiple chunk buckets: NATIVE min aggregate
+    # (hamming is identical for every rediscovery of the same pair)
+    from ray.data.aggregate import Min
+    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    return uniq.map_batches(lambda t: t.select(["id_a", "id_b", "hamming"]),
+                            batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

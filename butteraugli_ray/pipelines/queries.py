@@ -244,13 +244,18 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"lang": df["lang"],
                              "fp": T.fingerprint_md5(df["text"])})
 
-    def distinct_count(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
-                             "n_distinct_fp": [int(g["fp"].nunique())]})
+    # distinct-per-lang without shipping a whole language into one group:
+    # NATIVE groupby(lang, fp).count() distributes over (lang, fp), then a
+    # tiny per-lang partial count + final sum
+    uniq = ds.map_batches(add_fp, batch_format="pandas") \
+             .groupby(["lang", "fp"]).count()
 
-    out = (ds.map_batches(add_fp, batch_format="pandas")
-           .groupby("lang").map_groups(distinct_count, batch_format="pandas")
-           .to_pandas())
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            n_distinct_fp=("fp", "size"))
+
+    out = _final_agg(uniq.map_batches(partial, batch_format="pandas"),
+                     ["lang"], ["n_distinct_fp"])
     out["n_distinct_fp"] = out["n_distinct_fp"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
@@ -280,21 +285,19 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"],
                              "content_hash": T.fingerprint_md5(df["text"])})
 
-    def group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame({"content_hash": pd.Series([], dtype=str),
-                                 "n_dups": pd.Series([], dtype="int64"),
-                                 "keep_id": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"content_hash": [g["content_hash"].iloc[0]],
-                             "n_dups": [np.int64(len(g))],
-                             "keep_id": [np.int64(g["doc_id"].min())]})
-
-    out = (ds.map_batches(add_hash, batch_format="pandas")
-           .groupby("content_hash").map_groups(group, batch_format="pandas")
-           .to_pandas())
+    # NATIVE per-hash aggregates (count + min doc_id) — no per-hash Python
+    from ray.data.aggregate import Count, Min
+    agg = (ds.map_batches(add_hash, batch_format="pandas")
+           .groupby("content_hash")
+           .aggregate(Count(alias_name="n_dups"),
+                      Min("doc_id", alias_name="keep_id")))
+    out = agg.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n_dups"], 1)),
+        batch_format="pyarrow").to_pandas()
     out["n_dups"] = out["n_dups"].astype("int64")
     out["keep_id"] = out["keep_id"].astype("int64")
-    return out.sort_values("content_hash").reset_index(drop=True)
+    return (out[["content_hash", "n_dups", "keep_id"]]
+            .sort_values("content_hash").reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

@@ -270,6 +270,10 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                               concurrency=checker_concurrency or scorer_concurrency)
 
     # ---- duplicate doc_id — global scan on a pruned 2-column projection --
+    # Scale shape: a NATIVE groupby(doc_id).count() (vectorized partial +
+    # final combine — no per-key Python) finds the tiny duplicate-key set;
+    # only rows of those keys re-group through Python to emit violation
+    # rows (one per extra occurrence, min-partition occurrence kept).
     def dup_viol(group: pa.Table) -> pa.Table:
         n = group.num_rows
         extra = group.sort_by("partition_id").slice(1)
@@ -288,16 +292,28 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
 
     docs_ids_all = read_table_filtered(docs_path,
                                        columns=["doc_id", "partition_id"])
-    dups = docs_ids_all.groupby("doc_id").map_groups(dup_viol,
-                                                     batch_format="pyarrow")
-    if done:
-        done_arr = pa.array(sorted(done), pa.int32())
-        dups = dups.map_batches(
-            lambda t, _d=done_arr: t.filter(
-                pc.invert(pc.is_in(t["partition_id"], value_set=_d))),
+    counts = docs_ids_all.groupby("doc_id").count()
+    cnt_col = [c for c in counts.schema().names if c != "doc_id"][0]
+    dup_keys = (counts.map_batches(
+        lambda t, _c=cnt_col: t.filter(pc.greater(t[_c], 1)).select(["doc_id"]),
+        batch_format="pyarrow").to_pandas())
+    dups = None
+    if len(dup_keys):
+        dup_arr = pa.array(sorted(dup_keys["doc_id"]), pa.string())
+        dup_rows = read_table_filtered(
+            docs_path, columns=["doc_id", "partition_id"]).map_batches(
+            lambda t, _a=dup_arr: t.filter(pc.is_in(t["doc_id"], value_set=_a)),
             batch_format="pyarrow")
+        dups = dup_rows.groupby("doc_id").map_groups(dup_viol,
+                                                     batch_format="pyarrow")
+        if done:
+            done_arr = pa.array(sorted(done), pa.int32())
+            dups = dups.map_batches(
+                lambda t, _d=done_arr: t.filter(
+                    pc.invert(pc.is_in(t["partition_id"], value_set=_d))),
+                batch_format="pyarrow")
 
-    tagged_all = tagged.union(dups)
+    tagged_all = tagged.union(dups) if dups is not None else tagged
 
     if not broadcast_scores:
         # perceptual + referential constraints as a shuffle join:
