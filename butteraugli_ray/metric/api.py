@@ -128,12 +128,15 @@ def butteraugli_linear(rgb1: np.ndarray, rgb2: np.ndarray,
     return ButteraugliResult(float(score), float(pnorm3), dm)
 
 
-def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray):
+def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
+                           params: ButteraugliParams = ButteraugliParams()):
     """Score N same-size pairs in one stacked pass: [N, h, w, 3] u8 on
     both sides → (scores[N], pnorm3[N]).  The kernels are batch-aware,
     so both pyramids compute stacked; per-pair identical-image
     short-circuits apply.  Requires h, w ≥ 8 (no per-image padding in
-    the batched path)."""
+    the batched path).  ``params`` (lib.rs:375-381) is honored exactly
+    as in the one-shot path."""
+    params.validate()
     if rgb1_u8.shape != rgb2_u8.shape:
         raise ValueError(f"dimension mismatch: {rgb1_u8.shape} vs {rgb2_u8.shape}")
     n, h, w = rgb1_u8.shape[0], rgb1_u8.shape[1], rgb1_u8.shape[2]
@@ -141,13 +144,14 @@ def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray):
         scores = np.empty(n)
         pnorms = np.empty(n)
         for i in range(n):
-            r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i])
+            r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i], params)
             scores[i], pnorms[i] = r.score, r.pnorm_3
         return scores, pnorms
     lut = K.SRGB_TO_LINEAR_LUT
     lin1 = np.ascontiguousarray(np.moveaxis(lut[rgb1_u8], -1, -3))
     lin2 = np.ascontiguousarray(np.moveaxis(lut[rgb2_u8], -1, -3))
-    diffmap = K.compute_diffmap(lin1, lin2)
+    diffmap = K.compute_diffmap(lin1, lin2, params.hf_asymmetry, params.xmul,
+                                params.intensity_target, params.single_resolution)
     scores, pnorms = K.score_from_diffmap_batch(diffmap)
     same = np.all(rgb1_u8.reshape(n, -1) == rgb2_u8.reshape(n, -1), axis=1)
     if same.any():

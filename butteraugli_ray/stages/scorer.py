@@ -74,7 +74,7 @@ class MediaScorer:
                               .reshape(h, w, 3) for i in idxs])
                 b = np.stack([np.frombuffer(dist_bytes[i], np.uint8)
                               .reshape(h, w, 3) for i in idxs])
-                sc, pn = butteraugli_srgb_batch(a, b)
+                sc, pn = butteraugli_srgb_batch(a, b, self.params)
                 for j, i in enumerate(idxs):
                     scores[i], pnorms[i] = sc[j], pn[j]
             except Exception as exc:  # noqa: BLE001 — violation, not crash

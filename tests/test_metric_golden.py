@@ -137,3 +137,48 @@ def test_score_partials_merge_associative():
     s_m, p_m = K.finalize_partials(merged)
     s_w, p_w = K.finalize_partials(whole)
     assert s_m == s_w and p_m == pytest.approx(p_w, rel=1e-12)
+
+
+class TestBatchedParamsParity:
+    """The batched path must honor non-default ButteraugliParams exactly
+    like the one-shot path (lib.rs:375-381 params reach every compare)."""
+
+    PARAMS = ButteraugliParams(hf_asymmetry=2.0, xmul=0.5,
+                               intensity_target=120.0)
+
+    def _pairs(self, n=3, w=32, h=32):
+        from butteraugli_ray.corpus.generators import (distort_noise,
+                                                       gen_random_midrange)
+        a = np.stack([gen_random_midrange(w, h, 5 + i) for i in range(n)])
+        b = np.stack([distort_noise(a[i], 6 + i, 12) for i in range(n)])
+        return a, b
+
+    def test_batch_matches_oneshot_nondefault(self):
+        from butteraugli_ray.metric.api import butteraugli_srgb_batch
+        a, b = self._pairs()
+        sc, pn = butteraugli_srgb_batch(a, b, self.PARAMS)
+        for i in range(len(a)):
+            r = butteraugli_srgb(a[i], b[i], self.PARAMS)
+            assert sc[i] == pytest.approx(r.score, rel=1e-6)
+            assert pn[i] == pytest.approx(r.pnorm_3, rel=1e-6)
+        # and the params actually change the result vs defaults
+        sc_def, _ = butteraugli_srgb_batch(a, b)
+        assert not np.allclose(sc, sc_def)
+
+    def test_media_scorer_honors_params(self, ray_session):
+        import pyarrow as pa
+        from butteraugli_ray.stages.scorer import MediaScorer
+        a, b = self._pairs(n=2)
+        batch = pa.table({
+            "media_ref": pa.array([f"m{i}" for i in range(2)]),
+            "width": pa.array([32, 32]), "height": pa.array([32, 32]),
+            "ref_rgb": pa.array([a[i].tobytes() for i in range(2)], pa.binary()),
+            "dist_rgb": pa.array([b[i].tobytes() for i in range(2)], pa.binary()),
+        })
+        got = MediaScorer(params=self.PARAMS)(batch)
+        for i in range(2):
+            exp = butteraugli_srgb(a[i], b[i], self.PARAMS).score
+            assert got["score"][i].as_py() == pytest.approx(exp, rel=1e-6)
+        got_def = MediaScorer()(batch)
+        assert got["score"][0].as_py() != pytest.approx(
+            got_def["score"][0].as_py(), rel=1e-6)
