@@ -20,8 +20,23 @@ import pandas as pd
 
 def _bucket_of(values: np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic bucket hash; int64 keys use a mix hash, other
-    dtypes (strings) a vectorized 64-bit row hash."""
-    if np.issubdtype(np.asarray(values).dtype, np.integer):
+    dtypes (strings) a vectorized 64-bit row hash.
+
+    Integral keys that arrive as object/float (pandas promotes int64
+    through None-padding and unions — e.g. the output of a previous
+    hash_join) are canonicalized back to int64 FIRST: both sides of a
+    join must take the same hash path or buckets disagree and matching
+    rows silently drop."""
+    values = np.asarray(values)
+    if values.dtype == object:
+        try:
+            values = values.astype(np.int64)
+        except (TypeError, ValueError, OverflowError):
+            pass
+    elif (np.issubdtype(values.dtype, np.floating) and len(values)
+          and np.isfinite(values).all() and (values == np.floor(values)).all()):
+        values = values.astype(np.int64)
+    if np.issubdtype(values.dtype, np.integer):
         v = values.astype(np.uint64)
         with np.errstate(over="ignore"):
             v = (v ^ (v >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
@@ -40,6 +55,8 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     replicate to all of them.
     """
     hot_keys = hot_keys or {}
+    if hot_keys and max(hot_keys.values()) > 4096:
+        raise ValueError("salt factors above 4096 break bucket-key packing")
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -128,9 +145,21 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
                 continue
             if c not in merged.columns:
                 merged[c] = None
+        # keep the join key integral for chained joins (see _bucket_of)
+        if merged[key].dtype != np.int64:
+            try:
+                merged[key] = merged[key].astype("int64")
+            except (TypeError, ValueError):
+                pass
         return merged[[c for c in all_cols if not c.startswith("__")]]
 
-    return both.groupby(["__bucket", "__salt"]).map_groups(
-        merge_bucket, batch_format="pandas")
+    # single packed key: Ray's multi-key groupby takes a per-group Python
+    # path ~7× slower than single-int64 grouping (salt < 4096 by design)
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df["__bkey"] = df["__bucket"].astype("int64") * 4096 + df["__salt"].astype("int64")
+        return df.drop(columns=["__bucket", "__salt"])
+
+    return both.map_batches(pack, batch_format="pandas").groupby(
+        "__bkey").map_groups(merge_bucket, batch_format="pandas")
 
 

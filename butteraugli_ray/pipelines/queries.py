@@ -24,7 +24,10 @@ from ..functions import text as T
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..sources.tables import small_file_num_blocks
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=small_file_num_blocks(path))
 
 
 def _final_agg(partials, keys, sum_cols):
@@ -427,11 +430,14 @@ def q_shipdate_range(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1996, 12, 31)
+    from ..sources.tables import small_file_num_blocks
+    path = f"{sf_dir}/lineitem.parquet"
     ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        path,
         columns=["l_shipdate", "l_quantity", "l_returnflag"],
         filter=(pads.field("l_shipdate") >= lo)
-               & (pads.field("l_shipdate") <= hi))
+               & (pads.field("l_shipdate") <= hi),
+        override_num_blocks=small_file_num_blocks(path))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("l_returnflag", as_index=False).agg(
@@ -573,17 +579,15 @@ def _docs_with_near_dups(sf_dir: str):
 
 
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    import pyarrow.parquet as pq
-    from ..functions.dedup import minhash_candidate_pairs, verify_jaccard_pairs
+    """MinHash+LSH candidates → fully-distributed exact-Jaccard verify
+    (candidate texts semi-filtered and hash-joined back to the pairs —
+    no driver-side text table)."""
+    from ..functions.dedup import minhash_candidate_pairs, verify_jaccard_pairs_ds
     ds = _docs_with_near_dups(sf_dir)
-    pairs = minhash_candidate_pairs(ds, concurrency=2).to_pandas()
-    # broadcast text lookup for the (small) candidate subset
-    texts_df = pq.read_table(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text"]).to_pandas()
-    texts = dict(zip(texts_df["doc_id"], texts_df["text"]))
-    texts.update({k + 2000000: " ".join(v.split()[:-5])
-                  for k, v in texts.items() if k % 7 == 0})
-    out = verify_jaccard_pairs(pairs, texts, threshold)
+    # dedup=False: the verifier's per-pair grouping dedups across bands
+    pairs = minhash_candidate_pairs(ds, concurrency=2, dedup=False)
+    out = verify_jaccard_pairs_ds(pairs, _docs_with_near_dups(sf_dir),
+                                  threshold).to_pandas()
     out["jaccard"] = out["jaccard"].round(4)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
