@@ -43,20 +43,32 @@ def token_count_bpe(texts: pd.Series) -> np.ndarray:
     return texts.fillna("").str.count(BPE_TOKEN_RE).to_numpy(dtype=np.int64)
 
 
+_STOPWORD_PATTERNS = {
+    lang: [re.compile(rf"(?<!\S){re.escape(w)}(?!\S)") for w in sorted(sw)]
+    for lang, sw in _STOPWORDS.items()
+}
+
+
 def detect_language(texts: pd.Series) -> pd.Series:
-    """Stopword/script heuristic language ID → {en,de,fr,es,zh,unknown}."""
-    out = []
-    for t in texts.fillna(""):
-        if CJK_RE.search(t):
-            out.append("zh")
-            continue
-        words = set(w.lower() for w in WS_TOKEN_RE.findall(t)[:200])
-        best, best_n = "unknown", 0
-        for lang, sw in _STOPWORDS.items():
-            n = len(words & sw)
-            if n > best_n:
-                best, best_n = lang, n
-        out.append(best if best_n > 0 else "unknown")
+    """Stopword/script heuristic language ID → {en,de,fr,es,zh,unknown}.
+
+    Vectorized: one ``str.contains`` C-pass per stopword (40 total) over
+    the lowercased series builds a presence matrix; argmax over the
+    language order resolves ties first-language-wins, exactly like the
+    per-row set-intersection loop this replaces (which capped matching
+    at the first 200 tokens; the vectorized scan reads the whole text —
+    strictly more evidence, same prediction on bounded docs)."""
+    t = texts.fillna("").str.lower()
+    langs = list(_STOPWORD_PATTERNS)
+    counts = np.zeros((len(langs), len(t)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        for pat in _STOPWORD_PATTERNS[lang]:
+            counts[li] += t.str.contains(pat).to_numpy()
+    best = np.argmax(counts, axis=0)             # first max wins (lang order)
+    best_n = counts[best, np.arange(len(t))]
+    out = np.array(langs, dtype=object)[best]
+    out[best_n == 0] = "unknown"
+    out[t.str.contains(CJK_RE).to_numpy()] = "zh"
     return pd.Series(out, index=texts.index, dtype="object")
 
 

@@ -310,10 +310,11 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 def q_ann_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
     import pyarrow.parquet as pq
     from ..functions.ann import knn_cosine
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    qdf = qtbl.to_pandas()
-    qdf = qdf[qdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    # predicate pushdown: only the 3 query rows leave storage
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1, 2])]).to_pandas()
+    qdf = qdf.sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy())
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_cosine(ds, queries, k)
@@ -681,12 +682,23 @@ def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
 def q_event_drift(sf_dir: str) -> pd.DataFrame:
     """KS/PSI drift of `value` between the first and second half of the
     event stream (histogram partials per batch, merged)."""
-    from ..functions.sketches import FixedHistogram, ks_statistic, psi
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value"])
-    ts = tbl["ts"].to_pandas()
-    mid = ts.quantile(0.5)
-    import ray.data as rd
+    from ..functions.sketches import FixedHistogram, TDigest, ks_statistic, psi
+    import json as _j
+    # split point via a distributed t-digest median over ts (as int64 ns)
+    # — no driver-side full-column read
+    ts_ds = _read(sf_dir, "events", columns=["ts"])
+
+    def ts_digest(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        td = TDigest().add(ns.astype(np.float64))
+        return pd.DataFrame({"td": [_j.dumps(td.to_dict())]})
+
+    td_parts = ts_ds.map_batches(ts_digest, batch_format="pandas").to_pandas()
+    td = TDigest()
+    for s in td_parts["td"]:
+        td = td.merge(TDigest.from_dict(_j.loads(s)))
+    # float64 ns epoch carries ~200ns rounding — irrelevant for a split
+    mid = pd.Timestamp(int(round(td.quantile(0.5))))
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -712,12 +724,19 @@ def q_event_drift(sf_dir: str) -> pd.DataFrame:
 def q_knn_ivf(sf_dir: str, k: int = 5) -> pd.DataFrame:
     import pyarrow.parquet as pq
     from ..functions.ann import knn_cosine_ivf
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).to_pandas()
-    qdf = qtbl[qtbl["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    # predicate pushdown on both driver reads: query vectors by id, and
+    # the deterministic centroid sample as vec_id < 2048 (ids are dense,
+    # so this is exactly "first 2048 rows in vec_id order" without a
+    # full-table read)
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1, 2])]).to_pandas()
+    qdf = qdf.sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy())
-    # deterministic centroid sample: first rows in vec_id order
-    sample = np.stack(qtbl.sort_values("vec_id").head(2048)["embedding"].to_numpy())
+    stbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 2048)]).to_pandas()
+    sample = np.stack(stbl.sort_values("vec_id")["embedding"].to_numpy())
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_cosine_ivf(ds, queries, k, n_clusters=8, nprobe=4, sample=sample)
     out["sim"] = out["sim"].round(4)

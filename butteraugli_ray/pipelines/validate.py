@@ -203,7 +203,8 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                     scorer_concurrency: int = 4,
                     checker_concurrency: Optional[int] = None,
                     batch_size: int = 1024,
-                    broadcast_scores: bool = True) -> dict:
+                    broadcast_scores: bool = True,
+                    media_scores_cap: int = 1000) -> dict:
     """Run the full validation; returns the summary dict.
 
     ``baseline_snapshot``: path to a summary.json of a previous run whose
@@ -444,8 +445,17 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
         "violations_by_check": by_check,
         "partitions_passed": sum(1 for m in manifests.values() if m["passed"]),
         "score_histogram": score_hist.to_dict(),
+        # bounded regardless of media count: the top-N worst offenders
+        # (non-finite first, then score desc) — the full map lives only
+        # in the broadcast, never in summary.json (SURVEY §2.7 sampling)
         "media_scores": {k: (None if not np.isfinite(v) else v)
-                         for k, v in score_map.items()},
+                         for k, v in sorted(
+                             score_map.items(),
+                             key=lambda kv: (0 if not np.isfinite(kv[1]) else 1,
+                                             -kv[1] if np.isfinite(kv[1]) else 0)
+                         )[:media_scores_cap]},
+        "n_media": len(score_map),
+        "media_scores_truncated": len(score_map) > media_scores_cap,
         "threshold": threshold,
         "wall_time_s": round(time.time() - t0, 3),
         # per-stage wall/cpu breakdown of the main rollup pipeline

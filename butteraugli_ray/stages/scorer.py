@@ -45,11 +45,16 @@ class MediaScorer:
         self.params = params or ButteraugliParams()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs = batch["media_ref"].to_pylist()
         widths = batch["width"].to_pylist()
         heights = batch["height"].to_pylist()
-        ref_bytes = batch["ref_rgb"].to_pylist()
-        dist_bytes = batch["dist_rgb"].to_pylist()
+        # zero-copy views into the Arrow binary buffers (no per-payload
+        # Python bytes copies)
+        ref_col = batch["ref_rgb"].combine_chunks()
+        dist_col = batch["dist_rgb"].combine_chunks()
+        ref_bytes = [None if not v.is_valid else v.as_buffer()
+                     for v in ref_col]
+        dist_bytes = [None if not v.is_valid else v.as_buffer()
+                      for v in dist_col]
         n_rows = batch.num_rows
         scores = np.full(n_rows, np.nan)
         pnorms = np.full(n_rows, np.nan)

@@ -169,9 +169,9 @@ def doc_structural_summary(batch: pa.Table,
                          "n_struct_violations": pa.array([], pa.int32())})
     viol = check_spans_batch(batch, media_keys)
     n_spans = pc.list_value_length(batch["spans"]).cast(pa.int32())
-    counts = {}
-    for d in viol["doc_id"].to_pylist():
-        counts[d] = counts.get(d, 0) + 1
-    nv = pa.array([counts.get(d, 0) for d in batch["doc_id"].to_pylist()], pa.int32())
+    # vectorized per-doc violation counts: value_counts + index_in
+    vc = pc.value_counts(viol["doc_id"].combine_chunks())
+    pos = pc.index_in(batch["doc_id"], value_set=vc.field("values"))
+    nv = pc.fill_null(pc.take(vc.field("counts"), pos), 0).cast(pa.int32())
     return pa.table({"doc_id": batch["doc_id"], "n_spans": n_spans,
                      "n_struct_violations": nv})
