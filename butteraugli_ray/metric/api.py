@@ -75,8 +75,12 @@ def reflect_pad_to_min(img: np.ndarray, min_size: int = 8) -> np.ndarray:
 
 
 def butteraugli_srgb(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
-                     params: ButteraugliParams = ButteraugliParams()) -> ButteraugliResult:
-    """Score two sRGB u8 images of shape [h, w, 3] (lib.rs:699-759)."""
+                     params: ButteraugliParams = ButteraugliParams(),
+                     stop_check=None) -> ButteraugliResult:
+    """Score two sRGB u8 images of shape [h, w, 3] (lib.rs:699-759).
+
+    ``stop_check``: polled at scale boundaries inside the compare
+    (diff.rs:761-763); truthy → :class:`kernels.ButteraugliCancelled`."""
     params.validate()
     if rgb1_u8.shape != rgb2_u8.shape:
         raise ValueError(f"dimension mismatch: {rgb1_u8.shape} vs {rgb2_u8.shape}")
@@ -93,7 +97,8 @@ def butteraugli_srgb(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
     lin1 = K.srgb_to_linear_planar(p1)
     lin2 = K.srgb_to_linear_planar(p2)
     diffmap = K.compute_diffmap(lin1, lin2, params.hf_asymmetry, params.xmul,
-                                params.intensity_target, params.single_resolution)
+                                params.intensity_target, params.single_resolution,
+                                stop_check)
     score, pnorm3 = K.score_from_diffmap(diffmap)
     if not np.isfinite(score):
         raise FloatingPointError("non-finite butteraugli score")
@@ -102,7 +107,8 @@ def butteraugli_srgb(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
 
 
 def butteraugli_linear(rgb1: np.ndarray, rgb2: np.ndarray,
-                       params: ButteraugliParams = ButteraugliParams()) -> ButteraugliResult:
+                       params: ButteraugliParams = ButteraugliParams(),
+                       stop_check=None) -> ButteraugliResult:
     """Score two linear RGB f32 images of shape [h, w, 3] (lib.rs:761+)."""
     params.validate()
     if rgb1.shape != rgb2.shape:
@@ -120,7 +126,8 @@ def butteraugli_linear(rgb1: np.ndarray, rgb2: np.ndarray,
     lin1 = np.ascontiguousarray(np.moveaxis(p1, -1, 0)).astype(np.float32)
     lin2 = np.ascontiguousarray(np.moveaxis(p2, -1, 0)).astype(np.float32)
     diffmap = K.compute_diffmap(lin1, lin2, params.hf_asymmetry, params.xmul,
-                                params.intensity_target, params.single_resolution)
+                                params.intensity_target, params.single_resolution,
+                                stop_check)
     score, pnorm3 = K.score_from_diffmap(diffmap)
     if not np.isfinite(score):
         raise FloatingPointError("non-finite butteraugli score")
@@ -129,7 +136,8 @@ def butteraugli_linear(rgb1: np.ndarray, rgb2: np.ndarray,
 
 
 def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
-                           params: ButteraugliParams = ButteraugliParams()):
+                           params: ButteraugliParams = ButteraugliParams(),
+                           stop_check=None):
     """Score N same-size pairs in one stacked pass: [N, h, w, 3] u8 on
     both sides → (scores[N], pnorm3[N]).  The kernels are batch-aware,
     so both pyramids compute stacked; per-pair identical-image
@@ -144,14 +152,15 @@ def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
         scores = np.empty(n)
         pnorms = np.empty(n)
         for i in range(n):
-            r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i], params)
+            r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i], params, stop_check)
             scores[i], pnorms[i] = r.score, r.pnorm_3
         return scores, pnorms
     lut = K.SRGB_TO_LINEAR_LUT
     lin1 = np.ascontiguousarray(np.moveaxis(lut[rgb1_u8], -1, -3))
     lin2 = np.ascontiguousarray(np.moveaxis(lut[rgb2_u8], -1, -3))
     diffmap = K.compute_diffmap(lin1, lin2, params.hf_asymmetry, params.xmul,
-                                params.intensity_target, params.single_resolution)
+                                params.intensity_target, params.single_resolution,
+                                stop_check)
     scores, pnorms = K.score_from_diffmap_batch(diffmap)
     same = np.all(rgb1_u8.reshape(n, -1) == rgb2_u8.reshape(n, -1), axis=1)
     if same.any():

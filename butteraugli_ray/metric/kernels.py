@@ -962,29 +962,48 @@ def compute_diffmap_single_resolution(rgb1: list, rgb2: list,
                                              block_diff_ac, xmul)
 
 
+class ButteraugliCancelled(Exception):
+    """Cooperative cancellation signalled by a ``stop_check`` polled at
+    scale boundaries inside a compare (diff.rs:761-763 semantics)."""
+
+
+def _poll_stop(stop_check, where: str) -> None:
+    if stop_check is not None and stop_check():
+        raise ButteraugliCancelled(f"cancelled at {where}")
+
+
 def compute_diffmap(rgb1: np.ndarray, rgb2: np.ndarray, hf_asymmetry: float = 1.0,
                     xmul: float = 1.0, intensity_target: float = 80.0,
-                    single_resolution: bool = False) -> np.ndarray:
+                    single_resolution: bool = False, stop_check=None) -> np.ndarray:
     """Full-res + one half-res sub-level blended at weight 0.5
     (diff.rs:666-695); linear planar RGB [..., 3, h, w] inputs."""
     h, w = rgb1.shape[-2], rgb1.shape[-1]
     c1 = [rgb1[..., c, :, :] for c in range(3)]
     c2 = [rgb2[..., c, :, :] for c in range(3)]
     return compute_diffmap_planes(c1, c2, hf_asymmetry, xmul,
-                                  intensity_target, single_resolution)
+                                  intensity_target, single_resolution,
+                                  stop_check)
 
 
 def compute_diffmap_planes(c1: list, c2: list, hf_asymmetry: float = 1.0,
                            xmul: float = 1.0, intensity_target: float = 80.0,
-                           single_resolution: bool = False) -> np.ndarray:
-    """Channel-plane-list variant of :func:`compute_diffmap`."""
+                           single_resolution: bool = False,
+                           stop_check=None) -> np.ndarray:
+    """Channel-plane-list variant of :func:`compute_diffmap`.
+
+    ``stop_check``: optional callable polled at each SCALE boundary
+    (before the full-res pass and before the half-res pass — never
+    inside the per-pixel kernels, diff.rs:761-763); truthy return
+    raises :class:`ButteraugliCancelled`."""
     h, w = c1[0].shape[-2:]
     small = w < MIN_SIZE_FOR_MULTIRESOLUTION or h < MIN_SIZE_FOR_MULTIRESOLUTION
     need_sub = (not single_resolution and not small
                 and w >= MIN_SIZE_FOR_SUBSAMPLE and h >= MIN_SIZE_FOR_SUBSAMPLE)
+    _poll_stop(stop_check, "full-resolution scale boundary")
     diffmap = compute_diffmap_single_resolution(c1, c2, hf_asymmetry,
                                                 xmul, intensity_target)
     if need_sub:
+        _poll_stop(stop_check, "half-resolution scale boundary")
         sub1 = [subsample_2x(p) for p in c1]
         sub2 = [subsample_2x(p) for p in c2]
         sub = compute_diffmap_single_resolution(sub1, sub2, hf_asymmetry,

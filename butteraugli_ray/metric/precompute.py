@@ -46,7 +46,14 @@ class ReferencePrecompute:
     """
 
     def __init__(self, rgb_u8: np.ndarray,
-                 params: ButteraugliParams = ButteraugliParams()):
+                 params: ButteraugliParams = ButteraugliParams(),
+                 strip_only: bool = False):
+        """``strip_only=True`` retains ONLY the linear reference planes
+        (no psycho pyramids / mask intermediates) — the bounded-memory
+        mode for oversized references whose compares go through
+        :meth:`compare_strip` (strip.rs:583-905: the strip walker never
+        uses the per-resolution cache; the retained linear source is the
+        warm part)."""
         params.validate()
         self.params = params
         h, w = rgb_u8.shape[0], rgb_u8.shape[1]
@@ -57,10 +64,13 @@ class ReferencePrecompute:
         padded = reflect_pad_to_min(rgb_u8, 8)
         lin = K.srgb_to_linear_planar(padded)          # [3, ph, pw]
         self.lin = lin
+        self.full = None
+        self.half = None
+        if strip_only:
+            return
         ph, pw = lin.shape[1], lin.shape[2]
         chans = [lin[0], lin[1], lin[2]]
         self.full = _ScaleData(chans, params.intensity_target)
-        self.half = None
         small = pw < K.MIN_SIZE_FOR_MULTIRESOLUTION or ph < K.MIN_SIZE_FOR_MULTIRESOLUTION
         if (not params.single_resolution and not small
                 and pw >= K.MIN_SIZE_FOR_SUBSAMPLE and ph >= K.MIN_SIZE_FOR_SUBSAMPLE):
@@ -96,28 +106,35 @@ class ReferencePrecompute:
         return K.combine_channels_to_diffmap_fused(sd.mask, ps1.lf, ps2.lf,
                                                    block_diff_ac, params.xmul)
 
-    def _diffmap_for(self, lin2: np.ndarray) -> np.ndarray:
-        """lin2: [..., 3, h, w] linear candidate planes."""
+    def _diffmap_for(self, lin2: np.ndarray, stop_check=None) -> np.ndarray:
+        """lin2: [..., 3, h, w] linear candidate planes.  ``stop_check``
+        is polled at each scale boundary (diff.rs:761-763)."""
+        if self.full is None:
+            raise ValueError("strip_only reference: use compare_strip / "
+                             "compare_strip_bytes (no precomputed pyramids)")
         cand = [lin2[..., 0, :, :], lin2[..., 1, :, :], lin2[..., 2, :, :]]
+        K._poll_stop(stop_check, "full-resolution scale boundary")
         diffmap = self._compare_scale(self.full, cand)
         if self.half is not None:
+            K._poll_stop(stop_check, "half-resolution scale boundary")
             sub2 = [K.subsample_2x(c) for c in cand]
             sub = self._compare_scale(self.half, sub2)
             diffmap = K.add_supersampled_2x(sub, 0.5, diffmap)
         return diffmap
 
-    def compare_srgb(self, cand_u8: np.ndarray) -> ButteraugliResult:
+    def compare_srgb(self, cand_u8: np.ndarray,
+                     stop_check=None) -> ButteraugliResult:
         if cand_u8.shape != self.src_u8.shape:
             raise ValueError(f"dimension mismatch: {cand_u8.shape} vs {self.src_u8.shape}")
         if np.array_equal(cand_u8, self.src_u8):
             return ButteraugliResult(0.0, 0.0, None)
         lin2 = K.srgb_to_linear_planar(reflect_pad_to_min(cand_u8, 8))
-        diffmap = self._diffmap_for(lin2)
+        diffmap = self._diffmap_for(lin2, stop_check)
         score, pnorm3 = K.score_from_diffmap(diffmap)
         dm = diffmap[:self.height, :self.width] if self.params.compute_diffmap else None
         return ButteraugliResult(float(score), float(pnorm3), dm)
 
-    def compare_srgb_batch(self, cands_u8: np.ndarray):
+    def compare_srgb_batch(self, cands_u8: np.ndarray, stop_check=None):
         """Score N candidates at once: [N, h, w, 3] u8 →
         (scores[N], pnorm3[N]) float64 arrays."""
         n, h, w = cands_u8.shape[0], cands_u8.shape[1], cands_u8.shape[2]
@@ -135,7 +152,7 @@ class ReferencePrecompute:
         lut = K.SRGB_TO_LINEAR_LUT
         lin2 = np.ascontiguousarray(
             np.moveaxis(lut[cands_u8], -1, -3))        # [N, 3, h, w]
-        diffmap = self._diffmap_for(lin2)
+        diffmap = self._diffmap_for(lin2, stop_check)
         scores, pnorms = K.score_from_diffmap_batch(diffmap)
         # identical-candidate short-circuit (diff.rs:766-772)
         same = np.all(cands_u8.reshape(n, -1) == self.src_u8.reshape(1, -1),
@@ -149,3 +166,41 @@ class ReferencePrecompute:
         cand = np.frombuffer(cand_bytes, dtype=np.uint8).reshape(
             self.height, self.width, 3)
         return self.compare_srgb(cand)
+
+    # ---- warm strip compares (strip.rs:583-905) --------------------------
+
+    def compare_strip(self, cand_u8: np.ndarray, strip_height: int = 256,
+                      halo: int | None = None,
+                      stop_check=None) -> ButteraugliResult:
+        """Strip-bounded compare against the retained reference.
+
+        Mirrors ``ButteraugliReference::compare_strip``
+        (strip.rs:583-619): the per-resolution cache is NOT used — the
+        strip walker recomputes reference-side blurs per strip so both
+        sides share FIR boundary handling; the retained LINEAR reference
+        planes are the warm part (the sRGB→linear LUT pass is skipped).
+        Peak memory is O((strip_height + 2·halo) × width), so a
+        ``strip_only=True`` reference never materialises full-image
+        pyramids at all.  ``stop_check`` is polled once per strip
+        (strip.rs:608-613).
+        """
+        from .strip import HALO_ROWS_DEFAULT, butteraugli_strip_linear_planar
+        if cand_u8.shape != self.src_u8.shape:
+            raise ValueError(f"dimension mismatch: {cand_u8.shape} vs "
+                             f"{self.src_u8.shape}")
+        if np.array_equal(cand_u8, self.src_u8):
+            dm = (np.zeros((self.height, self.width), np.float32)
+                  if self.params.compute_diffmap else None)
+            return ButteraugliResult(0.0, 0.0, dm)
+        lin2 = K.srgb_to_linear_planar(reflect_pad_to_min(cand_u8, 8))
+        return butteraugli_strip_linear_planar(
+            self.lin, lin2, strip_height,
+            HALO_ROWS_DEFAULT if halo is None else halo,
+            self.params, stop_check)
+
+    def compare_strip_bytes(self, cand_bytes: bytes, strip_height: int = 256,
+                            halo: int | None = None,
+                            stop_check=None) -> ButteraugliResult:
+        cand = np.frombuffer(cand_bytes, dtype=np.uint8).reshape(
+            self.height, self.width, 3)
+        return self.compare_strip(cand, strip_height, halo, stop_check)

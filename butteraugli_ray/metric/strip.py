@@ -33,9 +33,11 @@ def _next_multiple(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-class StripCancelled(Exception):
+class StripCancelled(K.ButteraugliCancelled):
     """Raised when ``stop_check`` signals cancellation between strips
-    (the engine analog of ``ButteraugliError::Cancelled``)."""
+    (the engine analog of ``ButteraugliError::Cancelled``); a subclass
+    of :class:`kernels.ButteraugliCancelled` so one except-clause covers
+    both strip-boundary and in-compare scale-boundary cancellation."""
 
 
 def butteraugli_strip(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,

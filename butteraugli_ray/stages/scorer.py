@@ -41,8 +41,17 @@ class MediaScorer:
     its own pair.)
     """
 
-    def __init__(self, params: ButteraugliParams = None):
+    def __init__(self, params: ButteraugliParams = None,
+                 strip_threshold_px: int = 4_000_000,
+                 strip_height: int = 256):
+        """Media with more than ``strip_threshold_px`` pixels score via
+        the bounded-memory strip walker (strip_height rows + halo —
+        strip.rs:583-905 semantics; interior rows bit-identical, score
+        within ~1e-2 of full) instead of the stacked batched compare, so
+        one oversized pair cannot blow the actor heap."""
         self.params = params or ButteraugliParams()
+        self.strip_threshold_px = strip_threshold_px
+        self.strip_height = strip_height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths = batch["width"].to_pylist()
@@ -73,7 +82,21 @@ class MediaScorer:
             groups.setdefault((w, h), []).append(i)
 
         from ..metric.api import butteraugli_srgb_batch
+        from ..metric.strip import butteraugli_strip
         for (w, h), idxs in groups.items():
+            if w * h > self.strip_threshold_px:
+                # oversized media: one pair at a time through the
+                # bounded-memory strip walker (never stacked)
+                for i in idxs:
+                    try:
+                        a = np.frombuffer(ref_bytes[i], np.uint8).reshape(h, w, 3)
+                        b = np.frombuffer(dist_bytes[i], np.uint8).reshape(h, w, 3)
+                        r = butteraugli_strip(a, b, self.strip_height,
+                                              params=self.params)
+                        scores[i], pnorms[i] = r.score, r.pnorm_3
+                    except Exception as exc:  # noqa: BLE001
+                        errors[i] = f"{type(exc).__name__}: {exc}"
+                continue
             try:
                 a = np.stack([np.frombuffer(ref_bytes[i], np.uint8)
                               .reshape(h, w, 3) for i in idxs])

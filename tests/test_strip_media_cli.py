@@ -148,3 +148,72 @@ class TestCli:
         data = open(path, "rb").read()
         assert data.startswith(b"P6\n10 8\n255\n")
         assert len(data) == len(b"P6\n10 8\n255\n") + 8 * 10 * 3
+
+
+class TestWarmStrip:
+    """Warm-reference strip compares (strip.rs:583-905) + cooperative
+    mid-compare cancellation (diff.rs:761-763)."""
+
+    def test_warm_strip_matches_full_large(self):
+        from butteraugli_ray.metric.precompute import ReferencePrecompute
+        a = gen_random_midrange(96, 1024, 5)
+        b = distort_noise(a, 6, 12)
+        full = butteraugli_srgb(a, b)
+        pre = ReferencePrecompute(a, strip_only=True)
+        r = pre.compare_strip(b, strip_height=256)
+        assert abs(r.score - full.score) <= 1e-2 * max(full.score, 1.0)
+        assert abs(r.pnorm_3 - full.pnorm_3) <= 1e-2
+
+    def test_strip_only_memory_below_full(self):
+        from butteraugli_ray.metric.precompute import ReferencePrecompute
+        a = gen_random_midrange(256, 512, 5)
+        slim = ReferencePrecompute(a, strip_only=True)
+        fat = ReferencePrecompute(a)
+        assert slim.memory_bytes() < fat.memory_bytes() / 3
+        with pytest.raises(ValueError, match="strip_only"):
+            slim.compare_srgb(distort_noise(a, 1, 5))
+        # but the strip path works and the warm linear planes are reused
+        assert slim.compare_strip(distort_noise(a, 1, 5)).score > 0
+
+    def test_media_scorer_strip_path_parity(self):
+        import pyarrow as pa
+        from butteraugli_ray.stages.scorer import MediaScorer
+        a = gen_random_midrange(64, 600, 5)
+        b = distort_noise(a, 6, 12)
+        batch = pa.table({
+            "media_ref": pa.array(["m0"]),
+            "width": pa.array([64]), "height": pa.array([600]),
+            "ref_rgb": pa.array([a.tobytes()], pa.binary()),
+            "dist_rgb": pa.array([b.tobytes()], pa.binary()),
+        })
+        full = MediaScorer()(batch)["score"][0].as_py()
+        stripped = MediaScorer(strip_threshold_px=10_000)(batch)["score"][0].as_py()
+        assert abs(full - stripped) <= 1e-2 * max(full, 1.0)
+
+    def test_mid_compare_cancellation(self):
+        from butteraugli_ray.metric.kernels import ButteraugliCancelled
+        a = gen_random_midrange(64, 64, 5)
+        b = distort_noise(a, 6, 12)
+        with pytest.raises(ButteraugliCancelled):
+            butteraugli_srgb(a, b, stop_check=lambda: True)
+        # cancel between scales: allow the full-res pass, stop at half-res
+        calls = {"n": 0}
+        def stop_after_first():
+            calls["n"] += 1
+            return calls["n"] > 1
+        with pytest.raises(ButteraugliCancelled):
+            butteraugli_srgb(a, b, stop_check=stop_after_first)
+        assert calls["n"] == 2
+
+    def test_warm_compare_cancellation(self):
+        from butteraugli_ray.metric.kernels import ButteraugliCancelled
+        from butteraugli_ray.metric.precompute import ReferencePrecompute
+        a = gen_random_midrange(64, 64, 5)
+        pre = ReferencePrecompute(a)
+        with pytest.raises(ButteraugliCancelled):
+            pre.compare_srgb(distort_noise(a, 1, 5), stop_check=lambda: True)
+
+    def test_strip_cancel_is_butteraugli_cancelled(self):
+        from butteraugli_ray.metric.kernels import ButteraugliCancelled
+        from butteraugli_ray.metric.strip import StripCancelled
+        assert issubclass(StripCancelled, ButteraugliCancelled)
