@@ -101,9 +101,27 @@ class MinHasher:
         if len(sh) == 0:
             return np.zeros(self.num_perms, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            # (a*x + b) mod p over the 61-bit Mersenne prime
-            prod = (self.a[None, :] * (sh[:, None] & _MERSENNE) + self.b[None, :])
-            h = (prod & _MERSENNE) + (prod >> np.uint64(61))
+            # exact (a*x + b) mod p, p = 2^61-1: the 122-bit product is
+            # built from 32-bit limbs (hi/lo uint64 halves with carry),
+            # then reduced via 2^61 ≡ 1 (mod p) chunk folding — the true
+            # universal hash, not the wrap-mod-2^64 approximation
+            x = sh[:, None] & _MERSENNE
+            a, b = self.a[None, :], self.b[None, :]
+            a_hi, a_lo = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+            x_hi, x_lo = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+            ll = a_lo * x_lo
+            mid = a_lo * x_hi + a_hi * x_lo          # < 2^62, no overflow
+            hh = a_hi * x_hi
+            shifted = mid << np.uint64(32)
+            lo = ll + shifted
+            carry = (lo < ll).astype(np.uint64)
+            hi = hh + (mid >> np.uint64(32)) + carry
+            h = ((lo & _MERSENNE)
+                 + (((lo >> np.uint64(61)) | (hi << np.uint64(3))) & _MERSENNE)
+                 + (hi >> np.uint64(58))
+                 + b)
+            for _ in range(2):                        # fold < 4p → < p
+                h = (h & _MERSENNE) + (h >> np.uint64(61))
             h = np.where(h >= _MERSENNE, h - _MERSENNE, h)
         return h.min(axis=0)
 
