@@ -24,10 +24,11 @@ from ..functions import text as T
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
-    from ..sources.tables import small_file_num_blocks
+    from ..sources.tables import small_file_num_blocks, strip_schema_metadata
     path = f"{sf_dir}/{table}.parquet"
-    return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=small_file_num_blocks(path))
+    return strip_schema_metadata(
+        rd.read_parquet(path, columns=columns,
+                        override_num_blocks=small_file_num_blocks(path)))
 
 
 def _final_agg(partials, keys, sum_cols):
@@ -431,14 +432,14 @@ def q_shipdate_range(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1996, 12, 31)
-    from ..sources.tables import small_file_num_blocks
+    from ..sources.tables import small_file_num_blocks, strip_schema_metadata
     path = f"{sf_dir}/lineitem.parquet"
-    ds = rd.read_parquet(
+    ds = strip_schema_metadata(rd.read_parquet(
         path,
         columns=["l_shipdate", "l_quantity", "l_returnflag"],
         filter=(pads.field("l_shipdate") >= lo)
                & (pads.field("l_shipdate") <= hi),
-        override_num_blocks=small_file_num_blocks(path))
+        override_num_blocks=small_file_num_blocks(path)))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("l_returnflag", as_index=False).agg(

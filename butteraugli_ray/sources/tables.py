@@ -38,13 +38,30 @@ def small_file_num_blocks(path: str, target_bytes: int = 4 << 20,
     return max(lo, min(hi, size // target_bytes))
 
 
+def strip_schema_metadata(ds):
+    """Fused zero-copy map dropping schema-level metadata.
+
+    pandas-written parquet carries a b'pandas' schema metadata dict that
+    makes ``pyarrow.Schema`` unhashable; Ray then logs a 'Failed to hash
+    the schemas' warning on every block concat and loses its early-exit
+    schema dedup.  Stripping the metadata (cheap, buffers untouched)
+    restores both."""
+    import pyarrow as pa
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
 def read_table(path: str, columns=None):
     """→ ray.data.Dataset from a .lance dataset or .parquet file/dir."""
     import ray.data as rd
     if path.endswith(".lance") and _have_lance():
         return rd.read_lance(path, columns=columns)
-    return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=small_file_num_blocks(path))
+    return strip_schema_metadata(
+        rd.read_parquet(path, columns=columns,
+                        override_num_blocks=small_file_num_blocks(path)))
 
 
 def read_table_filtered(path: str, columns=None, filter_expr=None):
@@ -57,8 +74,9 @@ def read_table_filtered(path: str, columns=None, filter_expr=None):
                 "filter post-read or use parquet (resume contract relies "
                 "on completed-partition pruning)")
         return rd.read_lance(path, columns=columns)
-    return rd.read_parquet(path, columns=columns, filter=filter_expr,
-                           override_num_blocks=small_file_num_blocks(path))
+    return strip_schema_metadata(
+        rd.read_parquet(path, columns=columns, filter=filter_expr,
+                        override_num_blocks=small_file_num_blocks(path)))
 
 
 def read_arrow(path: str):
