@@ -277,6 +277,20 @@ def _blur_v_blocked(a: np.ndarray, sigma: float, block: int = 192) -> np.ndarray
     return out
 
 
+_BLUR_MODE = "fir"   # "fir" (default, golden-parity) | "iir" (Charalampidis)
+
+
+def set_blur_mode(mode: str) -> None:
+    """Select the Gaussian implementation process-wide — the analog of
+    the reference's compile-time ``iir-blur`` cargo feature
+    (blur.rs:870-877).  "iir" trades golden bit-parity for O(N)
+    sigma-independent cost (documented 0.1-5% score deviation)."""
+    global _BLUR_MODE
+    if mode not in ("fir", "iir"):
+        raise ValueError(f"blur mode must be 'fir' or 'iir', got {mode!r}")
+    _BLUR_MODE = mode
+
+
 def gaussian_blur(plane: np.ndarray, sigma: float) -> np.ndarray:
     """Separable Gaussian with truncated-renormalized borders
     (blur.rs:866-933: H pass then V pass).
@@ -287,6 +301,9 @@ def gaussian_blur(plane: np.ndarray, sigma: float) -> np.ndarray:
     """
     if sigma <= 0.0:
         return plane.copy()
+    if _BLUR_MODE == "iir":
+        from .blur_iir import gaussian_blur_iir
+        return gaussian_blur_iir(plane, sigma)
     h, w = plane.shape[-2:]
     if w <= _BLUR_GEMM_MAX_N:
         out = plane @ _blur_matrix(sigma, w)           # horizontal pass
