@@ -73,6 +73,21 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of the word k-shingles of ``text``
+    (lowercased ``\\S+`` tokens joined by single spaces; texts shorter
+    than k tokens contribute one whole-text shingle)."""
+    toks = WS_TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        items = [" ".join(toks)] if toks else []
+    else:
+        items = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not items:
+        return np.zeros(0, dtype=np.uint64)
+    from .sketches import hash64
+    return np.unique(hash64(items))
+
+
 class MinHasher:
     """num_perms universal-hash minhash over word shingles; stateful
     (permutation table built once per actor)."""
@@ -85,16 +100,7 @@ class MinHasher:
         self.shingle = shingle
 
     def shingles(self, text: str) -> np.ndarray:
-        toks = WS_TOKEN_RE.findall(text.lower())
-        k = self.shingle
-        if len(toks) < k:
-            items = [" ".join(toks)] if toks else []
-        else:
-            items = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        if not items:
-            return np.zeros(0, dtype=np.uint64)
-        from .sketches import hash64
-        return np.unique(hash64(items))
+        return shingle_hashes(text, self.shingle)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -339,6 +345,119 @@ def verify_jaccard_pairs(pairs_df: pd.DataFrame, texts: dict, threshold: float,
             out["id_b"].append(b)
             out["jaccard"].append(j)
     return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+class NgramShingler:
+    """map_batches actor: text → exploded (doc_id, sh, n_sh) rows, one
+    per distinct word-k-shingle hash.  Every row carries its document's
+    shingle-set size so the downstream pair aggregate needs NO extra
+    join against a per-doc size table."""
+
+    def __init__(self, shingle: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.k = shingle
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, shs, ns = [], [], []
+        for _id, text in zip(df[self.id_col], df[self.text_col]):
+            sh = shingle_hashes(text or "", self.k)
+            if len(sh) == 0:
+                continue
+            ids.append(np.full(len(sh), _id, dtype=np.int64))
+            shs.append(sh.astype(np.int64))
+            ns.append(np.full(len(sh), len(sh), dtype=np.int64))
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "sh": pd.Series([], dtype="int64"),
+                                 "n_sh": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": np.concatenate(ids),
+                             "sh": np.concatenate(shs),
+                             "n_sh": np.concatenate(ns)})
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
+                        n_buckets: int = 32, concurrency: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT n-gram Jaccard similarity join → Dataset(doc_a, doc_b,
+    jaccard) for every pair with Jaccard ≥ ``threshold`` (doc_a <
+    doc_b).  Unlike MinHash+LSH this has no false negatives: candidates
+    are every pair sharing ≥1 shingle (the inverted-index / PPJoin
+    family shape).
+
+    Distributed shape — shingle-partitioned self-join, all-native
+    aggregates, no text ever shuffles:
+
+        docs ─NgramShingler→ (doc_id, sh, n_sh)      [materialized once]
+             ─hash_join(sh)→ (id_a, n_a, id_b, n_b)  co-occurrence rows
+             ─filter a<b → groupby(pair) COUNT + MIN → |A∩B|, |A|, |B|
+             ─jaccard = c / (n_a + n_b - c) ≥ threshold
+
+    Scale notes: the self-join volume is Σ_sh df(sh)² — dominated by
+    hot shingles.  At corpus scale add a document-frequency cap /
+    prefix filter (drop shingles with df > max_df before the join;
+    the reference trick from the PPJoin literature) and salt residual
+    hot shingles via ``hash_join(hot_keys=...)``.  Shingles travel as
+    64-bit hashes (collision odds 2⁻⁶⁴ — identical to the MinHash
+    verify path's hashed-shingle Jaccard).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+    from .joins import hash_join
+
+    sh_rows = ds.map_batches(
+        NgramShingler,
+        fn_constructor_kwargs=dict(shingle=shingle, id_col=id_col,
+                                   text_col=text_col),
+        batch_format="pandas", concurrency=concurrency).materialize()
+
+    def side(a: str, n: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({a: df["doc_id"], n: df["n_sh"],
+                                 "sh": df["sh"]})
+        return fn
+
+    left = sh_rows.map_batches(side("id_a", "n_a"), batch_format="pandas")
+    right = sh_rows.map_batches(side("id_b", "n_b"), batch_format="pandas")
+    co = hash_join(left, right, key="sh", n_buckets=n_buckets)
+
+    def ordered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        a = pc.cast(t["id_a"], pa.int64())
+        b = pc.cast(t["id_b"], pa.int64())
+        # pack (a, b) into one int64 — single-int64-key grouping is far
+        # cheaper than string keys (see MinHashBander note); requires
+        # ids < 2^31, which doc ids satisfy (hash-keyed corpora should
+        # fall back to a string pack)
+        if t.num_rows and pc.max(b).as_py() >= (1 << 31):
+            raise ValueError("ngram_jaccard int64 pair packing needs ids < 2^31")
+        key = pc.add(pc.multiply(a, pa.scalar(1 << 32, pa.int64())), b)
+        return pa.table({"pair_key": key,
+                         "n_a": pc.cast(t["n_a"], pa.int64()),
+                         "n_b": pc.cast(t["n_b"], pa.int64())})
+
+    agg = (co.map_batches(ordered, batch_format="pyarrow")
+           .groupby("pair_key")       # single-key: see MinHashBander note
+           .aggregate(Count(alias_name="n_common"),
+                      Min("n_a", alias_name="n_a"),
+                      Min("n_b", alias_name="n_b")))
+
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_common"].to_numpy(dtype=np.float64)
+        union = (df["n_a"].to_numpy(dtype=np.float64)
+                 + df["n_b"].to_numpy(dtype=np.float64) - c)
+        j = np.where(union > 0, c / np.maximum(union, 1.0), 1.0)
+        key = df["pair_key"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"doc_a": key >> 32,
+                            "doc_b": key & 0xFFFFFFFF,
+                            "jaccard": np.round(j, 6)})
+        return out[j >= threshold]
+
+    return agg.map_batches(jaccard, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -594,6 +594,16 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """EXACT n-gram Jaccard similarity join over the near-dup corpus
+    (shingle-partitioned self-join; no false negatives — the oracle-SQL
+    checkable counterpart of the MinHash approximate path)."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    ds = _docs_with_near_dups(sf_dir)
+    out = ngram_jaccard_pairs(ds, threshold=threshold, concurrency=2).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_simhash_near_dup(sf_dir: str, max_hamming: int = 5) -> pd.DataFrame:
     from ..functions.dedup import simhash_candidate_pairs
     ds = _docs_with_near_dups(sf_dir)
@@ -839,6 +849,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "shipdate_range": q_shipdate_range,
     "value_median_by_type": q_value_median_by_type,
+    "ngram_jaccard": q_ngram_jaccard,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1001,5 +1012,43 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    # exact n-gram Jaccard join over documents ∪ deterministic truncated
+    # near-dups (same augmented population as _docs_with_near_dups)
+    "ngram_jaccard": r"""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id,
+                   array_to_string(t[1:len(t) - 5], ' ') AS text
+            FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                  FROM documents WHERE doc_id % 7 = 0)
+        ),
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+            FROM aug
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END) AS sh
+                FROM toks WHERE len(t) > 0
+            )
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        ORDER BY doc_a, doc_b
     """,
 }

@@ -200,3 +200,34 @@ def test_tdigest_query_close_to_exact(ray_session):
         exact = np.quantile(vals, row["quantile"])
         spread = np.quantile(vals, 0.99) - np.quantile(vals, 0.01)
         assert abs(row["value_est"] - exact) <= 0.05 * spread + 1e-6
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import (ngram_jaccard_pairs,
+                                                 shingle_hashes)
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    near = [" ".join(t.split()[:-3]) for t in texts[:8]]   # j ≈ 25/28
+    df = pd.DataFrame({"doc_id": np.arange(48, dtype=np.int64),
+                       "text": texts + near})
+    got = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5,
+                              concurrency=1).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in
+                 zip(got["doc_a"], got["doc_b"], got["jaccard"])}
+    # brute-force oracle: every pair, exact jaccard over hashed shingles
+    sh = [set(shingle_hashes(t, 3).tolist()) for t in df["text"]]
+    for i in range(48):
+        for j in range(i + 1, 48):
+            union = len(sh[i] | sh[j])
+            jac = len(sh[i] & sh[j]) / union if union else 1.0
+            if jac >= 0.5:
+                assert (i, j) in got_pairs, f"missing pair ({i},{j})"
+                assert abs(got_pairs[(i, j)] - jac) < 1e-6
+            else:
+                assert (i, j) not in got_pairs
+    # the 8 seeded near-dups must all be found
+    for i in range(8):
+        assert (i, 40 + i) in got_pairs
