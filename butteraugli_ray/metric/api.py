@@ -9,7 +9,7 @@ instead of raising where the engine wants violation rows.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Optional
 
 import numpy as np
@@ -137,23 +137,28 @@ def butteraugli_linear(rgb1: np.ndarray, rgb2: np.ndarray,
 
 def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
                            params: ButteraugliParams = ButteraugliParams(),
-                           stop_check=None):
+                           stop_check=None, pnorm_p: float = 3.0):
     """Score N same-size pairs in one stacked pass: [N, h, w, 3] u8 on
-    both sides → (scores[N], pnorm3[N]).  The kernels are batch-aware,
+    both sides → (scores[N], pnorms[N]).  The kernels are batch-aware,
     so both pyramids compute stacked; per-pair identical-image
     short-circuits apply.  Requires h, w ≥ 8 (no per-image padding in
     the batched path).  ``params`` (lib.rs:375-381) is honored exactly
-    as in the one-shot path."""
+    as in the one-shot path.  ``pnorm_p`` selects the generic libjxl
+    p-norm (lib.rs:556-577); 3.0 uses the fused-reduction fast path."""
     params.validate()
+    generic_p = abs(pnorm_p - 3.0) > 1e-12
     if rgb1_u8.shape != rgb2_u8.shape:
         raise ValueError(f"dimension mismatch: {rgb1_u8.shape} vs {rgb2_u8.shape}")
     n, h, w = rgb1_u8.shape[0], rgb1_u8.shape[1], rgb1_u8.shape[2]
     if h < 8 or w < 8:
         scores = np.empty(n)
         pnorms = np.empty(n)
+        sub_params = (replace(params, compute_diffmap=True)
+                      if generic_p else params)
         for i in range(n):
-            r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i], params, stop_check)
-            scores[i], pnorms[i] = r.score, r.pnorm_3
+            r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i], sub_params, stop_check)
+            scores[i] = r.score
+            pnorms[i] = r.pnorm(pnorm_p) if generic_p else r.pnorm_3
         return scores, pnorms
     lut = K.SRGB_TO_LINEAR_LUT
     lin1 = np.ascontiguousarray(np.moveaxis(lut[rgb1_u8], -1, -3))
@@ -161,7 +166,11 @@ def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
     diffmap = K.compute_diffmap(lin1, lin2, params.hf_asymmetry, params.xmul,
                                 params.intensity_target, params.single_resolution,
                                 stop_check)
-    scores, pnorms = K.score_from_diffmap_batch(diffmap)
+    if generic_p:
+        scores, _ = K.score_from_diffmap_batch(diffmap)
+        pnorms = K.pnorm_slice_batch(diffmap[..., :h, :w], pnorm_p)
+    else:
+        scores, pnorms = K.score_from_diffmap_batch(diffmap)
     same = np.all(rgb1_u8.reshape(n, -1) == rgb2_u8.reshape(n, -1), axis=1)
     if same.any():
         scores = np.where(same, 0.0, scores)

@@ -911,6 +911,22 @@ def finalize_partials(p: dict) -> tuple:
     return p["max"], pnorm3
 
 
+def pnorm_slice_batch(diffmaps: np.ndarray, p: float) -> np.ndarray:
+    """Batched generic libjxl p-norm (lib.rs:556-577): [N, h, w] →
+    per-image average of p-norms at p, 2p, 4p."""
+    n = diffmaps.shape[0]
+    d = diffmaps.reshape(n, -1).astype(np.float64, copy=False)
+    acc = d ** p
+    s0 = acc.sum(axis=1)
+    acc = acc * acc
+    s1 = acc.sum(axis=1)
+    acc = acc * acc
+    s2 = acc.sum(axis=1)
+    inv = 1.0 / d.shape[1]
+    return ((inv * s0) ** (1.0 / p) + (inv * s1) ** (1.0 / (2 * p)) +
+            (inv * s2) ** (1.0 / (4 * p))) / 3.0
+
+
 def pnorm_slice(diffmap: np.ndarray, p: float) -> float:
     """Generic libjxl p-norm: average of p-norms at p, 2p, 4p
     (lib.rs:556-577)."""

@@ -182,3 +182,28 @@ class TestBatchedParamsParity:
         got_def = MediaScorer()(batch)
         assert got["score"][0].as_py() != pytest.approx(
             got_def["score"][0].as_py(), rel=1e-6)
+
+
+def test_batched_generic_pnorm_matches_oneshot():
+    # A2 on the batched path: pnorm_p != 3 must equal the one-shot
+    # generic pnorm over the same diffmap (lib.rs:556-577)
+    from butteraugli_ray.metric.api import (ButteraugliParams,
+                                            butteraugli_srgb,
+                                            butteraugli_srgb_batch)
+    from butteraugli_ray.corpus.generators import generate_image_pair
+    pairs = [generate_image_pair("gradient_h_shift_15", 32, 32),
+             generate_image_pair("checkerboard_shift_25", 32, 32)]
+    a = np.stack([p[0] for p in pairs])
+    b = np.stack([p[1] for p in pairs])
+    for p_val in (2.0, 6.0):
+        scores, pnorms = butteraugli_srgb_batch(a, b, pnorm_p=p_val)
+        params = ButteraugliParams(compute_diffmap=True)
+        for i, (ra, rb) in enumerate(pairs):
+            one = butteraugli_srgb(ra, rb, params)
+            assert scores[i] == pytest.approx(one.score, rel=1e-6)
+            assert pnorms[i] == pytest.approx(one.pnorm(p_val), rel=1e-6)
+    # p = 3 still routes through the fused fast path and agrees
+    scores3, pnorms3 = butteraugli_srgb_batch(a, b, pnorm_p=3.0)
+    for i, (ra, rb) in enumerate(pairs):
+        one = butteraugli_srgb(ra, rb)
+        assert pnorms3[i] == pytest.approx(one.pnorm_3, rel=1e-6)
