@@ -45,8 +45,9 @@ SCALING_ENV_DEFAULTS = {
 BENCH_QUERIES = [
     "lineitem_pricing", "revenue_by_nation", "top_orders", "events_hourly",
     "doc_token_stats", "doc_fingerprints", "dedup_exact", "ann_topk",
-    "embedding_near_dup", "minhash_near_dup", "order_priority_revenue",
-    "click_attribution", "user_sessions", "validate_corpus",
+    "embedding_near_dup", "minhash_near_dup", "ngram_jaccard",
+    "order_priority_revenue", "click_attribution", "user_sessions",
+    "validate_corpus",
 ]
 
 

@@ -406,7 +406,6 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
     verify path's hashed-shingle Jaccard).
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
     from .joins import hash_join
 
     sh_rows = ds.map_batches(
@@ -425,6 +424,9 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
     right = sh_rows.map_batches(side("id_b", "n_b"), batch_format="pandas")
     co = hash_join(left, right, key="sh", n_buckets=n_buckets)
 
+    # power-of-two partition count for the pair aggregate (masked mod)
+    nparts = 1 << max(n_buckets - 1, 1).bit_length()
+
     def ordered(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["id_a"], t["id_b"]))
         a = pc.cast(t["id_a"], pa.int64())
@@ -437,27 +439,32 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
             raise ValueError("ngram_jaccard int64 pair packing needs ids < 2^31")
         key = pc.add(pc.multiply(a, pa.scalar(1 << 32, pa.int64())), b)
         return pa.table({"pair_key": key,
+                         "__pb": pc.bit_wise_and(key, pa.scalar(nparts - 1,
+                                                                pa.int64())),
                          "n_a": pc.cast(t["n_a"], pa.int64()),
                          "n_b": pc.cast(t["n_b"], pa.int64())})
 
-    agg = (co.map_batches(ordered, batch_format="pyarrow")
-           .groupby("pair_key")       # single-key: see MinHashBander note
-           .aggregate(Count(alias_name="n_common"),
-                      Min("n_a", alias_name="n_a"),
-                      Min("n_b", alias_name="n_b")))
-
-    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["n_common"].to_numpy(dtype=np.float64)
-        union = (df["n_a"].to_numpy(dtype=np.float64)
-                 + df["n_b"].to_numpy(dtype=np.float64) - c)
+    # Per-pair counts via HASH-BUCKETED vectorized pandas groupby —
+    # NOT ray.data groupby(pair_key): with ~1 distinct pair per row the
+    # sort-based aggregate degenerates (measured 255 s for 1.65 M rows /
+    # 1.45 M groups at sf0.1 vs ~2 s bucketed).  Bucket count bounds
+    # per-task memory: rows_per_task ≈ total_co_rows / nparts.
+    def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair_key", as_index=False).agg(
+            n_common=("n_a", "size"), n_a=("n_a", "first"),
+            n_b=("n_b", "first"))
+        c = g["n_common"].to_numpy(dtype=np.float64)
+        union = (g["n_a"].to_numpy(dtype=np.float64)
+                 + g["n_b"].to_numpy(dtype=np.float64) - c)
         j = np.where(union > 0, c / np.maximum(union, 1.0), 1.0)
-        key = df["pair_key"].to_numpy(dtype=np.int64)
+        key = g["pair_key"].to_numpy(dtype=np.int64)
         out = pd.DataFrame({"doc_a": key >> 32,
                             "doc_b": key & 0xFFFFFFFF,
                             "jaccard": np.round(j, 6)})
         return out[j >= threshold]
 
-    return agg.map_batches(jaccard, batch_format="pandas")
+    return (co.map_batches(ordered, batch_format="pyarrow")
+            .groupby("__pb").map_groups(agg_bucket, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
