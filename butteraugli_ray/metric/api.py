@@ -135,16 +135,30 @@ def butteraugli_linear(rgb1: np.ndarray, rgb2: np.ndarray,
     return ButteraugliResult(float(score), float(pnorm3), dm)
 
 
+def _diffmap_stats(diffmaps: np.ndarray) -> dict:
+    """Per-image diffmap summary stats (A5 at corpus scale):
+    [N, h, w] → {max, mean, p99} float64[N]."""
+    n = diffmaps.shape[0]
+    flat = diffmaps.reshape(n, -1).astype(np.float64, copy=False)
+    return {"diffmap_max": flat.max(axis=1),
+            "diffmap_mean": flat.mean(axis=1),
+            "diffmap_p99": np.quantile(flat, 0.99, axis=1)}
+
+
 def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
                            params: ButteraugliParams = ButteraugliParams(),
-                           stop_check=None, pnorm_p: float = 3.0):
+                           stop_check=None, pnorm_p: float = 3.0,
+                           return_stats: bool = False):
     """Score N same-size pairs in one stacked pass: [N, h, w, 3] u8 on
     both sides → (scores[N], pnorms[N]).  The kernels are batch-aware,
     so both pyramids compute stacked; per-pair identical-image
     short-circuits apply.  Requires h, w ≥ 8 (no per-image padding in
     the batched path).  ``params`` (lib.rs:375-381) is honored exactly
     as in the one-shot path.  ``pnorm_p`` selects the generic libjxl
-    p-norm (lib.rs:556-577); 3.0 uses the fused-reduction fast path."""
+    p-norm (lib.rs:556-577); 3.0 uses the fused-reduction fast path.
+    ``return_stats=True`` appends a third return: per-pair diffmap
+    {max, mean, p99} from the already-computed stack (no extra
+    pyramid work)."""
     params.validate()
     generic_p = abs(pnorm_p - 3.0) > 1e-12
     if rgb1_u8.shape != rgb2_u8.shape:
@@ -154,11 +168,16 @@ def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
         scores = np.empty(n)
         pnorms = np.empty(n)
         sub_params = (replace(params, compute_diffmap=True)
-                      if generic_p else params)
+                      if generic_p or return_stats else params)
+        dms = []
         for i in range(n):
             r = butteraugli_srgb(rgb1_u8[i], rgb2_u8[i], sub_params, stop_check)
             scores[i] = r.score
             pnorms[i] = r.pnorm(pnorm_p) if generic_p else r.pnorm_3
+            if return_stats:
+                dms.append(r.diffmap)
+        if return_stats:
+            return scores, pnorms, _diffmap_stats(np.stack(dms))
         return scores, pnorms
     lut = K.SRGB_TO_LINEAR_LUT
     lin1 = np.ascontiguousarray(np.moveaxis(lut[rgb1_u8], -1, -3))
@@ -177,7 +196,15 @@ def butteraugli_srgb_batch(rgb1_u8: np.ndarray, rgb2_u8: np.ndarray,
         pnorms = np.where(same, 0.0, pnorms)
     if not np.isfinite(scores).all():
         raise FloatingPointError("non-finite butteraugli score in batch")
-    return np.asarray(scores, dtype=np.float64), np.asarray(pnorms, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    pnorms = np.asarray(pnorms, dtype=np.float64)
+    if return_stats:
+        stats = _diffmap_stats(diffmap[..., :h, :w])
+        if same.any():
+            for v in stats.values():
+                v[same] = 0.0
+        return scores, pnorms, stats
+    return scores, pnorms
 
 
 def score_pair(ref_bytes: bytes, dist_bytes: bytes, width: int, height: int,

@@ -43,15 +43,23 @@ class MediaScorer:
 
     def __init__(self, params: ButteraugliParams = None,
                  strip_threshold_px: int = 4_000_000,
-                 strip_height: int = 256):
+                 strip_height: int = 256,
+                 emit_diffmap_stats: bool = False):
         """Media with more than ``strip_threshold_px`` pixels score via
         the bounded-memory strip walker (strip_height rows + halo —
         strip.rs:583-905 semantics; interior rows bit-identical, score
         within ~1e-2 of full) instead of the stacked batched compare, so
-        one oversized pair cannot blow the actor heap."""
+        one oversized pair cannot blow the actor heap.
+
+        ``emit_diffmap_stats=True`` appends diffmap_max / diffmap_mean /
+        diffmap_p99 columns (A5 at corpus scale; free — the batched
+        compare already materializes the diffmap stack).  Oversized
+        strip-path media emit NaN stats: the strip walker never holds a
+        whole diffmap, by design."""
         self.params = params or ButteraugliParams()
         self.strip_threshold_px = strip_threshold_px
         self.strip_height = strip_height
+        self.emit_diffmap_stats = emit_diffmap_stats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths = batch["width"].to_pylist()
@@ -68,6 +76,9 @@ class MediaScorer:
         scores = np.full(n_rows, np.nan)
         pnorms = np.full(n_rows, np.nan)
         errors = [None] * n_rows
+        dstats = {k: np.full(n_rows, np.nan)
+                  for k in ("diffmap_max", "diffmap_mean", "diffmap_p99")} \
+            if self.emit_diffmap_stats else None
 
         # group same-size valid rows → one stacked batched compare per
         # (w, h); invalid rows become scorer_error violation strings
@@ -102,18 +113,28 @@ class MediaScorer:
                               .reshape(h, w, 3) for i in idxs])
                 b = np.stack([np.frombuffer(dist_bytes[i], np.uint8)
                               .reshape(h, w, 3) for i in idxs])
-                sc, pn = butteraugli_srgb_batch(a, b, self.params)
+                if dstats is not None:
+                    sc, pn, st = butteraugli_srgb_batch(
+                        a, b, self.params, return_stats=True)
+                    for k in dstats:
+                        dstats[k][idxs] = st[k]
+                else:
+                    sc, pn = butteraugli_srgb_batch(a, b, self.params)
                 for j, i in enumerate(idxs):
                     scores[i], pnorms[i] = sc[j], pn[j]
             except Exception as exc:  # noqa: BLE001 — violation, not crash
                 for i in idxs:
                     errors[i] = f"{type(exc).__name__}: {exc}"
-        return pa.table({
+        cols = {
             "media_ref": batch["media_ref"],
             "score": pa.array(scores.tolist(), pa.float64()),
             "pnorm_3": pa.array(pnorms.tolist(), pa.float64()),
             "scorer_error": pa.array(errors, pa.string()),
-        })
+        }
+        if dstats is not None:
+            for k, v in dstats.items():
+                cols[k] = pa.array(v.tolist(), pa.float64())
+        return pa.table(cols)
 
 
 class SpanScoreChecker:

@@ -207,3 +207,29 @@ def test_batched_generic_pnorm_matches_oneshot():
     for i, (ra, rb) in enumerate(pairs):
         one = butteraugli_srgb(ra, rb)
         assert pnorms3[i] == pytest.approx(one.pnorm_3, rel=1e-6)
+
+
+def test_media_scorer_diffmap_stats():
+    import pyarrow as pa
+    from butteraugli_ray.metric.api import ButteraugliParams
+    from butteraugli_ray.stages.scorer import MediaScorer
+    from butteraugli_ray.corpus.generators import generate_image_pair
+    pairs = [generate_image_pair("gradient_h_shift_15", 32, 32),
+             generate_image_pair("checkerboard_shift_25", 32, 32)]
+    batch = pa.table({
+        "media_ref": pa.array(["m0", "m1"]),
+        "width": pa.array([32, 32]), "height": pa.array([32, 32]),
+        "ref_rgb": pa.array([p[0].tobytes() for p in pairs], pa.binary()),
+        "dist_rgb": pa.array([p[1].tobytes() for p in pairs], pa.binary()),
+    })
+    got = MediaScorer(emit_diffmap_stats=True)(batch)
+    assert {"diffmap_max", "diffmap_mean", "diffmap_p99"} <= set(got.column_names)
+    for i, (a, b) in enumerate(pairs):
+        r = butteraugli_srgb(a, b, ButteraugliParams(compute_diffmap=True))
+        dm = r.diffmap.astype(np.float64)
+        assert got["diffmap_max"][i].as_py() == pytest.approx(dm.max(), rel=1e-6)
+        assert got["diffmap_mean"][i].as_py() == pytest.approx(dm.mean(), rel=1e-6)
+        assert got["diffmap_p99"][i].as_py() == pytest.approx(
+            np.quantile(dm.ravel(), 0.99), rel=1e-5)
+    # default stays stats-free (schema unchanged for existing consumers)
+    assert "diffmap_max" not in MediaScorer()(batch).column_names
