@@ -102,10 +102,8 @@ class MinHasher:
     def shingles(self, text: str) -> np.ndarray:
         return shingle_hashes(text, self.shingle)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = self.shingles(text)
-        if len(sh) == 0:
-            return np.zeros(self.num_perms, dtype=np.uint64)
+    def _universal(self, sh: np.ndarray) -> np.ndarray:
+        """[n] shingle hashes → [n, num_perms] universal hashes."""
         with np.errstate(over="ignore"):
             # exact (a*x + b) mod p, p = 2^61-1: the 122-bit product is
             # built from 32-bit limbs (hi/lo uint64 halves with carry),
@@ -129,7 +127,45 @@ class MinHasher:
             for _ in range(2):                        # fold < 4p → < p
                 h = (h & _MERSENNE) + (h >> np.uint64(61))
             h = np.where(h >= _MERSENNE, h - _MERSENNE, h)
-        return h.min(axis=0)
+        return h
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_perms, dtype=np.uint64)
+        return self._universal(sh).min(axis=0)
+
+    # bound on concatenated shingles per _universal call.  Keep the
+    # [chunk, num_perms] uint64 temporaries ≤ ~2 MB: this host shows a
+    # >100× per-row cliff once they exceed the cache-resident regime
+    # (measured 9.5 μs/row at 2048 rows vs 668 μs/row at 8192), so
+    # bigger chunks are dramatically SLOWER despite fewer numpy calls
+    _CHUNK_SHINGLES = 2048
+
+    def signatures_batch(self, shingle_lists) -> np.ndarray:
+        """[k arrays of shingle hashes] → [k, num_perms] signatures in
+        a handful of numpy passes: concatenate → one universal-hash
+        matrix → segment-min via ``np.minimum.reduceat`` at the doc
+        offsets.  ~10 numpy calls per chunk instead of ~10 per doc."""
+        k = len(shingle_lists)
+        out = np.zeros((k, self.num_perms), dtype=np.uint64)
+        lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        nz = np.nonzero(lens)[0]
+        pos = 0
+        while pos < len(nz):
+            take, tot = 0, 0
+            while (pos + take < len(nz)
+                   and (take == 0 or tot + lens[nz[pos + take]]
+                        <= self._CHUNK_SHINGLES)):
+                tot += lens[nz[pos + take]]
+                take += 1
+            idx = nz[pos:pos + take]
+            cat = np.concatenate([shingle_lists[i] for i in idx])
+            h = self._universal(cat)
+            offsets = np.r_[0, np.cumsum(lens[idx])][:-1]
+            out[idx] = np.minimum.reduceat(h, offsets, axis=0)
+            pos += take
+        return out
 
     def jaccard(self, a: str, b: str) -> float:
         sa, sb = set(self.shingles(a).tolist()), set(self.shingles(b).tolist())
@@ -166,18 +202,22 @@ class MinHashBander:
                              * np.uint64(0x9E3779B97F4A7C15)))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ids, band_hashes = [], []
-        for _id, text in zip(df[self.id_col], df[self.text_col]):
-            sig = self.mh.signature(text or "")
-            bs = sig.reshape(self.bands, self.rows_per_band)
-            with np.errstate(over="ignore"):
-                h = self._init.copy()
-                for r in range(self.rows_per_band):
-                    h = (h ^ bs[:, r]) * np.uint64(1099511628211)
-            ids.extend([_id] * self.bands)
-            band_hashes.extend(h.tolist())
+        # shingle extraction is per-doc string work (inherent); the
+        # universal-hash/min and the FNV band fold are batched across
+        # the whole input (signatures_batch + one fold loop over
+        # rows_per_band on an [n_docs, bands] matrix)
+        shingle_lists = [self.mh.shingles(t or "")
+                         for t in df[self.text_col]]
+        sigs = self.mh.signatures_batch(shingle_lists)
+        n = len(df)
+        bs = sigs.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            h = np.broadcast_to(self._init, (n, self.bands)).copy()
+            for r in range(self.rows_per_band):
+                h = (h ^ bs[:, :, r]) * np.uint64(1099511628211)
+        ids = np.repeat(df[self.id_col].to_numpy(), self.bands)
         return pd.DataFrame({"doc_id": ids,
-                             "band_hash": np.array(band_hashes, dtype=np.uint64).astype(np.int64)})
+                             "band_hash": h.reshape(-1).astype(np.int64)})
 
 
 def _dedup_pairs_native(pairs_ds, extra_col: str | None = None):
@@ -207,13 +247,53 @@ def _dedup_pairs_native(pairs_ds, extra_col: str | None = None):
                             batch_format="pyarrow")
 
 
+def pairs_within_groups(df: pd.DataFrame, group_col: str,
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """All (id_a < id_b) pairs within each ``group_col`` group,
+    VECTORIZED: sort once, then one triu gather per distinct group
+    size — no per-group Python (a hash-bucketed partition holds many
+    thousands of groups; per-group calls dominated the old path)."""
+    df = (df[[group_col, id_col]].drop_duplicates()
+          .sort_values([group_col, id_col]))
+    g = df[group_col].to_numpy()
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    new = np.r_[True, g[1:] != g[:-1]]
+    gidx = np.cumsum(new) - 1
+    counts = np.bincount(gidx)
+    starts = np.r_[0, np.cumsum(counts)][:-1]
+    out_a, out_b = [], []
+    for s in np.unique(counts):
+        if s < 2:
+            continue
+        sel = np.nonzero(counts == s)[0]
+        mat = ids[starts[sel][:, None] + np.arange(s)[None, :]]   # (G, s)
+        iu, ju = np.triu_indices(s, 1)
+        out_a.append(mat[:, iu].ravel())
+        out_b.append(mat[:, ju].ravel())
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b)})
+
+
 def minhash_candidate_pairs(ds, num_perms=128, bands=16, shingle=3, seed=7,
                             id_col="doc_id", text_col="text", concurrency=4,
-                            dedup: bool = True):
+                            dedup: bool = True, n_parts: int = 64):
     """→ Dataset(id_a, id_b) candidate near-dup pairs (id_a < id_b),
     deduplicated across bands.  Pass ``dedup=False`` when a downstream
     per-pair grouping (e.g. ``verify_jaccard_pairs_ds``) dedups anyway —
-    saves one shuffle."""
+    saves one shuffle.
+
+    Bucketing shape: band buckets are grouped by ``band_hash mod
+    n_parts`` (ONE shuffle into n_parts partitions), then pair emission
+    inside each partition is a single vectorized pass over all its
+    buckets — NOT a per-bucket ``map_groups`` (one Python call per
+    distinct band_hash ≈ one per doc×bands at low dup rates; measured
+    ~4.5 s of pure call overhead on 91k rows / 83k buckets)."""
     banded = ds.map_batches(
         MinHashBander,
         fn_constructor_kwargs=dict(num_perms=num_perms, bands=bands,
@@ -221,18 +301,19 @@ def minhash_candidate_pairs(ds, num_perms=128, bands=16, shingle=3, seed=7,
                                    id_col=id_col, text_col=text_col),
         batch_format="pandas", concurrency=concurrency)
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g["doc_id"].to_pylist()))
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64())})
+    mask = np.int64((1 << max(n_parts - 1, 1).bit_length()) - 1)
 
-    pairs = (banded.groupby("band_hash")          # single-key: see MinHashBander
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = df["band_hash"].to_numpy() & mask
+        return df
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return pairs_within_groups(g, "band_hash")
+
+    pairs = (banded.map_batches(tag, batch_format="pandas")
+             .groupby("__part")
+             .map_groups(part_pairs, batch_format="pandas"))
     if not dedup:
         return pairs
     # dedup pairs discovered in multiple bands: NATIVE count aggregate on
@@ -301,35 +382,63 @@ def verify_jaccard_pairs_ds(pairs_ds, docs_ds, threshold: float,
     tagged = (pairs_ds.map_batches(halves, batch_format="pandas")
               .union(docs_ds.map_batches(text_rows, batch_format="pandas")))
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.loc[g["side"] == 2, "text"]
-        txt = t.iloc[0] if len(t) else ""
-        h = g[g["side"] != 2]
-        return pd.DataFrame({"pair_key": (h["id_a"].astype(str) + "|"
-                                          + h["id_b"].astype(str)),
-                             "id_a": h["id_a"].astype("int64"),
-                             "id_b": h["id_b"].astype("int64"),
-                             "side": h["side"].astype("int64"),
-                             "text": [txt] * len(h)})
+    # both co-location steps are HASH-BUCKETED partition groupbys with a
+    # vectorized pandas merge inside — not per-doc / per-pair map_groups
+    # (one Python call per candidate doc and per candidate pair adds
+    # seconds of pure call overhead even at a few thousand candidates)
+    mask = np.int64(63)
 
-    with_text = tagged.groupby("doc_id").map_groups(attach,
-                                                    batch_format="pandas")
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = df["doc_id"].to_numpy(dtype=np.int64) & mask
+        return df
+
+    def attach_part(g: pd.DataFrame) -> pd.DataFrame:
+        texts = (g.loc[g["side"] == 2, ["doc_id", "text"]]
+                 .drop_duplicates("doc_id"))
+        h = g[g["side"] != 2].drop(columns=["text"])
+        m = h.merge(texts, on="doc_id", how="left")
+        a = m["id_a"].to_numpy(dtype=np.int64)
+        b = m["id_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"pair_key": (a << 32) | b,
+                             "side": m["side"].astype("int64"),
+                             "text": m["text"].fillna("")})
+
+    with_text = (tagged.map_batches(tag_doc, batch_format="pandas")
+                 .groupby("__part").map_groups(attach_part,
+                                               batch_format="pandas"))
     mh = MinHasher(num_perms, shingle, seed)   # tiny; ships in the closure
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ta = g.loc[g["side"] == 0, "text"]
-        tb = g.loc[g["side"] == 1, "text"]
-        j = mh.jaccard(ta.iloc[0] if len(ta) else "",
-                       tb.iloc[0] if len(tb) else "")
-        if j < threshold:
-            return _empty()
-        return pd.DataFrame({"id_a": pd.Series([g["id_a"].iloc[0]], dtype="int64"),
-                             "id_b": pd.Series([g["id_b"].iloc[0]], dtype="int64"),
-                             "jaccard": pd.Series([j], dtype="float64")})
+    def tag_pair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = df["pair_key"].to_numpy(dtype=np.int64) & mask
+        return df
 
-    # single-key grouping (see MinHashBander note on multi-key cost)
-    return with_text.groupby("pair_key").map_groups(
-        verify, batch_format="pandas")
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.loc[g["side"] == 0, ["pair_key", "text"]]
+             .drop_duplicates("pair_key").rename(columns={"text": "ta"}))
+        b = (g.loc[g["side"] == 1, ["pair_key", "text"]]
+             .drop_duplicates("pair_key").rename(columns={"text": "tb"}))
+        m = a.merge(b, on="pair_key", how="outer")
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        for key, ta, tb in zip(m["pair_key"],
+                               m["ta"].fillna(""), m["tb"].fillna("")):
+            j = mh.jaccard(ta, tb)      # per-pair work is inherent here
+            if j >= threshold:
+                key = int(key)
+                out["id_a"].append(key >> 32)
+                out["id_b"].append(key & 0xFFFFFFFF)
+                out["jaccard"].append(j)
+        if not out["id_a"]:
+            return _empty()
+        return pd.DataFrame({"id_a": pd.Series(out["id_a"], dtype="int64"),
+                             "id_b": pd.Series(out["id_b"], dtype="int64"),
+                             "jaccard": pd.Series(out["jaccard"],
+                                                  dtype="float64")})
+
+    return (with_text.map_batches(tag_pair, batch_format="pandas")
+            .groupby("__part").map_groups(verify_part,
+                                          batch_format="pandas"))
 
 
 def verify_jaccard_pairs(pairs_df: pd.DataFrame, texts: dict, threshold: float,
@@ -518,30 +627,43 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_candidate_pairs(ds, max_hamming: int = 3, concurrency: int = 4,
-                            id_col="doc_id", text_col="text"):
+                            id_col="doc_id", text_col="text",
+                            n_parts: int = 64):
     """Near-dup candidates via pigeonhole bucketing on 16-bit chunks, then
-    exact Hamming verification inside each bucket."""
+    exact Hamming verification inside each bucket.
+
+    Same bucketed-partition shape as ``minhash_candidate_pairs``: one
+    shuffle on ``chunk_key mod n_parts``, then vectorized pair emission
+    + one batched Hamming pass per partition (no per-bucket Python —
+    up to 4×2¹⁶ distinct chunk buckets otherwise)."""
     hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
                             batch_format="pandas", concurrency=concurrency)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy()
-        out = {"id_a": [], "id_b": [], "hamming": []}
-        for i in range(len(g)):
-            d = hamming64(np.repeat(sh[i], len(g) - i - 1), sh[i + 1:])
-            ok = np.nonzero(d <= max_hamming)[0]
-            for j in ok:
-                out["id_a"].append(ids[i])
-                out["id_b"].append(ids[i + 1 + j])
-                out["hamming"].append(int(d[j]))
-        return pd.DataFrame({"id_a": pd.Series(out["id_a"], dtype="int64"),
-                             "id_b": pd.Series(out["id_b"], dtype="int64"),
-                             "hamming": pd.Series(out["hamming"], dtype="int64")})
+    mask = np.int64((1 << max(n_parts - 1, 1).bit_length()) - 1)
 
-    pairs = hashed.groupby("chunk_key").map_groups(
-        bucket_pairs, batch_format="pandas")
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = df["chunk_key"].to_numpy() & mask
+        return df
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        pairs = pairs_within_groups(g, "chunk_key", id_col)
+        if not len(pairs):
+            return empty
+        sh_map = g.drop_duplicates(id_col).set_index(id_col)["simhash"]
+        ha = sh_map.loc[pairs["id_a"]].to_numpy(dtype=np.int64)
+        hb = sh_map.loc[pairs["id_b"]].to_numpy(dtype=np.int64)
+        d = hamming64(ha, hb)
+        keep = d <= max_hamming
+        return pd.DataFrame({"id_a": pairs["id_a"].to_numpy()[keep],
+                             "id_b": pairs["id_b"].to_numpy()[keep],
+                             "hamming": d[keep]})
+
+    pairs = (hashed.map_batches(tag, batch_format="pandas")
+             .groupby("__part").map_groups(part_pairs, batch_format="pandas"))
 
     # dedup pairs found in multiple chunk buckets: NATIVE single-key
     # aggregate (hamming is identical for every rediscovery of a pair)
