@@ -594,6 +594,83 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_user_peak_burst(sf_dir: str, window_s: int = 600) -> pd.DataFrame:
+    """Sliding-window aggregate: per user, the max number of events in
+    any trailing 10-minute window (RANGE semantics — all ts-peers
+    count, window bounds are value-defined so the result is
+    order-deterministic).
+
+    Shape: ONE shuffle into 64 hash partitions of the 2-column
+    projection, then per-partition vectorized two-searchsorted sliding
+    counts per user segment — no per-user map_groups, no window
+    materialization."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    mask = np.int64(63)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = df["user_id"].to_numpy(dtype=np.int64) & mask
+        return df
+
+    def peak_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = np.int64(window_s * 1_000_000)
+        bounds = np.r_[0, np.nonzero(uid[1:] != uid[:-1])[0] + 1, len(uid)]
+        out_u = np.empty(len(bounds) - 1, dtype=np.int64)
+        out_p = np.empty(len(bounds) - 1, dtype=np.int64)
+        for i in range(len(bounds) - 1):
+            seg = ts[bounds[i]:bounds[i + 1]]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - win, side="left")
+            out_u[i] = uid[bounds[i]]
+            out_p[i] = (hi - lo).max()
+        return pd.DataFrame({"user_id": out_u, "peak_burst": out_p})
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__part").map_groups(peak_part, batch_format="pandas")
+           ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k: the k highest-value orders per customer market
+    segment.  Broadcast dim join (custkey → segment via ray.put) +
+    per-batch partial top-k, so only ≤ k × segments × blocks rows ever
+    reach the driver-side final reduce."""
+    import ray
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    order_cols = ["c_mktsegment", "o_totalprice", "o_orderkey"]
+    order_dirs = [True, False, True]
+
+    class PartialTopK:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = pd.DataFrame({"c_mktsegment": df["o_custkey"].map(self.lookup),
+                              "o_orderkey": df["o_orderkey"],
+                              "o_totalprice": df["o_totalprice"]})
+            d = d.dropna(subset=["c_mktsegment"])   # inner-join semantics
+            d = d.sort_values(order_cols, ascending=order_dirs)
+            return d.groupby("c_mktsegment", as_index=False).head(k)
+
+    partials = _read(sf_dir, "orders",
+                     columns=["o_custkey", "o_orderkey", "o_totalprice"]
+                     ).map_batches(PartialTopK, batch_format="pandas",
+                                   concurrency=2)
+    allp = partials.to_pandas()                     # tiny by construction
+    allp = allp.sort_values(order_cols, ascending=order_dirs)
+    top = allp.groupby("c_mktsegment", as_index=False).head(k).copy()
+    top["rnk"] = top.groupby("c_mktsegment").cumcount() + 1
+    return (top[["c_mktsegment", "rnk", "o_orderkey", "o_totalprice"]]
+            .sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True))
+
+
 def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     """EXACT n-gram Jaccard similarity join over the near-dup corpus
     (shingle-partitioned self-join; no false negatives — the oracle-SQL
@@ -850,6 +927,8 @@ QUERIES = {
     "shipdate_range": q_shipdate_range,
     "value_median_by_type": q_value_median_by_type,
     "ngram_jaccard": q_ngram_jaccard,
+    "user_peak_burst": q_user_peak_burst,
+    "top_orders_per_segment": q_top_orders_per_segment,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1012,6 +1091,23 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    "user_peak_burst": """
+        SELECT user_id, CAST(max(cnt) AS BIGINT) AS peak_burst FROM (
+            SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                      AND CURRENT ROW) AS cnt
+            FROM events)
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "top_orders_per_segment": """
+        SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk,
+               o_orderkey, o_totalprice FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
     """,
     # exact n-gram Jaccard join over documents ∪ deterministic truncated
     # near-dups (same augmented population as _docs_with_near_dups)
