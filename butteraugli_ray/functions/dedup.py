@@ -768,28 +768,43 @@ class HyperplaneBucketer:
 def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
                              n_planes: int = 8, seed: int = 5,
                              id_col: str = "vec_id", emb_col: str = "embedding",
-                             concurrency: int = 4):
+                             concurrency: int = 4, n_tables: int = 1):
     """cosine ≥ threshold pairs found within hyperplane-LSH buckets.
 
-    Recall note: a single hyperplane table misses pairs split by a plane;
-    at corpus scale run multiple tables (seeds) and union, same shape.
+    ``n_tables`` > 1 runs that many independent hyperplane tables
+    (seeds ``seed, seed+1, …``) and unions their pairs (native
+    single-key dedup): a pair split by a plane in one table survives
+    in another — per-table miss probability is (1-(1-θ/π)^planes),
+    multiplied across tables.  One table keeps round-1 behavior.
     """
-    bucketed = ds.map_batches(
-        HyperplaneBucketer, fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
-                                                       seed=seed, emb_col=emb_col),
-        batch_format="pandas", concurrency=concurrency)
+    def one_table(table_seed: int):
+        bucketed = ds.map_batches(
+            HyperplaneBucketer,
+            fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                       seed=table_seed, emb_col=emb_col),
+            batch_format="pandas", concurrency=concurrency)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        emb = emb / norm
-        sims = emb @ emb.T
-        iu = np.triu_indices(len(g), k=1)
-        mask = sims[iu] >= threshold
-        return pd.DataFrame({"id_a": ids[iu[0][mask]], "id_b": ids[iu[1][mask]],
-                             "cosine": sims[iu][mask]})
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+            norm = np.linalg.norm(emb, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            emb = emb / norm
+            sims = emb @ emb.T
+            iu = np.triu_indices(len(g), k=1)
+            mask = sims[iu] >= threshold
+            return pd.DataFrame({"id_a": ids[iu[0][mask]],
+                                 "id_b": ids[iu[1][mask]],
+                                 "cosine": sims[iu][mask]})
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+        return bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                     batch_format="pandas")
+
+    pairs = one_table(seed)
+    if n_tables <= 1:
+        return pairs
+    for t in range(1, n_tables):
+        pairs = pairs.union(one_table(seed + t))
+    # cosine is identical for every rediscovery of a pair → Min keeps it
+    return _dedup_pairs_native(pairs, extra_col="cosine")

@@ -231,3 +231,34 @@ def test_ngram_jaccard_matches_bruteforce(ray_session):
     # the 8 seeded near-dups must all be found
     for i in range(8):
         assert (i, 40 + i) in got_pairs
+
+
+def test_embedding_lsh_multitable_recall(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import embedding_near_dup_pairs
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((60, 32)).astype(np.float64)
+    near = base[:15] + 0.02 * rng.standard_normal((15, 32))  # cos ≈ 0.999
+    emb = np.vstack([base, near])
+    df = pd.DataFrame({"vec_id": np.arange(75, dtype=np.int64),
+                       "embedding": list(emb.astype(np.float32))})
+    # brute-force ground truth
+    n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = n @ n.T
+    iu = np.triu_indices(75, 1)
+    truth = {(int(a), int(b)) for a, b in zip(iu[0][sims[iu] >= 0.95],
+                                              iu[1][sims[iu] >= 0.95])}
+    assert len(truth) >= 15
+
+    def run(tables):
+        out = embedding_near_dup_pairs(
+            rd.from_pandas(df), dim=32, threshold=0.95, n_planes=8,
+            concurrency=1, n_tables=tables).to_pandas()
+        return {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+
+    one, four = run(1), run(4)
+    assert one <= truth and four <= truth      # no false positives
+    assert one <= four                         # union only adds recall
+    assert len(four) >= len(one)
+    assert len(four) / len(truth) >= 0.9       # 4 tables ≈ full recall
