@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .text import WS_TOKEN_RE, fingerprint_md5
 
@@ -674,68 +675,77 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, concurrency: int = 4,
 # Connected components over candidate pairs (duplicate GROUPS)
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs_ds, max_iters: int = 10):
+def connected_components(pairs_ds, max_iters: int = 10, n_buckets: int = 64):
     """Min-label propagation over (id_a, id_b) edges → Dataset(node, label)
     where ``label`` is the smallest id in each connected component.
 
-    Shuffle-only implementation (no joins): each round, every node's
-    group (its current label + incident edges) broadcasts its min label
-    to itself and its neighbors, then a groupby-min installs the new
-    labels.  Converges in O(component diameter) rounds; ``max_iters``
-    bounds the cost (duplicate clusters are shallow in practice).
+    Shuffle-only implementation (no joins): each round, labels and edges
+    are co-bucketed by ``hash(node) % n_buckets`` and each bucket emits —
+    with VECTORIZED pandas, never per-node Python — one self-message
+    ``(node, label)`` plus one ``(nbr, label_of_node)`` per incident edge;
+    a native groupby-min installs the new labels.  So each round costs two
+    shuffles over O(V+E) int64 rows and exactly ``n_buckets`` Python group
+    calls.  Labels only decrease, so ``sum(label)`` is a monotone
+    convergence certificate: the loop exits early once it stops moving.
+    Converges in O(component diameter) rounds; ``max_iters`` bounds the
+    cost (duplicate clusters are shallow in practice).
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    n_buckets = 1 << max(int(n_buckets) - 1, 1).bit_length()
+    # power of two so the bucket op is a bitmask
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
         b = t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
-        return pa.table({"node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
-                         "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])})
+        node = pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])
+        nbr = pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])
+        bkt = pc.bit_wise_and(node, pa.scalar(n_buckets - 1, pa.int64()))
+        return pa.table({"node": node, "label": pa.nulls(len(node), pa.int64()),
+                         "nbr": nbr, "__b": bkt})
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    edge_msgs = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
 
     from ray.data.aggregate import Min
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "label": t["node"]})
 
-    def with_nbr_nulls(t: pa.Table) -> pa.Table:
-        return t.append_column("nbr", pa.nulls(t.num_rows, pa.int64()))
+    def with_msg_cols(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks() if isinstance(t["node"], pa.ChunkedArray) else t["node"]
+        bkt = pc.bit_wise_and(node, pa.scalar(n_buckets - 1, pa.int64()))
+        return pa.table({"node": node, "label": t["label"],
+                         "nbr": pa.nulls(t.num_rows, pa.int64()), "__b": bkt})
 
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+    labels = (edge_msgs.map_batches(init_labels, batch_format="pyarrow")
               .groupby("node").aggregate(Min("label", alias_name="label"))
-              .map_batches(with_nbr_nulls, batch_format="pyarrow"))
+              .map_batches(with_msg_cols, batch_format="pyarrow")
+              .materialize())
 
-    def edge_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"],
-                         "label": pa.nulls(t.num_rows, pa.int64()),
-                         "nbr": t["nbr"]})
+    def bucket_propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["nbr"].isna()]
+        edg = df[df["nbr"].notna()]
+        # per-node current label (unique after the native Min aggregate,
+        # but min() keeps this correct even if duplicates slip through)
+        lbl = lab.groupby("node")["label"].min()
+        nbr_label = lbl.reindex(edg["node"].to_numpy()).to_numpy()
+        out_node = np.concatenate([
+            lbl.index.to_numpy(dtype=np.int64),
+            edg["nbr"].to_numpy(dtype=np.int64)])
+        out_label = np.concatenate([
+            lbl.to_numpy(dtype=np.int64),
+            nbr_label.astype(np.int64)])
+        return pd.DataFrame({"node": out_node, "label": out_label})
 
-    edge_msgs = edges.map_batches(edge_rows, batch_format="pyarrow")
-
-    def propagate(g: pa.Table) -> pa.Table:
-        lbls = pc.drop_null(g["label"])
-        if len(lbls) == 0:
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "label": pa.array([], pa.int64()),
-                             "nbr": pa.array([], pa.int64())})
-        m = pc.min(lbls).as_py()
-        nbrs = pc.drop_null(g["nbr"]).unique()
-        node = g["node"][0].as_py()
-        targets = [node] + nbrs.to_pylist()
-        return pa.table({"node": pa.array(targets, pa.int64()),
-                         "label": pa.array([m] * len(targets), pa.int64()),
-                         "nbr": pa.nulls(len(targets), pa.int64())})
-
-    edge_msgs = edge_msgs.materialize()   # reused every round
+    prev_sum = None
     for _ in range(max_iters):
         merged = labels.union(edge_msgs)
-        # collapse is a NATIVE min aggregate (no per-node Python)
-        labels = (merged.groupby("node").map_groups(propagate, batch_format="pyarrow")
+        labels = (merged.groupby("__b").map_groups(bucket_propagate, batch_format="pandas")
                   .groupby("node").aggregate(Min("label", alias_name="label"))
-                  .map_batches(with_nbr_nulls, batch_format="pyarrow")
+                  .map_batches(with_msg_cols, batch_format="pyarrow")
                   .materialize())        # flatten lineage between rounds
+        cur_sum = labels.sum("label")    # monotone ⇒ unchanged = converged
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
 
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "label": t["label"]}),
