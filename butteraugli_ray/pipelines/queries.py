@@ -31,6 +31,16 @@ def _read(sf_dir: str, table: str, columns=None):
                         override_num_blocks=small_file_num_blocks(path)))
 
 
+def _round_half_away(s: pd.Series, nd: int) -> pd.Series:
+    """Round half away from zero (DuckDB ROUND semantics) — numpy/pandas
+    round half-even, which flips the driver hash when an aggregate lands
+    exactly on a .5 tie (e.g. mean(l_quantity) = 25.40225)."""
+    m = 10.0 ** nd
+    v = s.to_numpy(dtype=np.float64)
+    return pd.Series(np.sign(v) * np.floor(np.abs(v) * m + 0.5) / m,
+                     index=s.index)
+
+
 def _final_agg(partials, keys, sum_cols):
     """groupby over per-batch partial rows (the combiner pattern)."""
     from ray.data.aggregate import Sum
@@ -903,6 +913,154 @@ def q_validate_corpus(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_tfidf_top_terms — explode→combine→shuffle-once + distributed top-k
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k terms per language by TF-IDF over the documents table.
+
+    Scale shape: tokenization + per-batch (lang, term) combining happens
+    inside ``map_batches`` (the combiner bounds shuffle rows by per-batch
+    vocabulary, not token count); the single shuffle is a native Sum over
+    a PACKED string key (multi-column groupby keys take a slow per-group
+    path — see sources/tables.small_file_num_blocks note); doc-frequency
+    partials are per-batch ``nunique`` which is exact because one doc
+    never spans two batches.  Top-k per lang is a per-batch partial
+    ``head(k)`` so only ≤ k × langs × blocks rows reach the driver.
+    """
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id", "text"])
+
+    # per-lang doc counts: ≤ #langs rows — tiny broadcast
+    nd = _final_agg(
+        ds.map_batches(
+            lambda df: df.groupby("lang", as_index=False)
+            .agg(n=("doc_id", "size")), batch_format="pandas"),
+        ["lang"], ["n"])
+    nd_map = dict(zip(nd["lang"], nd["n"].astype("int64")))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        ex = pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"],
+                           "term": toks}).explode("term")
+        ex = ex.dropna(subset=["term"])
+        g = ex.groupby(["lang", "term"], as_index=False).agg(
+            tf=("doc_id", "size"), doc_freq=("doc_id", "nunique"))
+        return pd.DataFrame({"key": g["lang"] + "\x1f" + g["term"],
+                             "tf": g["tf"].astype("int64"),
+                             "doc_freq": g["doc_freq"].astype("int64")})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("key").aggregate(Sum("tf", alias_name="tf"),
+                                     Sum("doc_freq", alias_name="doc_freq")))
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"lang": [], "term": [], "tf": [],
+                                 "doc_freq": [], "tfidf": []})
+        sp = df["key"].str.split("\x1f", n=1, expand=True)
+        d = pd.DataFrame({"lang": sp[0], "term": sp[1],
+                          "tf": df["tf"].astype("int64"),
+                          "doc_freq": df["doc_freq"].astype("int64")})
+        n_docs = d["lang"].map(nd_map).astype("float64")
+        d["tfidf"] = d["tf"] * np.log(n_docs / d["doc_freq"])
+        d = d.sort_values(["lang", "tfidf", "term"],
+                          ascending=[True, False, True])
+        return d.groupby("lang", group_keys=False).head(k)
+
+    parts = agg.map_batches(topk_part, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["lang", "tfidf", "term"],
+                             ascending=[True, False, True])
+           .groupby("lang", group_keys=False).head(k))
+    out["tfidf"] = out["tfidf"].round(4)
+    return (out.sort_values(["lang", "tfidf", "term"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True)
+            [["lang", "term", "tf", "doc_freq", "tfidf"]])
+
+
+# ---------------------------------------------------------------------------
+# q_hash_split — deterministic train/val/test assignment by content hash
+# ---------------------------------------------------------------------------
+
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split of documents by
+    the first hex digit of md5(doc_id) — the standard reshuffle-proof
+    split a training pipeline needs (stable under re-runs, repartitioning
+    and incremental ingestion, unlike random_shuffle + slice).  Reports
+    per-split size and char stats.  The md5 is per-row but bounded per-doc
+    work (same contract as fingerprint_md5); all aggregation is the
+    combiner pattern.
+    """
+    import hashlib
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        first = np.array([hashlib.md5(str(i).encode()).hexdigest()[0]
+                          for i in df["doc_id"].to_numpy()])
+        split = np.where(first <= "b", "train",
+                         np.where(first <= "d", "val", "test"))
+        g = pd.DataFrame({"split": split, "n_chars": df["n_chars"]})
+        return g.groupby("split", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["split"], ["n_docs", "sum_chars"])
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(4)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return (out.sort_values("split").reset_index(drop=True)
+            [["split", "n_docs", "sum_chars", "avg_chars"]])
+
+
+# ---------------------------------------------------------------------------
+# q_profile_lineitem — per-column dataset profile (nulls / range / mean)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Column-profiling aggregate (the engine's dataset-statistics pass):
+    row count, null count, min/max/mean per numeric column, long format.
+    One pass over the pruned projection; per-batch partials loop over
+    COLUMNS (4), never rows; final reduce is a native groupby over 4 keys.
+    """
+    from ray.data.aggregate import Sum, Min, Max
+    ds = _read(sf_dir, "lineitem", columns=_PROFILE_COLS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in _PROFILE_COLS:
+            v = df[c]
+            nn = v.notna()
+            vv = v[nn].to_numpy()
+            rows.append((c, len(v), int((~nn).sum()),
+                         float(vv.min()) if len(vv) else np.inf,
+                         float(vv.max()) if len(vv) else -np.inf,
+                         float(vv.sum())))
+        return pd.DataFrame(rows, columns=["col", "n_rows", "n_null",
+                                           "min_val", "max_val", "sum_val"])
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("col")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_null", alias_name="n_null"),
+                      Min("min_val", alias_name="min_val"),
+                      Max("max_val", alias_name="max_val"),
+                      Sum("sum_val", alias_name="sum_val"))
+           .to_pandas())
+    agg["mean_val"] = _round_half_away(
+        agg["sum_val"] / (agg["n_rows"] - agg["n_null"]), 4)
+    agg["min_val"] = _round_half_away(agg["min_val"], 4)
+    agg["max_val"] = _round_half_away(agg["max_val"], 4)
+    agg["n_rows"] = agg["n_rows"].astype("int64")
+    agg["n_null"] = agg["n_null"].astype("int64")
+    return (agg.sort_values("col").reset_index(drop=True)
+            [["col", "n_rows", "n_null", "min_val", "max_val", "mean_val"]])
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -929,6 +1087,9 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "user_peak_burst": q_user_peak_burst,
     "top_orders_per_segment": q_top_orders_per_segment,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "hash_split": q_hash_split,
+    "profile_lineitem": q_profile_lineitem,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1108,6 +1269,61 @@ ORACLE_SQL = {
                        ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
         WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+    """,
+    "tfidf_top_terms": r"""
+        WITH toks AS (
+            SELECT lang, doc_id,
+                   unnest(regexp_extract_all(lower(text), '\S+')) AS term
+            FROM documents
+        ),
+        st AS (
+            SELECT lang, term, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM toks GROUP BY lang, term
+        ),
+        nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT lang, term, tf, doc_freq,
+               ROUND(tf * ln(n_docs * 1.0 / doc_freq), 4) AS tfidf
+        FROM st JOIN nd USING (lang)
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY tf * ln(n_docs * 1.0 / doc_freq) DESC, term) <= 10
+        ORDER BY lang, tfidf DESC, term
+    """,
+    "hash_split": """
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                    THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(sum(n_chars) / count(*), 4) AS avg_chars
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "profile_lineitem": """
+        WITH p AS (
+            SELECT 'l_discount' AS col, count(*) AS n_rows,
+                   CAST(count(*) - count(l_discount) AS BIGINT) AS n_null,
+                   ROUND(min(l_discount), 4) AS min_val,
+                   ROUND(max(l_discount), 4) AS max_val,
+                   ROUND(avg(l_discount), 4) AS mean_val FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   CAST(count(*) - count(l_extendedprice) AS BIGINT),
+                   ROUND(min(l_extendedprice), 4),
+                   ROUND(max(l_extendedprice), 4),
+                   ROUND(avg(l_extendedprice), 4) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*),
+                   CAST(count(*) - count(l_quantity) AS BIGINT),
+                   ROUND(min(l_quantity), 4), ROUND(max(l_quantity), 4),
+                   ROUND(avg(l_quantity), 4) FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*),
+                   CAST(count(*) - count(l_tax) AS BIGINT),
+                   ROUND(min(l_tax), 4), ROUND(max(l_tax), 4),
+                   ROUND(avg(l_tax), 4) FROM lineitem
+        ) SELECT * FROM p ORDER BY col
     """,
     # exact n-gram Jaccard join over documents ∪ deterministic truncated
     # near-dups (same augmented population as _docs_with_near_dups)

@@ -92,3 +92,36 @@ class TestRayAggs:
         want_max, want_pn = score_from_diffmap(vals.reshape(80, 100))
         assert out["max_norm"] == pytest.approx(want_max, rel=1e-9)
         assert out["pnorm_3"] == pytest.approx(want_pn, rel=1e-9)
+
+class TestDataPipelineQueries:
+    """TF-IDF / hash split / profiling vs their DuckDB oracles at sf0.001."""
+
+    @pytest.mark.parametrize("name,tables", [
+        ("tfidf_top_terms", ["documents"]),
+        ("hash_split", ["documents"]),
+        ("profile_lineitem", ["lineitem"]),
+    ])
+    def test_matches_duckdb(self, ray_session, name, tables):
+        import duckdb
+        from butteraugli_ray.pipelines.queries import QUERIES, ORACLE_SQL
+        sf = "/root/testdata/sf0.001"
+        got = QUERIES[name](sf)
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        exp = con.execute(ORACLE_SQL[name]).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            exp.rename(columns=str).reset_index(drop=True),
+            check_dtype=False)
+
+    def test_hash_split_deterministic_partitioning(self, ray_session):
+        # same doc always lands in the same split regardless of block layout
+        from butteraugli_ray.pipelines.queries import q_hash_split
+        a = q_hash_split("/root/testdata/sf0.001")
+        b = q_hash_split("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(a, b)
+        assert set(a["split"]) == {"train", "val", "test"}
+        frac = a.set_index("split")["n_docs"] / a["n_docs"].sum()
+        assert frac["train"] == pytest.approx(0.75, abs=0.08)
