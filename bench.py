@@ -47,7 +47,8 @@ BENCH_QUERIES = [
     "doc_token_stats", "doc_fingerprints", "dedup_exact", "ann_topk",
     "embedding_near_dup", "minhash_near_dup", "ngram_jaccard",
     "order_priority_revenue", "click_attribution", "user_sessions",
-    "user_peak_burst", "top_orders_per_segment", "validate_corpus",
+    "user_peak_burst", "top_orders_per_segment", "tfidf_top_terms",
+    "hash_split", "profile_lineitem", "mixture_sample", "validate_corpus",
 ]
 
 

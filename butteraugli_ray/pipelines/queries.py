@@ -1061,6 +1061,42 @@ def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_mixture_sample — deterministic per-language mixture weighting
+# ---------------------------------------------------------------------------
+
+_MIXTURE_RATES = {"en": 1.0, "de": 0.6, "fr": 0.5, "es": 0.4, "zh": 0.25}
+
+
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Language-rebalancing mixture sample: keep each doc at its
+    language's rate, membership decided by a salted doc_id hash
+    (functions/sampling.py — deterministic under re-runs and
+    repartitioning).  Reports per-lang total/sampled counts, realized
+    rate and sampled char volume; sampling + partial aggregation stream
+    inside ``map_batches``.
+    """
+    from ..functions.sampling import weighted_sample_mask
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = weighted_sample_mask(df, "doc_id", "lang", _MIXTURE_RATES,
+                                    salt="mix")
+        g = pd.DataFrame({"lang": df["lang"], "kept": keep.astype("int64"),
+                          "kept_chars": np.where(keep, df["n_chars"], 0)})
+        return g.groupby("lang", as_index=False).agg(
+            n_total=("kept", "size"), n_sampled=("kept", "sum"),
+            sum_chars=("kept_chars", "sum"))
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["lang"], ["n_total", "n_sampled", "sum_chars"])
+    out["realized_rate"] = (out["n_sampled"] / out["n_total"]).round(4)
+    for c in ("n_total", "n_sampled", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("lang").reset_index(drop=True)
+            [["lang", "n_total", "n_sampled", "sum_chars", "realized_rate"]])
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1090,6 +1126,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "hash_split": q_hash_split,
     "profile_lineitem": q_profile_lineitem,
+    "mixture_sample": q_mixture_sample,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1299,6 +1336,25 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                ROUND(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "mixture_sample": """
+        WITH d AS (
+            SELECT lang, n_chars,
+                   (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                    1, 4))::BIGINT / 65536.0) AS frac,
+                   CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.6
+                             WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.4
+                             WHEN 'zh' THEN 0.25 ELSE 0.0 END AS rate
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(sum(CASE WHEN frac < rate THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS sum_chars,
+               ROUND(sum(CASE WHEN frac < rate THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS realized_rate
+        FROM d GROUP BY lang ORDER BY lang
     """,
     "profile_lineitem": """
         WITH p AS (

@@ -100,6 +100,7 @@ class TestDataPipelineQueries:
         ("tfidf_top_terms", ["documents"]),
         ("hash_split", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
+        ("mixture_sample", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
