@@ -501,7 +501,7 @@ def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     items = items.map_batches(
         lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
         batch_format="pandas")
-    joined = hash_join(orders, items, key="o_orderkey", n_buckets=16)
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=64)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.dropna(subset=["l_extendedprice"])
