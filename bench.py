@@ -48,7 +48,8 @@ BENCH_QUERIES = [
     "embedding_near_dup", "minhash_near_dup", "ngram_jaccard",
     "order_priority_revenue", "click_attribution", "user_sessions",
     "user_peak_burst", "top_orders_per_segment", "tfidf_top_terms",
-    "hash_split", "profile_lineitem", "mixture_sample", "validate_corpus",
+    "hash_split", "profile_lineitem", "mixture_sample", "funnel_conversion",
+    "retention_cohorts", "validate_corpus",
 ]
 
 

@@ -1097,6 +1097,92 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_funnel_conversion / q_retention_cohorts — sequence analytics over events
+# ---------------------------------------------------------------------------
+# Both use the single-shuffle bucketed pattern: hash user_id into 64
+# partitions, ONE sort-shuffle of the pruned event projection, then
+# fully-vectorized pandas inside each bucket (every user lives in
+# exactly one bucket, so per-bucket partials sum exactly); the final
+# reduce is ≤ 64 × result-cardinality tiny rows on the driver.
+
+def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Ordered 3-step funnel view → click → purchase per user: step 2
+    counts users with a click strictly after their first view; step 3 a
+    purchase strictly after that first qualifying click."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "click", "purchase"])].copy()
+        df["__b"] = (df["user_id"].to_numpy(dtype=np.int64)) & 63
+        return df
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"]
+        t1 = views.groupby("user_id")["ts"].min()
+        c = g[g["event_type"] == "click"][["user_id", "ts"]].copy()
+        c["t1"] = c["user_id"].map(t1)
+        c = c[c["ts"] > c["t1"]]
+        t2 = c.groupby("user_id")["ts"].min()
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]].copy()
+        p["t2"] = p["user_id"].map(t2)
+        p = p[p["ts"] > p["t2"]]
+        return pd.DataFrame({"n1": [np.int64(len(t1))],
+                             "n2": [np.int64(len(t2))],
+                             "n3": [np.int64(p["user_id"].nunique())]})
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_funnel, batch_format="pandas")
+             .to_pandas())                       # ≤ 64 rows
+    n1, n2, n3 = (int(parts["n1"].sum()), int(parts["n2"].sum()),
+                  int(parts["n3"].sum()))
+    out = pd.DataFrame({
+        "step": ["1_view", "2_click", "3_purchase"],
+        "n_users": np.array([n1, n2, n3], dtype=np.int64),
+        "frac_of_prev": np.round([1.0,
+                                  n2 / n1 if n1 else 0.0,
+                                  n3 / n2 if n2 else 0.0], 4)})
+    return out
+
+
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention: users grouped by first-seen ISO week;
+    n_users active per (cohort_week, week_offset)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["user_id"].to_numpy(dtype=np.int64)) & 63
+        return df
+
+    def bucket_retention(g: pd.DataFrame) -> pd.DataFrame:
+        week = g["ts"].dt.to_period("W-SUN").dt.start_time  # ISO Monday
+        d = pd.DataFrame({"user_id": g["user_id"], "week": week})
+        cohort = d.groupby("user_id")["week"].min()
+        d["cohort"] = d["user_id"].map(cohort)
+        d["week_offset"] = ((d["week"] - d["cohort"]).dt.days // 7).astype(
+            "int64")
+        d = d.drop_duplicates(["user_id", "week_offset"])
+        out = (d.groupby(["cohort", "week_offset"], as_index=False)
+               .agg(n_users=("user_id", "size")))
+        return pd.DataFrame({
+            "cohort_week": out["cohort"].dt.strftime("%Y-%m-%d"),
+            "week_offset": out["week_offset"].astype("int64"),
+            "n_users": out["n_users"].astype("int64")})
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_retention,
+                                        batch_format="pandas"))
+    from ray.data.aggregate import Sum
+    out = (parts.groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("n_users", alias_name="n_users")).to_pandas())
+    out["week_offset"] = out["week_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True)
+            [["cohort_week", "week_offset", "n_users"]])
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1127,6 +1213,8 @@ QUERIES = {
     "hash_split": q_hash_split,
     "profile_lineitem": q_profile_lineitem,
     "mixture_sample": q_mixture_sample,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1336,6 +1424,44 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                ROUND(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "funnel_conversion": """
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+              GROUP BY e.user_id),
+        p AS (SELECT DISTINCT e.user_id FROM events e
+              JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2),
+        n AS (SELECT (SELECT count(*) FROM v) AS n1,
+                     (SELECT count(*) FROM c) AS n2,
+                     (SELECT count(*) FROM p) AS n3)
+        SELECT * FROM (
+            SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users,
+                   1.0 AS frac_of_prev FROM n
+            UNION ALL
+            SELECT '2_click', CAST(n2 AS BIGINT),
+                   ROUND(CASE WHEN n1 > 0 THEN n2 * 1.0 / n1 ELSE 0 END, 4)
+            FROM n
+            UNION ALL
+            SELECT '3_purchase', CAST(n3 AS BIGINT),
+                   ROUND(CASE WHEN n2 > 0 THEN n3 * 1.0 / n2 ELSE 0 END, 4)
+            FROM n
+        ) ORDER BY step
+    """,
+    "retention_cohorts": """
+        WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                   FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT e.user_id, f.cohort,
+                     CAST(datediff('day', f.cohort,
+                                   date_trunc('week', e.ts)) / 7 AS BIGINT)
+                         AS week_offset
+              FROM events e JOIN f USING (user_id))
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+               count(*) AS n_users
+        FROM a GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "mixture_sample": """
         WITH d AS (

@@ -101,6 +101,8 @@ class TestDataPipelineQueries:
         ("hash_split", ["documents"]),
         ("profile_lineitem", ["lineitem"]),
         ("mixture_sample", ["documents"]),
+        ("funnel_conversion", ["events"]),
+        ("retention_cohorts", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
