@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "order_priority_revenue", "click_attribution", "user_sessions",
     "user_peak_burst", "top_orders_per_segment", "tfidf_top_terms",
     "hash_split", "profile_lineitem", "mixture_sample", "funnel_conversion",
-    "retention_cohorts", "validate_corpus",
+    "retention_cohorts", "error_click_window", "validate_corpus",
 ]
 
 

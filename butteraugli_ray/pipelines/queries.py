@@ -1183,6 +1183,52 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_error_click_window — range join (same-user events within ±5 minutes)
+# ---------------------------------------------------------------------------
+
+def q_error_click_window(sf_dir: str) -> pd.DataFrame:
+    """Range join: for each error event, clicks of the SAME user within
+    ±5 minutes; per-user rollup.  Same single-shuffle bucket pattern as
+    the funnel; inside a bucket the window join is a vectorized
+    user-equijoin + interval filter (cost ∝ Σ_user errors×clicks — fine
+    while per-user event counts are bounded, the standard range-join
+    partitioning assumption; a skewed user would need time-sliced
+    salting like joins.hot_keys)."""
+    tol = pd.Timedelta(minutes=5)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["error", "click"])].copy()
+        df["__b"] = (df["user_id"].to_numpy(dtype=np.int64)) & 63
+        return df
+
+    def bucket_window(g: pd.DataFrame) -> pd.DataFrame:
+        err = (g[g["event_type"] == "error"][["user_id", "ts"]]
+               .reset_index(drop=True))
+        if not len(err):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_errors": pd.Series([], dtype="int64"),
+                                 "n_errors_with_click": pd.Series([], dtype="int64"),
+                                 "n_nearby_clicks": pd.Series([], dtype="int64")})
+        err["eid"] = np.arange(len(err), dtype=np.int64)
+        clk = g[g["event_type"] == "click"][["user_id", "ts"]]
+        m = err.merge(clk, on="user_id", suffixes=("", "_c"))
+        m = m[(m["ts_c"] >= m["ts"] - tol) & (m["ts_c"] <= m["ts"] + tol)]
+        nearby = m.groupby("eid").size()
+        err["n_nearby"] = err["eid"].map(nearby).fillna(0).astype("int64")
+        out = err.groupby("user_id", as_index=False).agg(
+            n_errors=("eid", "size"),
+            n_errors_with_click=("n_nearby", lambda s: int((s > 0).sum())),
+            n_nearby_clicks=("n_nearby", "sum"))
+        return out.astype({c: "int64" for c in out.columns})
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_window, batch_format="pandas")
+           .to_pandas())                        # ≤ one row per user
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1215,6 +1261,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
+    "error_click_window": q_error_click_window,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1424,6 +1471,22 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                ROUND(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "error_click_window": """
+        WITH err AS (SELECT user_id, ts,
+                            row_number() OVER () AS eid
+                     FROM events WHERE event_type = 'error'),
+        clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        j AS (SELECT err.user_id, err.eid, count(clk.ts) AS n_nearby
+              FROM err LEFT JOIN clk ON err.user_id = clk.user_id
+                   AND clk.ts BETWEEN err.ts - INTERVAL 5 MINUTE
+                                  AND err.ts + INTERVAL 5 MINUTE
+              GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_errors,
+               CAST(sum(CASE WHEN n_nearby > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors_with_click,
+               CAST(sum(n_nearby) AS BIGINT) AS n_nearby_clicks
+        FROM j GROUP BY user_id ORDER BY user_id
     """,
     "funnel_conversion": """
         WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

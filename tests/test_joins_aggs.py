@@ -103,6 +103,7 @@ class TestDataPipelineQueries:
         ("mixture_sample", ["documents"]),
         ("funnel_conversion", ["events"]),
         ("retention_cohorts", ["events"]),
+        ("error_click_window", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
