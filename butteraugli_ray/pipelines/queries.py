@@ -597,7 +597,7 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     from ..functions.dedup import minhash_candidate_pairs, verify_jaccard_pairs_ds
     ds = _docs_with_near_dups(sf_dir)
     # dedup=False: the verifier's per-pair grouping dedups across bands
-    pairs = minhash_candidate_pairs(ds, concurrency=2, dedup=False)
+    pairs = minhash_candidate_pairs(ds, concurrency=4, dedup=False)
     out = verify_jaccard_pairs_ds(pairs, _docs_with_near_dups(sf_dir),
                                   threshold).to_pandas()
     out["jaccard"] = out["jaccard"].round(4)

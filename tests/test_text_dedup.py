@@ -78,3 +78,37 @@ def test_simhash_near_for_near_texts():
     ha, hb, hc = (np.array([sh.simhash(x)], dtype=np.uint64) for x in (a, b, c))
     assert hamming64(ha, hb)[0] < hamming64(ha, hc)[0]
     assert hamming64(ha, ha)[0] == 0
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Bucketed label propagation == union-find on a random graph
+    (long-diameter components exercise the early-stop loop)."""
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import connected_components
+    rng = np.random.default_rng(3)
+    n = 2000
+    edges = pd.DataFrame({"id_a": rng.integers(0, n, 1500),
+                          "id_b": rng.integers(0, n, 1500)})
+    edges = edges[edges.id_a != edges.id_b].reset_index(drop=True)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges.id_a, edges.id_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    import collections
+    comp = collections.defaultdict(list)
+    for v in set(edges.id_a) | set(edges.id_b):
+        comp[find(v)].append(v)
+    oracle = {v: min(ms) for ms in comp.values() for v in ms}
+
+    out = connected_components(rd.from_pandas(edges), max_iters=50).to_pandas()
+    got = dict(zip(out.node, out.label))
+    assert got == oracle
