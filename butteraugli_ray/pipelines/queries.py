@@ -1229,6 +1229,65 @@ def q_error_click_window(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_stratified_sample_k — exact-k per-stratum deterministic sample
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample_k(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Exactly k docs per language, chosen as the k smallest salted
+    md5(doc_id) digests — a deterministic 'hash reservoir' (stable under
+    re-runs/repartitioning, unlike random sampling; complements
+    functions/sampling.py's rate-based mixture sample).  Per-batch
+    partial top-k means only ≤ k × langs × blocks rows reach the final
+    reduce."""
+    import hashlib
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__h"] = [hashlib.md5(f"strat:{i}".encode()).hexdigest()
+                     for i in df["doc_id"].to_numpy()]
+        df = df.sort_values(["lang", "__h", "doc_id"])
+        return df.groupby("lang", group_keys=False).head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["lang", "__h", "doc_id"])
+           .groupby("lang", group_keys=False).head(k)
+           .drop(columns="__h"))
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+            [["lang", "doc_id", "n_chars"]])
+
+
+# ---------------------------------------------------------------------------
+# q_lang_source_matrix — pivot / crosstab
+# ---------------------------------------------------------------------------
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_source_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pivot: doc counts per source × language (wide).  Per-batch
+    crosstab partials, one native Sum groupby over source."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    cols = [f"n_{l}" for l in _PIVOT_LANGS]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["source"], df["lang"])
+        ct = ct.reindex(columns=_PIVOT_LANGS, fill_value=0)
+        ct.columns = cols
+        ct["n_total"] = ct.sum(axis=1)
+        return ct.reset_index().astype({c: "int64" for c in cols + ["n_total"]})
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["source"], cols + ["n_total"])
+    for c in cols + ["n_total"]:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source"] + cols + ["n_total"]])
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1262,6 +1321,8 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
     "error_click_window": q_error_click_window,
+    "stratified_sample_k": q_stratified_sample_k,
+    "lang_source_matrix": q_lang_source_matrix,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1471,6 +1532,26 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                ROUND(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "stratified_sample_k": """
+        SELECT lang, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+            FROM documents) WHERE rn <= 5
+        ORDER BY lang, doc_id
+    """,
+    "lang_source_matrix": """
+        SELECT source,
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+               CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+               CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+               CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+               count(*) AS n_total
+        FROM documents GROUP BY source ORDER BY source
     """,
     "error_click_window": """
         WITH err AS (SELECT user_id, ts,

@@ -104,6 +104,8 @@ class TestDataPipelineQueries:
         ("funnel_conversion", ["events"]),
         ("retention_cohorts", ["events"]),
         ("error_click_window", ["events"]),
+        ("stratified_sample_k", ["documents"]),
+        ("lang_source_matrix", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
