@@ -680,51 +680,61 @@ def connected_components(pairs_ds, max_iters: int = 10, n_buckets: int = 64):
     where ``label`` is the smallest id in each connected component.
 
     Shuffle-only implementation (no joins): each round, labels and edges
-    are co-bucketed by ``hash(node) % n_buckets`` and each bucket emits —
+    are co-bucketed by ``node & (n_buckets-1)`` and each bucket emits —
     with VECTORIZED pandas, never per-node Python — one self-message
-    ``(node, label)`` plus one ``(nbr, label_of_node)`` per incident edge;
-    a native groupby-min installs the new labels.  So each round costs two
-    shuffles over O(V+E) int64 rows and exactly ``n_buckets`` Python group
-    calls.  Labels only decrease, so ``sum(label)`` is a monotone
-    convergence certificate: the loop exits early once it stops moving.
-    Converges in O(component diameter) rounds; ``max_iters`` bounds the
-    cost (duplicate clusters are shallow in practice).
+    ``(node, label)`` plus one ``(nbr, label_of_node)`` per incident
+    edge, tagged with the TARGET's bucket; a second bucketed pass
+    collapses messages to per-node min labels.  So each round costs two
+    shuffles over O(V+E) int64 rows and exactly 2×``n_buckets`` Python
+    group calls — never a per-node native aggregate (Ray's sort-based
+    groupby degenerates at ~1 distinct group per row: 72 s for a 3k-node
+    graph vs ~1 s/round bucketed).  Labels only decrease, so
+    ``sum(label)`` is a monotone convergence certificate: the loop exits
+    early once it stops moving.  Converges in O(component diameter)
+    rounds; ``max_iters`` bounds the cost (duplicate clusters are
+    shallow in practice).
     """
     n_buckets = 1 << max(int(n_buckets) - 1, 1).bit_length()
-    # power of two so the bucket op is a bitmask
+    mask = np.int64(n_buckets - 1)
+    # nbr == -1 marks a label row (sentinel keeps every column int64 so
+    # pandas blocks never promote to float/nullable across the union)
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        a = t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
-        b = t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
-        node = pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])
-        nbr = pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])
-        bkt = pc.bit_wise_and(node, pa.scalar(n_buckets - 1, pa.int64()))
-        return pa.table({"node": node, "label": pa.nulls(len(node), pa.int64()),
-                         "nbr": nbr, "__b": bkt})
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        return pd.DataFrame({"node": node,
+                             "label": np.full(len(node), -1, dtype=np.int64),
+                             "nbr": nbr, "__b": node & mask})
 
-    edge_msgs = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    edge_msgs = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
 
-    from ray.data.aggregate import Min
+    def bucket_collapse(df: pd.DataFrame) -> pd.DataFrame:
+        """messages (node, label) → label rows (node, min label, nbr=-1)
+        bucketed by node — vectorized per bucket."""
+        lbl = df.groupby("node")["label"].min()
+        node = lbl.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": node,
+                             "label": lbl.to_numpy(dtype=np.int64),
+                             "nbr": np.full(len(node), -1, dtype=np.int64),
+                             "__b": node & mask})
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"], "label": t["node"]})
+    def init_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "label": df["node"],
+                             "__b": df["__b"]})
 
-    def with_msg_cols(t: pa.Table) -> pa.Table:
-        node = t["node"].combine_chunks() if isinstance(t["node"], pa.ChunkedArray) else t["node"]
-        bkt = pc.bit_wise_and(node, pa.scalar(n_buckets - 1, pa.int64()))
-        return pa.table({"node": node, "label": t["label"],
-                         "nbr": pa.nulls(t.num_rows, pa.int64()), "__b": bkt})
-
-    labels = (edge_msgs.map_batches(init_labels, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
-              .map_batches(with_msg_cols, batch_format="pyarrow")
+    labels = (edge_msgs.map_batches(init_msgs, batch_format="pandas")
+              .groupby("__b").map_groups(bucket_collapse,
+                                         batch_format="pandas")
+              .repartition(n_buckets)   # coalesce: keep block count flat
               .materialize())
 
     def bucket_propagate(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df[df["nbr"].isna()]
-        edg = df[df["nbr"].notna()]
-        # per-node current label (unique after the native Min aggregate,
-        # but min() keeps this correct even if duplicates slip through)
+        """co-bucketed labels+edges → messages tagged by TARGET bucket."""
+        is_lab = df["nbr"].to_numpy() == -1
+        lab = df[is_lab]
+        edg = df[~is_lab]
         lbl = lab.groupby("node")["label"].min()
         nbr_label = lbl.reindex(edg["node"].to_numpy()).to_numpy()
         out_node = np.concatenate([
@@ -733,15 +743,18 @@ def connected_components(pairs_ds, max_iters: int = 10, n_buckets: int = 64):
         out_label = np.concatenate([
             lbl.to_numpy(dtype=np.int64),
             nbr_label.astype(np.int64)])
-        return pd.DataFrame({"node": out_node, "label": out_label})
+        return pd.DataFrame({"node": out_node, "label": out_label,
+                             "__b": out_node & mask})
 
     prev_sum = None
     for _ in range(max_iters):
         merged = labels.union(edge_msgs)
-        labels = (merged.groupby("__b").map_groups(bucket_propagate, batch_format="pandas")
-                  .groupby("node").aggregate(Min("label", alias_name="label"))
-                  .map_batches(with_msg_cols, batch_format="pyarrow")
-                  .materialize())        # flatten lineage between rounds
+        labels = (merged.groupby("__b").map_groups(bucket_propagate,
+                                                   batch_format="pandas")
+                  .groupby("__b").map_groups(bucket_collapse,
+                                             batch_format="pandas")
+                  .repartition(n_buckets)  # block count would otherwise
+                  .materialize())          # grow every round (3-way union)
         cur_sum = labels.sum("label")    # monotone ⇒ unchanged = converged
         if cur_sum == prev_sum:
             break

@@ -573,6 +573,33 @@ def q_near_dup_groups(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values("label").reset_index(drop=True)
 
 
+def q_dup_groups_exact(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Connected components over the EXACT n-gram Jaccard pair set
+    (q_ngram_jaccard's edges) — the hash-checked oracle for
+    ``connected_components`` itself: DuckDB computes the same groups by
+    recursive transitive closure."""
+    import ray.data as rd
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
+                                threshold=threshold, concurrency=2)
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": df["doc_a"].astype("int64"),
+                             "id_b": df["doc_b"].astype("int64")})
+
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pandas"),
+        max_iters=20).to_pandas()
+    if not len(comp):
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "n_members": pd.Series([], dtype="int64")})
+    out = comp.groupby("label", as_index=False).agg(
+        n_members=("node", "nunique"))
+    out["label"] = out["label"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no exact SQL equivalent)
 # ---------------------------------------------------------------------------
@@ -1323,6 +1350,7 @@ QUERIES = {
     "error_click_window": q_error_click_window,
     "stratified_sample_k": q_stratified_sample_k,
     "lang_source_matrix": q_lang_source_matrix,
+    "dup_groups_exact": q_dup_groups_exact,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1338,6 +1366,45 @@ QUERIES = {
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
+
+# shared CTE chain: augmented near-dup corpus → distinct word-trigram
+# shingles → exact-Jaccard pairs at threshold 0.6 (used by the
+# ngram_jaccard oracle and, via recursive closure, dup_groups_exact)
+_NGRAM_PAIR_CTES = r"""aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id,
+                   array_to_string(t[1:len(t) - 5], ' ') AS text
+            FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                  FROM documents WHERE doc_id % 7 = 0)
+        ),
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+            FROM aug
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END) AS sh
+                FROM toks WHERE len(t) > 0
+            )
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jpairs AS (
+            SELECT doc_a, doc_b,
+                   ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+        )"""
 
 ORACLE_SQL = {
     "lineitem_pricing": f"""
@@ -1653,40 +1720,23 @@ ORACLE_SQL = {
     """,
     # exact n-gram Jaccard join over documents ∪ deterministic truncated
     # near-dups (same augmented population as _docs_with_near_dups)
-    "ngram_jaccard": r"""
-        WITH aug AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + 2000000 AS doc_id,
-                   array_to_string(t[1:len(t) - 5], ' ') AS text
-            FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
-                  FROM documents WHERE doc_id % 7 = 0)
-        ),
-        toks AS (
-            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
-            FROM aug
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id, sh FROM (
-                SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-                    THEN list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' '))
-                    ELSE [array_to_string(t, ' ')] END) AS sh
-                FROM toks WHERE len(t) > 0
-            )
-        ),
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+    "ngram_jaccard": "WITH " + _NGRAM_PAIR_CTES + """
+        SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b
+    """,
+    # connected components over the EXACT-Jaccard pair set above —
+    # DuckDB recursive transitive closure is the oracle for the engine's
+    # bucketed min-label propagation (functions/dedup.connected_components)
+    "dup_groups_exact": "WITH RECURSIVE " + _NGRAM_PAIR_CTES + """,
+        e(src, dst) AS (SELECT doc_a, doc_b FROM jpairs
+                        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+        nodes(node) AS (SELECT DISTINCT src FROM e),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r
         )
-        SELECT doc_a, doc_b,
-               ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-        FROM inter
-        JOIN sz sa ON doc_a = sa.doc_id
-        JOIN sz sb ON doc_b = sb.doc_id
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
-        ORDER BY doc_a, doc_b
+        SELECT CAST(lbl AS BIGINT) AS label, count(*) AS n_members
+        FROM (SELECT node, min(r) AS lbl FROM reach GROUP BY node) q
+        GROUP BY lbl ORDER BY label
     """,
 }

@@ -86,12 +86,18 @@ def test_connected_components_matches_union_find(ray_session):
     import ray.data as rd
     from butteraugli_ray.functions.dedup import connected_components
     rng = np.random.default_rng(3)
-    n = 2000
-    edges = pd.DataFrame({"id_a": rng.integers(0, n, 1500),
-                          "id_b": rng.integers(0, n, 1500)})
+    n = 600
+    # dense random graph (shallow diameter) + an explicit 12-hop chain so
+    # several propagation rounds are genuinely exercised without the
+    # diameter-bound round count of a sparse sub-percolation graph
+    edges = pd.DataFrame({"id_a": rng.integers(0, n, 900),
+                          "id_b": rng.integers(0, n, 900)})
+    chain = pd.DataFrame({"id_a": np.arange(700, 712),
+                          "id_b": np.arange(701, 713)})
+    edges = pd.concat([edges, chain], ignore_index=True)
     edges = edges[edges.id_a != edges.id_b].reset_index(drop=True)
 
-    parent = list(range(n))
+    parent = list(range(713))
 
     def find(x):
         while parent[x] != x:
