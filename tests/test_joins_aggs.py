@@ -106,6 +106,7 @@ class TestDataPipelineQueries:
         ("error_click_window", ["events"]),
         ("stratified_sample_k", ["documents"]),
         ("lang_source_matrix", ["documents"]),
+        ("dup_groups_exact", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
