@@ -675,7 +675,17 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, concurrency: int = 4,
 # Connected components over candidate pairs (duplicate GROUPS)
 # ---------------------------------------------------------------------------
 
-def connected_components(pairs_ds, max_iters: int = 10, n_buckets: int = 64):
+def _auto_buckets(n_rows: int) -> int:
+    """Bucket count targeting ~50k rows/bucket: small inputs get few
+    buckets (a 64-way shuffle of 1k rows is pure scheduling overhead —
+    measured 139 s vs 40 s for the CC pytest at 4 CPUs), huge inputs
+    scale up to 1024."""
+    b = max(8, min(1024, n_rows // 50_000 + 8))
+    return 1 << (b - 1).bit_length()
+
+
+def connected_components(pairs_ds, max_iters: int = 10,
+                         n_buckets: int | None = None):
     """Min-label propagation over (id_a, id_b) edges → Dataset(node, label)
     where ``label`` is the smallest id in each connected component.
 
@@ -694,8 +704,6 @@ def connected_components(pairs_ds, max_iters: int = 10, n_buckets: int = 64):
     rounds; ``max_iters`` bounds the cost (duplicate clusters are
     shallow in practice).
     """
-    n_buckets = 1 << max(int(n_buckets) - 1, 1).bit_length()
-    mask = np.int64(n_buckets - 1)
     # nbr == -1 marks a label row (sentinel keeps every column int64 so
     # pandas blocks never promote to float/nullable across the union)
 
@@ -706,9 +714,21 @@ def connected_components(pairs_ds, max_iters: int = 10, n_buckets: int = 64):
         nbr = np.concatenate([b, a])
         return pd.DataFrame({"node": node,
                              "label": np.full(len(node), -1, dtype=np.int64),
-                             "nbr": nbr, "__b": node & mask})
+                             "nbr": nbr})
 
-    edge_msgs = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    raw_edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(raw_edges.count())
+    n_buckets = 1 << max(int(n_buckets) - 1, 1).bit_length()
+    mask = np.int64(n_buckets - 1)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["node"].to_numpy(dtype=np.int64) & mask
+        return df
+
+    edge_msgs = raw_edges.map_batches(add_bucket,
+                                      batch_format="pandas").materialize()
 
     def bucket_collapse(df: pd.DataFrame) -> pd.DataFrame:
         """messages (node, label) → label rows (node, min label, nbr=-1)
@@ -763,6 +783,117 @@ def connected_components(pairs_ds, max_iters: int = 10, n_buckets: int = 64):
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "label": t["label"]}),
         batch_format="pyarrow")
+
+
+def connected_components_star(pairs_ds, max_iters: int = 30,
+                              n_buckets: int | None = None):
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm): the edge set itself is
+    rewritten every round until each component is a star centred on its
+    minimum node, so convergence is O(log² n) ROUNDS REGARDLESS OF
+    DIAMETER — the scale path for deep/general graphs, where plain
+    min-label propagation (``connected_components``) needs
+    O(diameter) rounds.  Per round: one bucketed adjacency pass
+    (vectorized per bucket, never per-node Python) + one bucketed
+    canonical-edge dedup — two shuffles of O(E) int64 rows.
+
+    large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u));
+    small-star(u): every v ≤ u (and u) attaches to m.  Both preserve
+    connectivity and never raise the component minimum.
+    """
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    raw = pairs_ds.map_batches(canon, batch_format="pandas").materialize()
+    if n_buckets is None:
+        n_buckets = _auto_buckets(raw.count())
+    n_buckets = 1 << max(int(n_buckets) - 1, 1).bit_length()
+    mask = np.int64(n_buckets - 1)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["lo"].to_numpy(dtype=np.int64) & mask
+        return df
+
+    def bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["lo", "hi"])
+
+    edges = (raw.map_batches(add_bucket, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_dedup, batch_format="pandas")
+             .materialize())
+
+    def adjacency(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(dtype=np.int64)
+        hi = df["hi"].to_numpy(dtype=np.int64)
+        u = np.concatenate([lo, hi])
+        v = np.concatenate([hi, lo])
+        return pd.DataFrame({"u": u, "v": v, "__b": u & mask})
+
+    def star(large: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            mv = df.groupby("u")["v"].min()
+            m = np.minimum(mv.to_numpy(), mv.index.to_numpy())
+            m_of_u = df["u"].map(pd.Series(m, index=mv.index)).to_numpy()
+            uu = df["u"].to_numpy()
+            vv = df["v"].to_numpy()
+            if large:
+                sel = vv > uu
+                src, dst = vv[sel], m_of_u[sel]
+            else:
+                sel = vv <= uu
+                # Γ⁺ includes u itself: attach u to m too
+                src = np.concatenate([vv[sel], mv.index.to_numpy()])
+                dst = np.concatenate([m_of_u[sel], m])
+            keep = src != dst
+            src, dst = src[keep], dst[keep]
+            lo = np.minimum(src, dst)
+            hi = np.maximum(src, dst)
+            return pd.DataFrame({"lo": lo, "hi": hi, "__b": lo & mask})
+        return fn
+
+    def round_once(edges, large: bool):
+        return (edges.map_batches(adjacency, batch_format="pandas")
+                .groupby("__b").map_groups(star(large),
+                                           batch_format="pandas")
+                .groupby("__b").map_groups(bucket_dedup,
+                                           batch_format="pandas")
+                .repartition(n_buckets)
+                .materialize())
+
+    def fingerprint(edges):
+        # (count, Σlo, Σhi) of the deduped canonical edge set — equality
+        # across a full LS+SS pair is the convergence signal
+        n = edges.count()
+        return (n, edges.sum("lo") if n else 0, edges.sum("hi") if n else 0)
+
+    prev = fingerprint(edges)
+    for _ in range(max_iters):
+        edges = round_once(edges, large=True)
+        edges = round_once(edges, large=False)
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # at convergence each component is a star (hi → lo=min); labels:
+    def labels_from_stars(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("u")["v"].min()
+        lbl = np.minimum(m.to_numpy(), m.index.to_numpy())
+        return pd.DataFrame({"node": m.index.to_numpy(dtype=np.int64),
+                             "label": lbl.astype(np.int64)})
+
+    return (edges.map_batches(adjacency, batch_format="pandas")
+            .groupby("__b").map_groups(labels_from_stars,
+                                       batch_format="pandas")
+            .map_batches(lambda df: df[["node", "label"]],
+                         batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,44 @@ def test_connected_components_matches_union_find(ray_session):
         comp[find(v)].append(v)
     oracle = {v: min(ms) for ms in comp.values() for v in ms}
 
-    out = connected_components(rd.from_pandas(edges), max_iters=50).to_pandas()
+    out = connected_components(rd.from_pandas(edges), max_iters=50,
+                               n_buckets=8).to_pandas()
     got = dict(zip(out.node, out.label))
     assert got == oracle
+
+
+def test_connected_components_star_deep_graph(ray_session):
+    """Large-star/small-star contraction: O(log^2 n) rounds regardless of
+    diameter — verified on a 24-hop path (propagation would need 24
+    rounds) plus a random graph, against union-find."""
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import connected_components_star
+    rng = np.random.default_rng(7)
+    rand = pd.DataFrame({"id_a": rng.integers(0, 200, 300),
+                         "id_b": rng.integers(0, 200, 300)})
+    path = pd.DataFrame({"id_a": np.arange(500, 524),
+                         "id_b": np.arange(501, 525)})
+    edges = pd.concat([rand, path], ignore_index=True)
+    edges = edges[edges.id_a != edges.id_b].reset_index(drop=True)
+
+    parent = list(range(525))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges.id_a, edges.id_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    import collections
+    comp = collections.defaultdict(list)
+    for v in set(edges.id_a) | set(edges.id_b):
+        comp[find(v)].append(v)
+    oracle = {v: min(ms) for ms in comp.values() for v in ms}
+
+    out = connected_components_star(rd.from_pandas(edges),
+                                    n_buckets=8).to_pandas()
+    assert dict(zip(out.node, out.label)) == oracle
