@@ -117,3 +117,28 @@ def score_partials_agg(col: str, alias: str | None = None) -> AggregateFn:
         finalize=finalize,
         name=alias or f"score_partials({col})",
     )
+
+
+def heavy_hitters(col: str, k: int = 10, capacity: int = 256,
+                  alias: str | None = None) -> AggregateFn:
+    """Approximate top-k frequent values via a mergeable Misra-Gries
+    summary (guaranteed to contain every item with frequency >
+    N/(capacity+1); counts are lower bounds).  Finalizes to a list of
+    (item, count) pairs, count-desc."""
+    from .sketches import MisraGries
+
+    def accumulate_block(mg: MisraGries, block):
+        import pandas as pd
+        vals = block[col]
+        if hasattr(vals, "to_pylist"):
+            vals = vals.to_pylist()
+        vc = pd.Series(list(vals)).value_counts()
+        return mg.add_counts(vc.index.tolist(), vc.to_numpy())
+
+    return AggregateFn(
+        init=lambda key: MisraGries(capacity),
+        merge=lambda a, b: a.merge(b),
+        accumulate_block=accumulate_block,
+        finalize=lambda mg: [(str(i), int(c)) for i, c in mg.top(k)],
+        name=alias or f"top{k}({col})",
+    )

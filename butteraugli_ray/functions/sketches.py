@@ -226,3 +226,60 @@ def psi(expected: FixedHistogram, actual: FixedHistogram,
     pe = np.maximum(ce / te, eps)
     pa_ = np.maximum(ca / ta, eps)
     return float(np.sum((pa_ - pe) * np.log(pa_ / pe)))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (frequent items)
+# ---------------------------------------------------------------------------
+
+class MisraGries:
+    """Mergeable Misra-Gries frequent-items summary with ``capacity``
+    counters: every item with true frequency > N/(capacity+1) is
+    guaranteed present, and each kept count undercounts by at most
+    N/(capacity+1) (Agarwal et al., "Mergeable Summaries", PODS'12
+    merge rule: add counters, then subtract the (capacity+1)-th largest
+    and drop non-positive).  Partial per block, associative merge,
+    finalize = top-k — the shuffle ships ≤ ``capacity`` (item, count)
+    pairs per partition, never rows."""
+
+    def __init__(self, capacity: int = 256, counters: dict | None = None):
+        self.capacity = int(capacity)
+        self.counters: dict = counters if counters is not None else {}
+
+    def add_counts(self, items, counts) -> "MisraGries":
+        """Bulk-add pre-aggregated (item, count) pairs — call with the
+        output of a vectorized per-batch value_counts."""
+        c = self.counters
+        for it, n in zip(items, counts):
+            c[it] = c.get(it, 0) + int(n)
+        self._shrink()
+        return self
+
+    def add(self, values) -> "MisraGries":
+        import pandas as pd
+        vc = pd.Series(values).value_counts()
+        return self.add_counts(vc.index.tolist(), vc.to_numpy())
+
+    def _shrink(self) -> None:
+        c = self.counters
+        if len(c) <= self.capacity:
+            return
+        # subtract the (capacity+1)-th largest count from everyone and
+        # drop non-positive — one decrement batch, exact MG semantics
+        counts = sorted(c.values(), reverse=True)
+        dec = counts[self.capacity]
+        self.counters = {k: v - dec for k, v in c.items() if v - dec > 0}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        c = dict(self.counters)
+        for k, v in other.counters.items():
+            c[k] = c.get(k, 0) + v
+        out = MisraGries(self.capacity, c)
+        out._shrink()
+        return out
+
+    def top(self, k: int) -> list[tuple]:
+        """Top-k (item, lower-bound count), count-desc then item-asc for
+        determinism."""
+        return sorted(self.counters.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -1315,6 +1315,27 @@ def q_lang_source_matrix(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_top_sources_sketch — Misra-Gries heavy hitters as a Ray AggregateFn
+# ---------------------------------------------------------------------------
+
+def q_top_sources_sketch(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-k sources by document count via the mergeable Misra-Gries
+    summary (functions/rayaggs.heavy_hitters) — the shuffle carries only
+    ≤ capacity (item, count) pairs per block, never rows.  With capacity
+    (256) ≥ distinct sources the summary never decrements, so counts are
+    EXACT and the DuckDB oracle hash-matches; at web scale (capacity ≪
+    distinct) the same operator degrades gracefully to guaranteed
+    heavy-hitter recall with lower-bound counts."""
+    from ..functions.rayaggs import heavy_hitters
+    ds = _read(sf_dir, "documents", columns=["source"])
+    top = ds.aggregate(heavy_hitters("source", k=k, capacity=256,
+                                     alias="top"))["top"]
+    return pd.DataFrame({"source": [t[0] for t in top],
+                         "n_docs": pd.array([t[1] for t in top],
+                                            dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1351,6 +1372,7 @@ QUERIES = {
     "stratified_sample_k": q_stratified_sample_k,
     "lang_source_matrix": q_lang_source_matrix,
     "dup_groups_exact": q_dup_groups_exact,
+    "top_sources_sketch": q_top_sources_sketch,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1599,6 +1621,10 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                ROUND(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "top_sources_sketch": """
+        SELECT source, count(*) AS n_docs FROM documents
+        GROUP BY source ORDER BY n_docs DESC, source LIMIT 5
     """,
     "stratified_sample_k": """
         SELECT lang, doc_id, n_chars FROM (

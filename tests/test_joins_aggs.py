@@ -107,6 +107,7 @@ class TestDataPipelineQueries:
         ("stratified_sample_k", ["documents"]),
         ("lang_source_matrix", ["documents"]),
         ("dup_groups_exact", ["documents"]),
+        ("top_sources_sketch", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb

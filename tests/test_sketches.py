@@ -69,3 +69,39 @@ def test_histogram_merge_and_drift():
 def test_histogram_out_of_range():
     h = FixedHistogram(0, 1, 4).add(np.array([-5.0, 0.5, 7.0, np.nan]))
     assert h.n_under == 1 and h.n_over == 1 and h.counts.sum() == 1
+
+
+class TestMisraGries:
+    def test_exact_on_skewed_and_merge_associative(self):
+        from butteraugli_ray.functions.sketches import MisraGries
+        rng = np.random.default_rng(5)
+        # zipf-ish: item i appears ~ 4000/i times
+        items = np.concatenate([np.full(4000 // (i + 1), i)
+                                for i in range(200)])
+        rng.shuffle(items)
+        thirds = np.array_split(items, 3)
+        parts = [MisraGries(capacity=64).add(t) for t in thirds]
+        merged = parts[0].merge(parts[1]).merge(parts[2])
+        got = [it for it, _ in merged.top(5)]
+        import collections
+        exact = [it for it, _ in collections.Counter(items.tolist())
+                 .most_common(5)]
+        assert got == exact          # heavy head is exact at this skew
+        # MG guarantee: kept counts under-estimate by <= N/(cap+1)
+        n = len(items)
+        cnt = collections.Counter(items.tolist())
+        for it, c in merged.top(5):
+            assert 0 < c <= cnt[it]
+            assert cnt[it] - c <= n / 65
+
+    def test_heavy_hitters_aggregate(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from butteraugli_ray.functions.rayaggs import heavy_hitters
+        df = pd.DataFrame({"w": (["the"] * 500 + ["a"] * 300 + ["of"] * 200
+                                 + [f"rare{i}" for i in range(400)])})
+        out = rd.from_pandas(df).repartition(5).aggregate(
+            heavy_hitters("w", k=3, capacity=32, alias="top"))
+        top = out["top"]
+        assert [t[0] for t in top] == ["the", "a", "of"]
+        assert top[0][1] <= 500
