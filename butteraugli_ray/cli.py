@@ -127,6 +127,29 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    from .pipelines.queries import QUERIES
+    if args.list:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"error: unknown query {args.name!r} (use --list)",
+              file=sys.stderr)
+        return 2
+    _ray_init(args.num_cpus)
+    out = QUERIES[args.name](args.sf_dir)
+    if hasattr(out, "to_pandas") and not hasattr(out, "to_csv"):
+        out = out.to_pandas()
+    if args.out:
+        out.to_parquet(args.out)
+        print(json.dumps({"query": args.name, "rows": len(out),
+                          "out": args.out}))
+    else:
+        print(out.to_string(index=False))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="butteraugli-ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -158,6 +181,14 @@ def main(argv=None) -> int:
     c.add_argument("--strip-height", type=int, default=256)
     c.add_argument("--heatmap", default=None, help="write diffmap PPM here")
     c.set_defaults(fn=cmd_compare)
+
+    q = sub.add_parser("query", help="run a registered pipeline query")
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None, help="write result parquet here")
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)

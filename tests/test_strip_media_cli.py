@@ -217,3 +217,23 @@ class TestWarmStrip:
         from butteraugli_ray.metric.kernels import ButteraugliCancelled
         from butteraugli_ray.metric.strip import StripCancelled
         assert issubclass(StripCancelled, ButteraugliCancelled)
+
+
+class TestQuerySubcommand:
+    def test_list_and_run(self, ray_session, capsys, tmp_path):
+        from butteraugli_ray.cli import main
+        assert main(["query", "--list"]) == 0
+        names = capsys.readouterr().out.split()
+        assert "mktsegment_stats" in names and len(names) >= 40
+
+        out = tmp_path / "res.parquet"
+        assert main(["query", "mktsegment_stats",
+                     "--sf-dir", "/root/testdata/sf0.001",
+                     "--out", str(out)]) == 0
+        import pyarrow.parquet as pq
+        t = pq.read_table(out)
+        assert t.num_rows == 5 and "c_mktsegment" in t.schema.names
+
+    def test_unknown_query_errors(self, ray_session):
+        from butteraugli_ray.cli import main
+        assert main(["query", "not_a_query"]) == 2
