@@ -492,7 +492,8 @@ class NgramShingler:
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
                         n_buckets: int = 32, concurrency: int = 4,
-                        id_col: str = "doc_id", text_col: str = "text"):
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_df: int | None = None):
     """EXACT n-gram Jaccard similarity join → Dataset(doc_a, doc_b,
     jaccard) for every pair with Jaccard ≥ ``threshold`` (doc_a <
     doc_b).  Unlike MinHash+LSH this has no false negatives: candidates
@@ -508,12 +509,17 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
              ─jaccard = c / (n_a + n_b - c) ≥ threshold
 
     Scale notes: the self-join volume is Σ_sh df(sh)² — dominated by
-    hot shingles.  At corpus scale add a document-frequency cap /
-    prefix filter (drop shingles with df > max_df before the join;
-    the reference trick from the PPJoin literature) and salt residual
-    hot shingles via ``hash_join(hot_keys=...)``.  Shingles travel as
-    64-bit hashes (collision odds 2⁻⁶⁴ — identical to the MinHash
-    verify path's hashed-shingle Jaccard).
+    hot shingles.  ``max_df`` is the scale valve (PPJoin-literature df
+    cap): shingles appearing in more than ``max_df`` docs are dropped
+    BEFORE the join, bounding per-shingle join fan-out at max_df².
+    This keeps candidate RECALL for genuinely similar pairs (near-dups
+    share many rare shingles) but makes reported intersection counts
+    lower bounds — i.e. jaccard becomes approximate-from-below and the
+    result may miss pairs whose overlap is mostly stopword shingles.
+    Default None = exact.  Salt residual hot shingles via
+    ``hash_join(hot_keys=...)``.  Shingles travel as 64-bit hashes
+    (collision odds 2⁻⁶⁴ — identical to the MinHash verify path's
+    hashed-shingle Jaccard).
     """
     import pyarrow.compute as pc
     from .joins import hash_join
@@ -523,6 +529,26 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
         fn_constructor_kwargs=dict(shingle=shingle, id_col=id_col,
                                    text_col=text_col),
         batch_format="pandas", concurrency=concurrency).materialize()
+
+    if max_df is not None:
+        # one bucketed pass: co-locate all rows of a shingle, drop the
+        # ones whose document frequency exceeds the cap (set sizes n_sh
+        # keep their ORIGINAL values so jaccard stays a lower bound)
+        dfmask = np.int64(63)
+
+        def tag_sh(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__b"] = df["sh"].to_numpy(dtype=np.int64) & dfmask
+            return df
+
+        def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+            cnt = df["sh"].map(df["sh"].value_counts())
+            return df[cnt <= max_df].drop(columns="__b")
+
+        sh_rows = (sh_rows.map_batches(tag_sh, batch_format="pandas")
+                   .groupby("__b").map_groups(drop_hot,
+                                              batch_format="pandas")
+                   .materialize())
 
     def side(a: str, n: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

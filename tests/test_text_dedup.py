@@ -156,3 +156,24 @@ def test_connected_components_star_deep_graph(ray_session):
     out = connected_components_star(rd.from_pandas(edges),
                                     n_buckets=8).to_pandas()
     assert dict(zip(out.node, out.label)) == oracle
+
+
+def test_ngram_jaccard_max_df_lower_bound(ray_session):
+    """df-capped ngram join: subset of the exact pairs, jaccard never
+    overestimates, and true near-dups (sharing rare shingles) survive."""
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import ngram_jaccard_pairs
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "alpha beta gamma delta epsilon zeta eta theta iota lambda"]
+    filler = [f"common word soup number {i} common word" for i in range(30)]
+    df = pd.DataFrame({"doc_id": np.arange(32, dtype=np.int64),
+                       "text": base + filler})
+    ds = rd.from_pandas(df)
+    exact = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    capped = ngram_jaccard_pairs(ds, threshold=0.5, max_df=4).to_pandas()
+    ex = {(a, b): j for a, b, j in exact.itertuples(index=False)}
+    cp = {(a, b): j for a, b, j in capped.itertuples(index=False)}
+    assert set(cp) <= set(ex)
+    assert (0, 1) in cp                       # rare-shingle near-dup kept
+    for k, j in cp.items():
+        assert j <= ex[k] + 1e-9              # lower bound
