@@ -135,3 +135,18 @@ def rolling_fingerprint(texts: pd.Series, window: int = 16) -> np.ndarray:
             hashes = (win * powers).sum(axis=1, dtype=np.uint64)
             out[i] = hashes.min()
     return out
+
+
+def compression_ratio(texts: pd.Series, level: int = 6) -> np.ndarray:
+    """zlib(compressed)/raw byte ratio per document — the standard cheap
+    gibberish/boilerplate signal in training-data pipelines: highly
+    repetitive boilerplate compresses far below typical prose, while
+    random gibberish stays near (or above) 1.0.  Per-row loop over a
+    C-speed codec = bounded per-doc work (same contract as
+    fingerprint_md5)."""
+    import zlib
+    out = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts.fillna("")):
+        b = t.encode("utf-8")
+        out[i] = len(zlib.compress(b, level)) / len(b) if b else 0.0
+    return out

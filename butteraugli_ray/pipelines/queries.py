@@ -735,6 +735,34 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35) -> pd.DataFra
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_doc_compression(sf_dir: str) -> pd.DataFrame:
+    """Per-source zlib compression-ratio quality stats (rows-only: SQL
+    has no zlib) — the cheap gibberish/boilerplate detector; combiner
+    pattern, one tiny shuffle."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = T.compression_ratio(df["text"])
+        g = pd.DataFrame({"source": df["source"], "r": r})
+        return g.groupby("source", as_index=False).agg(
+            n_docs=("r", "size"), sum_r=("r", "sum"), min_r=("r", "min"),
+            max_r=("r", "max"))
+
+    from ray.data.aggregate import Max, Min, Sum
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = (parts.groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_r", alias_name="sum_r"),
+                      Min("min_r", alias_name="min_r"),
+                      Max("max_r", alias_name="max_r")).to_pandas())
+    out["avg_ratio"] = (out["sum_r"] / out["n_docs"]).round(4)
+    out["min_ratio"] = out["min_r"].round(4)
+    out["max_ratio"] = out["max_r"].round(4)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "avg_ratio", "min_ratio", "max_ratio"]])
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["text"])
 
@@ -1379,6 +1407,7 @@ QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
+    "doc_compression": q_doc_compression,
     "rolling_fingerprint": q_rolling_fingerprint,
     "hll_distinct_users": q_hll_distinct_users,
     "value_quantiles": q_value_quantiles,

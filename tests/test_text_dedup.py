@@ -177,3 +177,13 @@ def test_ngram_jaccard_max_df_lower_bound(ray_session):
     assert (0, 1) in cp                       # rare-shingle near-dup kept
     for k, j in cp.items():
         assert j <= ex[k] + 1e-9              # lower bound
+
+
+def test_compression_ratio_orders_text_kinds():
+    rng = np.random.default_rng(11)
+    gibberish = "".join(chr(rng.integers(33, 127)) for _ in range(2000))
+    boiler = "click here to subscribe " * 80
+    prose = " ".join(f"word{i} and some varied prose content" for i in range(60))
+    r = T.compression_ratio(pd.Series([boiler, prose, gibberish, "", None]))
+    assert r[0] < r[1] < r[2]          # boilerplate < prose < gibberish
+    assert r[3] == 0 and r[4] == 0     # empty/None
