@@ -1364,6 +1364,45 @@ def q_top_sources_sketch(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_user_gap_stats — lag/lead window: inter-event gap distribution
+# ---------------------------------------------------------------------------
+
+def q_user_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap statistics (count / median / max seconds)
+    — the lag() window-function shape.  Single-shuffle bucketed: sort by
+    (user, ts) inside each user-hash bucket, vectorized groupby diff —
+    per-bucket output is already final (each user lives in one bucket)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        d = pd.DataFrame({"user_id": g["user_id"], "gap": gaps}).dropna()
+        if not len(d):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_gaps": pd.Series([], dtype="int64"),
+                                 "median_gap_s": pd.Series([], dtype="float64"),
+                                 "max_gap_s": pd.Series([], dtype="float64")})
+        out = d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), median_gap_s=("gap", "median"),
+            max_gap_s=("gap", "max"))
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        out["median_gap_s"] = _round_half_away(out["median_gap_s"], 3)
+        out["max_gap_s"] = _round_half_away(out["max_gap_s"], 3)
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_gaps, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1401,6 +1440,7 @@ QUERIES = {
     "lang_source_matrix": q_lang_source_matrix,
     "dup_groups_exact": q_dup_groups_exact,
     "top_sources_sketch": q_top_sources_sketch,
+    "user_gap_stats": q_user_gap_stats,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -1650,6 +1690,19 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                ROUND(sum(n_chars) / count(*), 4) AS avg_chars
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "user_gap_stats": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts)) AS gap
+            FROM events
+        )
+        SELECT user_id, count(gap) AS n_gaps,
+               ROUND(median(gap), 3) AS median_gap_s,
+               ROUND(max(gap), 3) AS max_gap_s
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
     """,
     "top_sources_sketch": """
         SELECT source, count(*) AS n_docs FROM documents

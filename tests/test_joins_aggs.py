@@ -108,6 +108,7 @@ class TestDataPipelineQueries:
         ("lang_source_matrix", ["documents"]),
         ("dup_groups_exact", ["documents"]),
         ("top_sources_sketch", ["documents"]),
+        ("user_gap_stats", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
