@@ -49,7 +49,9 @@ BENCH_QUERIES = [
     "order_priority_revenue", "click_attribution", "user_sessions",
     "user_peak_burst", "top_orders_per_segment", "tfidf_top_terms",
     "hash_split", "profile_lineitem", "mixture_sample", "funnel_conversion",
-    "retention_cohorts", "error_click_window", "validate_corpus",
+    "retention_cohorts", "error_click_window", "user_gap_stats",
+    "stratified_sample_k", "lang_source_matrix", "top_sources_sketch",
+    "validate_corpus",
 ]
 
 
