@@ -262,3 +262,37 @@ def test_embedding_lsh_multitable_recall(ray_session):
     assert one <= four                         # union only adds recall
     assert len(four) >= len(one)
     assert len(four) / len(truth) >= 0.9       # 4 tables ≈ full recall
+
+
+class TestFaultTolerance:
+    def test_transient_task_failure_retries_to_completion(self, ray_session,
+                                                          tmp_path):
+        """A map_batches task that dies once (simulated worker fault) is
+        retried by Ray and the pipeline still produces the complete,
+        correct result — the 100 TB fault-tolerance contract."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        flag_dir = tmp_path / "faults"
+        flag_dir.mkdir()
+
+        def flaky(df):
+            # crash the FIRST time any task processes this batch range
+            key = int(df["x"].iloc[0])
+            marker = flag_dir / f"batch{key}"
+            if key == 0 and not marker.exists():
+                marker.write_text("crashed once")
+                import os
+                os._exit(1)          # hard task death, not an exception
+            df = df.copy()
+            df["y"] = df["x"] * 2
+            return df
+
+        ds = rd.from_pandas(pd.DataFrame({"x": np.arange(1000)}))
+        out = (ds.repartition(8)
+               .map_batches(flaky, batch_format="pandas")
+               .to_pandas())
+        assert len(out) == 1000
+        assert (out.sort_values("x")["y"].to_numpy()
+                == np.arange(1000) * 2).all()
+        assert (flag_dir / "batch0").exists()   # the crash really happened
