@@ -490,10 +490,240 @@ class NgramShingler:
                              "n_sh": np.concatenate(ns)})
 
 
+def ngram_jaccard_pairs_prefix(sh_rows, threshold: float,
+                               n_buckets: int = 32,
+                               broadcast_limit: int = 256 << 20):
+    """EXACT prefix-filtered Jaccard join over materialized shingle rows
+    (doc_id, sh, n_sh) → Dataset(doc_a, doc_b, jaccard ≥ threshold).
+
+    PPJoin-family bound (public literature): order shingles globally by
+    ascending (document-frequency, sh); any pair with J ≥ t must share a
+    shingle inside each doc's first ``|x| - ⌈t·|x|⌉ + 1`` shingles in
+    that order (J ≥ t ⇒ |A∩B| ≥ t·max(|A|,|B|)).  So candidates come
+    from a self-join of PREFIXES only — the hot stopword shingles that
+    make the naive self-join quadratic have maximal df and fall OUTSIDE
+    most prefixes — and the exact intersection is then recomputed from
+    the full shingle sets of candidates only.  Bucketed linear shuffles,
+    no Σ df² term:
+
+        1. df attach     (bucket by sh:   value_counts in-bucket)
+        2. prefix select (bucket by doc:  sort (df, sh), cumcount < p)
+        3. candidates    (self-join of prefix rows on sh, pair dedup,
+                          PPJoin length filter min ≥ t·max)
+        4. set build     (bucket by doc:  candidate docs' sorted shingle
+                          sets packed as ONE bytes value per doc)
+        5. set attach    (small side: broadcast the packed sets once via
+                          ray.put and verify in one map_batches; big
+                          side: two bucketed merges by doc_a then doc_b
+                          — row count stays #pairs either way)
+        6. verify        (sorted-array intersection per pair)
+    """
+    from .joins import hash_join
+
+    mask = np.int64((1 << max(n_buckets - 1, 1).bit_length()) - 1)
+
+    # 1. attach per-shingle document frequency (all rows of a shingle
+    #    co-locate, so df is computable in-bucket — no join)
+    def tag_sh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["sh"].to_numpy(dtype=np.int64) & mask
+        return df
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns="__b").copy()
+        out["df"] = out["sh"].map(out["sh"].value_counts()).astype("int64")
+        return out
+
+    with_df = (sh_rows.map_batches(tag_sh, batch_format="pandas")
+               .groupby("__b").map_groups(attach_df, batch_format="pandas"))
+
+    # 2. per-doc prefix: first (n_sh - ceil(t*n_sh) + 1) shingles by
+    #    ascending (df, sh)
+    def tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["doc_id"].to_numpy(dtype=np.int64) & mask
+        return df
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "df", "sh"])
+        rank = df.groupby("doc_id").cumcount().to_numpy()
+        n = df["n_sh"].to_numpy(dtype=np.int64)
+        p = n - np.ceil(threshold * n).astype(np.int64) + 1
+        return df[rank < p][["doc_id", "sh", "n_sh"]]
+
+    prefixes = (with_df.map_batches(tag_doc, batch_format="pandas")
+                .groupby("__b").map_groups(prefix_rows,
+                                           batch_format="pandas")
+                .materialize())
+
+    # 3. candidate pairs from the prefix self-join (dedup by packed key)
+    def side(a: str, n: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({a: df["doc_id"], n: df["n_sh"],
+                                 "sh": df["sh"]})
+        return fn
+
+    co = hash_join(prefixes.map_batches(side("id_a", "n_a"),
+                                        batch_format="pandas"),
+                   prefixes.map_batches(side("id_b", "n_b"),
+                                        batch_format="pandas"),
+                   key="sh", n_buckets=n_buckets)
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["id_a"] < df["id_b"]]
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        if len(b) and b.max() >= (1 << 31):
+            raise ValueError("pair packing needs ids < 2^31")
+        n_a = df["n_a"].to_numpy(dtype=np.int64)
+        n_b = df["n_b"].to_numpy(dtype=np.int64)
+        # PPJoin length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+        # (I ≤ min and union ≥ max).  Tiny epsilon keeps boundary pairs.
+        keep = (np.minimum(n_a, n_b) + 1e-9
+                >= threshold * np.maximum(n_a, n_b))
+        a, b, n_a, n_b = a[keep], b[keep], n_a[keep], n_b[keep]
+        key = a * (1 << 32) + b
+        out = pd.DataFrame({"pair_key": key, "n_a": n_a, "n_b": n_b})
+        out["__b"] = out["pair_key"].to_numpy() & mask
+        return out
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("pair_key").drop(columns="__b")
+
+    cands = (co.map_batches(pair_rows, batch_format="pandas")
+             .groupby("__b").map_groups(dedup_pairs, batch_format="pandas")
+             .materialize())
+
+    # 4. pack each CANDIDATE doc's sorted shingle set into one bytes
+    #    value (int64 little-endian) — a plain Arrow binary column, so a
+    #    doc's set is ONE row from here on, never an exploded rowset.
+    def cand_doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["pair_key"].to_numpy(dtype=np.int64)
+        d = np.unique(np.concatenate([key >> 32, key & 0xFFFFFFFF]))
+        return pd.DataFrame({"doc_id": d,
+                             "sh": np.full(len(d), -1, dtype=np.int64),
+                             "n_sh": np.full(len(d), -1, dtype=np.int64)})
+
+    tagged = (cands.map_batches(cand_doc_rows, batch_format="pandas")
+              .union(sh_rows)
+              .map_batches(tag_doc, batch_format="pandas"))
+
+    def build_sets(df: pd.DataFrame) -> pd.DataFrame:
+        flag = df["sh"].to_numpy(dtype=np.int64) == -1
+        wanted = df.loc[flag, "doc_id"].unique()
+        shs = df[~flag]
+        shs = shs[shs["doc_id"].isin(wanted)]
+        packed = (shs.sort_values(["doc_id", "sh"]).groupby("doc_id")["sh"]
+                  .apply(lambda s: s.to_numpy(dtype="<i8").tobytes()))
+        return pd.DataFrame({"doc_id": packed.index.to_numpy(np.int64),
+                             "sh_set": packed.to_numpy()})
+
+    doc_sets = (tagged.groupby("__b").map_groups(build_sets,
+                                                 batch_format="pandas")
+                .materialize())
+
+    # 6. exact Jaccard from two sorted packed sets (shared by both
+    #    attach strategies below)
+    def _jaccard_rows(key, n_a, n_b, sets_a, sets_b):
+        inter = np.empty(len(key), dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(sets_a, sets_b)):
+            inter[i] = len(np.intersect1d(
+                np.frombuffer(sa, dtype="<i8"),
+                np.frombuffer(sb, dtype="<i8"), assume_unique=True))
+        union = n_a + n_b - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1.0), 1.0)
+        out = pd.DataFrame({"doc_a": key >> 32, "doc_b": key & 0xFFFFFFFF,
+                            "jaccard": np.round(j, 6)})
+        return out[j >= threshold]
+
+    # 5a. small-side fast path: candidate docs' packed sets fit in one
+    #     broadcast object — ship ONCE via ray.put, verify pairs in a
+    #     single map_batches, zero further shuffles.  (Bounded by the
+    #     CANDIDATE docs only, not the corpus; still auto-falls back to
+    #     the bucketed merge when the packed sets outgrow the limit.)
+    if doc_sets.size_bytes() <= broadcast_limit:
+        import ray as _ray
+        lut = {}
+        for b in doc_sets.iter_batches(batch_format="pandas",
+                                       batch_size=65536):
+            lut.update(zip(b["doc_id"].to_numpy(np.int64), b["sh_set"]))
+        lut_ref = _ray.put(lut)
+
+        def verify_bcast(df: pd.DataFrame, _ref=lut_ref) -> pd.DataFrame:
+            sets = _ray.get(_ref)
+            key = df["pair_key"].to_numpy(dtype=np.int64)
+            return _jaccard_rows(
+                key,
+                df["n_a"].to_numpy(dtype=np.float64),
+                df["n_b"].to_numpy(dtype=np.float64),
+                [sets[k] for k in (key >> 32)],
+                [sets[k] for k in (key & 0xFFFFFFFF)])
+
+        return cands.map_batches(verify_bcast, batch_format="pandas")
+
+    # 5b. attach each side's set bytes by bucketed tagged-union merge
+    #    (row count stays #pairs; payload volume is Σ_pairs |A|+|B| —
+    #    bounded by the length-filtered candidate count, not by df²).
+    #    Sentinels (-1 / b"") instead of nulls: a null in an int64
+    #    column promotes to float64, which corrupts 63-bit pair_keys.
+    def _attach_side(pairs, shift: int, out_col: str, prev: list[str]):
+        def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            key = df["pair_key"].to_numpy(dtype=np.int64)
+            doc = (key >> 32) if shift else (key & 0xFFFFFFFF)
+            out = pd.DataFrame({"pair_key": key,
+                                "n_a": df["n_a"].to_numpy(np.int64),
+                                "n_b": df["n_b"].to_numpy(np.int64)})
+            for c in prev:
+                out[c] = df[c].to_numpy()
+            out["__doc"] = doc
+            out["__sh_set"] = np.full(n, b"", dtype=object)
+            out["__b"] = doc & mask
+            return out
+
+        def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            doc = df["doc_id"].to_numpy(np.int64)
+            out = pd.DataFrame({"pair_key": np.full(n, -1, dtype=np.int64),
+                                "n_a": np.full(n, -1, dtype=np.int64),
+                                "n_b": np.full(n, -1, dtype=np.int64)})
+            for c in prev:
+                out[c] = np.full(n, b"", dtype=object)
+            out["__doc"] = doc
+            out["__sh_set"] = df["sh_set"].to_numpy(dtype=object)
+            out["__b"] = doc & mask
+            return out
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            is_pair = df["pair_key"].to_numpy(dtype=np.int64) != -1
+            p = df[is_pair].drop(columns=["__sh_set", "__b"])
+            s = df[~is_pair][["__doc", "__sh_set"]]
+            m = p.merge(s, on="__doc", how="inner")
+            return m.drop(columns=["__doc"]).rename(
+                columns={"__sh_set": out_col})
+
+        return (pairs.map_batches(tag_pairs, batch_format="pandas")
+                .union(doc_sets.map_batches(tag_sets,
+                                            batch_format="pandas"))
+                .groupby("__b").map_groups(merge, batch_format="pandas"))
+
+    cur = _attach_side(cands, 1, "set_a", [])
+    cur = _attach_side(cur, 0, "set_b", ["set_a"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        return _jaccard_rows(df["pair_key"].to_numpy(dtype=np.int64),
+                             df["n_a"].to_numpy(dtype=np.float64),
+                             df["n_b"].to_numpy(dtype=np.float64),
+                             df["set_a"], df["set_b"])
+
+    return cur.map_batches(verify, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
                         n_buckets: int = 32, concurrency: int = 4,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_df: int | None = None):
+                        max_df: int | None = None,
+                        method: str = "full"):
     """EXACT n-gram Jaccard similarity join → Dataset(doc_a, doc_b,
     jaccard) for every pair with Jaccard ≥ ``threshold`` (doc_a <
     doc_b).  Unlike MinHash+LSH this has no false negatives: candidates
@@ -549,6 +779,10 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
                    .groupby("__b").map_groups(drop_hot,
                                               batch_format="pandas")
                    .materialize())
+
+    if method == "prefix":
+        return ngram_jaccard_pairs_prefix(sh_rows, threshold,
+                                          n_buckets=n_buckets)
 
     def side(a: str, n: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

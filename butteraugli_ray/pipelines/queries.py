@@ -718,6 +718,18 @@ def q_ngram_jaccard(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_ngram_jaccard_prefix(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
+    """Same exact join as q_ngram_jaccard but via the PPJoin-family
+    prefix filter (df-ordered prefixes self-join, length filter, packed
+    set verification) — the variant that stays EXACT on corpora whose
+    hot shingles make the plain self-join's Σ df² term explode."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    ds = _docs_with_near_dups(sf_dir)
+    out = ngram_jaccard_pairs(ds, threshold=threshold, concurrency=2,
+                              method="prefix").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_simhash_near_dup(sf_dir: str, max_hamming: int = 5) -> pd.DataFrame:
     from ..functions.dedup import simhash_candidate_pairs
     ds = _docs_with_near_dups(sf_dir)
@@ -1427,6 +1439,7 @@ QUERIES = {
     "shipdate_range": q_shipdate_range,
     "value_median_by_type": q_value_median_by_type,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "user_peak_burst": q_user_peak_burst,
     "top_orders_per_segment": q_top_orders_per_segment,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1829,6 +1842,11 @@ ORACLE_SQL = {
     # exact n-gram Jaccard join over documents ∪ deterministic truncated
     # near-dups (same augmented population as _docs_with_near_dups)
     "ngram_jaccard": "WITH " + _NGRAM_PAIR_CTES + """
+        SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b
+    """,
+    # identical result contract for the prefix-filtered variant — the
+    # two engine paths must agree with the same SQL oracle
+    "ngram_jaccard_prefix": "WITH " + _NGRAM_PAIR_CTES + """
         SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b
     """,
     # connected components over the EXACT-Jaccard pair set above —

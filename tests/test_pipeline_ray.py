@@ -233,6 +233,44 @@ def test_ngram_jaccard_matches_bruteforce(ray_session):
         assert (i, 40 + i) in got_pairs
 
 
+def test_ngram_jaccard_prefix_matches_full(ray_session):
+    """The PPJoin prefix-filtered path (df-ordered prefixes, length
+    filter, packed-set verify) is EXACT: identical pair set and
+    jaccards to the full self-join, through BOTH set-attach strategies
+    (broadcast fast path and the bucketed big-side merge)."""
+    import pandas as pd
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import (ngram_jaccard_pairs,
+                                                 ngram_jaccard_pairs_prefix,
+                                                 NgramShingler)
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    # include a hot stopword shingle in most docs to exercise the
+    # df-ordering (hot shingles must fall outside prefixes)
+    texts = ["the of and " + " ".join(rng.choice(vocab, 25))
+             for _ in range(40)]
+    near = [" ".join(t.split()[:-3]) for t in texts[:10]]
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": texts + near})
+    ds = rd.from_pandas(df)
+    full = (ngram_jaccard_pairs(ds, threshold=0.5, concurrency=1)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+    pre = (ngram_jaccard_pairs(ds, threshold=0.5, concurrency=1,
+                               method="prefix")
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(full, pre)
+    # force the bucketed (non-broadcast) set-attach fallback
+    sh_rows = (ds.map_batches(NgramShingler(3), batch_format="pandas")
+               .materialize())
+    shuf = (ngram_jaccard_pairs_prefix(sh_rows, 0.5, n_buckets=8,
+                                       broadcast_limit=0)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(full, shuf)
+
+
 def test_embedding_lsh_multitable_recall(ray_session):
     import pandas as pd
     import ray.data as rd
