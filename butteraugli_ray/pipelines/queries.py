@@ -315,6 +315,80 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_bloom_urgent_revenue / q_incremental_dedup — Bloom-filter membership
+# ---------------------------------------------------------------------------
+
+def q_bloom_urgent_revenue(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag stats of lineitems belonging to 1-URGENT orders,
+    via an EXACT Bloom semi join (functions/bloom.py): the big side is
+    prefiltered in place by a broadcast fixed-size bitmap — no lineitem
+    shuffle — and only the maybe-member survivors take the bucketed
+    verify join."""
+    from ..functions.bloom import bloom_semi_join
+
+    def urgent(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["o_orderpriority"] == "1-URGENT"]
+        return pd.DataFrame(
+            {"l_orderkey": sel["o_orderkey"].astype("int64")})
+
+    small = (_read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+             .map_batches(urgent, batch_format="pandas").materialize())
+    big = _read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                         "l_returnflag"])
+    joined = bloom_semi_join(big, small, "l_orderkey", fpr=0.01)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("l_orderkey", "size"),
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"))
+
+    out = _final_agg(joined.map_batches(partial, batch_format="pandas"),
+                     ["l_returnflag"], ["n_items", "sum_qty", "sum_price"])
+    out["n_items"] = out["n_items"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Dedup a NEW document batch against an EXISTING corpus — the
+    standard incremental-ingest shape at 100 TB: a Bloom anti join on
+    content fingerprints keeps definite-new docs without any shuffle
+    (no false negatives ⇒ outside the bloom is provably absent) and
+    exact-verifies only the ~1% maybe-duplicate fraction.  Split is
+    deterministic (doc_id % 3) over the duplicate-augmented population
+    so real cross-split collisions exist."""
+    from ..functions.bloom import bloom_anti_join
+
+    corpus = _docs_with_dups(sf_dir)
+
+    def fp_rows(only_old: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            sel = df[(ids % 3 == 0) if only_old else (ids % 3 != 0)]
+            out = pd.DataFrame({"fp": T.fingerprint_md5(sel["text"])})
+            if not only_old:
+                out.insert(0, "doc_id",
+                           sel["doc_id"].to_numpy(dtype=np.int64))
+            return out
+        return fn
+
+    # materialize both fingerprint tables: the anti join takes multiple
+    # passes (bloom build, definite/maybe splits, verify) and must not
+    # recompute the md5 scan each time
+    old = (corpus.map_batches(fp_rows(True), batch_format="pandas")
+           .materialize())
+    new = (corpus.map_batches(fp_rows(False), batch_format="pandas")
+           .materialize())
+    fresh = bloom_anti_join(new, old, key="fp")
+    out = fresh.to_pandas()[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # q_ann_topk — brute-force cosine top-k against 3 fixed query vectors
 # ---------------------------------------------------------------------------
 
@@ -1429,6 +1503,8 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "bloom_urgent_revenue": q_bloom_urgent_revenue,
+    "incremental_dedup": q_incremental_dedup,
     "ann_topk": q_ann_topk,
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1583,6 +1659,33 @@ ORACLE_SQL = {
         SELECT md5(lower(text)) AS content_hash, count(*) AS n_dups,
                min(doc_id) AS keep_id
         FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+    """,
+    # Bloom semi join: exact result == plain EXISTS semi join
+    "bloom_urgent_revenue": """
+        SELECT l_returnflag, count(*) AS n_items,
+               ROUND(sum(l_quantity), 2) AS sum_qty,
+               ROUND(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l_orderkey
+                        AND o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    # Bloom anti join on content fingerprints == NOT EXISTS over md5
+    "incremental_dedup": """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        old AS (SELECT DISTINCT md5(lower(text)) AS fp FROM all_docs
+                WHERE doc_id % 3 = 0)
+        SELECT doc_id FROM all_docs
+        WHERE doc_id % 3 <> 0
+          AND NOT EXISTS (SELECT 1 FROM old
+                          WHERE old.fp = md5(lower(all_docs.text)))
+        ORDER BY doc_id
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
