@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "hash_split", "profile_lineitem", "mixture_sample", "funnel_conversion",
     "retention_cohorts", "error_click_window", "user_gap_stats",
     "stratified_sample_k", "lang_source_matrix", "top_sources_sketch",
+    "bloom_urgent_revenue", "incremental_dedup", "value_ntile",
     "validate_corpus",
 ]
 

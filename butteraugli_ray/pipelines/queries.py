@@ -389,6 +389,39 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_value_ntile — exact global NTILE(4) via range-partitioned ranking
+# ---------------------------------------------------------------------------
+
+def q_value_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Exact global NTILE(k) over events.value ordered by
+    (value, event_id) — the range-partition window-rank operator
+    (functions/rank.py): one bucketed shuffle, tiny driver metadata, no
+    full-dataset sort materialization.  Output: per-tile row count and
+    value span."""
+    from ..functions.rank import range_partition_rank, ntile_of
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    ranked, n_rows = range_partition_rank(ds, "value", "event_id")
+
+    def tile_stats(df: pd.DataFrame) -> pd.DataFrame:
+        t = ntile_of(df["rank"].to_numpy(), n_rows, k)
+        g = (df.assign(tile=t).groupby("tile", as_index=False)
+             .agg(n_rows=("rank", "size"), min_value=("value", "min"),
+                  max_value=("value", "max")))
+        return g
+
+    parts = ranked.map_batches(tile_stats, batch_format="pandas").to_pandas()
+    out = parts.groupby("tile", as_index=False).agg(
+        n_rows=("n_rows", "sum"), min_value=("min_value", "min"),
+        max_value=("max_value", "max"))
+    out["tile"] = out["tile"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["min_value"] = out["min_value"].round(4)
+    out["max_value"] = out["max_value"].round(4)
+    return out.sort_values("tile").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # q_ann_topk — brute-force cosine top-k against 3 fixed query vectors
 # ---------------------------------------------------------------------------
 
@@ -1505,6 +1538,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "bloom_urgent_revenue": q_bloom_urgent_revenue,
     "incremental_dedup": q_incremental_dedup,
+    "value_ntile": q_value_ntile,
     "ann_topk": q_ann_topk,
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1686,6 +1720,16 @@ ORACLE_SQL = {
           AND NOT EXISTS (SELECT 1 FROM old
                           WHERE old.fp = md5(lower(all_docs.text)))
         ORDER BY doc_id
+    """,
+    # exact global NTILE via range-partitioned rank == SQL window NTILE
+    "value_ntile": """
+        WITH t AS (SELECT value,
+                          NTILE(4) OVER (ORDER BY value, event_id) AS tile
+                   FROM events)
+        SELECT tile, count(*) AS n_rows,
+               ROUND(min(value), 4) AS min_value,
+               ROUND(max(value), 4) AS max_value
+        FROM t GROUP BY tile ORDER BY tile
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe

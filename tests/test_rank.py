@@ -1,0 +1,38 @@
+"""Exact range-partitioned global ranking and NTILE semantics."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_ntile_matches_sql_semantics():
+    from butteraugli_ray.functions.rank import ntile_of
+    # N=10, k=4 → tile sizes 3,3,2,2 (first N%k tiles get the extra row)
+    got = ntile_of(np.arange(1, 11), 10, 4)
+    assert got.tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # N < k → one row per tile, tiles N+1..k empty
+    got = ntile_of(np.arange(1, 4), 3, 5)
+    assert got.tolist() == [1, 2, 3]
+    # exact division
+    got = ntile_of(np.arange(1, 9), 8, 4)
+    assert got.tolist() == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_range_partition_rank_exact_with_ties(ray_session):
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import range_partition_rank
+    rng = np.random.default_rng(7)
+    # heavy ties: only 40 distinct values over 3000 rows
+    df = pd.DataFrame({
+        "event_id": np.arange(3000, dtype=np.int64),
+        "value": rng.integers(0, 40, 3000).astype(np.float64)})
+    ranked, n = range_partition_rank(rd.from_pandas(df), "value",
+                                     "event_id", n_buckets=8)
+    assert n == 3000
+    got = (ranked.to_pandas().sort_values("event_id")
+           .reset_index(drop=True))
+    exp_rank = (df.sort_values(["value", "event_id"])
+                .assign(rank=np.arange(1, 3001, dtype=np.int64))
+                .sort_values("event_id").reset_index(drop=True))
+    assert (got["rank"].to_numpy() == exp_rank["rank"].to_numpy()).all()
+    # ranks are a permutation of 1..N (total order, no gaps/dups)
+    assert sorted(got["rank"]) == list(range(1, 3001))
