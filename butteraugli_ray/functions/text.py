@@ -99,6 +99,25 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
     return feats
 
 
+# explicit ASCII class on BOTH sides: Python re's unicode \s and RE2's
+# \s (DuckDB) disagree on \v and  , which would silently break the
+# SQL-oracle parity contract
+_WS_RUN_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def normalize_text(texts: pd.Series, form: str = "NFC") -> pd.Series:
+    """Training-data canonicalization: unicode normalize (NFC default),
+    lowercase, collapse whitespace runs to single spaces, trim.  SQL
+    parity: ``trim(regexp_replace(lower(nfc_normalize(text)),
+    '[ \\t\\r\\n\\f\\v]+', ' ', 'g'))`` (DuckDB).  Vectorized
+    pandas-str except the unicodedata pass (C-level per string,
+    bounded per-doc work)."""
+    import unicodedata
+    s = texts.fillna("").map(lambda t: unicodedata.normalize(form, t))
+    s = s.str.lower().str.replace(_WS_RUN_RE, " ", regex=True)
+    return s.str.strip(" ")
+
+
 def fingerprint_md5(texts: pd.Series) -> pd.Series:
     """md5 of the lowercased text — exact-dedup key with a DuckDB oracle
     (``md5(lower(text))``)."""

@@ -275,6 +275,51 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_doc_normalize — unicode/whitespace/case canonicalization summary
+# ---------------------------------------------------------------------------
+
+def q_doc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Per-source effect of training-data text canonicalization
+    (functions/text.normalize_text: NFC → lower → trim → collapse
+    whitespace): doc count, how many docs the normalization changed,
+    and distinct normalized fingerprints (post-normalization dedup
+    cardinality)."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def add_norm(df: pd.DataFrame) -> pd.DataFrame:
+        norm = T.normalize_text(df["text"])
+        return pd.DataFrame({
+            "source": df["source"],
+            "changed": (norm != df["text"].fillna("")).to_numpy(np.int64),
+            "fp": T.fingerprint_md5(norm)})
+
+    with_norm = (ds.map_batches(add_norm, batch_format="pandas")
+                 .materialize())
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("changed", "size"), n_changed=("changed", "sum"))
+
+    base = _final_agg(with_norm.map_batches(counts, batch_format="pandas"),
+                      ["source"], ["n_docs", "n_changed"])
+
+    # distinct normalized fp per source: native (source, fp) groupby
+    # then tiny per-source partials (same shape as q_doc_fingerprints)
+    uniq = with_norm.groupby(["source", "fp"]).count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False).agg(
+            n_distinct_norm=("fp", "size"))
+
+    dist = _final_agg(uniq.map_batches(partial, batch_format="pandas"),
+                      ["source"], ["n_distinct_norm"])
+    out = base.merge(dist, on="source")
+    for c in ("n_docs", "n_changed", "n_distinct_norm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_exact — exact dedup over documents ∪ deterministic duplicate copies
 # ---------------------------------------------------------------------------
 
@@ -1536,6 +1581,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,
+    "doc_normalize": q_doc_normalize,
     "bloom_urgent_revenue": q_bloom_urgent_revenue,
     "incremental_dedup": q_incremental_dedup,
     "value_ntile": q_value_ntile,
@@ -1693,6 +1739,20 @@ ORACLE_SQL = {
         SELECT md5(lower(text)) AS content_hash, count(*) AS n_dups,
                min(doc_id) AS keep_id
         FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+    """,
+    # canonicalization parity: NFC → lower → trim → collapse whitespace
+    "doc_normalize": r"""
+        WITH n AS (
+            SELECT source, text,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '[ \t\r\n\f\v]+', ' ', 'g'),
+                        ' ') AS norm
+            FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+               count(DISTINCT md5(norm)) AS n_distinct_norm
+        FROM n GROUP BY source ORDER BY source
     """,
     # Bloom semi join: exact result == plain EXISTS semi join
     "bloom_urgent_revenue": """

@@ -42,6 +42,18 @@ def test_fingerprint_md5_matches_sql_semantics():
     assert T.fingerprint_md5(s).iloc[0] == hashlib.md5(b"hello world").hexdigest()
 
 
+def test_normalize_text_canonicalization():
+    s = pd.Series(["  Hello\t\tWORLD \n", "a  b", None,
+                   "Café"])           # e + combining acute
+    got = T.normalize_text(s)
+    assert got.iloc[0] == "hello world"
+    assert got.iloc[1] == "a b"
+    assert got.iloc[2] == ""
+    assert got.iloc[3] == "café"       # NFC composes to é
+    # idempotent: normalizing twice changes nothing
+    assert (T.normalize_text(got) == got).all()
+
+
 def test_rolling_fingerprint_shift_resistant():
     # min-window fingerprint survives a prefix shift UNLESS one of the few
     # new windows happens to hash lower — assert the match rate, not every
