@@ -638,6 +638,16 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_streaming_sessions(sf_dir: str) -> pd.DataFrame:
+    """The STREAMING sessionizer (state/streaming.py): time-ordered
+    micro-batches through hash-sharded stateful session actors with
+    bounded in-flight backpressure — must equal the batch window
+    query's result (same DuckDB oracle as user_sessions)."""
+    from ..state.streaming import sessionize_stream, stream_dataset_by_time
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize_stream(stream_dataset_by_time(ds), n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # q_order_priority_revenue — LARGE×LARGE partitioned hash join
 # ---------------------------------------------------------------------------
@@ -1589,6 +1599,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
     "user_sessions": q_user_sessions,
+    "streaming_sessions": q_streaming_sessions,
     "order_priority_revenue": q_order_priority_revenue,
     "click_attribution": q_click_attribution,
     "customers_without_orders": q_customers_without_orders,
@@ -1852,6 +1863,20 @@ ORACLE_SQL = {
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "user_sessions": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions
+        FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    # the stateful streaming engine honors the SAME window contract
+    "streaming_sessions": """
         WITH gaps AS (
             SELECT user_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
