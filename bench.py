@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "retention_cohorts", "error_click_window", "user_gap_stats",
     "stratified_sample_k", "lang_source_matrix", "top_sources_sketch",
     "bloom_urgent_revenue", "incremental_dedup", "value_ntile",
-    "doc_normalize", "streaming_sessions",
+    "doc_normalize", "streaming_sessions", "token_shards",
     "validate_corpus",
 ]
 

@@ -43,6 +43,43 @@ def ntile_of(rank: np.ndarray, n_rows: int, k: int) -> np.ndarray:
                     rem + (rank - cut - 1) // small + 1).astype(np.int64)
 
 
+def _range_bucketize(ds, col: str, n_buckets: int | None):
+    """Shared skeleton: t-digest boundaries over ``col`` (balance only)
+    → materialized dataset with an ``__rb`` range-bucket tag.  Equal
+    values always share a bucket."""
+    from ..functions.sketches import TDigest
+    from .dedup import _auto_buckets
+
+    src = ds.materialize()
+    n_rows = src.count()
+    if n_rows == 0:
+        return src, 0
+    if n_buckets is None:
+        n_buckets = _auto_buckets(n_rows)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest().add(df[col].to_numpy(dtype=np.float64))
+        return pd.DataFrame({"td": [json.dumps(td.to_dict())]})
+
+    merged = TDigest()
+    for b in (src.map_batches(partial, batch_format="pandas")
+              .iter_batches(batch_format="pandas", batch_size=4096)):
+        for s in b["td"]:
+            merged = merged.merge(TDigest.from_dict(json.loads(s)))
+    bounds = np.unique(np.array(
+        [merged.quantile(i / n_buckets) for i in range(1, n_buckets)],
+        dtype=np.float64))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rb"] = np.searchsorted(
+            bounds, df[col].to_numpy(dtype=np.float64),
+            side="right").astype(np.int64)
+        return df
+
+    return src.map_batches(tag, batch_format="pandas").materialize(), n_rows
+
+
 def range_partition_rank(ds, col: str, tiebreak: str,
                          n_buckets: int | None = None,
                          out_col: str = "rank"):
@@ -51,41 +88,11 @@ def range_partition_rank(ds, col: str, tiebreak: str,
 
     ``tiebreak`` must be unique per row (a key column) so the order —
     and therefore the rank — is total and deterministic."""
-    from ..functions.sketches import TDigest
-    from .dedup import _auto_buckets
-
-    tagged_src = ds.materialize()
-    n_rows = tagged_src.count()
+    tagged, n_rows = _range_bucketize(ds, col, n_buckets)
     if n_rows == 0:
-        return tagged_src, 0
-    if n_buckets is None:
-        n_buckets = _auto_buckets(n_rows)
+        return tagged, 0
 
-    # 1. boundaries from a merged t-digest (balance only)
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        td = TDigest().add(df[col].to_numpy(dtype=np.float64))
-        return pd.DataFrame({"td": [json.dumps(td.to_dict())]})
-
-    merged = TDigest()
-    for b in (tagged_src.map_batches(partial, batch_format="pandas")
-              .iter_batches(batch_format="pandas", batch_size=4096)):
-        for s in b["td"]:
-            merged = merged.merge(TDigest.from_dict(json.loads(s)))
-    bounds = np.unique(np.array(
-        [merged.quantile(i / n_buckets) for i in range(1, n_buckets)],
-        dtype=np.float64))
-
-    # 2. range-bucket tag (equal values always share a bucket)
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__rb"] = np.searchsorted(
-            bounds, df[col].to_numpy(dtype=np.float64),
-            side="right").astype(np.int64)
-        return df
-
-    tagged = tagged_src.map_batches(tag, batch_format="pandas").materialize()
-
-    # 3. per-bucket counts → cumulative offsets (tiny driver metadata)
+    # per-bucket counts → cumulative offsets (tiny driver metadata)
     counts = tagged.groupby("__rb").count().to_pandas()
     counts = counts.sort_values("__rb")
     offsets = dict(zip(
@@ -93,7 +100,7 @@ def range_partition_rank(ds, col: str, tiebreak: str,
         np.concatenate([[0], np.cumsum(
             counts["count()"].to_numpy(dtype=np.int64))[:-1]])))
 
-    # 4. in-bucket sort → rank = offset + local position
+    # in-bucket sort → rank = offset + local position
     def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
         b = int(df["__rb"].iloc[0])
         df = df.sort_values([col, tiebreak]).drop(columns="__rb")
@@ -103,3 +110,42 @@ def range_partition_rank(ds, col: str, tiebreak: str,
     ranked = tagged.groupby("__rb").map_groups(rank_bucket,
                                                batch_format="pandas")
     return ranked, n_rows
+
+
+def range_partition_scan(ds, order_col: str, val_col: str,
+                         n_buckets: int | None = None,
+                         out_col: str = "running_sum"):
+    """Add an EXACT inclusive global prefix sum of ``val_col`` in
+    ``order_col`` order → (Dataset with ``out_col`` int64, grand
+    total).  Same one-shuffle shape as the rank: per-bucket native SUMs
+    reduce to tiny driver offsets, then one in-bucket cumsum per
+    BUCKET.  ``order_col`` must be unique (a key) so the scan order is
+    total; sums are int64 (token counts, bytes, row weights).
+
+    This is the sequence-packing / token-budget-sharding primitive: a
+    shard assignment like ``(running_sum - v) // capacity`` follows
+    from the scan with plain vectorized arithmetic."""
+    from ray.data.aggregate import Sum
+
+    tagged, n_rows = _range_bucketize(ds, order_col, n_buckets)
+    if n_rows == 0:
+        return tagged, 0
+
+    sums = tagged.groupby("__rb").aggregate(
+        Sum(val_col, alias_name="__s")).to_pandas().sort_values("__rb")
+    offsets = dict(zip(
+        sums["__rb"].to_numpy(dtype=np.int64),
+        np.concatenate([[0], np.cumsum(
+            sums["__s"].to_numpy(dtype=np.int64))[:-1]])))
+    total = int(sums["__s"].sum())
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["__rb"].iloc[0])
+        df = df.sort_values(order_col).drop(columns="__rb")
+        df[out_col] = offsets[b] + np.cumsum(
+            df[val_col].to_numpy(dtype=np.int64))
+        return df
+
+    scanned = tagged.groupby("__rb").map_groups(scan_bucket,
+                                                batch_format="pandas")
+    return scanned, total

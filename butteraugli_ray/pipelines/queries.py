@@ -467,6 +467,43 @@ def q_value_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_token_shards — token-budget sharding via exact distributed prefix sum
+# ---------------------------------------------------------------------------
+
+def q_token_shards(sf_dir: str, capacity: int = 4096) -> pd.DataFrame:
+    """Deterministic token-budget sharding of the corpus — the
+    sequence-packing shape: docs in doc_id order are assigned to the
+    shard containing their cumulative token offset
+    (``(running_sum - tok) // capacity``), so every shard holds ~one
+    context-window budget of tokens.  Built on the exact distributed
+    prefix scan (functions/rank.range_partition_scan): one bucketed
+    shuffle, driver metadata = per-bucket sums only."""
+    from ..functions.rank import range_partition_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "tok": T.token_count_whitespace(df["text"]).astype(np.int64)})
+
+    scanned, _ = range_partition_scan(
+        ds.map_batches(tok_rows, batch_format="pandas"), "doc_id", "tok")
+
+    def shard_stats(df: pd.DataFrame) -> pd.DataFrame:
+        shard = ((df["running_sum"].to_numpy(dtype=np.int64)
+                  - df["tok"].to_numpy(dtype=np.int64)) // capacity)
+        return (df.assign(shard=shard).groupby("shard", as_index=False)
+                .agg(n_docs=("tok", "size"), sum_tokens=("tok", "sum")))
+
+    out = _final_agg(scanned.map_batches(shard_stats, batch_format="pandas"),
+                     ["shard"], ["n_docs", "sum_tokens"])
+    for c in ("shard", "n_docs", "sum_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # q_ann_topk — brute-force cosine top-k against 3 fixed query vectors
 # ---------------------------------------------------------------------------
 
@@ -1595,6 +1632,7 @@ QUERIES = {
     "bloom_urgent_revenue": q_bloom_urgent_revenue,
     "incremental_dedup": q_incremental_dedup,
     "value_ntile": q_value_ntile,
+    "token_shards": q_token_shards,
     "ann_topk": q_ann_topk,
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1791,6 +1829,21 @@ ORACLE_SQL = {
           AND NOT EXISTS (SELECT 1 FROM old
                           WHERE old.fp = md5(lower(all_docs.text)))
         ORDER BY doc_id
+    """,
+    # token-budget shards from the exact prefix scan == SQL window SUM
+    "token_shards": r"""
+        WITH t AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+        c AS (SELECT doc_id, tok,
+                     sum(tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+              FROM t)
+        SELECT CAST((cum - tok) // 4096 AS BIGINT) AS shard,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1 ORDER BY 1
     """,
     # exact global NTILE via range-partitioned rank == SQL window NTILE
     "value_ntile": """

@@ -36,3 +36,19 @@ def test_range_partition_rank_exact_with_ties(ray_session):
     assert (got["rank"].to_numpy() == exp_rank["rank"].to_numpy()).all()
     # ranks are a permutation of 1..N (total order, no gaps/dups)
     assert sorted(got["rank"]) == list(range(1, 3001))
+
+
+def test_range_partition_scan_exact_prefix_sum(ray_session):
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import range_partition_scan
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "tok": rng.integers(1, 500, 2000).astype(np.int64)})
+    scanned, total = range_partition_scan(rd.from_pandas(df), "doc_id",
+                                          "tok", n_buckets=8)
+    assert total == int(df["tok"].sum())
+    got = (scanned.to_pandas().sort_values("doc_id")
+           .reset_index(drop=True))
+    exp = np.cumsum(df["tok"].to_numpy(dtype=np.int64))
+    assert (got["running_sum"].to_numpy() == exp).all()
