@@ -182,3 +182,75 @@ def knn_cosine_ivf(ds, queries: np.ndarray, k: int, n_clusters: int = 16,
         out.append(g)
     return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
         columns=["query_id", "vec_id", "sim", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over an embedding column
+# ---------------------------------------------------------------------------
+
+def pca_fit(ds, emb_col: str = "embedding", k: int = 4):
+    """Distributed PCA: one pass of per-batch second-moment partials —
+    (n, Σx, XᵀX), each a d² float64 block independent of batch size —
+    summed on the driver (associative; a tree reduce at cluster scale),
+    then a d×d eigendecomposition that costs O(d³) ONCE regardless of
+    row count.  Returns (mean [d], components [k,d], explained_var [k],
+    explained_var_ratio [k]) with components sign-canonicalized
+    (largest-|coord| positive) so results are deterministic.
+
+    The embeddings themselves never move: only d²-sized partials
+    shuffle, the 100 TB-safe shape for covariance-family reductions."""
+    import pickle
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        payload = pickle.dumps(
+            (len(x), x.sum(axis=0), x.T @ x), protocol=4)
+        return pd.DataFrame({"part": [payload]})
+
+    n_total = 0
+    s = None
+    xtx = None
+    for b in (ds.map_batches(partial, batch_format="pandas")
+              .iter_batches(batch_format="pandas", batch_size=1024)):
+        for raw in b["part"]:
+            n_i, s_i, xtx_i = pickle.loads(raw)
+            n_total += n_i
+            s = s_i if s is None else s + s_i
+            xtx = xtx_i if xtx is None else xtx + xtx_i
+    if n_total < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    mean = s / n_total
+    cov = (xtx - n_total * np.outer(mean, mean)) / (n_total - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    evals = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T
+    # canonical sign: the largest-|coordinate| entry of each component
+    # is positive (eigh sign is otherwise arbitrary)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.trace(cov))
+    ratio = evals / total_var if total_var > 0 else np.zeros_like(evals)
+    return mean, comps, evals, ratio
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray,
+                emb_col: str = "embedding", out_col: str = "pc"):
+    """Project every embedding onto the fitted components inside
+    map_batches (mean/components ship once via ray.put, read per
+    task) → Dataset with ``out_col`` list<double> of length k."""
+    import ray as _ray
+    ref = _ray.put((np.asarray(mean, dtype=np.float64),
+                    np.asarray(components, dtype=np.float64)))
+
+    def project(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        m, c = _ray.get(_ref)
+        x = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        proj = (x - m) @ c.T
+        out = df.drop(columns=[emb_col]).copy()
+        out[out_col] = list(proj)
+        return out
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -467,6 +467,25 @@ def q_value_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_embedding_pca — distributed covariance PCA over the embedding column
+# ---------------------------------------------------------------------------
+
+def q_embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Distributed PCA (functions/ann.pca_fit): only d²-sized moment
+    partials leave the workers; the d×d eigendecomposition runs once on
+    the driver.  Rows-only (no SQL eigendecomposition); pytest pins the
+    result against full-matrix numpy PCA."""
+    from ..functions.ann import pca_fit
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    _, _, evals, ratio = pca_fit(ds, k=k)
+    return pd.DataFrame({
+        "component": np.arange(k, dtype=np.int64),
+        "explained_var": np.round(evals, 6),
+        "explained_var_ratio": np.round(ratio, 4),
+        "cum_ratio": np.round(np.cumsum(ratio), 4)})
+
+
+# ---------------------------------------------------------------------------
 # q_token_shards — token-budget sharding via exact distributed prefix sum
 # ---------------------------------------------------------------------------
 
@@ -1665,6 +1684,7 @@ QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
+    "embedding_pca": q_embedding_pca,
     "doc_compression": q_doc_compression,
     "rolling_fingerprint": q_rolling_fingerprint,
     "hll_distinct_users": q_hll_distinct_users,

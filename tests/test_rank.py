@@ -52,3 +52,31 @@ def test_range_partition_scan_exact_prefix_sum(ray_session):
            .reset_index(drop=True))
     exp = np.cumsum(df["tok"].to_numpy(dtype=np.int64))
     assert (got["running_sum"].to_numpy() == exp).all()
+
+
+def test_pca_fit_matches_full_numpy(ray_session):
+    import ray.data as rd
+    from butteraugli_ray.functions.ann import pca_fit, pca_project
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: known dominant directions
+    base = rng.normal(size=(500, 8)) * np.array(
+        [5.0, 3.0, 2.0, 1.0, 0.5, 0.3, 0.2, 0.1])
+    df = pd.DataFrame({"vec_id": np.arange(500, dtype=np.int64),
+                       "embedding": list(base.astype(np.float32))})
+    mean, comps, evals, ratio = pca_fit(rd.from_pandas(df), k=3)
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    exp_mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    assert np.allclose(mean, exp_mean, atol=1e-9)
+    assert np.allclose(evals, ev[order], rtol=1e-9)
+    assert np.allclose(ratio, ev[order] / np.trace(cov), rtol=1e-9)
+    # components span the same directions (sign-canonicalized)
+    for i, j in enumerate(order):
+        assert abs(abs(np.dot(comps[i], evec[:, j])) - 1.0) < 1e-9
+    # projection: variance along pc0 equals the top eigenvalue
+    proj = (pca_project(rd.from_pandas(df), mean, comps)
+            .to_pandas())
+    p = np.stack(proj["pc"].to_numpy())
+    assert np.allclose(p.var(axis=0, ddof=1), evals, rtol=1e-9)
