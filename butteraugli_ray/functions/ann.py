@@ -254,3 +254,74 @@ def pca_project(ds, mean: np.ndarray, components: np.ndarray,
         return out
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (full Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(ds, k: int = 8, emb_col: str = "embedding",
+               id_col: str = "vec_id", max_iters: int = 20,
+               tol: float = 1e-6):
+    """Full distributed Lloyd k-means over an embedding column.
+
+    Each iteration is ONE streaming pass: centroids broadcast via
+    ray.put, every batch computes its partial (per-cluster count,
+    per-cluster vector sum [k,d], inertia) — so only k·d-sized partials
+    ever leave a worker, never the vectors.  The driver reduces
+    partials (associative; tree-reduce at cluster scale), recomputes
+    centroids, and stops when the max relative centroid shift < tol.
+    Initialization is DETERMINISTIC: the k vectors with the smallest
+    ``id_col`` values (a pushdown-friendly sorted-limit read), so runs
+    are reproducible regardless of block arrival order.
+
+    Returns (centroids [k,d], inertia, n_iters, sizes [k])."""
+    import pickle
+
+    import ray as _ray
+
+    ds = ds.materialize()          # Lloyd takes max_iters passes; scan once
+    init_rows = (ds.sort(id_col).limit(k).to_pandas())
+    cent = np.stack(init_rows[emb_col].to_numpy()).astype(np.float64)
+    if len(cent) < k:
+        raise ValueError(f"need >= {k} rows to initialize k-means")
+
+    inertia = np.inf
+    sizes = np.zeros(k, dtype=np.int64)
+    for it in range(1, max_iters + 1):
+        cref = _ray.put(cent)
+
+        def partial(df: pd.DataFrame, _ref=cref) -> pd.DataFrame:
+            c = _ray.get(_ref)
+            x = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+            # ||x-c||² = ||x||² - 2 x·c + ||c||²  (vectorized assign)
+            d2 = (np.sum(x * x, axis=1)[:, None]
+                  - 2.0 * (x @ c.T) + np.sum(c * c, axis=1)[None, :])
+            a = np.argmin(d2, axis=1)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            vsum = np.zeros_like(c)
+            np.add.at(vsum, a, x)
+            iner = float(d2[np.arange(len(x)), a].sum())
+            return pd.DataFrame({"part": [pickle.dumps(
+                (cnt, vsum, iner), protocol=4)]})
+
+        cnt = np.zeros(k, dtype=np.int64)
+        vsum = np.zeros_like(cent)
+        new_inertia = 0.0
+        for b in (ds.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=1024)):
+            for raw in b["part"]:
+                c_i, v_i, in_i = pickle.loads(raw)
+                cnt += c_i
+                vsum += v_i
+                new_inertia += in_i
+        nonempty = cnt > 0
+        new_cent = cent.copy()                   # empty cluster keeps pos
+        new_cent[nonempty] = vsum[nonempty] / cnt[nonempty, None]
+        denom = np.maximum(np.linalg.norm(cent, axis=1), 1e-12)
+        shift = float(np.max(np.linalg.norm(new_cent - cent, axis=1)
+                             / denom))
+        cent, inertia, sizes = new_cent, new_inertia, cnt
+        if shift < tol:
+            break
+    return cent, inertia, it, sizes

@@ -467,6 +467,38 @@ def q_value_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_lang_source_rollup — grouping-sets rollup from ONE scan's partials
+# ---------------------------------------------------------------------------
+
+def q_lang_source_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS ((lang, source), (lang), ()) in one pass: the
+    finest-level partial aggregate is computed once, and every coarser
+    level rolls up from those partials on the driver (they're tiny —
+    |langs|×|sources| rows) — never a second scan of the data."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = T.token_count_whitespace(df["text"]).astype(np.int64)
+        return (df.assign(tok=toks)
+                .groupby(["lang", "source"], as_index=False)
+                .agg(n_docs=("tok", "size"), sum_tokens=("tok", "sum")))
+
+    base = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                      ["lang", "source"], ["n_docs", "sum_tokens"])
+    lang_lvl = (base.groupby("lang", as_index=False)
+                [["n_docs", "sum_tokens"]].sum())
+    lang_lvl["source"] = "ALL"
+    total = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                          "n_docs": [base["n_docs"].sum()],
+                          "sum_tokens": [base["sum_tokens"].sum()]})
+    out = pd.concat([base, lang_lvl, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_tokens"] = out["sum_tokens"].astype("int64")
+    return (out[["lang", "source", "n_docs", "sum_tokens"]]
+            .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # q_embedding_pca — distributed covariance PCA over the embedding column
 # ---------------------------------------------------------------------------
 
@@ -483,6 +515,26 @@ def q_embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
         "explained_var": np.round(evals, 6),
         "explained_var_ratio": np.round(ratio, 4),
         "cum_ratio": np.round(np.cumsum(ratio), 4)})
+
+
+# ---------------------------------------------------------------------------
+# q_kmeans_clusters — full distributed Lloyd k-means over embeddings
+# ---------------------------------------------------------------------------
+
+def q_kmeans_clusters(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Distributed Lloyd k-means (functions/ann.kmeans_fit): per batch
+    only [k,d] sum/count partials leave workers; deterministic init
+    (k smallest vec_ids) makes the result reproducible.  Rows-only (no
+    SQL Lloyd); pytest pins it against single-process numpy Lloyd."""
+    from ..functions.ann import kmeans_fit
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, inertia, iters, sizes = kmeans_fit(ds, k=k, max_iters=25)
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "size": sizes.astype(np.int64),
+        "centroid_norm": np.round(np.linalg.norm(cent, axis=1), 6),
+        "inertia": np.round(np.float64(inertia), 4),
+        "n_iters": np.int64(iters)})
 
 
 # ---------------------------------------------------------------------------
@@ -1675,6 +1727,8 @@ QUERIES = {
     "error_click_window": q_error_click_window,
     "stratified_sample_k": q_stratified_sample_k,
     "lang_source_matrix": q_lang_source_matrix,
+    "lang_source_rollup": q_lang_source_rollup,
+    "kmeans_clusters": q_kmeans_clusters,
     "dup_groups_exact": q_dup_groups_exact,
     "top_sources_sketch": q_top_sources_sketch,
     "user_gap_stats": q_user_gap_stats,
@@ -1849,6 +1903,20 @@ ORACLE_SQL = {
           AND NOT EXISTS (SELECT 1 FROM old
                           WHERE old.fp = md5(lower(all_docs.text)))
         ORDER BY doc_id
+    """,
+    # rollup from one scan's partials == SQL GROUPING SETS
+    "lang_source_rollup": r"""
+        WITH t AS (SELECT lang, source,
+                          len(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents)
+        SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END
+                   AS lang,
+               CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+                   AS source,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS sum_tokens
+        FROM t GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        ORDER BY lang, source
     """,
     # token-budget shards from the exact prefix scan == SQL window SUM
     "token_shards": r"""

@@ -80,3 +80,42 @@ def test_pca_fit_matches_full_numpy(ray_session):
             .to_pandas())
     p = np.stack(proj["pc"].to_numpy())
     assert np.allclose(p.var(axis=0, ddof=1), evals, rtol=1e-9)
+
+
+def test_kmeans_fit_matches_single_process_lloyd(ray_session):
+    import ray.data as rd
+    from butteraugli_ray.functions.ann import kmeans_fit
+    rng = np.random.default_rng(23)
+    true_c = rng.normal(size=(4, 12)) * 4.0
+    x = np.concatenate([true_c[i % 4] + rng.normal(size=(1, 12)) * 0.2
+                        for i in range(600)]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(600, dtype=np.int64),
+                       "embedding": list(x)})
+    cent, inertia, iters, sizes = kmeans_fit(
+        rd.from_pandas(df), k=4, max_iters=30)
+    # single-process Lloyd with the SAME deterministic init
+    xd = x.astype(np.float64)
+    c = xd[:4].copy()
+    exp_iters = 0
+    for _ in range(30):
+        exp_iters += 1
+        d2 = (np.sum(xd * xd, 1)[:, None] - 2.0 * (xd @ c.T)
+              + np.sum(c * c, 1)[None, :])
+        a = np.argmin(d2, axis=1)
+        exp_inertia = float(d2[np.arange(len(xd)), a].sum())
+        exp_sizes = np.bincount(a, minlength=4)
+        newc = np.stack([xd[a == i].mean(0) if (a == i).any() else c[i]
+                         for i in range(4)])
+        shift = float(np.max(np.linalg.norm(newc - c, axis=1)
+                             / np.maximum(np.linalg.norm(c, axis=1),
+                                          1e-12)))
+        c = newc
+        if shift < 1e-6:
+            break
+    assert iters == exp_iters
+    assert np.allclose(cent, c, atol=1e-8)
+    assert sizes.tolist() == exp_sizes.tolist()
+    assert abs(inertia - exp_inertia) / exp_inertia < 1e-9
+    # clusters recovered the generating centers
+    d = np.linalg.norm(cent[:, None, :] - true_c[None, :, :], axis=2)
+    assert (d.min(axis=0) < 0.5).all()
