@@ -262,10 +262,14 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
 
     # ---- ONE heavy scan over remaining partitions ------------------------
     filt = None
+    lance_sql = None
     if done:
         import pyarrow.dataset as pads
         filt = ~pads.field("partition_id").isin(sorted(done))
-    docs = read_table_filtered(docs_path, filter_expr=filt)
+        lance_sql = ("partition_id NOT IN (%s)"
+                     % ", ".join(str(int(p)) for p in sorted(done)))
+    docs = read_table_filtered(docs_path, filter_expr=filt,
+                               lance_filter_sql=lance_sql)
 
     checker_kwargs = dict(media_keys_ref=keys_ref, scores_ref=scores_ref,
                           threshold=threshold)

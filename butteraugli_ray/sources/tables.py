@@ -64,16 +64,42 @@ def read_table(path: str, columns=None):
                         override_num_blocks=small_file_num_blocks(path)))
 
 
-def read_table_filtered(path: str, columns=None, filter_expr=None):
-    """Parquet read with row-group predicate pushdown (prune at the read)."""
+def post_filter(ds, filter_expr):
+    """Apply a pyarrow dataset Expression AFTER the read (zero-copy
+    Arrow ``Table.filter``) — the correctness fallback when a source
+    can't push the predicate down (e.g. resume pruning on Lance)."""
+    if filter_expr is None:
+        return ds
+
+    def apply(t, _e=filter_expr):
+        return t.filter(_e)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def read_table_filtered(path: str, columns=None, filter_expr=None,
+                        lance_filter_sql=None):
+    """Filtered read with predicate pushdown (prune at the read).
+
+    Parquet: ``filter_expr`` (pyarrow Expression) prunes row groups at
+    the scan.  Lance: pass ``lance_filter_sql`` (Lance's SQL-subset
+    filter string) for true pushdown; if only ``filter_expr`` is given
+    the predicate is applied post-read (correct — completed partitions
+    are still skipped on resume — but every fragment is scanned; a
+    warning says so)."""
     import ray.data as rd
     if path.endswith(".lance") and _have_lance():
+        if lance_filter_sql is not None:
+            return rd.read_lance(path, columns=columns,
+                                 filter=lance_filter_sql)
         if filter_expr is not None:
-            raise ValueError(
-                "filter pushdown not wired for the lance path; apply the "
-                "filter post-read or use parquet (resume contract relies "
-                "on completed-partition pruning)")
-        return rd.read_lance(path, columns=columns)
+            import warnings
+            warnings.warn(
+                "lance read: pyarrow filter applied post-read (not pushed "
+                "down) — pass lance_filter_sql for fragment pruning",
+                stacklevel=2)
+        return post_filter(rd.read_lance(path, columns=columns),
+                           filter_expr)
     return strip_schema_metadata(
         rd.read_parquet(path, columns=columns, filter=filter_expr,
                         override_num_blocks=small_file_num_blocks(path)))

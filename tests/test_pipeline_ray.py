@@ -334,3 +334,20 @@ class TestFaultTolerance:
         assert (out.sort_values("x")["y"].to_numpy()
                 == np.arange(1000) * 2).all()
         assert (flag_dir / "batch0").exists()   # the crash really happened
+
+
+def test_post_filter_matches_pushdown_semantics(ray_session):
+    """post_filter (the Lance no-pushdown fallback) must drop exactly the
+    rows the parquet pushdown would."""
+    import pandas as pd
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from butteraugli_ray.sources.tables import post_filter
+    df = pd.DataFrame({"partition_id": np.arange(40) % 4,
+                       "x": np.arange(40)})
+    expr = ~pads.field("partition_id").isin([1, 3])
+    out = (post_filter(rd.from_pandas(df), expr)
+           .to_pandas().sort_values("x").reset_index(drop=True))
+    exp = (df[~df["partition_id"].isin([1, 3])]
+           .sort_values("x").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
