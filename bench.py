@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "stratified_sample_k", "lang_source_matrix", "top_sources_sketch",
     "bloom_urgent_revenue", "incremental_dedup", "value_ntile",
     "doc_normalize", "streaming_sessions", "token_shards",
+    "bm25_topk", "decontaminate", "dup_passages", "repetition_filter",
     "validate_corpus",
 ]
 

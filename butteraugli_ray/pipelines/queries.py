@@ -1685,6 +1685,292 @@ def q_user_gap_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-curation text operators: BM25 retrieval, n-gram decontamination,
+# duplicated-passage detection, Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+
+def _ngram_frame(ids: pd.Series, toks: pd.Series, n: int) -> pd.DataFrame:
+    """Vectorized word n-grams: explode tokens, shift n-1 times within
+    each id group (C-level groupby.shift, no per-row Python), join with
+    spaces.  Returns columns ``id`` / ``gram`` for every full window."""
+    ex = (pd.DataFrame({"id": ids.to_numpy(), "tok": toks})
+          .explode("tok").dropna(subset=["tok"]).reset_index(drop=True))
+    if not len(ex):
+        return pd.DataFrame({"id": pd.Series([], dtype=ids.dtype),
+                             "pos": pd.Series([], dtype="int64"),
+                             "gram": pd.Series([], dtype=object)})
+    grp = ex.groupby("id", sort=False)["tok"]
+    pos = ex.groupby("id", sort=False).cumcount()
+    gram = ex["tok"].astype(str)
+    last = ex["tok"]
+    for s in range(1, n):
+        last = grp.shift(-s)
+        gram = gram + " " + last.fillna("")
+    valid = last.notna()
+    return pd.DataFrame({"id": ex.loc[valid, "id"],
+                         "pos": pos[valid].astype("int64"),
+                         "gram": gram[valid]}).reset_index(drop=True)
+
+
+_BM25_QUERIES = {0: ("query", "filter", "join"),
+                 1: ("stream", "window", "agg"),
+                 2: ("table", "scan", "merge", "dup")}
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query set over documents.
+
+    Scale shape: pass 1 computes the corpus stats (N, total tokens, df
+    per *query* term only — the broadcast side is O(|query vocab|), not
+    corpus vocab) as a combiner + one tiny native Sum; pass 2 scores
+    inside ``map_batches`` against the broadcast stats and keeps a
+    per-batch partial top-k, so only k × |queries| × blocks rows reach
+    the final top-k.  idf = ln(1 + (N-df+0.5)/(df+0.5)) (Lucene form,
+    always positive); both sides compute the identical float expression.
+    """
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    qterms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        ex = (pd.DataFrame({"doc_id": df["doc_id"], "term": toks})
+              .explode("term"))
+        ex = ex[ex["term"].isin(qterms)]
+        g = (ex.drop_duplicates()
+             .groupby("term", as_index=False).agg(n=("doc_id", "size")))
+        keys = ["\x00n_docs", "\x00n_toks"] + list(g["term"])
+        vals = [len(df), int(toks.str.len().sum())] + list(g["n"])
+        return pd.DataFrame({"key": keys,
+                             "n": pd.Series(vals, dtype="int64")})
+
+    stats = _final_agg(ds.map_batches(stats_partial, batch_format="pandas"),
+                       ["key"], ["n"])
+    smap = dict(zip(stats["key"], stats["n"].astype("int64")))
+    n_docs = float(smap["\x00n_docs"])
+    avgdl = float(smap["\x00n_toks"]) / n_docs
+    idf = {t: float(np.log(1.0 + (n_docs - smap.get(t, 0) + 0.5)
+                           / (smap.get(t, 0) + 0.5))) for t in qterms}
+    qmap = pd.DataFrame([(qid, t) for qid, ts in _BM25_QUERIES.items()
+                         for t in ts], columns=["query_id", "term"])
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if not len(df):
+            return empty
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        dl = pd.Series(toks.str.len().to_numpy(dtype=np.float64),
+                       index=df["doc_id"].to_numpy())
+        ex = (pd.DataFrame({"doc_id": df["doc_id"], "term": toks})
+              .explode("term"))
+        ex = ex[ex["term"].isin(qterms)]
+        if not len(ex):
+            return empty
+        tf = ex.groupby(["doc_id", "term"], as_index=False).agg(
+            tf=("term", "size"))
+        tfv = tf["tf"].to_numpy(dtype=np.float64)
+        dlv = tf["doc_id"].map(dl).to_numpy(dtype=np.float64)
+        idfv = tf["term"].map(idf).to_numpy(dtype=np.float64)
+        tf["s"] = idfv * (tfv * (_BM25_K1 + 1.0)) / (
+            tfv + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dlv / avgdl))
+        sc = (tf.merge(qmap, on="term")
+              .groupby(["query_id", "doc_id"], as_index=False)
+              .agg(score=("s", "sum")))
+        sc = sc.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+        return sc.groupby("query_id", group_keys=False).head(k)
+
+    parts = ds.map_batches(score_partial,
+                           batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["query_id", "score", "doc_id"],
+                             ascending=[True, False, True])
+           .groupby("query_id", group_keys=False).head(k))
+    out["score"] = _round_half_away(out["score"], 6)
+    out["query_id"] = out["query_id"].astype("int64")
+    return (out.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True)[["query_id", "doc_id", "score"]])
+
+
+def q_decontaminate(sf_dir: str, eval_mod: int = 7, n: int = 8) -> pd.DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with the held-out eval slice (doc_id % 7 == 0).
+
+    Scale shape: the contaminating side is a *benchmark* set — small by
+    construction (real decontamination broadcasts the eval n-grams, it
+    never shuffles the corpus), so pass 1 extracts distinct eval shingles
+    and ``ray.put``s one frozenset; pass 2 is a broadcast semi-join
+    inside ``map_batches`` (vectorized ``isin``) + per-source combiner.
+    If the eval side ever outgrew memory the same pipeline becomes a
+    hash semi-join on gram hash (functions/joins.py pattern)."""
+    import ray
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % eval_mod == 0]
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        g = _ngram_frame(df["doc_id"], toks, n)
+        return pd.DataFrame({"gram": g["gram"].unique()})
+
+    eset = frozenset(
+        ds.map_batches(eval_grams, batch_format="pandas")
+        .to_pandas()["gram"])
+    eref = ray.put(eset)
+
+    class Flagger:
+        def __init__(self):
+            self.grams = ray.get(eref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] % eval_mod != 0]
+            toks = df["text"].fillna("").str.lower().str.findall(
+                T.WS_TOKEN_RE)
+            g = _ngram_frame(df["doc_id"], toks, n)
+            hit = g.loc[g["gram"].isin(self.grams), "id"].unique()
+            out = pd.DataFrame({"source": df["source"],
+                                "c": df["doc_id"].isin(hit)})
+            return out.groupby("source", as_index=False).agg(
+                n_train=("c", "size"), n_contaminated=("c", "sum"))
+
+    parts = ds.map_batches(Flagger, batch_format="pandas", concurrency=2)
+    out = parts.groupby("source").aggregate(
+        Sum("n_train", alias_name="n_train"),
+        Sum("n_contaminated", alias_name="n_contaminated")).to_pandas()
+    out["n_train"] = out["n_train"].astype("int64")
+    out["n_contaminated"] = out["n_contaminated"].astype("int64")
+    out["contamination_rate"] = _round_half_away(
+        out["n_contaminated"] * 1.0 / out["n_train"], 6)
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_train", "n_contaminated", "contamination_rate"]])
+
+
+def q_dup_passages(sf_dir: str, window: int = 16) -> pd.DataFrame:
+    """Duplicated-passage detection: non-overlapping 16-token windows
+    occurring in ≥2 distinct docs, reported per source.
+
+    Scale shape: pass 1 shuffles only distinct (passage, per-batch doc
+    count) partials — exact because one doc never spans two batches —
+    through a native Sum, then filters to the (tiny) duplicated set;
+    pass 2 broadcasts that set and flags docs per batch with a per-source
+    combiner.  At 100 TB the dup set joins back by passage hash instead
+    of broadcasting (and passages ship as 128-bit hashes, not strings)."""
+    import ray
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def passages(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        g = _ngram_frame(df["doc_id"], toks, window)
+        g = g[g["pos"] % window == 0]  # non-overlapping, full windows only
+        return pd.DataFrame({"doc_id": g["id"].to_numpy(),
+                             "passage": g["gram"].to_numpy()})
+
+    def pass_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = passages(df).drop_duplicates()
+        return p.groupby("passage", as_index=False).agg(
+            nd=("doc_id", "size"))
+
+    agg = (ds.map_batches(pass_partial, batch_format="pandas")
+           .groupby("passage").aggregate(Sum("nd", alias_name="nd")))
+    dups = (agg.map_batches(
+        lambda df: df.loc[df["nd"] >= 2, ["passage"]]
+        .astype({"passage": "string"}),
+        batch_format="pandas").to_pandas())
+    dset = frozenset(dups["passage"])
+    dref = ray.put(dset)
+
+    class Flagger:
+        def __init__(self):
+            self.dups = ray.get(dref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            p = passages(df).drop_duplicates()
+            hitp = p[p["passage"].isin(self.dups)]
+            hit_docs = hitp["doc_id"].unique()
+            pairs = hitp.groupby("doc_id").size()
+            out = pd.DataFrame({
+                "source": df["source"],
+                "d": df["doc_id"].isin(hit_docs),
+                "p": df["doc_id"].map(pairs).fillna(0).astype("int64")})
+            return out.groupby("source", as_index=False).agg(
+                n_docs=("d", "size"), docs_with_dup_passage=("d", "sum"),
+                dup_passage_pairs=("p", "sum"))
+
+    parts = ds.map_batches(Flagger, batch_format="pandas", concurrency=2)
+    out = parts.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("docs_with_dup_passage", alias_name="docs_with_dup_passage"),
+        Sum("dup_passage_pairs", alias_name="dup_passage_pairs")).to_pandas()
+    for c in ("n_docs", "docs_with_dup_passage", "dup_passage_pairs"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "docs_with_dup_passage",
+              "dup_passage_pairs"]])
+
+
+def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality filter per language: top-unigram
+    token fraction and duplicate-bigram fraction per doc (docs with ≥2
+    tokens), flagging docs over threshold (top > 0.2 or dup > 0.09).
+
+    Scale shape: everything per-doc happens vectorized inside one
+    ``map_batches`` (explode + groupby max/nunique — no per-row Python);
+    the only shuffle is the per-lang native Sum of six partial columns.
+    Both sides compute fractions with the identical float expression so
+    the > threshold comparisons agree bit-for-bit."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        keep = toks.str.len() >= 2
+        df, toks = df[keep], toks[keep]
+        empty = pd.DataFrame(
+            {c: [] for c in ["lang", "n_docs", "n_flagged",
+                             "sum_top", "sum_dup"]})
+        if not len(df):
+            return empty
+        ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "tok": toks}).explode("tok"))
+        uc = ex.groupby(["doc_id", "tok"]).size()
+        mx = uc.groupby("doc_id").max()
+        tot = uc.groupby("doc_id").sum()
+        top_frac = (mx * 1.0) / tot
+        bg = _ngram_frame(df["doc_id"], toks, 2)
+        bstat = bg.groupby("id")["gram"].agg(total="size", dist="nunique")
+        dup_frac = 1.0 - (bstat["dist"] * 1.0) / bstat["total"]
+        d = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                          "top": top_frac.reindex(
+                              df["doc_id"]).to_numpy(),
+                          "dup": dup_frac.reindex(
+                              df["doc_id"]).to_numpy()})
+        d["flag"] = (d["top"] > 0.2) | (d["dup"] > 0.09)
+        return d.groupby("lang", as_index=False).agg(
+            n_docs=("flag", "size"), n_flagged=("flag", "sum"),
+            sum_top=("top", "sum"), sum_dup=("dup", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_flagged", alias_name="n_flagged"),
+        Sum("sum_top", alias_name="sum_top"),
+        Sum("sum_dup", alias_name="sum_dup")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_flagged"] = out["n_flagged"].astype("int64")
+    out["avg_top_token_frac"] = _round_half_away(
+        out["sum_top"] / out["n_docs"], 6)
+    out["avg_dup_bigram_frac"] = _round_half_away(
+        out["sum_dup"] / out["n_docs"], 6)
+    return (out.sort_values("lang").reset_index(drop=True)
+            [["lang", "n_docs", "n_flagged", "avg_top_token_frac",
+              "avg_dup_bigram_frac"]])
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1732,6 +2018,10 @@ QUERIES = {
     "dup_groups_exact": q_dup_groups_exact,
     "top_sources_sketch": q_top_sources_sketch,
     "user_gap_stats": q_user_gap_stats,
+    "bm25_topk": q_bm25_topk,
+    "decontaminate": q_decontaminate,
+    "dup_passages": q_dup_passages,
+    "repetition_filter": q_repetition_filter,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -2237,5 +2527,106 @@ ORACLE_SQL = {
         SELECT CAST(lbl AS BIGINT) AS label, count(*) AS n_members
         FROM (SELECT node, min(r) AS lbl FROM reach GROUP BY node) q
         GROUP BY lbl ORDER BY label
+    """,
+    # Okapi BM25 (k1=1.2, b=0.75, Lucene idf) — both sides compute the
+    # identical float expression; ranking ties break by doc_id
+    "bm25_topk": r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\S+') AS t
+                      FROM documents),
+        dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        stats AS (SELECT count(*) AS n,
+                         sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        qmap(query_id, term) AS (VALUES
+            (0, 'query'), (0, 'filter'), (0, 'join'),
+            (1, 'stream'), (1, 'window'), (1, 'agg'),
+            (2, 'table'), (2, 'scan'), (2, 'merge'), (2, 'dup')),
+        tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+               WHERE tok IN (SELECT term FROM qmap) GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+        scores AS (
+            SELECT q.query_id, tf.doc_id,
+                   sum(ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ) AS score
+            FROM tf JOIN qmap q USING (term) JOIN dfreq d USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+            GROUP BY 1, 2)
+        SELECT query_id, doc_id, ROUND(score, 6) AS score FROM scores
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) <= 5
+        ORDER BY query_id, ROUND(score, 6) DESC, doc_id
+    """,
+    # eval slice = doc_id % 7 == 0; contamination = any shared word 8-gram
+    "decontaminate": r"""
+        WITH toks AS (SELECT doc_id, source,
+                             regexp_extract_all(lower(text), '\S+') AS t
+                      FROM documents),
+        eg AS (SELECT DISTINCT g FROM (
+            SELECT unnest(list_transform(generate_series(1, len(t) - 7),
+                          i -> array_to_string(t[i:i+7], ' '))) AS g
+            FROM toks WHERE doc_id % 7 = 0 AND len(t) >= 8)),
+        tr AS (SELECT doc_id, source, t FROM toks WHERE doc_id % 7 <> 0),
+        contam AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+                          i -> array_to_string(t[i:i+7], ' '))) AS g
+            FROM tr WHERE len(t) >= 8)
+            WHERE g IN (SELECT g FROM eg))
+        SELECT source, count(*) AS n_train,
+               CAST(count(*) FILTER (WHERE doc_id IN
+                    (SELECT doc_id FROM contam)) AS BIGINT) AS n_contaminated,
+               ROUND(count(*) FILTER (WHERE doc_id IN
+                    (SELECT doc_id FROM contam)) * 1.0 / count(*), 6)
+                   AS contamination_rate
+        FROM tr GROUP BY source ORDER BY source
+    """,
+    # non-overlapping 16-token windows occurring in >=2 distinct docs
+    "dup_passages": r"""
+        WITH toks AS (SELECT doc_id, source,
+                             regexp_extract_all(lower(text), '\S+') AS t
+                      FROM documents),
+        pas AS (SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(0, len(t) // 16 - 1),
+                       j -> array_to_string(t[j*16+1:j*16+16], ' '))) AS p
+            FROM toks WHERE len(t) >= 16)),
+        dup AS (SELECT p FROM pas GROUP BY p
+                HAVING count(DISTINCT doc_id) >= 2),
+        per_doc AS (SELECT doc_id, count(*) AS np FROM pas
+                    WHERE p IN (SELECT p FROM dup) GROUP BY doc_id)
+        SELECT source, count(*) AS n_docs,
+               CAST(count(per_doc.doc_id) AS BIGINT)
+                   AS docs_with_dup_passage,
+               CAST(coalesce(sum(per_doc.np), 0) AS BIGINT)
+                   AS dup_passage_pairs
+        FROM toks LEFT JOIN per_doc USING (doc_id)
+        GROUP BY source ORDER BY source
+    """,
+    # Gopher-style repetition stats over docs with >=2 tokens; the
+    # fraction expressions match the Ray side bit-for-bit
+    "repetition_filter": r"""
+        WITH toks AS (SELECT doc_id, lang,
+                             regexp_extract_all(lower(text), '\S+') AS t
+                      FROM documents
+                      WHERE len(regexp_extract_all(lower(text), '\S+')) >= 2),
+        uni AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_frac FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY doc_id, tok) GROUP BY doc_id),
+        big AS (SELECT doc_id,
+                       1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup_frac
+                FROM (SELECT doc_id, unnest(list_transform(
+                          generate_series(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+1], ' '))) AS g
+                      FROM toks) GROUP BY doc_id)
+        SELECT lang, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE top_frac > 0.2 OR dup_frac > 0.09)
+                    AS BIGINT) AS n_flagged,
+               ROUND(sum(top_frac) / count(*), 6) AS avg_top_token_frac,
+               ROUND(sum(dup_frac) / count(*), 6) AS avg_dup_bigram_frac
+        FROM toks JOIN uni USING (doc_id) JOIN big USING (doc_id)
+        GROUP BY lang ORDER BY lang
     """,
 }

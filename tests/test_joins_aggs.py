@@ -109,6 +109,10 @@ class TestDataPipelineQueries:
         ("dup_groups_exact", ["documents"]),
         ("top_sources_sketch", ["documents"]),
         ("user_gap_stats", ["events"]),
+        ("bm25_topk", ["documents"]),
+        ("decontaminate", ["documents"]),
+        ("dup_passages", ["documents"]),
+        ("repetition_filter", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
