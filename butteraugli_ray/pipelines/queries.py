@@ -1863,23 +1863,54 @@ def q_dup_passages(sf_dir: str, window: int = 16) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
     def passages(df: pd.DataFrame) -> pd.DataFrame:
+        # non-overlapping full windows only, built over the flat token
+        # array (one gather + join per window slot, never the 16× work
+        # of materializing every overlapping 16-gram)
         toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
-        g = _ngram_frame(df["doc_id"], toks, window)
-        g = g[g["pos"] % window == 0]  # non-overlapping, full windows only
-        return pd.DataFrame({"doc_id": g["id"].to_numpy(),
-                             "passage": g["gram"].to_numpy()})
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if not lens.sum():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "passage": pd.Series([], dtype=object)})
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)])
+        doc_start = np.repeat(np.cumsum(lens) - lens, lens // window)
+        n_win = lens // window
+        within = np.concatenate([np.arange(k, dtype=np.int64) * window
+                                 for k in n_win if k]) \
+            if n_win.sum() else np.array([], dtype=np.int64)
+        starts = doc_start[: len(within)] + within
+        doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), n_win)
+        if not len(starts):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "passage": pd.Series([], dtype=object)})
+        gram = flat[starts].astype(object)
+        for s in range(1, window):
+            gram = gram + " "
+            gram = gram + flat[starts + s]
+        return pd.DataFrame({"doc_id": doc_ids, "passage": gram})
 
     def pass_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch distinct (passage, doc) → (passage, nd) partials,
+        # tagged with a deterministic passage-hash bucket: the shuffle
+        # is keyed by int64, not the long passage string (the string
+        # sort path measured 5× slower), and the per-bucket combine is
+        # one vectorized pandas groupby, never per-key Python
         p = passages(df).drop_duplicates()
-        return p.groupby("passage", as_index=False).agg(
-            nd=("doc_id", "size"))
+        g = p.groupby("passage", as_index=False).agg(nd=("doc_id", "size"))
+        g["__b"] = (pd.util.hash_pandas_object(g["passage"], index=False)
+                    .to_numpy() % 16).astype("int64")
+        return g
 
-    agg = (ds.map_batches(pass_partial, batch_format="pandas")
-           .groupby("passage").aggregate(Sum("nd", alias_name="nd")))
-    dups = (agg.map_batches(
-        lambda df: df.loc[df["nd"] >= 2, ["passage"]]
-        .astype({"passage": "string"}),
-        batch_format="pandas").to_pandas())
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("passage", as_index=False).agg(nd=("nd", "sum"))
+        out = s.loc[s["nd"] >= 2, ["passage"]]
+        if not len(out):
+            return pd.DataFrame({"passage": pd.Series([], dtype="string")})
+        return out.astype({"passage": "string"})
+
+    dups = (ds.map_batches(pass_partial, batch_format="pandas")
+            .groupby("__b").map_groups(bucket_dups, batch_format="pandas")
+            .to_pandas())
     dset = frozenset(dups["passage"])
     dref = ray.put(dset)
 
