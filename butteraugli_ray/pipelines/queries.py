@@ -2001,6 +2001,88 @@ def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
               "avg_dup_bigram_frac"]])
 
 
+def q_quality_percentile(sf_dir: str, p: float = 0.9) -> pd.DataFrame:
+    """Exact per-lang p90 length threshold + over-threshold counts via a
+    distributed value-counts histogram.
+
+    Scale shape: the shuffle moves (lang, n_chars) → count partials —
+    bounded by the VALUE DOMAIN (distinct lengths × langs), not the doc
+    count, so the exact quantile needs no sort of the data: the driver
+    reads the (tiny) histogram and walks the cumulative counts.  Matches
+    DuckDB ``quantile_disc`` (element at ceil(n·p)-1 in sorted order)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).agg(
+            n=("n_chars", "size"))
+        return pd.DataFrame(
+            {"key": g["lang"] + "\x1f" + g["n_chars"].astype(str),
+             "n": g["n"].astype("int64")})
+
+    hist = _final_agg(ds.map_batches(hist_partial, batch_format="pandas"),
+                      ["key"], ["n"])
+    sp = hist["key"].str.split("\x1f", n=1, expand=True)
+    h = pd.DataFrame({"lang": sp[0], "n_chars": sp[1].astype("int64"),
+                      "n": hist["n"].astype("int64")})
+    rows = []
+    for lang, g in h.sort_values("n_chars").groupby("lang"):
+        total = int(g["n"].sum())
+        idx = int(np.ceil(total * p)) - 1          # quantile_disc index
+        cum = g["n"].cumsum()
+        thr = int(g.loc[cum >= idx + 1, "n_chars"].iloc[0])
+        rows.append({"lang": lang, "n_docs": total, "p90_chars": thr,
+                     "n_above": int(g.loc[g["n_chars"] > thr, "n"].sum())})
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "p90_chars", "n_above"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_token_entropy(sf_dir: str, low: float = 3.5) -> pd.DataFrame:
+    """Per-source token Shannon entropy (log2) quality stats: mean
+    per-doc entropy and count of low-entropy (< 3.5 bit) docs.
+
+    Scale shape: entropy per doc is one vectorized explode + groupby
+    inside ``map_batches`` using H = log2(n) − Σ c·log2(c) / n (same
+    value DuckDB's ``entropy()`` computes, verified ≤1e-15); the only
+    shuffle is the per-source combiner Sum."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        keep = toks.str.len() >= 1
+        df, toks = df[keep], toks[keep]
+        if not len(df):
+            return pd.DataFrame({c: [] for c in
+                                 ["source", "n_docs", "sum_H", "n_low"]})
+        ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "tok": toks}).explode("tok"))
+        uc = ex.groupby(["doc_id", "tok"]).size()
+        c = uc.to_numpy(dtype=np.float64)
+        byd = pd.DataFrame({"doc_id": uc.index.get_level_values(0),
+                            "n": c, "clog": c * np.log2(c)})
+        g = byd.groupby("doc_id").agg(n=("n", "sum"), clog=("clog", "sum"))
+        H = np.log2(g["n"].to_numpy()) - g["clog"].to_numpy() / g["n"].to_numpy()
+        d = pd.DataFrame({"source": df["source"].to_numpy(),
+                          "H": pd.Series(H, index=g.index)
+                          .reindex(df["doc_id"]).to_numpy()})
+        d["low"] = d["H"] < low
+        return d.groupby("source", as_index=False).agg(
+            n_docs=("H", "size"), sum_H=("H", "sum"), n_low=("low", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = parts.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_H", alias_name="sum_H"),
+        Sum("n_low", alias_name="n_low")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_low"] = out["n_low"].astype("int64")
+    out["avg_entropy"] = _round_half_away(out["sum_H"] / out["n_docs"], 6)
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "avg_entropy", "n_low"]])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2053,6 +2135,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dup_passages": q_dup_passages,
     "repetition_filter": q_repetition_filter,
+    "quality_percentile": q_quality_percentile,
+    "token_entropy": q_token_entropy,
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
@@ -2659,5 +2743,30 @@ ORACLE_SQL = {
                ROUND(sum(dup_frac) / count(*), 6) AS avg_dup_bigram_frac
         FROM toks JOIN uni USING (doc_id) JOIN big USING (doc_id)
         GROUP BY lang ORDER BY lang
+    """,
+    # exact p90 of n_chars per lang (quantile_disc) + over-threshold count
+    "quality_percentile": """
+        WITH q AS (SELECT lang, quantile_disc(n_chars, 0.9) AS p90
+                   FROM documents GROUP BY lang)
+        SELECT d.lang, count(*) AS n_docs,
+               CAST(max(q.p90) AS BIGINT) AS p90_chars,
+               CAST(count(*) FILTER (WHERE d.n_chars > q.p90) AS BIGINT)
+                   AS n_above
+        FROM documents d JOIN q USING (lang)
+        GROUP BY d.lang ORDER BY d.lang
+    """,
+    # per-doc token Shannon entropy (log2, = DuckDB entropy()) per source
+    "token_entropy": r"""
+        WITH toks AS (SELECT doc_id, source,
+                             unnest(regexp_extract_all(lower(text), '\S+'))
+                                 AS tok
+                      FROM documents),
+        ent AS (SELECT doc_id, entropy(tok) AS H FROM toks GROUP BY doc_id),
+        d AS (SELECT DISTINCT doc_id, source FROM toks)
+        SELECT source, count(*) AS n_docs,
+               ROUND(sum(H) / count(*), 6) AS avg_entropy,
+               CAST(count(*) FILTER (WHERE H < 3.5) AS BIGINT) AS n_low
+        FROM d JOIN ent USING (doc_id)
+        GROUP BY source ORDER BY source
     """,
 }

@@ -113,6 +113,8 @@ class TestDataPipelineQueries:
         ("decontaminate", ["documents"]),
         ("dup_passages", ["documents"]),
         ("repetition_filter", ["documents"]),
+        ("quality_percentile", ["documents"]),
+        ("token_entropy", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
