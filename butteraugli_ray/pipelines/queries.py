@@ -2001,6 +2001,38 @@ def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
               "avg_dup_bigram_frac"]])
 
 
+def q_minhash_eval(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Self-evaluation of the MinHash+LSH near-dup path against the
+    EXACT shingle-partitioned Jaccard join at the same threshold:
+    candidate recall (did LSH banding propose every true pair?) and
+    verified precision (the verify step is exact, so this must be 1.0).
+
+    Both sides run as their normal distributed pipelines; only the two
+    small pair sets meet on the driver.  This is the measurement that
+    justifies the (num_perms=128, bands=16) operating point in
+    production — rows-only (the LSH side is not SQL-expressible)."""
+    from ..functions.dedup import (minhash_candidate_pairs,
+                                   verify_jaccard_pairs_ds,
+                                   ngram_jaccard_pairs)
+    mh = verify_jaccard_pairs_ds(
+        minhash_candidate_pairs(_docs_with_near_dups(sf_dir),
+                                concurrency=2, dedup=False),
+        _docs_with_near_dups(sf_dir), threshold).to_pandas()
+    exact = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
+                                threshold=threshold,
+                                concurrency=2).to_pandas()
+    mh_pairs = set(zip(mh["id_a"], mh["id_b"]))
+    ex_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    common = mh_pairs & ex_pairs
+    recall = len(common) / len(ex_pairs) if ex_pairs else 1.0
+    precision = len(common) / len(mh_pairs) if mh_pairs else 1.0
+    return pd.DataFrame({
+        "n_exact": pd.Series([len(ex_pairs)], dtype="int64"),
+        "n_minhash": pd.Series([len(mh_pairs)], dtype="int64"),
+        "n_common": pd.Series([len(common)], dtype="int64"),
+        "recall": [round(recall, 4)], "precision": [round(precision, 4)]})
+
+
 def q_quality_percentile(sf_dir: str, p: float = 0.9) -> pd.DataFrame:
     """Exact per-lang p90 length threshold + over-threshold counts via a
     distributed value-counts histogram.
@@ -2140,6 +2172,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible: sketches, LSH, heuristics, perceptual)
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
+    "minhash_eval": q_minhash_eval,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,

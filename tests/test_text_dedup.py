@@ -191,6 +191,17 @@ def test_ngram_jaccard_max_df_lower_bound(ray_session):
         assert j <= ex[k] + 1e-9              # lower bound
 
 
+def test_minhash_eval_recall_precision(ray_session):
+    """LSH banding proposes ≥85% of true pairs at τ=0.5 and the exact
+    verify step makes precision exactly 1.0 (q_minhash_eval contract)."""
+    from butteraugli_ray.pipelines.queries import q_minhash_eval
+    out = q_minhash_eval("/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert row["precision"] == 1.0
+    assert row["recall"] >= 0.85
+    assert row["n_common"] <= row["n_exact"]
+
+
 def test_compression_ratio_orders_text_kinds():
     rng = np.random.default_rng(11)
     gibberish = "".join(chr(rng.integers(33, 127)) for _ in range(2000))
