@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "bloom_urgent_revenue", "incremental_dedup", "value_ntile",
     "doc_normalize", "streaming_sessions", "token_shards",
     "bm25_topk", "decontaminate", "dup_passages", "repetition_filter",
-    "quality_percentile", "token_entropy",
+    "quality_percentile", "token_entropy", "bpe_merges",
     "validate_corpus",
 ]
 

@@ -156,6 +156,45 @@ def rolling_fingerprint(texts: pd.Series, window: int = 16) -> np.ndarray:
     return out
 
 
+def bpe_train(word_freqs: dict, n_merges: int) -> list:
+    """Byte-pair-encoding merge induction over a word-frequency table
+    (Sennrich-style: words as char sequences + '</w>', repeatedly merge
+    the most frequent adjacent symbol pair; ties break lexicographically
+    so training is deterministic).
+
+    The input is the (vocab-bounded) word-frequency table, not the
+    corpus — the corpus-scale stage is the distributed word count that
+    produces it.  Returns [(rank, left, right, merged, count)]."""
+    words = {tuple(w) + ("</w>",): int(n) for w, n in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        pc: dict = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                pair = (sym[i], sym[i + 1])
+                pc[pair] = pc.get(pair, 0) + n
+        if not pc:
+            break
+        (left, right), cnt = sorted(pc.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))[0]
+        merged = left + right
+        new_words = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+        merges.append((rank, left, right, merged, cnt))
+    return merges
+
+
 def compression_ratio(texts: pd.Series, level: int = 6) -> np.ndarray:
     """zlib(compressed)/raw byte ratio per document — the standard cheap
     gibberish/boilerplate signal in training-data pipelines: highly

@@ -2033,6 +2033,36 @@ def q_minhash_eval(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         "recall": [round(recall, 4)], "precision": [round(precision, 4)]})
 
 
+def q_bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """BPE vocabulary induction: the first 8 merge rules learned from
+    the corpus (rows-only: iterative, not SQL-expressible).
+
+    Scale shape: the corpus-scale stage is the distributed word count
+    (per-batch ``value_counts`` combiner → one native Sum bounded by
+    VOCABULARY size, not token count); merge iterations then run on
+    that word-frequency table (``functions/text.bpe_train``) — the
+    published BPE-training factorization (frequencies are sufficient
+    statistics, so merges never touch the corpus again).  If the word
+    table outgrew one node each merge round becomes the same
+    pair-count combiner over a word-freq Dataset."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        g = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": g.index.astype(str),
+                             "n": g.to_numpy(dtype=np.int64)})
+
+    wf = _final_agg(ds.map_batches(wc_partial, batch_format="pandas"),
+                    ["word"], ["n"])
+    merges = T.bpe_train(dict(zip(wf["word"], wf["n"])), n_merges)
+    out = pd.DataFrame(merges, columns=["rank", "left", "right",
+                                        "merged", "count"])
+    out["rank"] = out["rank"].astype("int64")
+    out["count"] = out["count"].astype("int64")
+    return out
+
+
 def q_quality_percentile(sf_dir: str, p: float = 0.9) -> pd.DataFrame:
     """Exact per-lang p90 length threshold + over-threshold counts via a
     distributed value-counts histogram.
@@ -2173,6 +2203,7 @@ QUERIES = {
     "near_dup_groups": q_near_dup_groups,
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_eval": q_minhash_eval,
+    "bpe_merges": q_bpe_merges,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,

@@ -191,6 +191,59 @@ def test_ngram_jaccard_max_df_lower_bound(ray_session):
         assert j <= ex[k] + 1e-9              # lower bound
 
 
+def test_ngram_frame_edges():
+    """_ngram_frame: windows never cross doc boundaries; docs shorter
+    than n yield nothing; pos is the 0-based window start."""
+    from butteraugli_ray.pipelines.queries import _ngram_frame
+    ids = pd.Series([10, 11, 12], dtype="int64")
+    toks = pd.Series([["a", "b", "c"], ["x"], []])
+    g = _ngram_frame(ids, toks, 2)
+    assert list(g["gram"]) == ["a b", "b c"]          # no "c x" crossing
+    assert list(g["id"]) == [10, 10]
+    assert list(g["pos"]) == [0, 1]
+    assert len(_ngram_frame(ids, toks, 4)) == 0       # all docs < n
+    empty = _ngram_frame(pd.Series([], dtype="int64"), pd.Series([]), 3)
+    assert len(empty) == 0 and set(empty.columns) == {"id", "pos", "gram"}
+
+
+def test_repetition_filter_known_values(ray_session):
+    """Hand-checkable doc: 'a a a b' → top_frac 3/4, dup bigram 'a a'
+    twice → dup_frac 1/3; flagged by both thresholds."""
+    import duckdb
+    import ray.data as rd
+    from butteraugli_ray.pipelines.queries import ORACLE_SQL
+    df = pd.DataFrame({"doc_id": [0, 1], "lang": ["en", "en"],
+                       "text": ["a a a b", "p q r s t"]})
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(ORACLE_SQL["repetition_filter"]).df()
+    assert exp.loc[0, "n_flagged"] == 1
+    assert abs(exp.loc[0, "avg_top_token_frac"] - (0.75 + 0.2) / 2) < 5e-7
+    assert abs(exp.loc[0, "avg_dup_bigram_frac"] - (1 / 3) / 2) < 5e-7
+
+
+def test_bpe_train_classic_example():
+    """Sennrich toy corpus: merges follow max-count with lexicographic
+    tie-break — es(9), es+t(9), est+</w>(9), l+o(7), lo+w(7)."""
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    m = T.bpe_train(wf, 5)
+    assert [(a, b, g, c) for _, a, b, g, c in m] == [
+        ("e", "s", "es", 9), ("es", "t", "est", 9),
+        ("est", "</w>", "est</w>", 9), ("l", "o", "lo", 7),
+        ("lo", "w", "low", 7)]
+
+
+def test_bpe_merges_query_deterministic(ray_session):
+    from butteraugli_ray.pipelines.queries import q_bpe_merges
+    a = q_bpe_merges("/root/testdata/sf0.001")
+    b = q_bpe_merges("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 8 and (a["count"].to_numpy() > 0).all()
+    # counts never increase (merged pair frequency is monotone under
+    # greedy BPE only per symbol pool, but rank-0 must be the max)
+    assert a["count"].iloc[0] == a["count"].max()
+
+
 def test_minhash_eval_recall_precision(ray_session):
     """LSH banding proposes ≥85% of true pairs at τ=0.5 and the exact
     verify step makes precision exactly 1.0 (q_minhash_eval contract)."""
