@@ -100,6 +100,38 @@ class TestSketchProperties:
         assert whole.n_under == parts.n_under and whole.n_over == parts.n_over
 
 
+class TestTextCurationProperties:
+    @given(st.lists(st.lists(st.sampled_from("abc xy z".split()),
+                             min_size=0, max_size=12),
+                    min_size=0, max_size=20),
+           st.integers(min_value=1, max_value=5))
+    @settings(max_examples=30, deadline=None)
+    def test_ngram_frame_matches_naive(self, docs, n):
+        import pandas as pd
+        from butteraugli_ray.pipelines.queries import _ngram_frame
+        ids = pd.Series(range(len(docs)), dtype="int64")
+        got = _ngram_frame(ids, pd.Series(docs, dtype=object), n)
+        want = [(i, p, " ".join(d[p:p + n]))
+                for i, d in enumerate(docs)
+                for p in range(len(d) - n + 1)]
+        assert list(zip(got["id"], got["pos"], got["gram"])) == want
+
+    @given(st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=50),
+        min_size=1, max_size=12),
+        st.integers(min_value=1, max_value=6))
+    @settings(max_examples=30, deadline=None)
+    def test_bpe_merge_counts_nonincreasing(self, wf, k):
+        from butteraugli_ray.functions.text import bpe_train
+        m = bpe_train(wf, k)
+        counts = [c for _, _, _, _, c in m]
+        assert all(a >= b for a, b in zip(counts, counts[1:]))
+        # every merge count is at most the total symbol mass
+        total = sum((len(w) + 1) * n for w, n in wf.items())
+        assert all(0 < c <= total for c in counts)
+
+
 class TestStructuralProperties:
     @given(st.integers(min_value=1, max_value=200),
            st.integers(min_value=0, max_value=10**6))
