@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "doc_normalize", "streaming_sessions", "token_shards",
     "bm25_topk", "decontaminate", "dup_passages", "repetition_filter",
     "quality_percentile", "token_entropy", "bpe_merges",
+    "bpe_encode", "dsir_sample", "big_orders", "returned_share",
     "validate_corpus",
 ]
 

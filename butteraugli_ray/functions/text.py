@@ -195,6 +195,44 @@ def bpe_train(word_freqs: dict, n_merges: int) -> list:
     return merges
 
 
+def md5_bucket(tokens: pd.Series, n_buckets: int) -> np.ndarray:
+    """Hashed-feature bucket per token: low 8 bytes of the md5 digest
+    read little-endian, mod ``n_buckets`` — bit-identical to DuckDB's
+    ``md5_number_lower(tok) % n_buckets``, so hashed-n-gram feature
+    models (DSIR importance weights) keep a SQL oracle.  md5 runs once
+    per UNIQUE token per batch (vocab-bounded, same contract as
+    fingerprint_md5)."""
+    uniq = pd.unique(tokens.dropna())
+    lut = {t: int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                             "little") % n_buckets for t in uniq}
+    return tokens.map(lut).to_numpy(dtype=np.int64)
+
+
+def bpe_encode(words, merges) -> list:
+    """Apply BPE merge rules (from ``bpe_train``, in rank order) to each
+    word; returns one symbol tuple per word.  Replaying the merges in
+    rank order reproduces exactly the segmentation the training loop
+    produced for in-vocabulary words (Sennrich apply semantics)."""
+    out = []
+    for w in words:
+        sym = list(w) + ["</w>"]
+        for _rank, left, right, merged, _cnt in merges:
+            if len(sym) < 2:
+                break
+            new, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            sym = new
+        out.append(tuple(sym))
+    return out
+
+
 def compression_ratio(texts: pd.Series, level: int = 6) -> np.ndarray:
     """zlib(compressed)/raw byte ratio per document — the standard cheap
     gibberish/boilerplate signal in training-data pipelines: highly

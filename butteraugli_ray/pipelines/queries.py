@@ -2145,6 +2145,213 @@ def q_token_entropy(sf_dir: str, low: float = 3.5) -> pd.DataFrame:
             [["source", "n_docs", "avg_entropy", "n_low"]])
 
 
+def q_dsir_sample(sf_dir: str, target_lang: str = "en",
+                  n_buckets: int = 256, k: int = 30) -> pd.DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every document by the hashed-unigram importance log-weight of a
+    target distribution (here lang='en' docs) over the raw corpus, and
+    select the global top-k.
+
+    Two passes, both the published factorization:
+    1. FIT — per-batch hashed-bucket count partials (target + raw) →
+       one Sum shuffle bounded by ``n_buckets`` (256 rows), never by
+       token count; the driver derives the add-1-smoothed log-weight
+       vector (256 floats) and broadcasts it into pass 2 via closure
+       (at cluster scale: ``ray.put``).
+    2. SCORE+SELECT — per-doc weight is a bucket-count × log-weight
+       dot product inside ``map_batches``; each batch emits only its
+       local top-k so ≤ k × blocks rows reach the driver.
+
+    Token→bucket is ``md5_number_lower(tok) % n_buckets`` on BOTH
+    sides (functions/text.md5_bucket), so the whole model has an exact
+    DuckDB oracle; weights round to 1e-6 before the final order so
+    summation-order noise cannot flip the selection."""
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "text"])
+
+    def fit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        ex = (pd.DataFrame({"lang": df["lang"], "tok": toks})
+              .explode("tok").dropna(subset=["tok"]))
+        if not len(ex):
+            return pd.DataFrame({"b": pd.Series([], dtype="int64"),
+                                 "n_raw": pd.Series([], dtype="int64"),
+                                 "n_tgt": pd.Series([], dtype="int64")})
+        ex["b"] = T.md5_bucket(ex["tok"], n_buckets)
+        ex["is_t"] = (ex["lang"] == target_lang).astype("int64")
+        return ex.groupby("b", as_index=False).agg(
+            n_raw=("is_t", "size"), n_tgt=("is_t", "sum"))
+
+    cnt = _final_agg(ds.map_batches(fit_partial, batch_format="pandas"),
+                     ["b"], ["n_raw", "n_tgt"])
+    n_raw = np.zeros(n_buckets, dtype=np.float64)
+    n_tgt = np.zeros(n_buckets, dtype=np.float64)
+    n_raw[cnt["b"].to_numpy()] = cnt["n_raw"].to_numpy(dtype=np.float64)
+    n_tgt[cnt["b"].to_numpy()] = cnt["n_tgt"].to_numpy(dtype=np.float64)
+    qn, tn = n_raw.sum(), n_tgt.sum()
+    lw = (np.log((n_tgt + 1.0) / (tn + n_buckets))
+          - np.log((n_raw + 1.0) / (qn + n_buckets)))
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "lang": [],
+             "source": [], "logweight": pd.Series([], dtype="float64")})
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        ex = (pd.DataFrame({"doc_id": df["doc_id"], "tok": toks})
+              .explode("tok").dropna(subset=["tok"]))
+        if not len(ex):
+            return empty
+        ex["w"] = lw[T.md5_bucket(ex["tok"], n_buckets)]
+        byd = ex.groupby("doc_id", as_index=False).agg(
+            logweight=("w", "sum"))
+        d = byd.merge(df[["doc_id", "lang", "source"]], on="doc_id")
+        d["logweight"] = _round_half_away(d["logweight"], 6)
+        return (d.sort_values(["logweight", "doc_id"],
+                              ascending=[False, True]).head(k)
+                [["doc_id", "lang", "source", "logweight"]])
+
+    parts = ds.map_batches(score_partial,
+                           batch_format="pandas").to_pandas()
+    return (parts.sort_values(["logweight", "doc_id"],
+                              ascending=[False, True]).head(k)
+            .reset_index(drop=True))
+
+
+def q_bpe_encode(sf_dir: str, n_merges: int = 64) -> pd.DataFrame:
+    """Distributed BPE tokenization: induce the merge table from the
+    corpus (the q_bpe_merges word-count factorization), then ENCODE
+    every document with it and report per-lang subword statistics —
+    the induce→apply tokenizer round-trip a training pipeline runs.
+
+    Scale shape: the merge table (n_merges rows) is the broadcast
+    small side (closure here; ``ray.put`` on a cluster); encoding
+    caches per UNIQUE word per batch (vocab-bounded Python, the
+    fingerprint_md5 contract) and everything after is the per-lang
+    combiner Sum.  Rows-only: the merge loop is iterative, not
+    SQL-expressible; pytest pins it against a single-process naive
+    encoder."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        g = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": g.index.astype(str),
+                             "n": g.to_numpy(dtype=np.int64)})
+
+    wf = _final_agg(ds.map_batches(wc_partial, batch_format="pandas"),
+                    ["word"], ["n"])
+    merges = T.bpe_train(dict(zip(wf["word"], wf["n"])), n_merges)
+
+    def enc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        ex = (pd.DataFrame({"lang": df["lang"], "w": toks})
+              .explode("w").dropna(subset=["w"]))
+        if not len(ex):
+            return pd.DataFrame(
+                {"lang": [], "n_words": pd.Series([], dtype="int64"),
+                 "n_subwords": pd.Series([], dtype="int64")})
+        uniq = pd.unique(ex["w"])
+        nsub = {w: len(s) for w, s in zip(uniq, T.bpe_encode(uniq, merges))}
+        ex["n_sub"] = ex["w"].map(nsub).astype("int64")
+        g = ex.groupby("lang", as_index=False).agg(
+            n_words=("n_sub", "size"), n_subwords=("n_sub", "sum"))
+        return g
+
+    out = _final_agg(ds.map_batches(enc_partial, batch_format="pandas"),
+                     ["lang"], ["n_words", "n_subwords"])
+    out["n_words"] = out["n_words"].astype("int64")
+    out["n_subwords"] = out["n_subwords"].astype("int64")
+    out["subwords_per_word"] = _round_half_away(
+        out["n_subwords"] / out["n_words"], 4)
+    return (out.sort_values("lang").reset_index(drop=True)
+            [["lang", "n_words", "n_subwords", "subwords_per_word"]])
+
+
+def q_big_orders(sf_dir: str, min_qty: float = 300.0) -> pd.DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (aggregate → HAVING), joined back to order + customer
+    detail.
+
+    Scale shape: the only big shuffle is the per-order quantity sum —
+    per-batch combiner first, then key-hash-BUCKETED (int64 bucket key,
+    one vectorized pandas combine per bucket — the per-key Ray
+    aggregate path measured 5× slower); the HAVING filter runs inside
+    the bucket combine, so only the tiny qualifying key set reaches the
+    driver and is broadcast into membership filters over orders — never
+    a big-big join for a selective HAVING."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"))
+        g["__b"] = (g["l_orderkey"].to_numpy(dtype=np.int64)
+                    % 16).astype("int64")
+        return g
+
+    def bucket_having(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"))
+        out = s[s["sum_qty"] > min_qty]
+        return pd.DataFrame(
+            {"l_orderkey": out["l_orderkey"].astype("int64"),
+             "sum_qty": out["sum_qty"].astype("float64")})
+
+    big = (li.map_batches(qty_partial, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_having, batch_format="pandas")
+           .to_pandas())
+    qmap = dict(zip(big["l_orderkey"].astype("int64"),
+                    big["sum_qty"].astype("float64")))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    sel = (orders.map_batches(
+        lambda df: df[df["o_orderkey"].isin(qmap)], batch_format="pandas")
+        .to_pandas())
+    sel["sum_qty"] = sel["o_orderkey"].map(qmap)
+    out = pd.DataFrame(
+        {"o_orderkey": sel["o_orderkey"].astype("int64"),
+         "o_custkey": sel["o_custkey"].astype("int64"),
+         "o_orderdate": pd.to_datetime(sel["o_orderdate"])
+         .dt.strftime("%Y-%m-%d"),
+         "o_totalprice": _round_half_away(
+             sel["o_totalprice"].astype("float64"), 2),
+         "sum_qty": _round_half_away(sel["sum_qty"], 2)})
+    return (out.sort_values(["sum_qty", "o_orderkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q_returned_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: per ship-month, the percentage of discounted
+    revenue carried by RETURNED lineitems (conditional aggregate →
+    ratio).  One scan, per-batch conditional partials, one Sum shuffle
+    bounded by the month domain (83 rows)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"].to_numpy(dtype=np.float64)
+               * (1.0 - df["l_discount"].to_numpy(dtype=np.float64)))
+        ret = np.where(df["l_returnflag"].to_numpy() == "R", rev, 0.0)
+        g = pd.DataFrame(
+            {"ship_month": pd.to_datetime(df["l_shipdate"])
+             .dt.strftime("%Y-%m"),
+             "ret_rev": ret, "tot_rev": rev, "n_items": 1})
+        return g.groupby("ship_month", as_index=False).agg(
+            ret_rev=("ret_rev", "sum"), tot_rev=("tot_rev", "sum"),
+            n_items=("n_items", "sum"))
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["ship_month"], ["ret_rev", "tot_rev", "n_items"])
+    out["returned_pct"] = _round_half_away(
+        100.0 * out["ret_rev"] / out["tot_rev"], 4)
+    out["n_items"] = out["n_items"].astype("int64")
+    return (out.sort_values("ship_month").reset_index(drop=True)
+            [["ship_month", "returned_pct", "n_items"]])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2204,6 +2411,10 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "minhash_eval": q_minhash_eval,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
+    "dsir_sample": q_dsir_sample,
+    "big_orders": q_big_orders,
+    "returned_share": q_returned_share,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
@@ -2832,5 +3043,57 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (WHERE H < 3.5) AS BIGINT) AS n_low
         FROM d JOIN ent USING (doc_id)
         GROUP BY source ORDER BY source
+    """,
+    "dsir_sample": r"""
+        WITH toks AS (
+            SELECT doc_id, lang, source,
+                   unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+            FROM documents
+        ),
+        tb AS (
+            SELECT doc_id, lang, source,
+                   CAST(md5_number_lower(tok) % 256 AS BIGINT) AS b
+            FROM toks
+        ),
+        cnt AS (
+            SELECT b, count(*) AS n_raw,
+                   count(*) FILTER (WHERE lang = 'en') AS n_tgt
+            FROM tb GROUP BY b
+        ),
+        tot AS (SELECT sum(n_raw) AS qn, sum(n_tgt) AS tn FROM cnt),
+        w AS (
+            SELECT b, ln((n_tgt + 1.0) / (tn + 256))
+                      - ln((n_raw + 1.0) / (qn + 256)) AS lw
+            FROM cnt, tot
+        ),
+        sc AS (
+            SELECT doc_id, any_value(lang) AS lang,
+                   any_value(source) AS source,
+                   ROUND(sum(lw), 6) AS logweight
+            FROM tb JOIN w USING (b) GROUP BY doc_id
+        )
+        SELECT doc_id, lang, source, logweight
+        FROM sc ORDER BY logweight DESC, doc_id LIMIT 30
+    """,
+    "big_orders": """
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               ROUND(sum(l_quantity), 2) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_custkey, o_orderdate, o_totalprice
+        HAVING sum(l_quantity) > 300.0
+        ORDER BY sum_qty DESC, o_orderkey
+    """,
+    "returned_share": """
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                   AS ship_month,
+               ROUND(100.0 * sum(CASE WHEN l_returnflag = 'R'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS returned_pct,
+               count(*) AS n_items
+        FROM lineitem GROUP BY 1 ORDER BY 1
     """,
 }

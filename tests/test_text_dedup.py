@@ -263,3 +263,89 @@ def test_compression_ratio_orders_text_kinds():
     r = T.compression_ratio(pd.Series([boiler, prose, gibberish, "", None]))
     assert r[0] < r[1] < r[2]          # boilerplate < prose < gibberish
     assert r[3] == 0 and r[4] == 0     # empty/None
+
+
+def test_bpe_encode_reproduces_training_segmentation():
+    """Replaying merges in rank order reproduces exactly the segmentation
+    the training loop reached for every training word."""
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    m = T.bpe_train(wf, 5)
+    enc = T.bpe_encode(list(wf), m)
+    assert enc == [("low", "</w>"), ("low", "e", "r", "</w>"),
+                   ("n", "e", "w", "est</w>"), ("w", "i", "d", "est</w>")]
+    # zero merges → raw characters + </w>
+    assert T.bpe_encode(["abc"], []) == [("a", "b", "c", "</w>")]
+    # out-of-vocabulary word still encodes (partial merges apply)
+    assert "est</w>" in T.bpe_encode(["tallest"], m)[0]
+
+
+def test_bpe_encode_query_matches_naive(ray_session):
+    """q_bpe_encode (distributed induce→encode) equals a single-process
+    naive computation over the same corpus."""
+    import pyarrow.parquet as pq
+    from butteraugli_ray.pipelines.queries import q_bpe_encode
+    sf = "/root/testdata/sf0.001"
+    got = q_bpe_encode(sf, n_merges=16)
+
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "text"]).to_pandas()
+    toks = d["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+    ex = pd.DataFrame({"lang": d["lang"], "w": toks}).explode("w").dropna()
+    wf = ex["w"].value_counts().to_dict()
+    merges = T.bpe_train(wf, 16)
+    uniq = list(pd.unique(ex["w"]))
+    nsub = {w: len(s) for w, s in zip(uniq, T.bpe_encode(uniq, merges))}
+    ex["n"] = ex["w"].map(nsub)
+    ref = (ex.groupby("lang")["n"].agg(["size", "sum"])
+           .rename(columns={"size": "n_words", "sum": "n_subwords"})
+           .sort_index())
+    assert got["n_words"].tolist() == ref["n_words"].tolist()
+    assert got["n_subwords"].tolist() == ref["n_subwords"].tolist()
+
+
+def test_md5_bucket_matches_duckdb():
+    import duckdb
+    toks = pd.Series(["the", "Schnee", "año", "雪", "x9", ""])
+    got = T.md5_bucket(toks, 256)
+    ref = [r[0] for r in duckdb.sql(
+        "SELECT CAST(md5_number_lower(t) % 256 AS BIGINT) FROM "
+        "(SELECT unnest(['the','Schnee','año','雪','x9','']) AS t)"
+    ).fetchall()]
+    assert got.tolist() == ref
+
+
+def test_dsir_sample_prefers_target_and_matches_naive(ray_session):
+    """DSIR top-k at sf0.001: equals the single-process numpy reference
+    and is dominated by target-language docs."""
+    import pyarrow.parquet as pq
+    from butteraugli_ray.pipelines.queries import q_dsir_sample
+    sf = "/root/testdata/sf0.001"
+    got = q_dsir_sample(sf, k=20)
+    assert len(got) == 20
+    w = got["logweight"].to_numpy()
+    assert (np.diff(w) <= 0).all()
+
+    d = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    # top-k is ENRICHED in the target language vs the corpus base rate
+    # (256 hashed buckets blur but must not erase the signal)
+    base = (d["lang"] == "en").mean()
+    assert (got["lang"] == "en").mean() > base
+    toks = d["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+    ex = pd.DataFrame({"doc_id": d["doc_id"], "lang": d["lang"],
+                       "w": toks}).explode("w").dropna(subset=["w"])
+    ex["b"] = T.md5_bucket(ex["w"], 256)
+    n_raw = np.zeros(256); n_tgt = np.zeros(256)
+    vc = ex["b"].value_counts()
+    n_raw[vc.index.to_numpy()] = vc.to_numpy()
+    vt = ex.loc[ex["lang"] == "en", "b"].value_counts()
+    n_tgt[vt.index.to_numpy()] = vt.to_numpy()
+    lw = (np.log((n_tgt + 1) / (n_tgt.sum() + 256))
+          - np.log((n_raw + 1) / (n_raw.sum() + 256)))
+    ex["lw"] = lw[ex["b"].to_numpy()]
+    ref = (ex.groupby("doc_id")["lw"].sum().round(6)
+           .sort_values(ascending=False))
+    ref = ref.reset_index().sort_values(
+        ["lw", "doc_id"], ascending=[False, True]).head(20)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    np.testing.assert_allclose(got["logweight"].to_numpy(),
+                               ref["lw"].to_numpy(), atol=1e-6)
