@@ -27,21 +27,37 @@ def _col_numpy(block, col: str) -> np.ndarray:
 
 
 def hll_distinct(col: str, alias: str | None = None) -> AggregateFn:
-    """Approximate COUNT(DISTINCT col) via HyperLogLog registers."""
+    """Approximate COUNT(DISTINCT col) via HyperLogLog registers.
 
-    def accumulate_block(hll: HyperLogLog, block) -> HyperLogLog:
+    The accumulator travels as BYTES (serialized registers), not a
+    Python object: ``groupby().aggregate`` stores accumulators in
+    Arrow blocks between the map and reduce stages, and a bytes column
+    stays Arrow-native where an object column would force a
+    conversion-error fallback."""
+
+    def accumulate_block(acc: bytes, block) -> bytes:
         vals = block[col]
         if hasattr(vals, "to_pylist"):
             vals = vals.to_pylist()
         else:
             vals = list(vals)
-        return hll.add([str(v) for v in vals])
+        hll = HyperLogLog.from_bytes(acc) if acc else HyperLogLog()
+        return hll.add([str(v) for v in vals]).to_bytes()
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        if not a:
+            return b
+        if not b:
+            return a
+        return (HyperLogLog.from_bytes(a)
+                .merge(HyperLogLog.from_bytes(b)).to_bytes())
 
     return AggregateFn(
-        init=lambda k: HyperLogLog(),
-        merge=lambda a, b: a.merge(b),
+        init=lambda k: b"",
+        merge=merge,
         accumulate_block=accumulate_block,
-        finalize=lambda h: float(round(h.estimate())),
+        finalize=lambda acc: float(
+            round(HyperLogLog.from_bytes(acc).estimate())) if acc else 0.0,
         name=alias or f"hll_distinct({col})",
     )
 

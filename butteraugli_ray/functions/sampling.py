@@ -55,3 +55,26 @@ def weighted_sample(ds, key_col: str, stratum_col: str,
         return df[weighted_sample_mask(df, key_col, stratum_col, rates,
                                        salt, default_rate)]
     return ds.map_batches(keep, batch_format="pandas")
+
+
+_ES_MOD = 1 << 32
+
+
+def es_sample_key(keys: pd.Series, weights: np.ndarray,
+                  nd: int = 9) -> np.ndarray:
+    """Efraimidis–Spirakis weighted-sampling key: ln(u)/w with the
+    deterministic uniform u = (md5_number_lower(str(key)) % 2³² + 1) /
+    (2³² + 1); the global top-k by this key (desc) is a weighted sample
+    WITHOUT replacement with inclusion ∝ w.  Bit-matches the DuckDB
+    expression ``ln((md5_number_lower(CAST(key AS VARCHAR)) % 4294967296
+    + 1) / 4294967297.0) / w`` up to libm last-ulp ln noise, which the
+    ROUND to ``nd`` decimals absorbs (ties then break on the row key
+    identically on both sides)."""
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(k).encode()).digest()[8:16],
+                        "little") % _ES_MOD
+         for k in keys.to_numpy()), dtype=np.int64, count=len(keys))
+    u = (h + 1) / float(_ES_MOD + 1)
+    key = np.log(u) / np.asarray(weights, dtype=np.float64)
+    m = 10.0 ** nd
+    return np.sign(key) * np.floor(np.abs(key) * m + 0.5) / m

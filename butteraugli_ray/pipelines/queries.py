@@ -2352,6 +2352,56 @@ def q_returned_share(sf_dir: str) -> pd.DataFrame:
             [["ship_month", "returned_pct", "n_items"]])
 
 
+def q_weighted_sample(sf_dir: str, k: int = 40) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement ∝ document length
+    (Efraimidis–Spirakis 2006): global top-k by the deterministic key
+    ln(u)/w — the standard token-budget-proportional corpus sample,
+    reshuffle-proof because u derives from md5(doc_id), never an RNG.
+
+    Scale shape: keys are per-batch vectorized; each batch emits only
+    its local top-k (functions/sampling.es_sample_key) so ≤ k × blocks
+    rows reach the driver — no global sort.  The md5-derived uniform
+    makes the WHOLE sample SQL-checkable (same expression in DuckDB)."""
+    from ..functions import sampling as S
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["n_chars"] > 0].copy()
+        if not len(d):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "lang": [],
+                 "n_chars": pd.Series([], dtype="int64"),
+                 "sample_key": pd.Series([], dtype="float64")})
+        d["sample_key"] = S.es_sample_key(
+            d["doc_id"], d["n_chars"].to_numpy(dtype=np.float64))
+        return (d.sort_values(["sample_key", "doc_id"],
+                              ascending=[False, True]).head(k)
+                [["doc_id", "lang", "n_chars", "sample_key"]])
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["sample_key", "doc_id"],
+                             ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out
+
+
+def q_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP approximate COUNT(DISTINCT) — the rayaggs.hll_distinct
+    AggregateFn plugged into ``groupby().aggregate``, so HLL registers
+    accumulate per block and merge associatively inside the shuffle
+    (never raw user_ids).  Rows-only (approximate by construction);
+    pytest bounds each group's error vs the exact count."""
+    from ..functions.rayaggs import hll_distinct
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = (ds.groupby("event_type")
+           .aggregate(hll_distinct("user_id", alias="n_users_est"))
+           .to_pandas())
+    out["n_users_est"] = out["n_users_est"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2415,6 +2465,8 @@ QUERIES = {
     "dsir_sample": q_dsir_sample,
     "big_orders": q_big_orders,
     "returned_share": q_returned_share,
+    "weighted_sample": q_weighted_sample,
+    "hll_users_by_type": q_hll_users_by_type,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
@@ -3095,5 +3147,16 @@ ORACLE_SQL = {
                    AS returned_pct,
                count(*) AS n_items
         FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "weighted_sample": """
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(ln((md5_number_lower(CAST(doc_id AS VARCHAR))
+                             % 4294967296 + 1) / 4294967297.0)
+                         / n_chars, 9) AS sample_key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, n_chars, sample_key
+        FROM s ORDER BY sample_key DESC, doc_id LIMIT 40
     """,
 }

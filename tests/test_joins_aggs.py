@@ -140,3 +140,39 @@ class TestDataPipelineQueries:
         assert set(a["split"]) == {"train", "val", "test"}
         frac = a.set_index("split")["n_docs"] / a["n_docs"].sum()
         assert frac["train"] == pytest.approx(0.75, abs=0.08)
+
+
+def test_weighted_sample_matches_duckdb(ray_session):
+    """q_weighted_sample equals the DuckDB Efraimidis–Spirakis oracle
+    expression at sf0.001 (same md5-derived uniform, same rounding)."""
+    import duckdb
+    from butteraugli_ray.pipelines.queries import ORACLE_SQL, q_weighted_sample
+    sf = "/root/testdata/sf0.001"
+    got = q_weighted_sample(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ref = con.execute(ORACLE_SQL["weighted_sample"]).df()
+    assert got["doc_id"].tolist() == ref["doc_id"].astype("int64").tolist()
+    np.testing.assert_allclose(got["sample_key"].to_numpy(),
+                               ref["sample_key"].to_numpy(), atol=1e-9)
+    # longer docs are overrepresented: sampled mean length > corpus mean
+    corpus_mean = con.execute(
+        "SELECT avg(n_chars) FROM documents WHERE n_chars > 0").fetchone()[0]
+    assert got["n_chars"].mean() > corpus_mean
+
+
+def test_hll_users_by_type_error_bound(ray_session):
+    """Per-group HLL distinct estimate within 5% of the exact count."""
+    import duckdb
+    from butteraugli_ray.pipelines.queries import q_hll_users_by_type
+    sf = "/root/testdata/sf0.001"
+    got = q_hll_users_by_type(sf)
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1 ORDER BY 1").df()
+    assert got["event_type"].tolist() == exact["event_type"].tolist()
+    rel = np.abs(got["n_users_est"].to_numpy() - exact["n"].to_numpy()) \
+        / exact["n"].to_numpy()
+    assert (rel < 0.05).all(), rel
