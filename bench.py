@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "bm25_topk", "decontaminate", "dup_passages", "repetition_filter",
     "quality_percentile", "token_entropy", "bpe_merges",
     "bpe_encode", "dsir_sample", "big_orders", "returned_share",
-    "weighted_sample", "hll_users_by_type",
+    "weighted_sample", "hll_users_by_type", "bigram_perplexity",
     "validate_corpus",
 ]
 

@@ -2352,6 +2352,114 @@ def q_returned_share(sf_dir: str) -> pd.DataFrame:
             [["ship_month", "returned_pct", "n_items"]])
 
 
+def _bigram_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized ordered-bigram extraction over a documents batch:
+    flat token array + index math (the dup_passages pattern), never a
+    per-row Python loop.  Returns (doc_id, source, cur, nxt)."""
+    toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    nbg = np.maximum(lens - 1, 0)
+    if not nbg.sum():
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "source": [], "cur": [], "nxt": []})
+    flat = np.concatenate([np.asarray(t, dtype=object)
+                           for t in toks if len(t)])
+    doc_start = np.repeat(np.cumsum(lens) - lens, nbg)
+    within = np.concatenate([np.arange(k, dtype=np.int64)
+                             for k in nbg if k])
+    pos = doc_start + within
+    return pd.DataFrame(
+        {"doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), nbg),
+         "source": np.repeat(df["source"].to_numpy(), nbg),
+         "cur": flat[pos], "nxt": flat[pos + 1]})
+
+
+def q_bigram_perplexity(sf_dir: str, tau: float = 31.0) -> pd.DataFrame:
+    """CCNet-style LM quality filtering: train an add-1-smoothed bigram
+    LM on the corpus, score every document's perplexity under it, and
+    report per-source mean perplexity + high-perplexity counts
+    (p(nxt|cur) = (c(cur,nxt)+1)/(c(cur)+V)).
+
+    Scale shape: the TRAIN pass shuffles only per-batch (cur,nxt)
+    count partials — bounded by bigram VOCABULARY, not token count —
+    through one native Sum; unigram context counts and V derive from
+    that table on the driver.  The SCORE pass broadcasts the model
+    (closure here; ``ray.put`` + per-actor dict on a cluster — at web
+    scale the model would be count-pruned or feature-hashed first,
+    like q_dsir_sample's buckets) and reduces per source with the
+    combiner Sum.  Full DuckDB oracle (zipped-unnest bigrams)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bg = _bigram_frame(df)
+        g = bg.groupby(["cur", "nxt"], as_index=False).agg(
+            n=("doc_id", "size"))
+        return pd.DataFrame({"key": g["cur"] + "\x1f" + g["nxt"],
+                             "n": g["n"].astype("int64")})
+
+    def vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        u = toks.explode().dropna().unique()
+        return pd.DataFrame({"tok": u, "one": np.ones(len(u), np.int64)})
+
+    cb = _final_agg(ds.map_batches(count_partial, batch_format="pandas"),
+                    ["key"], ["n"])
+    vocab = _final_agg(ds.map_batches(vocab_partial, batch_format="pandas"),
+                       ["tok"], ["one"])
+    v_size = float(len(vocab))
+
+    # integer-id model: token → id via a pandas Index (C hash lookups),
+    # bigram → count via binary search over a sorted int64 key array —
+    # never a per-bigram Python dict hit on the score pass
+    tok_index = pd.Index(vocab["tok"].to_numpy())
+    n_tok = len(tok_index)
+    sp = cb["key"].str.split("\x1f", n=1, expand=True)
+    cur_id = tok_index.get_indexer(sp[0]).astype(np.int64)
+    nxt_id = tok_index.get_indexer(sp[1]).astype(np.int64)
+    keys = cur_id * n_tok + nxt_id
+    order = np.argsort(keys)
+    bg_keys = keys[order]
+    bg_cnt = cb["n"].to_numpy(dtype=np.int64)[order]
+    cur_cnt = np.zeros(n_tok, dtype=np.int64)
+    np.add.at(cur_cnt, cur_id, cb["n"].to_numpy(dtype=np.int64))
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bg = _bigram_frame(df)
+        if not len(bg):
+            return pd.DataFrame(
+                {"source": [], "n_docs": pd.Series([], dtype="int64"),
+                 "sum_ppl": pd.Series([], dtype="float64"),
+                 "n_high": pd.Series([], dtype="int64")})
+        ci = tok_index.get_indexer(bg["cur"]).astype(np.int64)
+        ni = tok_index.get_indexer(bg["nxt"]).astype(np.int64)
+        key = ci * n_tok + ni
+        pos = np.searchsorted(bg_keys, key).clip(0, len(bg_keys) - 1)
+        cbn = np.where(bg_keys[pos] == key, bg_cnt[pos], 0)
+        cun = np.where(ci >= 0, cur_cnt[ci.clip(0)], 0)
+        lp = np.log((cbn + 1.0) / (cun + v_size))
+        codes, _ = pd.factorize(bg["doc_id"].to_numpy())
+        n_docs = codes.max() + 1
+        mean_lp = (np.bincount(codes, weights=lp, minlength=n_docs)
+                   / np.bincount(codes, minlength=n_docs))
+        ppl = np.exp(-mean_lp)
+        first = np.zeros(n_docs, dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(codes))[::-1]
+        g = pd.DataFrame({"source": bg["source"].to_numpy()[first],
+                          "ppl": ppl, "high": ppl > tau})
+        return g.groupby("source", as_index=False).agg(
+            n_docs=("ppl", "size"), sum_ppl=("ppl", "sum"),
+            n_high=("high", "sum"))
+
+    out = _final_agg(ds.map_batches(score_partial, batch_format="pandas"),
+                     ["source"], ["n_docs", "sum_ppl", "n_high"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_high"] = out["n_high"].astype("int64")
+    out["avg_ppl"] = _round_half_away(out["sum_ppl"] / out["n_docs"], 4)
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "avg_ppl", "n_high"]])
+
+
 def q_weighted_sample(sf_dir: str, k: int = 40) -> pd.DataFrame:
     """Weighted sampling WITHOUT replacement ∝ document length
     (Efraimidis–Spirakis 2006): global top-k by the deterministic key
@@ -2467,6 +2575,7 @@ QUERIES = {
     "returned_share": q_returned_share,
     "weighted_sample": q_weighted_sample,
     "hll_users_by_type": q_hll_users_by_type,
+    "bigram_perplexity": q_bigram_perplexity,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
@@ -3158,5 +3267,33 @@ ORACLE_SQL = {
         )
         SELECT doc_id, lang, n_chars, sample_key
         FROM s ORDER BY sample_key DESC, doc_id LIMIT 40
+    """,
+    "bigram_perplexity": r"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '\S+') AS toks
+            FROM documents
+        ),
+        v AS (SELECT count(DISTINCT tok) AS vs
+              FROM (SELECT unnest(toks) AS tok FROM d)),
+        bg AS (
+            SELECT doc_id, source,
+                   unnest(list_slice(toks, 1, len(toks) - 1)) AS cur,
+                   unnest(list_slice(toks, 2, len(toks))) AS nxt
+            FROM d WHERE len(toks) >= 2
+        ),
+        cb AS (SELECT cur, nxt, count(*) AS cbn FROM bg GROUP BY cur, nxt),
+        cu AS (SELECT cur, CAST(sum(cbn) AS BIGINT) AS cun
+               FROM cb GROUP BY cur),
+        ll AS (
+            SELECT bg.doc_id, any_value(bg.source) AS source,
+                   exp(-avg(ln((cb.cbn + 1.0) / (cu.cun + v.vs)))) AS ppl
+            FROM bg JOIN cb USING (cur, nxt) JOIN cu USING (cur), v
+            GROUP BY bg.doc_id
+        )
+        SELECT source, count(*) AS n_docs,
+               ROUND(sum(ppl) / count(*), 4) AS avg_ppl,
+               CAST(count(*) FILTER (WHERE ppl > 31.0) AS BIGINT) AS n_high
+        FROM ll GROUP BY source ORDER BY source
     """,
 }

@@ -349,3 +349,32 @@ def test_dsir_sample_prefers_target_and_matches_naive(ray_session):
     assert got["doc_id"].tolist() == ref["doc_id"].tolist()
     np.testing.assert_allclose(got["logweight"].to_numpy(),
                                ref["lw"].to_numpy(), atol=1e-6)
+
+
+def test_bigram_frame_exact():
+    from butteraugli_ray.pipelines.queries import _bigram_frame
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "source": ["a", "b", "c"],
+                       "text": ["x y z", "solo", "p q"]})
+    bg = _bigram_frame(df)
+    assert list(zip(bg["doc_id"], bg["cur"], bg["nxt"])) == [
+        (1, "x", "y"), (1, "y", "z"), (3, "p", "q")]
+    assert bg["source"].tolist() == ["a", "a", "c"]
+    assert len(_bigram_frame(df.iloc[1:2])) == 0
+
+
+def test_bigram_perplexity_matches_duckdb(ray_session):
+    """Full model parity at sf0.001: Ray train+score equals the DuckDB
+    oracle (train and score on the same corpus)."""
+    import duckdb
+    from butteraugli_ray.pipelines.queries import (ORACLE_SQL,
+                                                   q_bigram_perplexity)
+    sf = "/root/testdata/sf0.001"
+    got = q_bigram_perplexity(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    ref = con.execute(ORACLE_SQL["bigram_perplexity"]).df()
+    assert got["source"].tolist() == ref["source"].tolist()
+    assert got["n_docs"].tolist() == ref["n_docs"].astype("int64").tolist()
+    assert got["n_high"].tolist() == ref["n_high"].astype("int64").tolist()
+    np.testing.assert_allclose(got["avg_ppl"], ref["avg_ppl"], atol=1e-4)
