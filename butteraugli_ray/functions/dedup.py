@@ -1222,3 +1222,57 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
         pairs = pairs.union(one_table(seed + t))
     # cosine is identical for every rediscovery of a pair → Min keeps it
     return _dedup_pairs_native(pairs, extra_col="cosine")
+
+
+def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
+             emb_col: str = "embedding", id_col: str = "vec_id"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within each
+    k-means cluster, drop every point whose cosine similarity to an
+    already-kept point exceeds ``threshold``; candidates are visited
+    centroid-FARTHEST-first (the paper's keep rule — retains
+    cluster-edge diversity), ties broken on ``id_col`` so the result
+    is deterministic under any block order.
+
+    Scale shape: centroids broadcast via ``ray.put``; assignment is a
+    vectorized per-batch matmul; the quadratic pairwise step runs
+    per CLUSTER inside ``groupby(cluster).map_groups`` — never global
+    all-pairs — so cluster size bounds the cost (hot clusters at web
+    scale get capped / sub-split exactly like the simhash bucket cap).
+    Returns a Dataset of (id, cluster, kept)."""
+    import ray as _ray
+    c = np.asarray(centroids, dtype=np.float64)
+    cref = _ray.put(c)
+
+    def assign(df: pd.DataFrame, _ref=cref) -> pd.DataFrame:
+        cen = _ray.get(_ref)
+        x = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ cen.T)
+              + (cen * cen).sum(1)[None, :])
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "cluster": np.argmin(d2, 1).astype("int64"),
+                             emb_col: df[emb_col]})
+
+    def dedup_cluster(g: pd.DataFrame, _ref=cref) -> pd.DataFrame:
+        cen = _ray.get(_ref)
+        cid = int(g["cluster"].iloc[0])
+        x = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        xn = x / n
+        cv = cen[cid]
+        cv = cv / max(np.linalg.norm(cv), 1e-12)
+        simc = xn @ cv
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, simc))        # farthest-from-centroid first
+        kept_idx: list = []
+        kept = np.zeros(len(g), dtype=bool)
+        for i in order:
+            if not kept_idx or (xn[kept_idx] @ xn[i]).max() <= threshold:
+                kept_idx.append(i)
+                kept[i] = True
+        out = pd.DataFrame({id_col: ids, "cluster": cid, "kept": kept})
+        return out.sort_values(id_col)
+
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))

@@ -2460,6 +2460,27 @@ def q_bigram_perplexity(sf_dir: str, tau: float = 31.0) -> pd.DataFrame:
             [["source", "n_docs", "avg_ppl", "n_high"]])
 
 
+def q_semdedup(sf_dir: str, k: int = 8,
+               threshold: float = 0.65) -> pd.DataFrame:
+    """SemDeDup semantic deduplication (functions/dedup.semdedup):
+    k-means over the embedding column, then per-cluster cosine dedup
+    keeping centroid-farthest representatives.  Reports per-cluster
+    point/kept/removed counts.  Rows-only (iterative k-means + greedy
+    keep-rule are not SQL-expressible); pytest pins the cluster-local
+    dedup against a naive single-process implementation."""
+    from ..functions.ann import kmeans_fit
+    from ..functions.dedup import semdedup
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _, _, _ = kmeans_fit(ds, k=k)
+    flags = semdedup(ds, cent, threshold=threshold).to_pandas()
+    out = flags.groupby("cluster", as_index=False).agg(
+        n_points=("kept", "size"), n_kept=("kept", "sum"))
+    out["n_points"] = out["n_points"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_removed"] = (out["n_points"] - out["n_kept"]).astype("int64")
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def q_weighted_sample(sf_dir: str, k: int = 40) -> pd.DataFrame:
     """Weighted sampling WITHOUT replacement ∝ document length
     (Efraimidis–Spirakis 2006): global top-k by the deterministic key
@@ -2576,6 +2597,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "hll_users_by_type": q_hll_users_by_type,
     "bigram_perplexity": q_bigram_perplexity,
+    "semdedup": q_semdedup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,

@@ -378,3 +378,44 @@ def test_bigram_perplexity_matches_duckdb(ray_session):
     assert got["n_docs"].tolist() == ref["n_docs"].astype("int64").tolist()
     assert got["n_high"].tolist() == ref["n_high"].astype("int64").tolist()
     np.testing.assert_allclose(got["avg_ppl"], ref["avg_ppl"], atol=1e-4)
+
+
+def test_semdedup_matches_naive(ray_session):
+    """Distributed SemDeDup == naive single-process implementation on
+    synthetic clustered vectors with planted near-duplicates."""
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import semdedup
+    rng = np.random.default_rng(11)
+    cent = rng.normal(size=(3, 8))
+    base = rng.normal(size=(60, 8)) * 0.05 + cent[rng.integers(0, 3, 60)]
+    # plant near-dups: 15 rows are tiny perturbations of earlier rows
+    dup = base[:15] + rng.normal(size=(15, 8)) * 1e-3
+    x = np.vstack([base, dup])
+    ids = np.arange(len(x), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": ids, "embedding": list(x)}))
+    got = (semdedup(ds, cent, threshold=0.95).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    # naive reference
+    d2 = ((x * x).sum(1)[:, None] - 2 * (x @ cent.T)
+          + (cent * cent).sum(1)[None, :])
+    a = np.argmin(d2, 1)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    kept = np.zeros(len(x), dtype=bool)
+    for c in range(3):
+        idx = np.where(a == c)[0]
+        if not len(idx):
+            continue
+        cv = cent[c] / np.linalg.norm(cent[c])
+        simc = xn[idx] @ cv
+        order = idx[np.lexsort((ids[idx], simc))]
+        ki: list = []
+        for i in order:
+            if not ki or (xn[ki] @ xn[i]).max() <= 0.95:
+                ki.append(i)
+                kept[i] = True
+    assert got["kept"].to_numpy().tolist() == kept.tolist()
+    assert got["cluster"].to_numpy().tolist() == a.tolist()
+    # the planted dups actually got removed
+    assert (~kept[60:]).sum() + (~kept[:15]).sum() >= 15
