@@ -2460,17 +2460,125 @@ def q_bigram_perplexity(sf_dir: str, tau: float = 31.0) -> pd.DataFrame:
             [["source", "n_docs", "avg_ppl", "n_high"]])
 
 
+def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb/Gopher-style curation cascade over the augmented
+    corpus (documents ∪ re-keyed duplicate copies, the q_dedup_exact
+    population): ONE reject reason per doc, first match wins —
+    exact_dup (md5 keep-first) → too_short (<17 tokens) → low_alpha
+    (alpha ratio ≤ 0.813) → repetitive (Gopher top-unigram > 0.2 /
+    dup-bigram > 0.09) → kept.  Reports (source, reason) counts — the
+    rejection-budget table every training-data pipeline publishes.
+
+    Scale shape: pass 1 finds the (tiny) duplicated-hash keep table
+    with native per-hash Count/Min aggregates and broadcasts it via
+    ``ray.put``; pass 2 classifies each batch fully vectorized (the
+    repetition_filter / doc_quality expressions, bit-identical to the
+    SQL oracle) and reduces with the combiner Sum.  At 100 TB the keep
+    table joins back by hash range instead of broadcasting."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def make_dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 10 == 0))
+        return sel.set_column(0, "doc_id", pc.add(sel["doc_id"], 1000000))
+
+    ds = base.union(base.map_batches(make_dups, batch_format="pyarrow"))
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "content_hash": T.fingerprint_md5(df["text"])})
+
+    dup = (ds.map_batches(add_hash, batch_format="pandas")
+           .groupby("content_hash")
+           .aggregate(Count(alias_name="n"),
+                      Min("doc_id", alias_name="keep_id")))
+    dup = dup.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)),
+        batch_format="pyarrow").to_pandas()
+    keep_map = dict(zip(dup["content_hash"],
+                        dup["keep_id"].astype("int64")))
+    kref = ray.put(keep_map)
+
+    def classify(df: pd.DataFrame, _ref=kref) -> pd.DataFrame:
+        km = ray.get(_ref)
+        text = df["text"].fillna("")
+        ch = T.fingerprint_md5(df["text"])
+        keep_id = ch.map(km)
+        is_dup = (keep_id.notna().to_numpy()
+                  & (df["doc_id"].to_numpy(dtype=np.int64)
+                     > keep_id.fillna(-1).to_numpy(dtype=np.int64)))
+        toks = text.str.lower().str.findall(T.WS_TOKEN_RE)
+        ntok = toks.str.len().to_numpy(dtype=np.int64)
+        alpha = (text.str.count(T.ALPHA_RE).to_numpy(dtype=np.float64)
+                 * 1.0 / np.maximum(text.str.len().to_numpy(np.int64), 1))
+        ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "tok": toks}).explode("tok")
+              .dropna(subset=["tok"]))
+        uc = ex.groupby(["doc_id", "tok"]).size()
+        top = (uc.groupby("doc_id").max() * 1.0
+               / uc.groupby("doc_id").sum())
+        bgf = _ngram_frame(df["doc_id"], toks, 2)
+        bstat = bgf.groupby("id")["gram"].agg(total="size", dist="nunique")
+        dupf = 1.0 - (bstat["dist"] * 1.0) / bstat["total"]
+        topv = top.reindex(df["doc_id"]).to_numpy(dtype=np.float64)
+        dupv = dupf.reindex(df["doc_id"]).to_numpy(dtype=np.float64)
+        rep = ((np.where(np.isnan(topv), 0.0, topv) > 0.2)
+               | (np.where(np.isnan(dupv), 0.0, dupv) > 0.09))
+        reason = np.select(
+            [is_dup, ntok < 17, alpha <= 0.813, rep],
+            ["exact_dup", "too_short", "low_alpha", "repetitive"],
+            default="kept")
+        g = pd.DataFrame({"key": df["source"].astype(str) + "\x1f" + reason})
+        g = g.groupby("key", as_index=False).agg(n_docs=("key", "size"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    agg = _final_agg(ds.map_batches(classify, batch_format="pandas"),
+                     ["key"], ["n_docs"])
+    sp = agg["key"].str.split("\x1f", n=1, expand=True)
+    out = pd.DataFrame({"source": sp[0], "reason": sp[1],
+                        "n_docs": agg["n_docs"].astype("int64")})
+    return (out.sort_values(["source", "reason"])
+            .reset_index(drop=True))
+
+
 def q_semdedup(sf_dir: str, k: int = 8,
-               threshold: float = 0.65) -> pd.DataFrame:
+               threshold: float = 0.9) -> pd.DataFrame:
     """SemDeDup semantic deduplication (functions/dedup.semdedup):
-    k-means over the embedding column, then per-cluster cosine dedup
-    keeping centroid-farthest representatives.  Reports per-cluster
-    point/kept/removed counts.  Rows-only (iterative k-means + greedy
-    keep-rule are not SQL-expressible); pytest pins the cluster-local
-    dedup against a naive single-process implementation."""
+    k-means over the embedding column ∪ planted near-duplicates (every
+    vec_id % 20 == 0 row re-keyed at +1000000 with a small seeded
+    perturbation — the embedding analog of _docs_with_dups), then
+    per-cluster cosine dedup keeping centroid-farthest
+    representatives.  Reports per-cluster point/kept/removed counts.
+    Rows-only (iterative k-means + greedy keep-rule are not
+    SQL-expressible); pytest pins the cluster-local dedup against a
+    naive single-process implementation."""
     from ..functions.ann import kmeans_fit
     from ..functions.dedup import semdedup
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant_dups(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 20 == 0))
+        out_ids, out_emb = [], []
+        for vid, emb in zip(sel["vec_id"].to_pylist(),
+                            sel["embedding"].to_pylist()):
+            x = np.asarray(emb, dtype=np.float64)
+            rng = np.random.default_rng(int(vid))   # per-id deterministic
+            out_ids.append(int(vid) + 1000000)
+            out_emb.append((x + 0.02 * np.linalg.norm(x)
+                            * rng.standard_normal(x.shape)
+                            / np.sqrt(len(x))).astype(np.float32))
+        return pa.table(
+            {"vec_id": pa.array(out_ids, type=pa.int64()),
+             "embedding": pa.array([e.tolist() for e in out_emb],
+                                   type=t.schema.field("embedding").type)})
+
+    ds = base.union(base.map_batches(plant_dups, batch_format="pyarrow"))
     cent, _, _, _ = kmeans_fit(ds, k=k)
     flags = semdedup(ds, cent, threshold=threshold).to_pandas()
     out = flags.groupby("cluster", as_index=False).agg(
@@ -2597,6 +2705,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "hll_users_by_type": q_hll_users_by_type,
     "bigram_perplexity": q_bigram_perplexity,
+    "curation_cascade": q_curation_cascade,
     "semdedup": q_semdedup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3317,5 +3426,44 @@ ORACLE_SQL = {
                ROUND(sum(ppl) / count(*), 4) AS avg_ppl,
                CAST(count(*) FILTER (WHERE ppl > 31.0) AS BIGINT) AS n_high
         FROM ll GROUP BY source ORDER BY source
+    """,
+    "curation_cascade": r"""
+        WITH all_docs AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+            WHERE doc_id % 10 = 0
+        ),
+        h AS (SELECT doc_id, source, text, md5(lower(text)) AS ch
+              FROM all_docs),
+        keep AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY ch),
+        toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                 FROM all_docs),
+        uni AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_frac FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks
+                  WHERE len(t) >= 2)
+            GROUP BY doc_id, tok) GROUP BY doc_id),
+        big AS (SELECT doc_id,
+                       1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup_frac
+                FROM (SELECT doc_id, unnest(list_transform(
+                          generate_series(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+1], ' '))) AS g
+                      FROM toks WHERE len(t) >= 2) GROUP BY doc_id),
+        c AS (
+            SELECT h.source,
+                   CASE WHEN h.doc_id > k.keep_id THEN 'exact_dup'
+                        WHEN len(tk.t) < 17 THEN 'too_short'
+                        WHEN len(regexp_extract_all(h.text, '[A-Za-z]'))
+                             * 1.0 / greatest(len(h.text), 1) <= 0.813
+                            THEN 'low_alpha'
+                        WHEN u.top_frac > 0.2 OR b.dup_frac > 0.09
+                            THEN 'repetitive'
+                        ELSE 'kept' END AS reason
+            FROM h JOIN keep k USING (ch) JOIN toks tk USING (doc_id)
+            LEFT JOIN uni u USING (doc_id) LEFT JOIN big b USING (doc_id)
+        )
+        SELECT source, reason, count(*) AS n_docs
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
