@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "quality_percentile", "token_entropy", "bpe_merges",
     "bpe_encode", "dsir_sample", "big_orders", "returned_share",
     "weighted_sample", "hll_users_by_type", "bigram_perplexity",
-    "curation_cascade", "semdedup",
+    "curation_cascade", "semdedup", "pmi_collocations", "hashed_search",
     "validate_corpus",
 ]
 

@@ -2460,6 +2460,115 @@ def q_bigram_perplexity(sf_dir: str, tau: float = 31.0) -> pd.DataFrame:
             [["source", "n_docs", "avg_ppl", "n_high"]])
 
 
+# ASCII-only on purpose: Python str.lower and DuckDB lower() agree on
+# ASCII unconditionally; non-ASCII case mapping could differ by ICU build
+_SEARCH_QUERIES = [(0, "the model of the data"),
+                   (1, "sample text quality and words"),
+                   (2, "one two three four five six")]
+
+
+def q_hashed_search(sf_dir: str, k: int = 5,
+                    n_buckets: int = 64) -> pd.DataFrame:
+    """Semantic search without an embedding model: documents and a
+    fixed query set are embedded as L2-normalized hashed
+    bag-of-words vectors (md5 buckets, the q_dsir_sample feature
+    space) and each query returns its cosine top-k documents — the
+    brute-force ANN baseline pattern (broadcast query matrix, per-batch
+    matmul + partial top-k) applied to raw text.
+
+    Scale shape: the query matrix (|Q|×n_buckets floats) broadcasts
+    once; per batch one bincount + one matmul; only ≤ k × |Q| rows per
+    block reach the driver.  Cosines round to 1e-6 before ordering
+    (ties break on doc_id) so the selection is engine-independent —
+    the DuckDB oracle builds BOTH vector sides from the same VALUES
+    list with the same md5 bucket expression."""
+    qv = np.zeros((len(_SEARCH_QUERIES), n_buckets), dtype=np.float64)
+    for qid, qtext in _SEARCH_QUERIES:
+        toks = pd.Series(qtext.lower().split())
+        np.add.at(qv[qid], T.md5_bucket(toks, n_buckets), 1.0)
+    qn = np.linalg.norm(qv, axis=1, keepdims=True)
+    qv = qv / np.maximum(qn, 1e-12)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")})
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return empty
+        dfk, toksk, lensk = df[keep], toks[keep], lens[keep]
+        flat = pd.Series(np.concatenate(
+            [np.asarray(t, dtype=object) for t in toksk]))
+        b = T.md5_bucket(flat, n_buckets)
+        rows = np.repeat(np.arange(len(dfk)), lensk)
+        dv = np.zeros((len(dfk), n_buckets), dtype=np.float64)
+        np.add.at(dv, (rows, b), 1.0)
+        dv = dv / np.linalg.norm(dv, axis=1, keepdims=True)
+        cos = dv @ qv.T                              # [docs, queries]
+        out = pd.DataFrame(
+            {"qid": np.tile(np.arange(len(qv), dtype=np.int64), len(dfk)),
+             "doc_id": np.repeat(dfk["doc_id"].to_numpy(np.int64), len(qv)),
+             "cosine": _round_half_away(pd.Series(cos.ravel()), 6)})
+        return (out.sort_values(["qid", "cosine", "doc_id"],
+                                ascending=[True, False, True])
+                .groupby("qid", group_keys=False).head(k))
+
+    parts = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["qid", "cosine", "doc_id"],
+                             ascending=[True, False, True])
+           .groupby("qid", group_keys=False).head(k)
+           .reset_index(drop=True))
+    out["qid"] = out["qid"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def q_pmi_collocations(sf_dir: str, k: int = 20,
+                       min_count: int = 5) -> pd.DataFrame:
+    """Collocation extraction: top-k token bigrams by pointwise mutual
+    information, PMI = ln(c(a,b)·N / (cₗ(a)·cᵣ(b))) with margins and N
+    taken over bigram events (all derivable from ONE bigram-count
+    table), minimum joint count ``min_count``.
+
+    Scale shape: the only corpus-scale shuffle is the bigram-count
+    combiner Sum (bounded by bigram vocabulary); margins, PMI and the
+    final top-k run on that (already reduced) table with per-batch
+    partial top-k.  PMI rounds to 1e-6 before ordering so libm ln
+    noise cannot flip the selection (ties break on the tokens)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bg = _bigram_frame(df)
+        g = bg.groupby(["cur", "nxt"], as_index=False).agg(
+            n=("doc_id", "size"))
+        return pd.DataFrame({"key": g["cur"] + "\x1f" + g["nxt"],
+                             "n": g["n"].astype("int64")})
+
+    cb = _final_agg(ds.map_batches(count_partial, batch_format="pandas"),
+                    ["key"], ["n"])
+    sp = cb["key"].str.split("\x1f", n=1, expand=True)
+    t = pd.DataFrame({"cur": sp[0], "nxt": sp[1],
+                      "n": cb["n"].astype("int64")})
+    nb = float(t["n"].sum())
+    left = t.groupby("cur")["n"].sum()
+    right = t.groupby("nxt")["n"].sum()
+    t = t[t["n"] >= min_count].copy()
+    t["pmi"] = _round_half_away(pd.Series(np.log(
+        t["n"].to_numpy(dtype=np.float64) * nb
+        / (t["cur"].map(left).to_numpy(dtype=np.float64)
+           * t["nxt"].map(right).to_numpy(dtype=np.float64))),
+        index=t.index), 6)
+    out = (t.sort_values(["pmi", "cur", "nxt"],
+                         ascending=[False, True, True]).head(k)
+           .reset_index(drop=True))
+    return out[["cur", "nxt", "n", "pmi"]]
+
+
 def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
     """RefinedWeb/Gopher-style curation cascade over the augmented
     corpus (documents ∪ re-keyed duplicate copies, the q_dedup_exact
@@ -2706,6 +2815,8 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "bigram_perplexity": q_bigram_perplexity,
     "curation_cascade": q_curation_cascade,
+    "pmi_collocations": q_pmi_collocations,
+    "hashed_search": q_hashed_search,
     "semdedup": q_semdedup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -3465,5 +3576,61 @@ ORACLE_SQL = {
         )
         SELECT source, reason, count(*) AS n_docs
         FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "pmi_collocations": r"""
+        WITH d AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_slice(t, 1, len(t) - 1)) AS cur,
+                   unnest(list_slice(t, 2, len(t))) AS nxt
+            FROM d WHERE len(t) >= 2
+        ),
+        cb AS (SELECT cur, nxt, count(*) AS n FROM bg GROUP BY cur, nxt),
+        m AS (
+            SELECT cur, nxt, n,
+                   sum(n) OVER () AS nb,
+                   sum(n) OVER (PARTITION BY cur) AS nl,
+                   sum(n) OVER (PARTITION BY nxt) AS nr
+            FROM cb
+        )
+        SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+               ROUND(ln(n * 1.0 * nb / (nl * 1.0 * nr)), 6) AS pmi
+        FROM m WHERE n >= 5
+        ORDER BY pmi DESC, cur, nxt LIMIT 20
+    """,
+    "hashed_search": r"""
+        WITH qrs AS (
+            SELECT * FROM (VALUES
+                (0, 'the model of the data'),
+                (1, 'sample text quality and words'),
+                (2, 'one two three four five six')) AS q(qid, qtext)
+        ),
+        qtok AS (SELECT qid,
+                        CAST(md5_number_lower(unnest(
+                            regexp_extract_all(lower(qtext), '\S+'))) % 64
+                             AS BIGINT) AS b
+                 FROM qrs),
+        qv AS (SELECT qid, b, count(*) AS c FROM qtok GROUP BY qid, b),
+        qn AS (SELECT qid, sqrt(sum(c * c * 1.0)) AS nrm
+               FROM qv GROUP BY qid),
+        dtok AS (SELECT doc_id,
+                        CAST(md5_number_lower(unnest(
+                            regexp_extract_all(lower(text), '\S+'))) % 64
+                             AS BIGINT) AS b
+                 FROM documents),
+        dv AS (SELECT doc_id, b, count(*) AS c FROM dtok GROUP BY doc_id, b),
+        dn AS (SELECT doc_id, sqrt(sum(c * c * 1.0)) AS nrm
+               FROM dv GROUP BY doc_id),
+        dot AS (SELECT qid, doc_id, sum(qv.c * dv.c * 1.0) AS dp
+                FROM qv JOIN dv USING (b) GROUP BY qid, doc_id),
+        sc AS (SELECT qid, doc_id,
+                      ROUND(dp / (qn.nrm * dn.nrm), 6) AS cosine
+               FROM dot JOIN qn USING (qid) JOIN dn USING (doc_id))
+        SELECT qid, doc_id, cosine FROM sc
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, doc_id) <= 5
+        ORDER BY qid, cosine DESC, doc_id
     """,
 }
