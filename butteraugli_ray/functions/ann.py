@@ -325,3 +325,54 @@ def kmeans_fit(ds, k: int = 8, emb_col: str = "embedding",
         if shift < tol:
             break
     return cent, inertia, it, sizes
+
+
+def logreg_fit(ds, x_col: str = "x", y_col: str = "y",
+               n_iters: int = 6, l2: float = 1e-3):
+    """Distributed logistic regression via IRLS (Newton): each
+    iteration is ONE streaming pass where every batch emits only
+    (XᵀSX [d²], Xᵀ(y−p) [d]) partials — the covariance-family shape
+    pca_fit uses, independent of row count — and the driver solves the
+    d×d system.  Deterministic (no sampling, fixed iteration count,
+    associative float partials reduced in driver order).
+
+    ``x_col`` holds list<float> feature vectors (bias appended here),
+    ``y_col`` a 0/1 label.  Returns (w [d+1], n_rows).  At 100 TB you
+    would subsample the training pass (hash_frac) — scoring stays
+    full-corpus either way."""
+    import pickle
+
+    import ray as _ray
+
+    ds = ds.materialize()                    # IRLS takes n_iters passes
+    first = ds.take(1)[0]
+    d = len(first[x_col]) + 1
+    w = np.zeros(d, dtype=np.float64)
+    n_rows = 0
+    for it in range(n_iters):
+        wref = _ray.put(w)
+
+        def partial(df: pd.DataFrame, _ref=wref) -> pd.DataFrame:
+            ww = _ray.get(_ref)
+            x = np.stack(df[x_col].to_numpy()).astype(np.float64)
+            x = np.hstack([x, np.ones((len(x), 1))])
+            y = df[y_col].to_numpy(dtype=np.float64)
+            z = x @ ww
+            p = 1.0 / (1.0 + np.exp(-z))
+            s = np.maximum(p * (1.0 - p), 1e-6)
+            return pd.DataFrame({"part": [pickle.dumps(
+                (x.T @ (x * s[:, None]), x.T @ (y - p), len(x)),
+                protocol=4)]})
+
+        h = np.zeros((d, d))
+        g = np.zeros(d)
+        n_rows = 0
+        for b in (ds.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=1024)):
+            for raw in b["part"]:
+                h_i, g_i, n_i = pickle.loads(raw)
+                h += h_i
+                g += g_i
+                n_rows += n_i
+        w = w + np.linalg.solve(h + l2 * np.eye(d), g)
+    return w, n_rows

@@ -2462,6 +2462,99 @@ def q_bigram_perplexity(sf_dir: str, tau: float = 31.0) -> pd.DataFrame:
 
 # ASCII-only on purpose: Python str.lower and DuckDB lower() agree on
 # ASCII unconditionally; non-ASCII case mapping could differ by ICU build
+def _hashed_bow(df: pd.DataFrame, n_buckets: int) -> np.ndarray:
+    """Per-doc L2-normalized hashed bag-of-words matrix (the
+    q_hashed_search featurizer, shared with the quality classifier)."""
+    toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    dv = np.zeros((len(df), n_buckets), dtype=np.float64)
+    if lens.sum():
+        flat = pd.Series(np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)]))
+        b = T.md5_bucket(flat, n_buckets)
+        rows = np.repeat(np.arange(len(df)), lens)
+        np.add.at(dv, (rows, b), 1.0)
+    n = np.linalg.norm(dv, axis=1, keepdims=True)
+    return dv / np.maximum(n, 1e-12)
+
+
+def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Trained quality classifier — the filter-DISTILLATION pattern
+    (replace an expensive rule cascade with a cheap linear scorer):
+    distributed logistic regression (functions/ann.logreg_fit, IRLS
+    with d²-sized sufficient-stat partials) on four cheap per-doc
+    features [ln(1+ntok), alpha_ratio, top_unigram_frac,
+    dup_bigram_frac], trained against the curation cascade's text
+    rules as labels, then scored over the whole corpus.  Reports
+    per-source doc counts, predicted-reject counts, true-reject counts
+    and accuracy.  (The OR-of-thresholds target is not linearly
+    separable, so ~0.87 accuracy vs 0.83 majority is the honest
+    linear-model ceiling here — the point is the distributed
+    train/score machinery, not the toy label.)  Rows-only (iterative
+    optimizer); pytest pins the distributed fit against a
+    single-process IRLS on identical features.
+
+    The corpus label could never be lang-based: the synthetic tables
+    share one 31-token vocabulary across languages (per-token P(en)
+    spans 0.40-0.47 vs base 0.436), so no text model beats majority on
+    lang — measured, not assumed."""
+    from ..functions.ann import logreg_fit
+    import ray
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        toks = text.str.lower().str.findall(T.WS_TOKEN_RE)
+        ntok = toks.str.len().to_numpy(dtype=np.int64)
+        alpha = (text.str.count(T.ALPHA_RE).to_numpy(dtype=np.float64)
+                 / np.maximum(text.str.len().to_numpy(np.int64), 1))
+        ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "tok": toks}).explode("tok")
+              .dropna(subset=["tok"]))
+        uc = ex.groupby(["doc_id", "tok"]).size()
+        top = (uc.groupby("doc_id").max() * 1.0
+               / uc.groupby("doc_id").sum()).reindex(
+            df["doc_id"]).to_numpy(dtype=np.float64)
+        bgf = _ngram_frame(df["doc_id"], toks, 2)
+        bstat = bgf.groupby("id")["gram"].agg(total="size", dist="nunique")
+        dupf = (1.0 - (bstat["dist"] * 1.0) / bstat["total"]).reindex(
+            df["doc_id"]).to_numpy(dtype=np.float64)
+        top = np.where(np.isnan(top), 0.0, top)
+        dupf = np.where(np.isnan(dupf), 0.0, dupf)
+        y = ((ntok < 17) | (alpha <= 0.813)
+             | (top > 0.2) | (dupf > 0.09))
+        x = np.column_stack([np.log1p(ntok), alpha, top, dupf])
+        return pd.DataFrame({"x": list(x),
+                             "y": y.astype(np.int64),
+                             "source": df["source"].to_numpy()})
+
+    feats = ds.map_batches(featurize, batch_format="pandas")
+    w, _ = logreg_fit(feats, n_iters=6)
+    wref = ray.put(w)
+
+    def score(df: pd.DataFrame, _ref=wref) -> pd.DataFrame:
+        ww = ray.get(_ref)
+        x = np.stack(df["x"].to_numpy()).astype(np.float64)
+        x = np.hstack([x, np.ones((len(x), 1))])
+        pred = (x @ ww) > 0.0
+        y = df["y"].to_numpy(dtype=bool)
+        g = pd.DataFrame({"source": df["source"], "pred": pred,
+                          "correct": pred == y, "y": y})
+        return g.groupby("source", as_index=False).agg(
+            n_docs=("pred", "size"), n_pred_reject=("pred", "sum"),
+            n_true_reject=("y", "sum"), n_correct=("correct", "sum"))
+
+    out = _final_agg(feats.map_batches(score, batch_format="pandas"),
+                     ["source"], ["n_docs", "n_pred_reject",
+                                  "n_true_reject", "n_correct"])
+    for c in ("n_docs", "n_pred_reject", "n_true_reject", "n_correct"):
+        out[c] = out[c].astype("int64")
+    out["accuracy"] = _round_half_away(out["n_correct"] / out["n_docs"], 4)
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "n_pred_reject", "n_true_reject",
+              "accuracy"]])
+
+
 _SEARCH_QUERIES = [(0, "the model of the data"),
                    (1, "sample text quality and words"),
                    (2, "one two three four five six")]
@@ -2818,6 +2911,7 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "hashed_search": q_hashed_search,
     "semdedup": q_semdedup,
+    "quality_classifier": q_quality_classifier,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,

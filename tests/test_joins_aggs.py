@@ -176,3 +176,27 @@ def test_hll_users_by_type_error_bound(ray_session):
     rel = np.abs(got["n_users_est"].to_numpy() - exact["n"].to_numpy()) \
         / exact["n"].to_numpy()
     assert (rel < 0.05).all(), rel
+
+
+def test_logreg_fit_matches_single_process(ray_session):
+    """Distributed IRLS == single-process IRLS (identical sufficient
+    statistics, float-order noise only)."""
+    import ray.data as rd
+    from butteraugli_ray.functions.ann import logreg_fit
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(400, 4))
+    w_true = np.array([2.0, -1.0, 0.5, 0.0])
+    y = (x @ w_true + 0.3 > 0).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"x": list(x), "y": y}))
+    w, n = logreg_fit(ds, n_iters=6)
+    assert n == 400
+
+    xb = np.hstack([x, np.ones((400, 1))])
+    ww = np.zeros(5)
+    for _ in range(6):
+        p = 1.0 / (1.0 + np.exp(-xb @ ww))
+        s = np.maximum(p * (1.0 - p), 1e-6)
+        ww += np.linalg.solve(xb.T @ (xb * s[:, None]) + 1e-3 * np.eye(5),
+                              xb.T @ (y - p))
+    np.testing.assert_allclose(w, ww, atol=1e-6)
+    assert (((xb @ w) > 0) == (y > 0.5)).mean() > 0.95
