@@ -201,10 +201,13 @@ def md5_bucket(tokens: pd.Series, n_buckets: int) -> np.ndarray:
     ``md5_number_lower(tok) % n_buckets``, so hashed-n-gram feature
     models (DSIR importance weights) keep a SQL oracle.  md5 runs once
     per UNIQUE token per batch (vocab-bounded, same contract as
-    fingerprint_md5)."""
-    uniq = pd.unique(tokens.dropna())
+    fingerprint_md5).  Uniqueness comes from a Python set, NOT
+    ``pd.unique``: pandas' khash string table NUL-terminates, so it
+    collapses '\\x00' with '' and would silently mis-bucket tokens
+    containing NUL bytes (caught by the hypothesis property suite)."""
     lut = {t: int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
-                             "little") % n_buckets for t in uniq}
+                             "little") % n_buckets
+           for t in set(tokens.dropna())}
     return tokens.map(lut).to_numpy(dtype=np.int64)
 
 

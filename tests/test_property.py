@@ -141,3 +141,56 @@ class TestStructuralProperties:
         t1, g1 = build_documents(n_docs, seed=seed, violation_rate=0.05)
         t2, g2 = build_documents(n_docs, seed=seed, violation_rate=0.05)
         assert t1.equals(t2) and g1 == g2
+
+
+class TestSamplingAndEncodeProperties:
+    @given(st.lists(st.text(min_size=0, max_size=8), min_size=1,
+                    max_size=40),
+           st.integers(min_value=2, max_value=512))
+    def test_md5_bucket_range_and_determinism(self, toks, nb):
+        import pandas as pd
+        from butteraugli_ray.functions.text import md5_bucket
+        s = pd.Series(toks)
+        a = md5_bucket(s, nb)
+        b = md5_bucket(s, nb)
+        assert (a == b).all()
+        assert ((a >= 0) & (a < nb)).all()
+        # equal tokens always land in the same bucket
+        if len(toks) >= 2 and toks[0] == toks[1]:
+            assert a[0] == a[1]
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=50, unique=True),
+           st.floats(min_value=1.0, max_value=1e6))
+    def test_es_sample_key_deterministic_and_monotone_in_weight(
+            self, keys, w):
+        import numpy as np
+        import pandas as pd
+        from butteraugli_ray.functions.sampling import es_sample_key
+        s = pd.Series(keys)
+        ws = np.full(len(keys), w)
+        a = es_sample_key(s, ws)
+        assert (a == es_sample_key(s, ws)).all()
+        assert (a <= 0).all()            # ln(u)/w with u in (0,1]
+        # doubling every weight moves every key toward 0 (higher rank)
+        b = es_sample_key(s, ws * 2.0)
+        assert (b >= a).all()
+
+    @given(st.dictionaries(st.text(alphabet="abcdef", min_size=1,
+                                   max_size=6),
+                           st.integers(min_value=1, max_value=9),
+                           min_size=1, max_size=12),
+           st.integers(min_value=0, max_value=10))
+    def test_bpe_encode_invariants(self, wf, k):
+        from butteraugli_ray.functions.text import bpe_encode, bpe_train
+        merges = bpe_train(wf, k)
+        words = sorted(wf)
+        enc = bpe_encode(words, merges)
+        for w, sym in zip(words, enc):
+            # concatenating symbols reproduces word + </w>
+            assert "".join(sym) == w + "</w>"
+            # never longer than the unmerged form
+            assert len(sym) <= len(w) + 1
+        # zero merges → raw characters
+        assert all(len(s) == len(w) + 1
+                   for w, s in zip(words, bpe_encode(words, [])))
