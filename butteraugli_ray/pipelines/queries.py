@@ -2662,6 +2662,40 @@ def q_pmi_collocations(sf_dir: str, k: int = 20,
     return out[["cur", "nxt", "n", "pmi"]]
 
 
+def cascade_reason(df: pd.DataFrame, keep_map: dict) -> np.ndarray:
+    """First-match-wins curation reason per doc (shared by
+    q_curation_cascade and pipelines/curate.py): exact_dup → too_short
+    → low_alpha → repetitive → kept.  Fully vectorized; expressions
+    mirror the DuckDB oracle bit-for-bit."""
+    text = df["text"].fillna("")
+    ch = T.fingerprint_md5(df["text"])
+    keep_id = ch.map(keep_map)
+    is_dup = (keep_id.notna().to_numpy()
+              & (df["doc_id"].to_numpy(dtype=np.int64)
+                 > keep_id.fillna(-1).to_numpy(dtype=np.int64)))
+    toks = text.str.lower().str.findall(T.WS_TOKEN_RE)
+    ntok = toks.str.len().to_numpy(dtype=np.int64)
+    alpha = (text.str.count(T.ALPHA_RE).to_numpy(dtype=np.float64)
+             * 1.0 / np.maximum(text.str.len().to_numpy(np.int64), 1))
+    ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                        "tok": toks}).explode("tok")
+          .dropna(subset=["tok"]))
+    uc = ex.groupby(["doc_id", "tok"]).size()
+    top = (uc.groupby("doc_id").max() * 1.0
+           / uc.groupby("doc_id").sum())
+    bgf = _ngram_frame(df["doc_id"], toks, 2)
+    bstat = bgf.groupby("id")["gram"].agg(total="size", dist="nunique")
+    dupf = 1.0 - (bstat["dist"] * 1.0) / bstat["total"]
+    topv = top.reindex(df["doc_id"]).to_numpy(dtype=np.float64)
+    dupv = dupf.reindex(df["doc_id"]).to_numpy(dtype=np.float64)
+    rep = ((np.where(np.isnan(topv), 0.0, topv) > 0.2)
+           | (np.where(np.isnan(dupv), 0.0, dupv) > 0.09))
+    return np.select(
+        [is_dup, ntok < 17, alpha <= 0.813, rep],
+        ["exact_dup", "too_short", "low_alpha", "repetitive"],
+        default="kept")
+
+
 def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
     """RefinedWeb/Gopher-style curation cascade over the augmented
     corpus (documents ∪ re-keyed duplicate copies, the q_dedup_exact
@@ -2706,34 +2740,7 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
     kref = ray.put(keep_map)
 
     def classify(df: pd.DataFrame, _ref=kref) -> pd.DataFrame:
-        km = ray.get(_ref)
-        text = df["text"].fillna("")
-        ch = T.fingerprint_md5(df["text"])
-        keep_id = ch.map(km)
-        is_dup = (keep_id.notna().to_numpy()
-                  & (df["doc_id"].to_numpy(dtype=np.int64)
-                     > keep_id.fillna(-1).to_numpy(dtype=np.int64)))
-        toks = text.str.lower().str.findall(T.WS_TOKEN_RE)
-        ntok = toks.str.len().to_numpy(dtype=np.int64)
-        alpha = (text.str.count(T.ALPHA_RE).to_numpy(dtype=np.float64)
-                 * 1.0 / np.maximum(text.str.len().to_numpy(np.int64), 1))
-        ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                            "tok": toks}).explode("tok")
-              .dropna(subset=["tok"]))
-        uc = ex.groupby(["doc_id", "tok"]).size()
-        top = (uc.groupby("doc_id").max() * 1.0
-               / uc.groupby("doc_id").sum())
-        bgf = _ngram_frame(df["doc_id"], toks, 2)
-        bstat = bgf.groupby("id")["gram"].agg(total="size", dist="nunique")
-        dupf = 1.0 - (bstat["dist"] * 1.0) / bstat["total"]
-        topv = top.reindex(df["doc_id"]).to_numpy(dtype=np.float64)
-        dupv = dupf.reindex(df["doc_id"]).to_numpy(dtype=np.float64)
-        rep = ((np.where(np.isnan(topv), 0.0, topv) > 0.2)
-               | (np.where(np.isnan(dupv), 0.0, dupv) > 0.09))
-        reason = np.select(
-            [is_dup, ntok < 17, alpha <= 0.813, rep],
-            ["exact_dup", "too_short", "low_alpha", "repetitive"],
-            default="kept")
+        reason = cascade_reason(df, ray.get(_ref))
         g = pd.DataFrame({"key": df["source"].astype(str) + "\x1f" + reason})
         g = g.groupby("key", as_index=False).agg(n_docs=("key", "size"))
         g["n_docs"] = g["n_docs"].astype("int64")
@@ -2746,6 +2753,30 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
                         "n_docs": agg["n_docs"].astype("int64")})
     return (out.sort_values(["source", "reason"])
             .reset_index(drop=True))
+
+
+def q_curate_write(sf_dir: str) -> pd.DataFrame:
+    """Curation MATERIALIZATION (pipelines/curate.py): cascade-classify
+    and WRITE the kept corpus as partitioned parquet with atomic
+    per-partition files + manifests (resume skips finished
+    partitions — pytest kills/deletes and re-runs to identical
+    totals).  Returns per-partition (n_docs, n_kept) manifest stats.
+    Rows-only (a sink, not a SQL expression; the classification logic
+    itself is oracle-checked via curation_cascade)."""
+    import shutil
+    from .curate import curate_corpus
+    from .checkpoint import load_manifests
+    out_dir = "/tmp/curate_demo"
+    shutil.rmtree(out_dir, ignore_errors=True)   # deterministic fresh run
+    curate_corpus(sf_dir, out_dir, n_partitions=16, resume=False)
+    m = load_manifests(out_dir)
+    out = pd.DataFrame(
+        {"partition_id": pd.Series(sorted(m), dtype="int64"),
+         "n_docs": pd.Series([m[p]["n_docs"] for p in sorted(m)],
+                             dtype="int64"),
+         "n_kept": pd.Series([m[p]["n_kept"] for p in sorted(m)],
+                             dtype="int64")})
+    return out.reset_index(drop=True)
 
 
 def q_semdedup(sf_dir: str, k: int = 8,
@@ -2912,6 +2943,7 @@ QUERIES = {
     "hashed_search": q_hashed_search,
     "semdedup": q_semdedup,
     "quality_classifier": q_quality_classifier,
+    "curate_write": q_curate_write,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,

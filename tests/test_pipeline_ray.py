@@ -351,3 +351,44 @@ def test_post_filter_matches_pushdown_semantics(ray_session):
     exp = (df[~df["partition_id"].isin([1, 3])]
            .sort_values("x").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_curate_corpus_resume_identical(ray_session, tmp_path):
+    """Curation sink: fresh run == (partial run + resume), resume
+    rewrites ONLY the missing partitions, totals identical."""
+    import json
+    import os
+    from butteraugli_ray.pipelines.curate import curate_corpus, kept_dir
+    sf = "/root/testdata/sf0.001"
+    out_a = str(tmp_path / "a")
+    s_a = curate_corpus(sf, out_a, n_partitions=8, resume=False)
+    assert s_a["n_partitions"] == 8
+    assert s_a["n_docs"] == 550            # 500 docs + 50 planted dups
+    assert s_a["reasons"]["exact_dup"] == 50
+    assert s_a["n_kept"] == s_a["reasons"]["kept"]
+
+    # simulate a crash: drop 3 partitions' manifests + outputs
+    out_b = str(tmp_path / "b")
+    curate_corpus(sf, out_b, n_partitions=8, resume=False)
+    for pid in (1, 4, 6):
+        os.remove(os.path.join(out_b, "manifests", f"part-{pid:05d}.json"))
+        os.remove(os.path.join(kept_dir(out_b), f"part-{pid:05d}.parquet"))
+    untouched = os.path.join(kept_dir(out_b), "part-00002.parquet")
+    mtime_before = os.path.getmtime(untouched)
+
+    s_b = curate_corpus(sf, out_b, n_partitions=8, resume=True)
+    assert s_b["n_docs"] == s_a["n_docs"]
+    assert s_b["n_kept"] == s_a["n_kept"]
+    assert s_b["reasons"] == s_a["reasons"]
+    assert s_b["resumed_partitions"] == [0, 2, 3, 5, 7]
+    # completed partitions were not rewritten
+    assert os.path.getmtime(untouched) == mtime_before
+
+    # the materialized kept files agree with the manifests
+    import pyarrow.parquet as pq
+    for pid in range(8):
+        n = pq.read_metadata(
+            os.path.join(kept_dir(out_b), f"part-{pid:05d}.parquet")).num_rows
+        with open(os.path.join(out_b, "manifests",
+                               f"part-{pid:05d}.json")) as f:
+            assert n == json.load(f)["n_kept"]
