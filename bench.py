@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "bpe_encode", "dsir_sample", "big_orders", "returned_share",
     "weighted_sample", "hll_users_by_type", "bigram_perplexity",
     "curation_cascade", "semdedup", "pmi_collocations", "hashed_search",
-    "quality_classifier", "curate_write",
+    "quality_classifier", "curate_write", "media_features",
     "validate_corpus",
 ]
 

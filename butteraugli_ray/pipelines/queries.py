@@ -2755,6 +2755,53 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal actor-pool stages through the driver contract:
+    decode(raw) → 16-dim feature vector → thumbnail via MediaFeaturizer
+    (stateful actor, setup in __init__), then frame-sampling the same
+    payloads as pseudo-video via FrameSampler (flat_map shape: 1 row →
+    k frame rows).  Binary payloads stay in Arrow blocks end-to-end;
+    output is a small per-media summary (feature mean, thumbnail bytes,
+    frames sampled, decode status).  Rows-only: binary decode isn't a
+    SQL expression; the stage outputs are pinned by pytest
+    (test_strip_media_cli) and this query's totals are deterministic.
+    ``sf_dir`` is unused — the media pool is the deterministic
+    generator table (corpus/synth.build_media_table), same as
+    validate_corpus."""
+    import ray.data as rd
+    from ..corpus.synth import build_media_table
+    from ..stages.media import FrameSampler, MediaFeaturizer
+
+    media = build_media_table()
+    src = pa.table({"media_ref": media["media_ref"],
+                    "payload": media["ref_rgb"],
+                    "codec": pa.array(["raw"] * len(media)),
+                    "width": media["width"],
+                    "height": media["height"]})
+    ds = rd.from_arrow(src)
+    feats = (ds.map_batches(MediaFeaturizer, batch_format="pyarrow",
+                            concurrency=2).to_pandas())
+    frames = (ds.map_batches(FrameSampler,
+                             fn_constructor_kwargs=dict(n_frames=2,
+                                                        every=2),
+                             batch_format="pyarrow", concurrency=2)
+              .to_pandas())
+    nfr = (frames[frames["frame_idx"] >= 0]
+           .groupby("media_ref").size())
+    out = pd.DataFrame(
+        {"media_ref": feats["media_ref"],
+         "decode_ok": feats["decode_error"].isna(),
+         "feat_mean": [
+             round(float(np.mean(f)), 6) if f is not None else np.nan
+             for f in feats["features"]],
+         "thumb_bytes": [len(t) if t is not None else 0
+                         for t in feats["thumb"]],
+         "n_frames": feats["media_ref"].map(nfr).fillna(0)})
+    out["thumb_bytes"] = out["thumb_bytes"].astype("int64")
+    out["n_frames"] = out["n_frames"].astype("int64")
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
 def q_curate_write(sf_dir: str) -> pd.DataFrame:
     """Curation MATERIALIZATION (pipelines/curate.py): cascade-classify
     and WRITE the kept corpus as partitioned parquet with atomic
@@ -2944,6 +2991,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "quality_classifier": q_quality_classifier,
     "curate_write": q_curate_write,
+    "media_features": q_media_features,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
