@@ -419,3 +419,28 @@ def test_semdedup_matches_naive(ray_session):
     assert got["cluster"].to_numpy().tolist() == a.tolist()
     # the planted dups actually got removed
     assert (~kept[60:]).sum() + (~kept[:15]).sum() >= 15
+
+
+def test_cascade_reason_edges():
+    """cascade_reason (pure pandas, no Ray): dup beats every other
+    reason; empty/short text → too_short; NaN text handled."""
+    from butteraugli_ray.pipelines.queries import cascade_reason
+    long_good = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda mu nu xi omicron pi rho sigma tau")
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["s"] * 5,
+        "text": [long_good,            # kept
+                 long_good,            # exact dup of doc 1 (higher id)
+                 "",                   # too_short
+                 None,                 # too_short (NaN)
+                 "abcdefgh " * 30],    # repetitive (top_frac = 1.0;
+                                       # alpha 8/9 > 0.813 so the
+                                       # low_alpha rule doesn't fire
+                                       # first)
+    })
+    import hashlib
+    h = hashlib.md5(long_good.lower().encode()).hexdigest()
+    reasons = cascade_reason(df, {h: 1})
+    assert reasons.tolist() == ["kept", "exact_dup", "too_short",
+                                "too_short", "repetitive"]
