@@ -23,11 +23,19 @@ from ..functions import text as T
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
     from ..sources.tables import small_file_num_blocks, strip_schema_metadata
     path = f"{sf_dir}/{table}.parquet"
+    # explicit metadata-free schema: pandas-written parquet carries a
+    # b'pandas' dict that makes pyarrow.Schema unhashable, so Ray logs
+    # 'Failed to hash the schemas' on every read-stage block concat and
+    # loses schema dedup — strip it at the SOURCE, not just downstream
+    sch = pq.read_schema(path).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
     return strip_schema_metadata(
-        rd.read_parquet(path, columns=columns,
+        rd.read_parquet(path, columns=columns, schema=sch,
                         override_num_blocks=small_file_num_blocks(path)))
 
 
@@ -702,13 +710,16 @@ def q_shipdate_range(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1996, 12, 31)
-    from ..sources.tables import small_file_num_blocks, strip_schema_metadata
+    from ..sources.tables import (parquet_schema_no_metadata,
+                                  small_file_num_blocks,
+                                  strip_schema_metadata)
     path = f"{sf_dir}/lineitem.parquet"
+    cols = ["l_shipdate", "l_quantity", "l_returnflag"]
     ds = strip_schema_metadata(rd.read_parquet(
-        path,
-        columns=["l_shipdate", "l_quantity", "l_returnflag"],
+        path, columns=cols,
         filter=(pads.field("l_shipdate") >= lo)
                & (pads.field("l_shipdate") <= hi),
+        schema=parquet_schema_no_metadata(path, cols),
         override_num_blocks=small_file_num_blocks(path)))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -150,9 +150,12 @@ def score_media_table(media_path: str, params: Optional[ButteraugliParams] = Non
     """Score every media pair with the actor-pool scorer; returns the
     scores as a pyarrow table (media side is the small side)."""
     import ray.data as rd
-    from ..sources.tables import small_file_num_blocks, strip_schema_metadata
+    from ..sources.tables import (parquet_schema_no_metadata,
+                                  small_file_num_blocks,
+                                  strip_schema_metadata)
     media = (strip_schema_metadata(
         rd.read_parquet(media_path,
+                        schema=parquet_schema_no_metadata(media_path),
                         override_num_blocks=small_file_num_blocks(media_path)))
         if media_path.endswith(".parquet") else rd.read_lance(media_path))
     scored = media.map_batches(MediaScorer, fn_constructor_kwargs={"params": params},

@@ -38,6 +38,19 @@ def small_file_num_blocks(path: str, target_bytes: int = 4 << 20,
     return max(lo, min(hi, size // target_bytes))
 
 
+def parquet_schema_no_metadata(path: str, columns=None):
+    """Metadata-free (hashable) schema for a parquet file, projected to
+    ``columns`` when given — passed as read_parquet(schema=...) so even
+    READ-stage block concats hash/dedup schemas (strip_schema_metadata
+    alone only fixes stages after the read)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    sch = pq.read_schema(path).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
+
+
 def strip_schema_metadata(ds):
     """Fused zero-copy map dropping schema-level metadata.
 
@@ -61,6 +74,7 @@ def read_table(path: str, columns=None):
         return rd.read_lance(path, columns=columns)
     return strip_schema_metadata(
         rd.read_parquet(path, columns=columns,
+                        schema=parquet_schema_no_metadata(path, columns),
                         override_num_blocks=small_file_num_blocks(path)))
 
 
@@ -102,6 +116,7 @@ def read_table_filtered(path: str, columns=None, filter_expr=None,
                            filter_expr)
     return strip_schema_metadata(
         rd.read_parquet(path, columns=columns, filter=filter_expr,
+                        schema=parquet_schema_no_metadata(path, columns),
                         override_num_blocks=small_file_num_blocks(path)))
 
 
