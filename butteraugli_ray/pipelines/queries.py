@@ -2766,6 +2766,43 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_user_set_ops(sf_dir: str) -> pd.DataFrame:
+    """Relational set operations as ONE distributed pass: INTERSECT
+    (users who both clicked and purchased), EXCEPT (users who viewed
+    but never purchased), and the click∪purchase UNION count — all
+    from a single per-user flag aggregation instead of three separate
+    distinct-shuffles (one combiner Sum over 3 bool partials per user;
+    the set verbs become filters on the flag table)."""
+    from ray.data.aggregate import Max
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.get_dummies(df["event_type"])
+        for c in ("click", "purchase", "view"):
+            if c not in g:
+                g[c] = False
+        out = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                            "click": g["click"].astype("int64"),
+                            "purchase": g["purchase"].astype("int64"),
+                            "view": g["view"].astype("int64")})
+        return out.groupby("user_id", as_index=False).max()
+
+    agg = (ds.map_batches(flags, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(Max("click", alias_name="click"),
+                      Max("purchase", alias_name="purchase"),
+                      Max("view", alias_name="view")).to_pandas())
+    both = int(((agg["click"] > 0) & (agg["purchase"] > 0)).sum())
+    view_no_buy = int(((agg["view"] > 0) & (agg["purchase"] == 0)).sum())
+    either = int(((agg["click"] > 0) | (agg["purchase"] > 0)).sum())
+    return pd.DataFrame(
+        {"op": ["click_except_purchase_on_view", "click_intersect_purchase",
+                "click_union_purchase"],
+         "n_users": pd.Series([view_no_buy, both, either],
+                              dtype="int64")}).sort_values("op") \
+        .reset_index(drop=True)
+
+
 def q_media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal actor-pool stages through the driver contract:
     decode(raw) → 16-dim feature vector → thumbnail via MediaFeaturizer
@@ -3003,6 +3040,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "curate_write": q_curate_write,
     "media_features": q_media_features,
+    "user_set_ops": q_user_set_ops,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
@@ -3817,5 +3855,22 @@ ORACLE_SQL = {
         QUALIFY row_number() OVER (PARTITION BY qid
                                    ORDER BY cosine DESC, doc_id) <= 5
         ORDER BY qid, cosine DESC, doc_id
+    """,
+    "user_set_ops": """
+        SELECT 'click_except_purchase_on_view' AS op, count(*) AS n_users
+        FROM (SELECT user_id FROM events WHERE event_type = 'view'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'click_intersect_purchase', count(*)
+        FROM (SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'click_union_purchase', count(*)
+        FROM (SELECT user_id FROM events WHERE event_type = 'click'
+              UNION
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        ORDER BY op
     """,
 }
