@@ -2766,6 +2766,45 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_above_avg_orders(sf_dir: str) -> pd.DataFrame:
+    """Correlated scalar subquery, DECORRELATED (the classic optimizer
+    rewrite): orders priced above their own customer's average order
+    value, counted per priority.  One combiner (sum, count) shuffle
+    builds the per-customer average table; it broadcasts back into a
+    streaming filter pass (at 10⁹ customers it becomes a hash join on
+    o_custkey instead — same plan DuckDB picks for the correlated
+    form)."""
+    import ray
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def avg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            s=("o_totalprice", "sum"), n=("o_totalprice", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    ca = _final_agg(ds.map_batches(avg_partial, batch_format="pandas"),
+                    ["o_custkey"], ["s", "n"])
+    avg_map = dict(zip(ca["o_custkey"].astype("int64"),
+                       ca["s"].to_numpy(np.float64)
+                       / ca["n"].to_numpy(np.float64)))
+    aref = ray.put(avg_map)
+
+    def above(df: pd.DataFrame, _ref=aref) -> pd.DataFrame:
+        am = ray.get(_ref)
+        avg = df["o_custkey"].map(am).to_numpy(dtype=np.float64)
+        sel = df[df["o_totalprice"].to_numpy(dtype=np.float64) > avg]
+        return (sel.groupby("o_orderpriority", as_index=False)
+                .agg(n_above=("o_totalprice", "size")))
+
+    out = _final_agg(ds.map_batches(above, batch_format="pandas"),
+                     ["o_orderpriority"], ["n_above"])
+    out["n_above"] = out["n_above"].astype("int64")
+    return (out.sort_values("o_orderpriority").reset_index(drop=True)
+            [["o_orderpriority", "n_above"]])
+
+
 def q_user_set_ops(sf_dir: str) -> pd.DataFrame:
     """Relational set operations as ONE distributed pass: INTERSECT
     (users who both clicked and purchased), EXCEPT (users who viewed
@@ -3041,6 +3080,7 @@ QUERIES = {
     "curate_write": q_curate_write,
     "media_features": q_media_features,
     "user_set_ops": q_user_set_ops,
+    "above_avg_orders": q_above_avg_orders,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
@@ -3872,5 +3912,15 @@ ORACLE_SQL = {
               UNION
               SELECT user_id FROM events WHERE event_type = 'purchase')
         ORDER BY op
+    """,
+    "above_avg_orders": """
+        WITH ca AS (
+            SELECT o_custkey, sum(o_totalprice) / count(*) AS avg_p
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM orders JOIN ca USING (o_custkey)
+        WHERE o_totalprice > avg_p
+        GROUP BY 1 ORDER BY 1
     """,
 }
