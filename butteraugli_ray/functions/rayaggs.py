@@ -64,16 +64,35 @@ def hll_distinct(col: str, alias: str | None = None) -> AggregateFn:
 
 def tdigest_quantile(col: str, q: float, alias: str | None = None,
                      compression: float = 100.0) -> AggregateFn:
-    """Approximate quantile via merging t-digest."""
+    """Approximate quantile via merging t-digest.  Accumulators travel
+    as pickled BYTES (see hll_distinct) so ``groupby().aggregate``
+    keeps them in Arrow blocks between map and reduce."""
+    import pickle
 
-    def accumulate_block(td: TDigest, block):
-        return td.add(_col_numpy(block, col))
+    def _load(acc: bytes) -> TDigest:
+        if not acc:
+            return TDigest(compression)
+        means, weights = pickle.loads(acc)
+        return TDigest(compression, means, weights)
+
+    def _dump(td: TDigest) -> bytes:
+        return pickle.dumps((td.means, td.weights), protocol=4)
+
+    def accumulate_block(acc: bytes, block) -> bytes:
+        return _dump(_load(acc).add(_col_numpy(block, col)))
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        if not a:
+            return b
+        if not b:
+            return a
+        return _dump(_load(a).merge(_load(b)))
 
     return AggregateFn(
-        init=lambda k: TDigest(compression),
-        merge=lambda a, b: a.merge(b),
+        init=lambda k: b"",
+        merge=merge,
         accumulate_block=accumulate_block,
-        finalize=lambda td: float(td.quantile(q)),
+        finalize=lambda acc: float(_load(acc).quantile(q)),
         name=alias or f"p{int(q * 100)}({col})",
     )
 

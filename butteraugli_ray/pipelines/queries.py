@@ -2766,6 +2766,20 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_value_p90_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP approximate p90 via the mergeable t-digest AggregateFn
+    (bytes accumulators through the groupby shuffle — raw values never
+    co-locate, only digests).  Rows-only (approximate by construction);
+    pytest bounds each group's estimate against the exact quantile."""
+    from ..functions.rayaggs import tdigest_quantile
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = (ds.groupby("event_type")
+           .aggregate(tdigest_quantile("value", 0.9, alias="p90_est"))
+           .to_pandas())
+    out["p90_est"] = out["p90_est"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_above_avg_orders(sf_dir: str) -> pd.DataFrame:
     """Correlated scalar subquery, DECORRELATED (the classic optimizer
     rewrite): orders priced above their own customer's average order
@@ -3081,6 +3095,7 @@ QUERIES = {
     "media_features": q_media_features,
     "user_set_ops": q_user_set_ops,
     "above_avg_orders": q_above_avg_orders,
+    "value_p90_by_type": q_value_p90_by_type,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
