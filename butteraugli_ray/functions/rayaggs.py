@@ -99,16 +99,32 @@ def tdigest_quantile(col: str, q: float, alias: str | None = None,
 
 def histogram_agg(col: str, lo: float, hi: float, n_bins: int = 64,
                   alias: str | None = None) -> AggregateFn:
-    """Fixed-bin histogram partials → serialized dict (drift input)."""
+    """Fixed-bin histogram partials → serialized dict (drift input).
+    Bytes accumulator (see hll_distinct) so per-group use stays
+    Arrow-native."""
+    import pickle
 
-    def accumulate_block(h: FixedHistogram, block):
-        return h.add(_col_numpy(block, col))
+    def _load(acc: bytes) -> FixedHistogram:
+        if not acc:
+            return FixedHistogram(lo, hi, n_bins)
+        return pickle.loads(acc)
+
+    def accumulate_block(acc: bytes, block) -> bytes:
+        return pickle.dumps(_load(acc).add(_col_numpy(block, col)),
+                            protocol=4)
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        if not a:
+            return b
+        if not b:
+            return a
+        return pickle.dumps(_load(a).merge(_load(b)), protocol=4)
 
     return AggregateFn(
-        init=lambda k: FixedHistogram(lo, hi, n_bins),
-        merge=lambda a, b: a.merge(b),
+        init=lambda k: b"",
+        merge=merge,
         accumulate_block=accumulate_block,
-        finalize=lambda h: h.to_dict(),
+        finalize=lambda acc: _load(acc).to_dict(),
         name=alias or f"hist({col})",
     )
 
@@ -160,20 +176,41 @@ def heavy_hitters(col: str, k: int = 10, capacity: int = 256,
     summary (guaranteed to contain every item with frequency >
     N/(capacity+1); counts are lower bounds).  Finalizes to a list of
     (item, count) pairs, count-desc."""
+    import pickle
+
     from .sketches import MisraGries
 
-    def accumulate_block(mg: MisraGries, block):
+    def _load(acc: bytes) -> MisraGries:
+        return pickle.loads(acc) if acc else MisraGries(capacity)
+
+    def accumulate_block(acc: bytes, block) -> bytes:
         import pandas as pd
         vals = block[col]
         if hasattr(vals, "to_pylist"):
             vals = vals.to_pylist()
         vc = pd.Series(list(vals)).value_counts()
-        return mg.add_counts(vc.index.tolist(), vc.to_numpy())
+        return pickle.dumps(
+            _load(acc).add_counts(vc.index.tolist(), vc.to_numpy()),
+            protocol=4)
+
+    def merge(a: bytes, b: bytes) -> bytes:
+        if not a:
+            return b
+        if not b:
+            return a
+        return pickle.dumps(_load(a).merge(_load(b)), protocol=4)
+
+    def finalize(acc: bytes) -> str:
+        import json
+        # JSON string, not a list of tuples: finalized values land in
+        # Arrow blocks too, and a nested Python list would force an
+        # ArrowConversionError fallback at the reduce stage
+        return json.dumps([[str(i), int(c)] for i, c in _load(acc).top(k)])
 
     return AggregateFn(
-        init=lambda key: MisraGries(capacity),
-        merge=lambda a, b: a.merge(b),
+        init=lambda key: b"",
+        merge=merge,
         accumulate_block=accumulate_block,
-        finalize=lambda mg: [(str(i), int(c)) for i, c in mg.top(k)],
+        finalize=finalize,
         name=alias or f"top{k}({col})",
     )

@@ -1647,12 +1647,14 @@ def q_top_sources_sketch(sf_dir: str, k: int = 5) -> pd.DataFrame:
     EXACT and the DuckDB oracle hash-matches; at web scale (capacity ≪
     distinct) the same operator degrades gracefully to guaranteed
     heavy-hitter recall with lower-bound counts."""
+    import json
     from ..functions.rayaggs import heavy_hitters
     ds = _read(sf_dir, "documents", columns=["source"])
-    top = ds.aggregate(heavy_hitters("source", k=k, capacity=256,
-                                     alias="top"))["top"]
+    top = json.loads(ds.aggregate(heavy_hitters("source", k=k,
+                                                capacity=256,
+                                                alias="top"))["top"])
     return pd.DataFrame({"source": [t[0] for t in top],
-                         "n_docs": pd.array([t[1] for t in top],
+                         "n_docs": pd.array([int(t[1]) for t in top],
                                             dtype="int64")})
 
 

@@ -102,6 +102,7 @@ class TestMisraGries:
                                  + [f"rare{i}" for i in range(400)])})
         out = rd.from_pandas(df).repartition(5).aggregate(
             heavy_hitters("w", k=3, capacity=32, alias="top"))
-        top = out["top"]
+        import json
+        top = json.loads(out["top"])      # finalize emits a JSON string
         assert [t[0] for t in top] == ["the", "a", "of"]
         assert top[0][1] <= 500
