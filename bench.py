@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "weighted_sample", "hll_users_by_type", "bigram_perplexity",
     "curation_cascade", "semdedup", "pmi_collocations", "hashed_search",
     "quality_classifier", "curate_write", "media_features",
-    "user_set_ops", "above_avg_orders", "value_p90_by_type",
+    "user_set_ops", "above_avg_orders", "value_p90_by_type", "span_stats",
     "validate_corpus",
 ]
 

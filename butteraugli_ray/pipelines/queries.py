@@ -2768,6 +2768,67 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_span_stats(sf_dir: str) -> pd.DataFrame:
+    """Nested-column analytics over the INTERLEAVED (doc_id, spans)
+    corpus itself: explode the list<struct> spans column ZERO-COPY
+    (``ListArray.flatten()`` over Arrow buffers — no Python rows, no
+    pandas explode), per-kind span counts, text-char sums and distinct
+    media-ref fan-out via ``pyarrow.compute`` kernels, reduced with the
+    combiner Sum.  Rows-only: the spans corpus is derived at runtime
+    (not one of the driver's DuckDB views); pytest pins the totals
+    against an independent pandas reconstruction."""
+    import hashlib as _hl
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ..sources.tables import (parquet_schema_no_metadata,
+                                  small_file_num_blocks,
+                                  strip_schema_metadata)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    corpus_dir = f"/tmp/butteraugli_ray_corpus_{tag}"
+    paths = build_interleaved_corpus(sf_dir, corpus_dir)
+    path = paths["documents"]
+    ds = strip_schema_metadata(rd.read_parquet(
+        path, columns=["doc_id", "spans"],
+        schema=parquet_schema_no_metadata(path, ["doc_id", "spans"]),
+        override_num_blocks=small_file_num_blocks(path)))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        spans = t["spans"].combine_chunks()
+        flat = spans.flatten()                       # struct, zero-copy
+        kind = flat.field("kind")
+        tlen = pc.utf8_length(flat.field("text"))
+        rows = []
+        for kv in pc.unique(kind).to_pylist():
+            m = pc.equal(kind, kv)
+            rows.append({
+                "kind": kv,
+                "n_spans": int(pc.sum(pc.cast(m, pa.int64())).as_py()),
+                "sum_text_chars": int(pc.sum(
+                    pc.if_else(m, tlen, pa.scalar(0, pa.int32()))).as_py()),
+            })
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = _final_agg(parts, ["kind"], ["n_spans", "sum_text_chars"])
+    # distinct refs need a global distinct, not a sum of partials:
+    refs = ds.map_batches(
+        lambda t: pa.table({"ref": pc.unique(pc.drop_null(
+            t["spans"].combine_chunks().flatten().field("media_ref")
+        ))}),
+        batch_format="pyarrow")
+    refs = refs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["ref"], "")),
+        batch_format="pyarrow")
+    n_refs = len(refs.unique("ref"))
+    agg["n_spans"] = agg["n_spans"].astype("int64")
+    agg["sum_text_chars"] = agg["sum_text_chars"].astype("int64")
+    agg["n_distinct_refs"] = np.where(agg["kind"] == "image",
+                                      n_refs, 0).astype("int64")
+    return (agg.sort_values("kind").reset_index(drop=True)
+            [["kind", "n_spans", "sum_text_chars", "n_distinct_refs"]])
+
+
 def q_value_p90_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-GROUP approximate p90 via the mergeable t-digest AggregateFn
     (bytes accumulators through the groupby shuffle — raw values never
@@ -3098,6 +3159,7 @@ QUERIES = {
     "user_set_ops": q_user_set_ops,
     "above_avg_orders": q_above_avg_orders,
     "value_p90_by_type": q_value_p90_by_type,
+    "span_stats": q_span_stats,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,

@@ -102,3 +102,35 @@ def test_batch_split_equals_whole(corpus):
                                t["span_idx"].to_pylist(),
                                t["check"].to_pylist()))
     assert key(combined) == key(whole)
+
+
+def test_span_stats_matches_pandas_reconstruction(ray_session):
+    """q_span_stats (zero-copy Arrow list flatten) equals an
+    independent pandas reconstruction of the interleaved corpus."""
+    import pyarrow.parquet as pq
+    from butteraugli_ray.pipelines.queries import q_span_stats
+    sf = "/root/testdata/sf0.001"
+    got = q_span_stats(sf)
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n = len(docs)
+    # construction: 2 text spans (halves of text) + 1 image span per doc
+    t1_len, t2_len, refs = [], [], set()
+    from butteraugli_ray.corpus.synth import bad_media_refs, good_media_refs
+    good, bad = good_media_refs(), bad_media_refs()
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split()
+        half = max(1, len(words) // 2)
+        t1_len.append(len(" ".join(words[:half])))
+        t2_len.append(len(" ".join(words[half:])))
+        refs.add(bad[did % len(bad)] if did % 17 == 0
+                 else good[did % len(good)])
+
+    r = got.set_index("kind")
+    assert int(r.loc["text", "n_spans"]) == 2 * n
+    assert int(r.loc["image", "n_spans"]) == n
+    assert int(r.loc["text", "sum_text_chars"]) == sum(t1_len) + sum(t2_len)
+    assert int(r.loc["image", "sum_text_chars"]) == 0
+    assert int(r.loc["image", "n_distinct_refs"]) == len(refs)
+    assert int(r.loc["text", "n_distinct_refs"]) == 0
