@@ -2859,10 +2859,22 @@ def q_above_avg_orders(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("o_custkey", as_index=False).agg(
             s=("o_totalprice", "sum"), n=("o_totalprice", "size"))
         g["n"] = g["n"].astype("int64")
+        g["__b"] = (g["o_custkey"].to_numpy(dtype=np.int64)
+                    % 16).astype("int64")
         return g
 
-    ca = _final_agg(ds.map_batches(avg_partial, batch_format="pandas"),
-                    ["o_custkey"], ["s", "n"])
+    def bucket_combine(g: pd.DataFrame) -> pd.DataFrame:
+        # key-hash-bucketed vectorized combine: the per-key Ray
+        # aggregate over ~SF×15k customer keys measured 40+ s where
+        # 16 bucket groups take <1 s (same fix as q_big_orders)
+        s = g.groupby("o_custkey", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+        s["n"] = s["n"].astype("int64")
+        return s
+
+    ca = (ds.map_batches(avg_partial, batch_format="pandas")
+          .groupby("__b").map_groups(bucket_combine, batch_format="pandas")
+          .to_pandas())
     avg_map = dict(zip(ca["o_custkey"].astype("int64"),
                        ca["s"].to_numpy(np.float64)
                        / ca["n"].to_numpy(np.float64)))
@@ -2889,7 +2901,6 @@ def q_user_set_ops(sf_dir: str) -> pd.DataFrame:
     from a single per-user flag aggregation instead of three separate
     distinct-shuffles (one combiner Sum over 3 bool partials per user;
     the set verbs become filters on the flag table)."""
-    from ray.data.aggregate import Max
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def flags(df: pd.DataFrame) -> pd.DataFrame:
@@ -2901,13 +2912,20 @@ def q_user_set_ops(sf_dir: str) -> pd.DataFrame:
                             "click": g["click"].astype("int64"),
                             "purchase": g["purchase"].astype("int64"),
                             "view": g["view"].astype("int64")})
-        return out.groupby("user_id", as_index=False).max()
+        out = out.groupby("user_id", as_index=False).max()
+        out["__b"] = (out["user_id"].to_numpy(dtype=np.int64)
+                      % 8).astype("int64")
+        return out
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed vectorized combine (per-key Ray aggregate path is
+        # seconds of overhead even at 150 keys — see q_big_orders)
+        return (g.groupby("user_id", as_index=False)
+                [["click", "purchase", "view"]].max())
 
     agg = (ds.map_batches(flags, batch_format="pandas")
-           .groupby("user_id")
-           .aggregate(Max("click", alias_name="click"),
-                      Max("purchase", alias_name="purchase"),
-                      Max("view", alias_name="view")).to_pandas())
+           .groupby("__b").map_groups(bucket_max, batch_format="pandas")
+           .to_pandas())
     both = int(((agg["click"] > 0) & (agg["purchase"] > 0)).sum())
     view_no_buy = int(((agg["view"] > 0) & (agg["purchase"] == 0)).sum())
     either = int(((agg["click"] > 0) | (agg["purchase"] > 0)).sum())
