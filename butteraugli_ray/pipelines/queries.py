@@ -49,11 +49,32 @@ def _round_half_away(s: pd.Series, nd: int) -> pd.Series:
                      index=s.index)
 
 
-def _final_agg(partials, keys, sum_cols):
-    """groupby over per-batch partial rows (the combiner pattern)."""
-    from ray.data.aggregate import Sum
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
-    return partials.groupby(keys).aggregate(*aggs).to_pandas()
+def _final_agg(partials, keys, sum_cols, n_buckets: int = 64):
+    """groupby over per-batch partial rows (the combiner pattern).
+
+    HASH-BUCKETED: each partial row is tagged with an int64 bucket of
+    its key tuple and each bucket combines with ONE vectorized pandas
+    groupby-sum — never Ray's per-key aggregate path, which measures
+    ~0.08 ms/key (fine at 10² keys, 40+ s at 5×10⁵ — the
+    q_big_orders / passage-dup lesson applied to every combiner)."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df):
+            df["__b"] = (pd.util.hash_pandas_object(
+                df[keys], index=False).to_numpy()
+                % n_buckets).astype("int64")
+        else:
+            df["__b"] = pd.Series([], dtype="int64")
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False)[sum_cols].sum()
+
+    out = (partials.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1753,7 +1774,10 @@ def q_bm25_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
         ex = ex[ex["term"].isin(qterms)]
         g = (ex.drop_duplicates()
              .groupby("term", as_index=False).agg(n=("doc_id", "size")))
-        keys = ["\x00n_docs", "\x00n_toks"] + list(g["term"])
+        # "g:" / "t:" prefixes, NOT a NUL sentinel: pandas' khash
+        # string table NUL-truncates, so "\x00x" keys collapse inside
+        # any pandas groupby (the md5_bucket lesson)
+        keys = ["g:n_docs", "g:n_toks"] + ["t:" + t for t in g["term"]]
         vals = [len(df), int(toks.str.len().sum())] + list(g["n"])
         return pd.DataFrame({"key": keys,
                              "n": pd.Series(vals, dtype="int64")})
@@ -1761,10 +1785,11 @@ def q_bm25_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
     stats = _final_agg(ds.map_batches(stats_partial, batch_format="pandas"),
                        ["key"], ["n"])
     smap = dict(zip(stats["key"], stats["n"].astype("int64")))
-    n_docs = float(smap["\x00n_docs"])
-    avgdl = float(smap["\x00n_toks"]) / n_docs
-    idf = {t: float(np.log(1.0 + (n_docs - smap.get(t, 0) + 0.5)
-                           / (smap.get(t, 0) + 0.5))) for t in qterms}
+    n_docs = float(smap["g:n_docs"])
+    avgdl = float(smap["g:n_toks"]) / n_docs
+    idf = {t: float(np.log(1.0 + (n_docs - smap.get("t:" + t, 0) + 0.5)
+                           / (smap.get("t:" + t, 0) + 0.5)))
+           for t in qterms}
     qmap = pd.DataFrame([(qid, t) for qid, ts in _BM25_QUERIES.items()
                          for t in ts], columns=["query_id", "term"])
 
