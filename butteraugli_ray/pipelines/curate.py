@@ -4,8 +4,9 @@ partitioned parquet — one atomically-renamed file + JSON manifest per
 partition, resumable at partition granularity (the validate.py sink
 contract applied to training-data curation).
 
-Scale shape: the duplicate keep-table is found with native per-hash
-Count/Min aggregates and broadcast via ``ray.put``; classification is
+Scale shape: the duplicate keep-table is found with the hash-bucketed
+(count, min) combine (queries._dup_keep_table — only duplicated hashes
+reach the driver) and broadcast via ``ray.put``; classification is
 one vectorized pass; the write is ``groupby(partition_id).map_groups``
 — exactly one Python call and one output file per partition, so a
 failed 100 TB run re-does only the partitions whose manifests are
@@ -34,10 +35,9 @@ def curate_corpus(sf_dir: str, out_dir: str, n_partitions: int = 16,
     docs under ``out_dir/kept/part-*.parquet``.  Returns the summary
     dict (also written to ``out_dir/summary.json``)."""
     import ray
-    from ray.data.aggregate import Count, Min
 
     from ..functions import text as T
-    from .queries import _read, cascade_reason
+    from .queries import _dup_keep_table, _read, cascade_reason
 
     done = completed_partitions(out_dir) if resume else set()
 
@@ -55,13 +55,7 @@ def curate_corpus(sf_dir: str, out_dir: str, n_partitions: int = 16,
         return pd.DataFrame({"doc_id": df["doc_id"],
                              "content_hash": T.fingerprint_md5(df["text"])})
 
-    dup = (ds.map_batches(add_hash, batch_format="pandas")
-           .groupby("content_hash")
-           .aggregate(Count(alias_name="n"),
-                      Min("doc_id", alias_name="keep_id")))
-    dup = dup.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], 1)),
-        batch_format="pyarrow").to_pandas()
+    dup = _dup_keep_table(ds.map_batches(add_hash, batch_format="pandas"))
     keep_map = dict(zip(dup["content_hash"], dup["keep_id"].astype("int64")))
     kref = ray.put(keep_map)
 

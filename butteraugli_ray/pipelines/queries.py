@@ -49,6 +49,71 @@ def _round_half_away(s: pd.Series, nd: int) -> pd.Series:
                      index=s.index)
 
 
+def _bucketed_distinct_count(ds, distinct_cols, group_col, out_col,
+                             n_buckets: int = 64):
+    """Exact COUNT(DISTINCT distinct_cols) per ``group_col`` without a
+    per-key aggregate: per-batch drop_duplicates (combiner) → key-hash
+    bucket shuffle (each distinct tuple lands in exactly one bucket) →
+    in-bucket vectorized dedup + per-group size partials.  Feed the
+    result to ``_final_agg([group_col], [out_col])``."""
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[distinct_cols].drop_duplicates().copy()
+        if len(d):
+            d["__b"] = (pd.util.hash_pandas_object(
+                d[distinct_cols], index=False).to_numpy()
+                % n_buckets).astype("int64")
+        else:
+            d["__b"] = pd.Series([], dtype="int64")
+        return d
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(distinct_cols)
+        out = d.groupby(group_col, as_index=False).size()
+        out = out.rename(columns={"size": out_col})
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    return (ds.map_batches(distinct_partial, batch_format="pandas")
+            .groupby("__b").map_groups(bucket_count,
+                                       batch_format="pandas"))
+
+
+def _dup_keep_table(hashed, n_buckets: int = 64) -> pd.DataFrame:
+    """(content_hash, n, keep_id) for every DUPLICATED hash — the tiny
+    broadcast side of exact dedup.  Per-batch (count, min) combiner →
+    hash-bucket shuffle → one vectorized pandas combine per bucket
+    with the n>1 filter inside, so only duplicated hashes ever reach
+    the driver.  Input: a Dataset of (doc_id, content_hash)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", as_index=False).agg(
+            n=("doc_id", "size"), keep_id=("doc_id", "min"))
+        g["n"] = g["n"].astype("int64")
+        g["keep_id"] = g["keep_id"].astype("int64")
+        g["__b"] = (pd.util.hash_pandas_object(
+            g["content_hash"], index=False).to_numpy()
+            % n_buckets).astype("int64") if len(g) \
+            else pd.Series([], dtype="int64")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("content_hash", as_index=False).agg(
+            n=("n", "sum"), keep_id=("keep_id", "min"))
+        s = s[s["n"] > 1]
+        # emit an ARROW table: an empty pandas object column (bucket
+        # with no duplicates) trips Ray's block size estimator
+        return pa.table(
+            {"content_hash": pa.array(s["content_hash"], pa.string()),
+             "n": pa.array(s["n"].astype("int64"), pa.int64()),
+             "keep_id": pa.array(s["keep_id"].astype("int64"),
+                                 pa.int64())})
+
+    return (hashed.map_batches(partial, batch_format="pandas")
+            .groupby("__b").map_groups(combine, batch_format="pandas")
+            .to_pandas())
+
+
 def _final_agg(partials, keys, sum_cols, n_buckets: int = 64):
     """groupby over per-batch partial rows (the combiner pattern).
 
@@ -287,18 +352,14 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"lang": df["lang"],
                              "fp": T.fingerprint_md5(df["text"])})
 
-    # distinct-per-lang without shipping a whole language into one group:
-    # NATIVE groupby(lang, fp).count() distributes over (lang, fp), then a
-    # tiny per-lang partial count + final sum
-    uniq = ds.map_batches(add_fp, batch_format="pandas") \
-             .groupby(["lang", "fp"]).count()
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("lang", as_index=False).agg(
-            n_distinct_fp=("fp", "size"))
-
-    out = _final_agg(uniq.map_batches(partial, batch_format="pandas"),
-                     ["lang"], ["n_distinct_fp"])
+    # distinct-per-lang without shipping a whole language into one
+    # group: per-batch drop_duplicates → hash-bucketed exact distinct
+    # (each (lang, fp) lands in exactly one bucket) → per-lang Sum.
+    # The per-key native count path measured ~0.08-0.8 ms/key.
+    parts = _bucketed_distinct_count(
+        ds.map_batches(add_fp, batch_format="pandas"),
+        ["lang", "fp"], "lang", "n_distinct_fp")
+    out = _final_agg(parts, ["lang"], ["n_distinct_fp"])
     out["n_distinct_fp"] = out["n_distinct_fp"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
@@ -332,16 +393,12 @@ def q_doc_normalize(sf_dir: str) -> pd.DataFrame:
     base = _final_agg(with_norm.map_batches(counts, batch_format="pandas"),
                       ["source"], ["n_docs", "n_changed"])
 
-    # distinct normalized fp per source: native (source, fp) groupby
-    # then tiny per-source partials (same shape as q_doc_fingerprints)
-    uniq = with_norm.groupby(["source", "fp"]).count()
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("source", as_index=False).agg(
-            n_distinct_norm=("fp", "size"))
-
-    dist = _final_agg(uniq.map_batches(partial, batch_format="pandas"),
-                      ["source"], ["n_distinct_norm"])
+    # distinct normalized fp per source: hash-bucketed exact distinct
+    # (same shape as q_doc_fingerprints)
+    dist = _final_agg(
+        _bucketed_distinct_count(with_norm, ["source", "fp"],
+                                 "source", "n_distinct_norm"),
+        ["source"], ["n_distinct_norm"])
     out = base.merge(dist, on="source")
     for c in ("n_docs", "n_changed", "n_distinct_norm"):
         out[c] = out[c].astype("int64")
@@ -373,15 +430,11 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"],
                              "content_hash": T.fingerprint_md5(df["text"])})
 
-    # NATIVE per-hash aggregates (count + min doc_id) — no per-hash Python
-    from ray.data.aggregate import Count, Min
-    agg = (ds.map_batches(add_hash, batch_format="pandas")
-           .groupby("content_hash")
-           .aggregate(Count(alias_name="n_dups"),
-                      Min("doc_id", alias_name="keep_id")))
-    out = agg.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n_dups"], 1)),
-        batch_format="pyarrow").to_pandas()
+    # bucketed per-hash (count, min doc_id): per-batch combiner first,
+    # then ONE vectorized pandas combine per hash bucket — never the
+    # per-key native-aggregate path (~0.8 ms/key on string keys)
+    out = _dup_keep_table(ds.map_batches(add_hash, batch_format="pandas"))
+    out = out.rename(columns={"n": "n_dups"})
     out["n_dups"] = out["n_dups"].astype("int64")
     out["keep_id"] = out["keep_id"].astype("int64")
     return (out[["content_hash", "n_dups", "keep_id"]]
@@ -1319,9 +1372,21 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
                              "tf": g["tf"].astype("int64"),
                              "doc_freq": g["doc_freq"].astype("int64")})
 
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (pd.util.hash_pandas_object(
+            df["key"], index=False).to_numpy() % 64).astype("int64") \
+            if len(df) else pd.Series([], dtype="int64")
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed vectorized combine, staying a DATASET so the top-k
+        # stage below remains a distributed partial reduce
+        return g.groupby("key", as_index=False)[["tf", "doc_freq"]].sum()
+
     agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("key").aggregate(Sum("tf", alias_name="tf"),
-                                     Sum("doc_freq", alias_name="doc_freq")))
+           .map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(combine, batch_format="pandas"))
 
     def topk_part(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -2750,7 +2815,6 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
     SQL oracle) and reduces with the combiner Sum.  At 100 TB the keep
     table joins back by hash range instead of broadcasting."""
     import ray
-    from ray.data.aggregate import Count, Min
 
     base = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
@@ -2766,13 +2830,7 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"],
                              "content_hash": T.fingerprint_md5(df["text"])})
 
-    dup = (ds.map_batches(add_hash, batch_format="pandas")
-           .groupby("content_hash")
-           .aggregate(Count(alias_name="n"),
-                      Min("doc_id", alias_name="keep_id")))
-    dup = dup.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], 1)),
-        batch_format="pyarrow").to_pandas()
+    dup = _dup_keep_table(ds.map_batches(add_hash, batch_format="pandas"))
     keep_map = dict(zip(dup["content_hash"],
                         dup["keep_id"].astype("int64")))
     kref = ray.put(keep_map)
