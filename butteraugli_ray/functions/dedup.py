@@ -221,31 +221,38 @@ class MinHashBander:
                              "band_hash": h.reshape(-1).astype(np.int64)})
 
 
-def _dedup_pairs_native(pairs_ds, extra_col: str | None = None):
-    """Distinct (id_a, id_b) rows via a NATIVE single-key count/min
-    aggregate — no per-pair Python, no multi-key grouping.  ``extra_col``
-    (identical across rediscoveries of a pair, e.g. hamming) survives via
-    Min."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
+def _dedup_pairs_native(pairs_ds, extra_col: str | None = None,
+                        n_buckets: int = 64):
+    """Distinct (id_a, id_b) rows via the hash-bucketed combine — a
+    per-batch dedup partial, one int64 bucket shuffle, one vectorized
+    pandas dedup per bucket (Ray's per-key aggregate path measured
+    ~0.08-0.8 ms/key).  ``extra_col`` (identical across rediscoveries
+    of a pair, e.g. hamming) survives via min."""
 
-    def pack(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t["id_a"], pa.string()),
-            pc.cast(t["id_b"], pa.string()), "|")
-        cols = {"pair_key": key, "id_a": t["id_a"], "id_b": t["id_b"]}
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         if extra_col:
-            cols[extra_col] = t[extra_col]
-        return pa.table(cols)
+            g = df.groupby(["id_a", "id_b"], as_index=False)[extra_col].min()
+        else:
+            g = df[["id_a", "id_b"]].drop_duplicates()
+        a = g["id_a"].to_numpy(dtype=np.int64)
+        b = g["id_b"].to_numpy(dtype=np.int64)
+        g = g.copy()
+        g["__b"] = ((a * 1000003 + b) % n_buckets).astype("int64")
+        return g
 
-    aggs = [Min("id_a", alias_name="id_a"), Min("id_b", alias_name="id_b")]
-    if extra_col:
-        aggs.append(Min(extra_col, alias_name=extra_col))
-    uniq = (pairs_ds.map_batches(pack, batch_format="pyarrow")
-            .groupby("pair_key").aggregate(*aggs))
-    keep = ["id_a", "id_b"] + ([extra_col] if extra_col else [])
-    return uniq.map_batches(lambda t, _k=keep: t.select(_k),
-                            batch_format="pyarrow")
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if extra_col:
+            out = g.groupby(["id_a", "id_b"],
+                            as_index=False)[extra_col].min()
+        else:
+            out = g[["id_a", "id_b"]].drop_duplicates()
+        out = out.copy()
+        out["id_a"] = out["id_a"].astype("int64")
+        out["id_b"] = out["id_b"].astype("int64")
+        return out
+
+    return (pairs_ds.map_batches(partial, batch_format="pandas")
+            .groupby("__b").map_groups(combine, batch_format="pandas"))
 
 
 def pairs_within_groups(df: pd.DataFrame, group_col: str,
