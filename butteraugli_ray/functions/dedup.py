@@ -36,35 +36,105 @@ def add_content_hash(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df
 
 
-def exact_dup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """→ Dataset(content_hash, n_dups, keep_id, dup_ids) for groups with >1 doc."""
-    hashed = ds.map_batches(lambda df: add_content_hash(df, text_col)[[id_col, "content_hash"]],
-                            batch_format="pandas")
+def dup_keep_table(hashed, hash_col: str = "content_hash",
+                   id_col: str = "doc_id",
+                   n_buckets: int = 64) -> pd.DataFrame:
+    """(hash, n, keep_id) for every DUPLICATED hash — the tiny
+    broadcast side of exact dedup.  Per-batch (count, min) combiner →
+    int64 hash-bucket shuffle → one vectorized pandas combine per
+    bucket with the n>1 filter inside, so only duplicated hashes ever
+    reach the driver (never a per-key aggregate, never text)."""
 
-    def per_group(g: pa.Table) -> pa.Table:
-        if g.num_rows <= 1:
-            return pa.table({"content_hash": pa.array([], pa.string()),
-                             "n_dups": pa.array([], pa.int64()),
-                             "keep_id": pa.array([], pa.int64()),
-                             "dup_ids": pa.array([], pa.list_(pa.int64()))})
-        ids = sorted(g[id_col].to_pylist())
-        return pa.table({"content_hash": pa.array([g["content_hash"][0].as_py()]),
-                         "n_dups": pa.array([g.num_rows], pa.int64()),
-                         "keep_id": pa.array([ids[0]], pa.int64()),
-                         "dup_ids": pa.array([ids[1:]], pa.list_(pa.int64()))})
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(hash_col, as_index=False).agg(
+            n=(id_col, "size"), keep_id=(id_col, "min"))
+        g["n"] = g["n"].astype("int64")
+        g["keep_id"] = g["keep_id"].astype("int64")
+        g["__b"] = (pd.util.hash_pandas_object(
+            g[hash_col], index=False).to_numpy()
+            % n_buckets).astype("int64") if len(g) \
+            else pd.Series([], dtype="int64")
+        return g
 
-    return hashed.groupby("content_hash").map_groups(per_group, batch_format="pyarrow")
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(hash_col, as_index=False).agg(
+            n=("n", "sum"), keep_id=("keep_id", "min"))
+        s = s[s["n"] > 1]
+        # Arrow out: empty pandas object columns trip Ray's size estimator
+        return pa.table(
+            {hash_col: pa.array(s[hash_col], pa.string()),
+             "n": pa.array(s["n"].astype("int64"), pa.int64()),
+             "keep_id": pa.array(s["keep_id"].astype("int64"), pa.int64())})
+
+    return (hashed.map_batches(partial, batch_format="pandas")
+            .groupby("__b").map_groups(combine, batch_format="pandas")
+            .to_pandas())
+
+
+def exact_dup_groups(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 64):
+    """→ Dataset(content_hash, n_dups, keep_id, dup_ids) for groups
+    with >1 doc.  The duplicated-hash set is found first (bucketed
+    keep-table, tiny); only rows OF those hashes are shuffled for the
+    dup_ids lists, and the list build is one vectorized in-bucket
+    groupby — never a Python call per unique hash."""
+    import ray as _ray
+    hashed = ds.map_batches(
+        lambda df: add_content_hash(df, text_col)[[id_col, "content_hash"]],
+        batch_format="pandas")
+    keep = dup_keep_table(hashed, id_col=id_col, n_buckets=n_buckets)
+    dref = _ray.put(frozenset(keep["content_hash"]))
+
+    def dup_rows(df: pd.DataFrame, _ref=dref) -> pd.DataFrame:
+        dset = _ray.get(_ref)
+        sel = df[df["content_hash"].isin(dset)].copy()
+        sel["__b"] = (pd.util.hash_pandas_object(
+            sel["content_hash"], index=False).to_numpy()
+            % n_buckets).astype("int64") if len(sel) \
+            else pd.Series([], dtype="int64")
+        return sel
+
+    def build_groups(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([_c := "content_hash", id_col])
+        gb = g.groupby(_c)[id_col]
+        agg = gb.agg(list)
+        return pa.table({
+            "content_hash": pa.array(agg.index, pa.string()),
+            "n_dups": pa.array([len(v) for v in agg], pa.int64()),
+            "keep_id": pa.array([v[0] for v in agg], pa.int64()),
+            "dup_ids": pa.array([v[1:] for v in agg],
+                                pa.list_(pa.int64()))})
+
+    return (hashed.map_batches(dup_rows, batch_format="pandas")
+            .groupby("__b").map_groups(build_groups,
+                                       batch_format="pandas"))
 
 
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id row per distinct content hash (first-wins)."""
+    """Keep the min-id row per distinct content hash (first-wins).
+
+    The rows themselves NEVER shuffle: the (tiny) duplicated-hash
+    keep-table broadcasts via ``ray.put`` and every batch filters
+    itself — a row survives iff its hash is unique or its id is the
+    keeper."""
+    import ray as _ray
     hashed = ds.map_batches(lambda df: add_content_hash(df, text_col),
                             batch_format="pandas")
+    keep = dup_keep_table(
+        hashed.map_batches(lambda df: df[[id_col, "content_hash"]],
+                           batch_format="pandas"), id_col=id_col)
+    kref = _ray.put(dict(zip(keep["content_hash"],
+                             keep["keep_id"].astype("int64"))))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def keep_rows(df: pd.DataFrame, _ref=kref) -> pd.DataFrame:
+        km = _ray.get(_ref)
+        keep_id = df["content_hash"].map(km)
+        mask = keep_id.isna() | (
+            df[id_col].to_numpy(dtype=np.int64)
+            == keep_id.fillna(-1).to_numpy(dtype=np.int64))
+        return df[mask.to_numpy() if hasattr(mask, "to_numpy") else mask]
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.map_batches(keep_rows, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

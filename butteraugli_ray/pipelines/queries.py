@@ -80,38 +80,11 @@ def _bucketed_distinct_count(ds, distinct_cols, group_col, out_col,
 
 
 def _dup_keep_table(hashed, n_buckets: int = 64) -> pd.DataFrame:
-    """(content_hash, n, keep_id) for every DUPLICATED hash — the tiny
-    broadcast side of exact dedup.  Per-batch (count, min) combiner →
-    hash-bucket shuffle → one vectorized pandas combine per bucket
-    with the n>1 filter inside, so only duplicated hashes ever reach
-    the driver.  Input: a Dataset of (doc_id, content_hash)."""
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("content_hash", as_index=False).agg(
-            n=("doc_id", "size"), keep_id=("doc_id", "min"))
-        g["n"] = g["n"].astype("int64")
-        g["keep_id"] = g["keep_id"].astype("int64")
-        g["__b"] = (pd.util.hash_pandas_object(
-            g["content_hash"], index=False).to_numpy()
-            % n_buckets).astype("int64") if len(g) \
-            else pd.Series([], dtype="int64")
-        return g
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("content_hash", as_index=False).agg(
-            n=("n", "sum"), keep_id=("keep_id", "min"))
-        s = s[s["n"] > 1]
-        # emit an ARROW table: an empty pandas object column (bucket
-        # with no duplicates) trips Ray's block size estimator
-        return pa.table(
-            {"content_hash": pa.array(s["content_hash"], pa.string()),
-             "n": pa.array(s["n"].astype("int64"), pa.int64()),
-             "keep_id": pa.array(s["keep_id"].astype("int64"),
-                                 pa.int64())})
-
-    return (hashed.map_batches(partial, batch_format="pandas")
-            .groupby("__b").map_groups(combine, batch_format="pandas")
-            .to_pandas())
+    """(content_hash, n, keep_id) for every DUPLICATED hash — thin
+    alias of functions/dedup.dup_keep_table (the tiny broadcast side
+    of exact dedup; bucketed, never per-key)."""
+    from ..functions.dedup import dup_keep_table
+    return dup_keep_table(hashed, n_buckets=n_buckets)
 
 
 def _final_agg(partials, keys, sum_cols, n_buckets: int = 64):

@@ -444,3 +444,25 @@ def test_cascade_reason_edges():
     reasons = cascade_reason(df, {h: 1})
     assert reasons.tolist() == ["kept", "exact_dup", "too_short",
                                 "too_short", "repetitive"]
+
+
+def test_exact_dedup_library_functions(ray_session):
+    """dedup_exact keeps exactly one min-id row per distinct text
+    (rows never shuffle — broadcast keep-table filter); exact_dup_groups
+    lists every duplicated hash with sorted member ids."""
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import dedup_exact, exact_dup_groups
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["aa", "bb", "aa", "cc", "bb", "aa"]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    kept = dedup_exact(ds).to_pandas().sort_values("doc_id")
+    assert kept["doc_id"].tolist() == [1, 2, 4]
+    assert sorted(kept["text"]) == ["aa", "bb", "cc"]
+
+    groups = (exact_dup_groups(ds).to_pandas()
+              .sort_values("keep_id").reset_index(drop=True))
+    assert groups["n_dups"].tolist() == [3, 2]
+    assert groups["keep_id"].tolist() == [1, 2]
+    assert [sorted(v) for v in groups["dup_ids"]] == [[3, 6], [5]]
