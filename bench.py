@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "curation_cascade", "semdedup", "pmi_collocations", "hashed_search",
     "quality_classifier", "curate_write", "media_features",
     "user_set_ops", "above_avg_orders", "value_p90_by_type", "span_stats",
+    "chunk_stats",
     "validate_corpus",
 ]
 

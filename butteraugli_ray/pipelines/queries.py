@@ -2824,6 +2824,52 @@ def q_curation_cascade(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_chunk_stats(sf_dir: str, size: int = 64,
+                  overlap: int = 16) -> pd.DataFrame:
+    """Sliding-window document CHUNKING (the LM-pretraining
+    tokenize-and-split step): every doc becomes ceil((n−size)/stride)+1
+    overlapping chunks of ≤``size`` tokens (stride = size − overlap),
+    emitted as real chunk rows in a flat_map-shaped ``map_batches``
+    (1 row → k rows, fully vectorized: repeat + concatenated aranges).
+
+    The aggregate is computed FROM THE EMITTED ROWS, while the DuckDB
+    oracle derives the same numbers from the closed form
+    (Σ chunk_tokens = n + overlap·(k−1)) — so the hash match verifies
+    the emission logic itself, not just the counting."""
+    stride = size - overlap
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        k = np.where(n == 0, 0,
+                     np.where(n <= size, 1,
+                              np.ceil((n - size) / stride).astype(np.int64)
+                              + 1))
+        src = np.repeat(df["source"].to_numpy(), k)
+        n_rep = np.repeat(n, k)
+        within = (np.concatenate([np.arange(x, dtype=np.int64)
+                                  for x in k if x])
+                  if k.sum() else np.array([], dtype=np.int64))
+        tokc = np.minimum(size, n_rep - stride * within)
+        docs_emitted = pd.Series(df["source"].to_numpy()[n > 0])
+        g = (pd.DataFrame({"source": src, "tokc": tokc})
+             .groupby("source", as_index=False)
+             .agg(n_chunks=("tokc", "size"),
+                  sum_chunk_tokens=("tokc", "sum")))
+        nd = docs_emitted.value_counts()
+        g["n_docs"] = g["source"].map(nd).fillna(0).astype("int64")
+        return g
+
+    out = _final_agg(ds.map_batches(chunks, batch_format="pandas"),
+                     ["source"], ["n_docs", "n_chunks",
+                                  "sum_chunk_tokens"])
+    for c in ("n_docs", "n_chunks", "sum_chunk_tokens"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "n_docs", "n_chunks", "sum_chunk_tokens"]])
+
+
 def q_span_stats(sf_dir: str) -> pd.DataFrame:
     """Nested-column analytics over the INTERLEAVED (doc_id, spans)
     corpus itself: explode the list<struct> spans column ZERO-COPY
@@ -3234,6 +3280,7 @@ QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "value_p90_by_type": q_value_p90_by_type,
     "span_stats": q_span_stats,
+    "chunk_stats": q_chunk_stats,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "lang_id": q_lang_id,
@@ -4075,5 +4122,26 @@ ORACLE_SQL = {
         FROM orders JOIN ca USING (o_custkey)
         WHERE o_totalprice > avg_p
         GROUP BY 1 ORDER BY 1
+    """,
+    "chunk_stats": r"""
+        WITH d AS (
+            SELECT source,
+                   len(regexp_extract_all(lower(text), '\S+')) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT source, n,
+                   CASE WHEN n = 0 THEN 0
+                        WHEN n <= 64 THEN 1
+                        ELSE CAST(ceil((n - 64.0) / 48) AS BIGINT) + 1
+                   END AS k
+            FROM d
+        )
+        SELECT source,
+               CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+               CAST(sum(k) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN k > 0 THEN n + 16 * (k - 1)
+                             ELSE 0 END) AS BIGINT) AS sum_chunk_tokens
+        FROM c GROUP BY source ORDER BY source
     """,
 }
