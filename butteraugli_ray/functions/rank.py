@@ -112,6 +112,145 @@ def range_partition_rank(ds, col: str, tiebreak: str,
     return ranked, n_rows
 
 
+def grouped_median_exact(ds, key: str, col: str, n_bins: int = 512,
+                         collect_cap: int = 65536,
+                         max_rounds: int = 8) -> pd.DataFrame:
+    """EXACT per-group median of a continuous column without ever
+    materializing a whole key group in one task (the distributed
+    selection / histogram-refinement algorithm).
+
+    Passes (each a streaming ``map_batches`` whose partials are bounded
+    by groups × bins, never by rows):
+
+      1. per-group (count, min, max) partials → driver merge → the two
+         median ranks (pandas/DuckDB interpolation contract).
+      2. ≤ ``max_rounds`` refinement passes: per-group fixed-bin counts
+         of the active value range; the driver walks the cumulative
+         counts and shrinks the range to the bins containing the target
+         ranks (each round divides the candidate count by ~``n_bins``;
+         the below-range rank offset is RE-MEASURED each round so float
+         edge rounding can never miscount).
+      3. final pass: (value, count) pairs inside the residual range —
+         bounded by DISTINCT values there (≤ candidate count, and ties
+         collapse), walked on the driver exactly like the
+         q_quality_percentile histogram.
+
+    Groups already ≤ ``collect_cap`` skip straight to pass 3.  A group
+    whose candidate range stops shrinking (massive ties) also falls
+    through to pass 3, where the tie collapse bounds the collect."""
+    src = ds.materialize()                   # 2-4 passes over the data
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, col]].dropna()
+        if not len(d):
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "lo": pd.Series([], dtype="float64"),
+                                 "hi": pd.Series([], dtype="float64")})
+        return d.groupby(key, as_index=False).agg(
+            n=(col, "size"), lo=(col, "min"), hi=(col, "max"))
+
+    parts = src.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             "median": pd.Series([], dtype="float64")})
+    stats = parts.groupby(key, as_index=False).agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    state: dict = {}
+    for _, r in stats.iterrows():
+        n = int(r["n"])
+        k2 = n // 2                           # 0-indexed upper median rank
+        k1 = k2 if n % 2 else k2 - 1
+        state[r[key]] = {"lo": float(r["lo"]), "hi": float(r["hi"]),
+                         "k1": k1, "k2": k2, "n_range": n}
+
+    def _relax(x: float, up: bool) -> float:
+        for _ in range(4):                    # few ulps of safety margin
+            x = np.nextafter(x, np.inf if up else -np.inf)
+        return float(x)
+
+    for _ in range(max_rounds):
+        active = {k: (s["lo"], s["hi"]) for k, s in state.items()
+                  if s["n_range"] > collect_cap and s["lo"] < s["hi"]}
+        if not active:
+            break
+
+        def hist_partial(df: pd.DataFrame, _b=dict(active)) -> pd.DataFrame:
+            d = df[[key, col]].dropna()
+            rows = {"k": [], "below": [], "hist": []}
+            for kk, (lo, hi) in _b.items():
+                v = d.loc[d[key] == kk, col].to_numpy(dtype=np.float64)
+                rows["k"].append(kk)
+                rows["below"].append(int((v < lo).sum()))
+                v = v[(v >= lo) & (v <= hi)]
+                idx = np.clip(((v - lo) / (hi - lo) * n_bins)
+                              .astype(np.int64), 0, n_bins - 1)
+                rows["hist"].append(np.bincount(idx, minlength=n_bins)
+                                    .astype(np.int64).tobytes())
+            return pd.DataFrame(rows)
+
+        hp = src.map_batches(hist_partial, batch_format="pandas").to_pandas()
+        progressed = False
+        for kk, (lo, hi) in active.items():
+            sel = hp[hp["k"] == kk]
+            below = int(sel["below"].sum())
+            hist = np.zeros(n_bins, dtype=np.int64)
+            for b in sel["hist"]:
+                hist += np.frombuffer(b, dtype=np.int64)
+            cum = below + np.cumsum(hist)
+            s = state[kk]
+            b1 = int(np.searchsorted(cum, s["k1"] + 1))
+            b2 = int(np.searchsorted(cum, s["k2"] + 1))
+            w = (hi - lo) / n_bins
+            new_lo = _relax(lo + b1 * w, up=False)
+            new_hi = _relax(min(lo + (b2 + 1) * w, hi), up=True)
+            new_n = int(hist[b1:b2 + 1].sum())   # candidates in bins b1..b2
+            if new_lo > lo or new_hi < hi:
+                progressed = True
+                s["lo"], s["hi"], s["n_range"] = max(new_lo, lo), \
+                    min(new_hi, hi), new_n
+        if not progressed:
+            break                             # massive ties → collect
+
+    bounds = {k: (s["lo"], s["hi"]) for k, s in state.items()}
+
+    def vc_partial(df: pd.DataFrame, _b=dict(bounds)) -> pd.DataFrame:
+        d = df[[key, col]].dropna()
+        rows = {"k": [], "below": [], "val": [], "cnt": []}
+        for kk, (lo, hi) in _b.items():
+            v = d.loc[d[key] == kk, col].to_numpy(dtype=np.float64)
+            nb = int((v < lo).sum())
+            v = v[(v >= lo) & (v <= hi)]
+            vals, cnts = np.unique(v, return_counts=True)
+            rows["k"].append(kk)
+            rows["below"].append(nb)
+            rows["val"].append(vals.tobytes())
+            rows["cnt"].append(cnts.astype(np.int64).tobytes())
+        return pd.DataFrame(rows)
+
+    vp = src.map_batches(vc_partial, batch_format="pandas").to_pandas()
+    out_k, out_m = [], []
+    for kk, s in state.items():
+        sel = vp[vp["k"] == kk]
+        below = int(sel["below"].sum())
+        vals = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                               for b in sel["val"]]) if len(sel) else \
+            np.empty(0)
+        cnts = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                               for b in sel["cnt"]]) if len(sel) else \
+            np.empty(0, dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        uv, start = np.unique(vals, return_index=True)
+        uc = np.add.reduceat(cnts, start) if len(vals) else cnts
+        cum = below + np.cumsum(uc)
+        v1 = float(uv[np.searchsorted(cum, s["k1"] + 1)])
+        v2 = float(uv[np.searchsorted(cum, s["k2"] + 1)])
+        out_k.append(kk)
+        out_m.append((v1 + v2) / 2.0)
+    return pd.DataFrame({key: out_k, "median": out_m})
+
+
 def range_partition_scan(ds, order_col: str, val_col: str,
                          n_buckets: int | None = None,
                          out_col: str = "running_sum"):

@@ -693,15 +693,15 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_value_median_by_type(sf_dir: str) -> pd.DataFrame:
-    """Exact per-group median via groupby().map_groups (in-group sort);
-    contrast with the t-digest approximation in q_value_quantiles."""
+    """Exact per-group median via distributed histogram-refinement
+    selection (functions/rank.grouped_median_exact): bounded per-group
+    bin partials + a driver walk, so NO task ever holds a whole
+    event_type (the skewed-key OOM shape) — contrast with the t-digest
+    approximation in q_value_quantiles."""
+    from ..functions.rank import grouped_median_exact
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "median_value": [float(g["value"].median())]})
-
-    out = ds.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    out = grouped_median_exact(ds, "event_type", "value")
+    out = out.rename(columns={"median": "median_value"})
     out["median_value"] = out["median_value"].round(4)
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -786,21 +786,38 @@ def q_shipdate_range(sf_dir: str) -> pd.DataFrame:
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionize per user: a new session starts after a >30-min gap.
-    groupby(user).map_groups with in-group sort — the streaming-window
-    pattern (ordered log partitioned by key)."""
+
+    Single-shuffle bucketed window shape (the q_user_gap_stats pattern):
+    ONE user-hash bucket shuffle of the 2-column projection, sort by
+    (user, ts) inside each bucket, run-length session splits as one
+    vectorized boundary mask — never a Python call per user (the per-key
+    map_groups path costs 0.08-0.8 ms/key ⇒ hours at 10⁸ users)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().reset_index(drop=True)
-        gaps = ts.diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gaps.sum()) + 1
-        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
-                             "n_events": [np.int64(len(g))],
-                             "n_sessions": [np.int64(n_sessions)]})
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
-    for c in ("user_id", "n_events", "n_sessions"):
-        out[c] = out[c].astype("int64")
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap_us = np.int64(30 * 60 * 1_000_000)
+        new_sess = np.empty(len(g), dtype=np.int64)
+        if len(g):
+            new_sess[0] = 1
+            new_sess[1:] = ((uid[1:] != uid[:-1])
+                            | (ts[1:] - ts[:-1] > gap_us))
+        d = pd.DataFrame({"user_id": uid, "new_sess": new_sess})
+        out = d.groupby("user_id", as_index=False).agg(
+            n_events=("new_sess", "size"), n_sessions=("new_sess", "sum"))
+        return out.astype({"user_id": "int64", "n_events": "int64",
+                           "n_sessions": "int64"})
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_sessions, batch_format="pandas")
+           .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -850,31 +867,42 @@ def q_order_priority_revenue(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_click_attribution(sf_dir: str) -> pd.DataFrame:
-    """For every click, the most recent prior purchase of the same user
-    (as-of join: co-group by user + pd.merge_asof inside map_groups);
-    aggregated per user.  Oracle: DuckDB native ASOF JOIN."""
+    """For every click, the most recent prior purchase of the same user,
+    aggregated per user.  Oracle: DuckDB native ASOF JOIN.
+
+    Single-shuffle bucketed as-of shape (q_user_gap_stats pattern): ONE
+    user-hash bucket shuffle, then per BUCKET one ts-sort and one
+    ``pd.merge_asof(..., by="user_id")`` — C-level grouped as-of over
+    every user in the bucket at once, never a Python call per user."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"][["ts"]].sort_values("ts")
-        purchases = (g[g["event_type"] == "purchase"][["ts", "value"]]
-                     .sort_values("ts"))
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = (g.loc[g["event_type"] == "click", ["user_id", "ts"]]
+                  .sort_values("ts", kind="mergesort"))
+        purchases = (g.loc[g["event_type"] == "purchase",
+                           ["user_id", "ts", "value"]]
+                     .sort_values("ts", kind="mergesort"))
         if not len(clicks) or not len(purchases):
             return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
                                  "n_attributed": pd.Series([], dtype="int64"),
                                  "sum_purchase_value": pd.Series([], dtype="float64")})
-        m = pd.merge_asof(clicks, purchases, on="ts", direction="backward",
-                          allow_exact_matches=True)
+        m = pd.merge_asof(clicks, purchases, on="ts", by="user_id",
+                          direction="backward", allow_exact_matches=True)
         m = m.dropna(subset=["value"])
-        if not len(m):
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                 "n_attributed": pd.Series([], dtype="int64"),
-                                 "sum_purchase_value": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
-                             "n_attributed": [np.int64(len(m))],
-                             "sum_purchase_value": [float(m["value"].sum())]})
+        out = m.groupby("user_id", as_index=False).agg(
+            n_attributed=("value", "size"),
+            sum_purchase_value=("value", "sum"))
+        return out.astype({"user_id": "int64", "n_attributed": "int64",
+                           "sum_purchase_value": "float64"})
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_asof, batch_format="pandas")
+           .to_pandas())
     out["user_id"] = out["user_id"].astype("int64")
     out["n_attributed"] = out["n_attributed"].astype("int64")
     out["sum_purchase_value"] = out["sum_purchase_value"].astype(float).round(2)

@@ -281,42 +281,57 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                               concurrency=checker_concurrency or scorer_concurrency)
 
     # ---- duplicate doc_id — global scan on a pruned 2-column projection --
-    # Scale shape: a NATIVE groupby(doc_id).count() (vectorized partial +
-    # final combine — no per-key Python) finds the tiny duplicate-key set;
-    # only rows of those keys re-group through Python to emit violation
-    # rows (one per extra occurrence, min-partition occurrence kept).
-    def dup_viol(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        extra = group.sort_by("partition_id").slice(1)
-        return pa.table({
-            "row_kind": pa.array(["viol"] * extra.num_rows, pa.string()),
-            "doc_id": extra["doc_id"],
-            "span_idx": pa.array([-1] * extra.num_rows, pa.int32()),
-            "check": pa.array(["duplicate_doc_id"] * extra.num_rows, pa.string()),
-            "detail": pa.array([f"doc_id occurs {n} times"] * extra.num_rows,
-                               pa.string()),
-            "partition_id": extra["partition_id"].cast(pa.int32()),
-            "n_docs": pa.nulls(extra.num_rows, pa.int64()),
-            "n_spans": pa.nulls(extra.num_rows, pa.int64()),
-            "hll": pa.array([""] * extra.num_rows, pa.string()),
-        })
-
+    # Scale shape (functions/dedup.dup_keep_table): per-batch (count, min
+    # partition) partials → int64 hash-bucket shuffle → ONE vectorized
+    # combine per BUCKET with the n>1 filter inside.  Ray's native
+    # sort-based groupby never runs at unique-key cardinality (~1 group
+    # per row — the regime BASELINE.md measured degenerating to 255 s at
+    # 1.65 M keys); only rows of the tiny duplicated-key set shuffle
+    # again for the violation rows, and that pass is one vectorized
+    # in-bucket sort + duplicated() mask — never per-key Python.
+    from ..functions.dedup import dup_keep_table
     docs_ids_all = read_table_filtered(docs_path,
                                        columns=["doc_id", "partition_id"])
-    counts = docs_ids_all.groupby("doc_id").count()
-    cnt_col = [c for c in counts.schema().names if c != "doc_id"][0]
-    dup_keys = (counts.map_batches(
-        lambda t, _c=cnt_col: t.filter(pc.greater(t[_c], 1)).select(["doc_id"]),
-        batch_format="pyarrow").to_pandas())
+    keep = dup_keep_table(docs_ids_all, hash_col="doc_id",
+                          id_col="partition_id", n_buckets=64)
     dups = None
-    if len(dup_keys):
-        dup_arr = pa.array(sorted(dup_keys["doc_id"]), pa.string())
-        dup_rows = read_table_filtered(
-            docs_path, columns=["doc_id", "partition_id"]).map_batches(
-            lambda t, _a=dup_arr: t.filter(pc.is_in(t["doc_id"], value_set=_a)),
-            batch_format="pyarrow")
-        dups = dup_rows.groupby("doc_id").map_groups(dup_viol,
-                                                     batch_format="pyarrow")
+    if len(keep):
+        dup_arr = pa.array(sorted(keep["doc_id"]), pa.string())
+
+        def dup_rows_tag(t: pa.Table, _a=dup_arr) -> pa.Table:
+            sel = t.filter(pc.is_in(t["doc_id"], value_set=_a))
+            import pandas as pd
+            b = (pd.util.hash_pandas_object(
+                pd.Series(sel["doc_id"].to_numpy(zero_copy_only=False)),
+                index=False).to_numpy() % 64).astype("int64")
+            return sel.append_column("__b", pa.array(b, pa.int64()))
+
+        def dup_viol_bucket(g) -> pa.Table:
+            g = g.sort_values(["doc_id", "partition_id"], kind="mergesort")
+            n = g.groupby("doc_id")["doc_id"].transform("size")
+            extra = g[g["doc_id"].duplicated(keep="first")]
+            n = n[extra.index]
+            k = len(extra)
+            detail = ("doc_id occurs " + n.astype("int64").astype(str)
+                      + " times")
+            return pa.table({
+                "row_kind": pa.array(["viol"] * k, pa.string()),
+                "doc_id": pa.array(extra["doc_id"], pa.string()),
+                "span_idx": pa.array([-1] * k, pa.int32()),
+                "check": pa.array(["duplicate_doc_id"] * k, pa.string()),
+                "detail": pa.array(detail, pa.string()),
+                "partition_id": pa.array(
+                    extra["partition_id"].astype("int64"), pa.int32()),
+                "n_docs": pa.nulls(k, pa.int64()),
+                "n_spans": pa.nulls(k, pa.int64()),
+                "hll": pa.array([""] * k, pa.string()),
+            })
+
+        dups = (read_table_filtered(docs_path,
+                                    columns=["doc_id", "partition_id"])
+                .map_batches(dup_rows_tag, batch_format="pyarrow")
+                .groupby("__b").map_groups(dup_viol_bucket,
+                                           batch_format="pandas"))
         if done:
             done_arr = pa.array(sorted(done), pa.int32())
             dups = dups.map_batches(

@@ -31,6 +31,36 @@ def test_validate_matches_ground_truth(ray_session, corpus_paths, tmp_path):
     assert summary["n_docs"] == 600
 
 
+def test_validate_dup_check_never_native_groupby_on_doc_id(
+        ray_session, corpus_paths, tmp_path, monkeypatch):
+    """The uniqueness check must ride the bucketed dup_keep_table shape:
+    Ray's native sort-based groupby at unique-key cardinality (~1 group
+    per doc_id) is the degenerate regime BASELINE.md measured (255 s /
+    1.65 M keys) — assert it never runs on doc_id."""
+    import collections as _c
+    import ray.data
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    seen = []
+    orig = ray.data.Dataset.groupby
+
+    def spy(self, key, *a, **k):
+        seen.append(key)
+        return orig(self, key, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "groupby", spy)
+    out = str(tmp_path / "out")
+    summary = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                              out, resume=False, scorer_concurrency=2)
+    truth = json.load(open(corpus_paths["ground_truth"]))
+    want = _c.Counter(t["check"] for t in truth)
+    assert summary["violations_by_check"].get("duplicate_doc_id", 0) \
+        == want["duplicate_doc_id"]
+    flat = set()
+    for key in seen:
+        flat.update(key if isinstance(key, (list, tuple)) else [key])
+    assert "doc_id" not in flat, flat
+
+
 def test_resume_skips_completed_and_matches(ray_session, corpus_paths, tmp_path):
     from butteraugli_ray.pipelines.validate import validate_corpus
     out = str(tmp_path / "out")
