@@ -374,5 +374,11 @@ def logreg_fit(ds, x_col: str = "x", y_col: str = "y",
                 h += h_i
                 g += g_i
                 n_rows += n_i
-        w = w + np.linalg.solve(h + l2 * np.eye(d), g)
+        # True L2-regularized Newton step: the gradient carries the
+        # matching -l2*w term (bias excluded), not just the Hessian
+        # ridge — otherwise this is damped Newton, not the stated
+        # penalized-IRLS objective.
+        reg = np.eye(d)
+        reg[-1, -1] = 0.0                    # don't penalize the bias
+        w = w + np.linalg.solve(h + l2 * reg, g - l2 * (reg @ w))
     return w, n_rows

@@ -128,11 +128,17 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     def keep_rows(df: pd.DataFrame, _ref=kref) -> pd.DataFrame:
         km = _ray.get(_ref)
-        keep_id = df["content_hash"].map(km)
-        mask = keep_id.isna() | (
+        # Nullable Int64 keeps the lookup exact: a float64 intermediate
+        # (Series.map w/ NaN) would silently miscompare ids above 2^53.
+        keep_id = pd.array(
+            df["content_hash"].map(lambda h, _k=km: _k.get(h)),
+            dtype="Int64")
+        miss = keep_id.isna()
+        mask = np.asarray(miss) | (
             df[id_col].to_numpy(dtype=np.int64)
-            == keep_id.fillna(-1).to_numpy(dtype=np.int64))
-        return df[mask.to_numpy() if hasattr(mask, "to_numpy") else mask]
+            == keep_id.to_numpy(dtype=np.int64,
+                                na_value=np.iinfo(np.int64).min))
+        return df[mask]
 
     return hashed.map_batches(keep_rows, batch_format="pandas")
 

@@ -204,10 +204,17 @@ def md5_bucket(tokens: pd.Series, n_buckets: int) -> np.ndarray:
     fingerprint_md5).  Uniqueness comes from a Python set, NOT
     ``pd.unique``: pandas' khash string table NUL-terminates, so it
     collapses '\\x00' with '' and would silently mis-bucket tokens
-    containing NUL bytes (caught by the hypothesis property suite)."""
+    containing NUL bytes (caught by the hypothesis property suite).
+
+    Precondition: ``tokens`` must be null-free (NaN would otherwise
+    surface as an opaque 'cannot convert float NaN to integer' in the
+    int64 cast) — callers dropna/fillna first; rejected eagerly."""
+    if tokens.isna().any():
+        raise ValueError("md5_bucket requires non-null tokens "
+                         "(dropna/fillna before bucketing)")
     lut = {t: int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
                              "little") % n_buckets
-           for t in set(tokens.dropna())}
+           for t in set(tokens)}
     return tokens.map(lut).to_numpy(dtype=np.int64)
 
 

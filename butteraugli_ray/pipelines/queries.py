@@ -2711,6 +2711,10 @@ def q_hashed_search(sf_dir: str, k: int = 5,
             {"qid": np.tile(np.arange(len(qv), dtype=np.int64), len(dfk)),
              "doc_id": np.repeat(dfk["doc_id"].to_numpy(np.int64), len(qv)),
              "cosine": _round_half_away(pd.Series(cos.ravel()), 6)})
+        # The oracle's inner join on shared buckets never emits a
+        # (qid, doc) pair with zero overlap; drop raw-dot==0 rows here
+        # so both sides agree when a query overlaps fewer than k docs.
+        out = out[cos.ravel() > 0.0]
         return (out.sort_values(["qid", "cosine", "doc_id"],
                                 ascending=[True, False, True])
                 .groupby("qid", group_keys=False).head(k))
@@ -2773,10 +2777,14 @@ def cascade_reason(df: pd.DataFrame, keep_map: dict) -> np.ndarray:
     mirror the DuckDB oracle bit-for-bit."""
     text = df["text"].fillna("")
     ch = T.fingerprint_md5(df["text"])
-    keep_id = ch.map(keep_map)
-    is_dup = (keep_id.notna().to_numpy()
+    # Nullable Int64 keeps the comparison exact above 2^53 (no float64
+    # round-trip through Series.map's NaN-forced dtype inference).
+    keep_id = pd.array(ch.map(lambda h, _k=keep_map: _k.get(h)),
+                       dtype="Int64")
+    is_dup = (~np.asarray(keep_id.isna())
               & (df["doc_id"].to_numpy(dtype=np.int64)
-                 > keep_id.fillna(-1).to_numpy(dtype=np.int64)))
+                 > keep_id.to_numpy(dtype=np.int64,
+                                    na_value=np.iinfo(np.int64).max)))
     toks = text.str.lower().str.findall(T.WS_TOKEN_RE)
     ntok = toks.str.len().to_numpy(dtype=np.int64)
     alpha = (text.str.count(T.ALPHA_RE).to_numpy(dtype=np.float64)

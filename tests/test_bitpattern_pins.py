@@ -16,13 +16,31 @@ Two gates per case:
    MAX_RELATIVE_DIFF = 1e-4 (cross_arch_parity.rs:32).  This is a
    genuine cross-architecture claim: Rust+AVX2 FMA vs numpy BLAS agree
    to ≤1e-4 relative (measured ~1e-9 on these cases).
+
+The self pin is BIT-EXACT whenever the recorded host fingerprint
+(fixtures/self_pins_host.json, written by tools/capture_pins.py)
+matches the current machine — so same-host numerical regressions from
+refactors are caught exactly, while host swaps between rounds fall
+back to the relative gate.
 """
+
+import json
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 from butteraugli_ray.corpus.generators import generate_image_pair
+from butteraugli_ray.hostinfo import host_fingerprint
 from butteraugli_ray.metric import butteraugli_srgb
+
+_HOST_PINS_PATH = (Path(__file__).resolve().parent.parent
+                   / "butteraugli_ray" / "fixtures" / "self_pins_host.json")
+try:
+    _HOST_PINS = json.loads(_HOST_PINS_PATH.read_text())
+except OSError:
+    _HOST_PINS = {"fingerprint": None, "pins": {}}
+_SAME_HOST = _HOST_PINS.get("fingerprint") == host_fingerprint()
 
 MAX_RELATIVE_DIFF = 1e-4   # cross_arch_parity.rs:32
 SELF_RELATIVE = 2e-5       # cross-host BLAS dispatch bound (see module doc)
@@ -61,6 +79,14 @@ def test_bitpattern_pin(name, w, h, self_pin, ref_pin):
     pair = generate_image_pair(name, w, h)
     score = np.float64(butteraugli_srgb(*pair).score)
     bits = int(score.view(np.uint64))
+    host_pin = _HOST_PINS["pins"].get(f"{name}_{w}x{h}")
+    if _SAME_HOST and host_pin is not None:
+        assert bits == int(host_pin, 16), (
+            f"same-host bit drift: {name}_{w}x{h} score {score!r} "
+            f"(0x{bits:016X}) != host pin {host_pin} captured on this "
+            f"fingerprint. A refactor changed the numerics — if "
+            f"intentional and golden parity holds, re-run "
+            f"tools/capture_pins.py.")
     if bits != self_pin:
         pinned = float(np.uint64(self_pin).view(np.float64))
         rel = abs(float(score) - pinned) / pinned

@@ -193,11 +193,13 @@ def test_logreg_fit_matches_single_process(ray_session):
 
     xb = np.hstack([x, np.ones((400, 1))])
     ww = np.zeros(5)
+    reg = np.eye(5)
+    reg[-1, -1] = 0.0
     for _ in range(6):
         p = 1.0 / (1.0 + np.exp(-xb @ ww))
         s = np.maximum(p * (1.0 - p), 1e-6)
-        ww += np.linalg.solve(xb.T @ (xb * s[:, None]) + 1e-3 * np.eye(5),
-                              xb.T @ (y - p))
+        ww += np.linalg.solve(xb.T @ (xb * s[:, None]) + 1e-3 * reg,
+                              xb.T @ (y - p) - 1e-3 * (reg @ ww))
     np.testing.assert_allclose(w, ww, atol=1e-6)
     assert (((xb @ w) > 0) == (y > 0.5)).mean() > 0.95
 
