@@ -38,4 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    from butteraugli_ray.pipelines.queries import dynamic_oracles
+    out = dict(ORACLE_SQL)
+    out.update(dynamic_oracles())
+    return out

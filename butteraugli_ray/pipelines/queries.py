@@ -4181,3 +4181,44 @@ ORACLE_SQL = {
         FROM c GROUP BY source ORDER BY source
     """,
 }
+
+
+def dynamic_oracles() -> dict:
+    """Oracles whose SQL embeds engine-derived data and therefore must
+    be generated at ``oracle_sql()`` call time.
+
+    ``near_dup_groups``: the MinHash+LSH verified pair set is not
+    SQL-expressible (polars 64-bit shingle hashing), but the stage this
+    oracle exists to verify — connected-components labeling + group
+    aggregation — is: the deterministic verified pairs (precision 1.0
+    by construction, exact-Jaccard verified; recall measured by
+    q_minhash_eval) are embedded as a VALUES list and DuckDB's
+    recursive transitive closure recomputes the groups independently,
+    exactly like the dup_groups_exact oracle does over its SQL-derived
+    edge set.  The sf dir comes from $GRAFT_ORACLE_SF (default the
+    driver's sf0.01) so the sweep stays runnable at any scale."""
+    import os
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    verified = q_minhash_near_dup(sf_dir)
+    if not len(verified):
+        sql = ("SELECT CAST(NULL AS BIGINT) AS label, "
+               "CAST(NULL AS BIGINT) AS n_members WHERE 1 = 0")
+        return {"near_dup_groups": sql}
+    vals = ", ".join(f"({int(a)}, {int(b)})"
+                     for a, b in zip(verified["id_a"], verified["id_b"]))
+    sql = f"""
+        WITH RECURSIVE pairs(id_a, id_b) AS (SELECT * FROM (VALUES {vals})),
+        e(src, dst) AS (SELECT id_a, id_b FROM pairs
+                        UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes(node) AS (SELECT DISTINCT src FROM e),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r
+        )
+        SELECT CAST(lbl AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM (SELECT node, min(r) AS lbl FROM reach GROUP BY node) q
+        GROUP BY lbl ORDER BY label
+    """
+    return {"near_dup_groups": sql}

@@ -41,6 +41,8 @@ def main():
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    import os
+    os.environ["GRAFT_ORACLE_SF"] = sf_dir   # dynamic oracles track the sf
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
