@@ -1308,7 +1308,8 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
 
 
 def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
-             emb_col: str = "embedding", id_col: str = "vec_id"):
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             max_cluster: int = 4096):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within each
     k-means cluster, drop every point whose cosine similarity to an
     already-kept point exceeds ``threshold``; candidates are visited
@@ -1318,9 +1319,16 @@ def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
 
     Scale shape: centroids broadcast via ``ray.put``; assignment is a
     vectorized per-batch matmul; the quadratic pairwise step runs
-    per CLUSTER inside ``groupby(cluster).map_groups`` — never global
-    all-pairs — so cluster size bounds the cost (hot clusters at web
-    scale get capped / sub-split exactly like the simhash bucket cap).
+    per CLUSTER inside ``groupby``/``map_groups`` — never global
+    all-pairs.  Hot clusters above ``max_cluster`` are ENFORCED
+    bounded: a first cheap pass counts cluster sizes, and oversized
+    clusters are sub-split by deterministic random-hyperplane sign
+    buckets (seeded per cluster) BEFORE the shuffle, so both the
+    quadratic cost and the per-task group memory are capped by
+    ``max_cluster`` in expectation, not by the data.  Near-identical
+    vectors land in the same sign bucket, so planted near-dups are
+    still removed; the (paper-consistent) approximation is that
+    moderate-similarity pairs straddling a hyperplane survive.
     Returns a Dataset of (id, cluster, kept)."""
     import ray as _ray
     c = np.asarray(centroids, dtype=np.float64)
@@ -1334,6 +1342,37 @@ def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
         return pd.DataFrame({id_col: df[id_col].astype("int64"),
                              "cluster": np.argmin(d2, 1).astype("int64"),
                              emb_col: df[emb_col]})
+
+    assigned = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    # pass 1: cluster sizes via per-batch partials (tiny: ≤ k rows each)
+    sizes = (assigned.map_batches(
+        lambda df: df.groupby("cluster", as_index=False).agg(
+            n=(id_col, "size")), batch_format="pandas")
+        .to_pandas().groupby("cluster")["n"].sum())
+    hot = {int(cid): min(int(np.ceil(np.log2(n / max_cluster))), 16)
+           for cid, n in sizes.items() if n > max_cluster}
+    dim = c.shape[1]
+    planes = {cid: np.random.default_rng(1_000_003 * (cid + 1))
+              .normal(size=(bits, dim)) for cid, bits in hot.items()}
+    pref = _ray.put(planes)
+
+    def subkey(df: pd.DataFrame, _p=pref) -> pd.DataFrame:
+        pl = _ray.get(_p)
+        df = df.copy()
+        sub = np.zeros(len(df), dtype=np.int64)
+        if pl:
+            cl = df["cluster"].to_numpy()
+            for cid, hp in pl.items():
+                m = cl == cid
+                if m.any():
+                    x = np.stack(df.loc[m, emb_col].to_numpy()) \
+                        .astype(np.float64)
+                    signs = (x @ hp.T) > 0
+                    sub[m] = signs @ (1 << np.arange(hp.shape[0],
+                                                     dtype=np.int64))
+        df["__g"] = df["cluster"].to_numpy(dtype=np.int64) * (1 << 16) + sub
+        return df
 
     def dedup_cluster(g: pd.DataFrame, _ref=cref) -> pd.DataFrame:
         cen = _ray.get(_ref)
@@ -1356,6 +1395,6 @@ def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
         out = pd.DataFrame({id_col: ids, "cluster": cid, "kept": kept})
         return out.sort_values(id_col)
 
-    return (ds.map_batches(assign, batch_format="pandas")
-            .groupby("cluster")
+    return (assigned.map_batches(subkey, batch_format="pandas")
+            .groupby("__g")
             .map_groups(dedup_cluster, batch_format="pandas"))

@@ -93,13 +93,18 @@ class DocChecker:
         }
 
     def _metrics_rows(self, batch: pa.Table) -> dict:
+        import polars as pl
         pids = batch["partition_id"].to_numpy(zero_copy_only=False)
         n_spans = pc.list_value_length(batch["spans"]).to_numpy(zero_copy_only=False)
-        doc_arr = batch["doc_id"]
+        # ONE vectorized polars hash over the whole doc_id column
+        # (arrow→polars is zero-copy; bit-identical to HyperLogLog.add's
+        # hash64 on the python strings) — no per-partition to_pylist.
+        h = (pl.from_arrow(batch["doc_id"]).hash(seed=0)
+             .to_numpy().astype(np.uint64))
         rows = {"partition_id": [], "n_docs": [], "n_spans": [], "hll": []}
         for pid in np.unique(pids):
             mask = pids == pid
-            hll = HyperLogLog().add(pc.filter(doc_arr, pa.array(mask)).to_pylist())
+            hll = HyperLogLog().add_hashes(h[mask])
             rows["partition_id"].append(int(pid))
             rows["n_docs"].append(int(mask.sum()))
             rows["n_spans"].append(int(n_spans[mask].sum()))
@@ -148,7 +153,8 @@ def _file_stat(path: str):
 def score_media_table(media_path: str, params: Optional[ButteraugliParams] = None,
                       concurrency: int = 4, batch_size: int = 8):
     """Score every media pair with the actor-pool scorer; returns the
-    scores as a pyarrow table (media side is the small side)."""
+    scored DATASET (materialized once, consumed distributed — the
+    driver copy happens only in broadcast mode, via collect_scores)."""
     import ray.data as rd
     from ..sources.tables import (parquet_schema_no_metadata,
                                   small_file_num_blocks,
@@ -161,8 +167,16 @@ def score_media_table(media_path: str, params: Optional[ButteraugliParams] = Non
     scored = media.map_batches(MediaScorer, fn_constructor_kwargs={"params": params},
                                batch_format="pyarrow", batch_size=batch_size,
                                concurrency=concurrency)
+    return scored.materialize()
+
+
+def collect_scores(scored_ds) -> pa.Table:
+    """Driver-side copy of the scored media table — broadcast mode
+    only (the {media_ref → score} map must live on the driver to be
+    ray.put).  The shuffle-join path never calls this."""
     return pa.concat_tables(
-        [b for b in scored.iter_batches(batch_size=4096, batch_format="pyarrow")],
+        [b for b in scored_ds.iter_batches(batch_size=4096,
+                                           batch_format="pyarrow")],
         promote_options="default")
 
 
@@ -242,26 +256,65 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                 f"completed partitions were written ({sample} != "
                 f"{fingerprint}); pass resume=False to revalidate")
 
-    # ---- media scoring (small side) + broadcast --------------------------
-    scores_tbl = score_media_table(media_path, params, scorer_concurrency)
+    # ---- media scoring (small side) --------------------------------------
+    scored_ds = score_media_table(media_path, params, scorer_concurrency)
     score_map = {}
     score_hist = FixedHistogram(*_HIST_RANGE, _HIST_BINS)
-    finite_scores = []
-    for mr, sc in zip(scores_tbl["media_ref"].to_pylist(),
-                      scores_tbl["score"].to_pylist()):
-        score_map[mr] = sc if sc is not None else float("nan")
-        if sc is not None and np.isfinite(sc):
-            finite_scores.append(sc)
-    score_hist.add(np.array(finite_scores))
     if broadcast_scores:
+        # broadcast mode legitimately needs a driver copy (the map is
+        # ray.put to every checker)
+        scores_tbl = collect_scores(scored_ds)
+        finite_scores = []
+        for mr, sc in zip(scores_tbl["media_ref"].to_pylist(),
+                          scores_tbl["score"].to_pylist()):
+            score_map[mr] = sc if sc is not None else float("nan")
+            if sc is not None and np.isfinite(sc):
+                finite_scores.append(sc)
+        score_hist.add(np.array(finite_scores))
         keys_ref = ray.put(set(score_map))
         scores_ref = ray.put(score_map)
+        n_media = len(score_map)
+        worst = sorted(score_map.items(),
+                       key=lambda kv: (0 if not np.isfinite(kv[1]) else 1,
+                                       -kv[1] if np.isfinite(kv[1]) else 0)
+                       )[:media_scores_cap]
     else:
         # large-media mode: the score/referential constraints move into a
         # hash-partitioned shuffle join below; the checker runs only the
-        # broadcast-free checks
+        # broadcast-free checks.  The scored Dataset stays DISTRIBUTED —
+        # histogram / count / worst-offender summaries come from bounded
+        # per-batch partials (one row per block), never a driver copy.
         keys_ref = None
         scores_ref = None
+
+        def score_partials(t: pa.Table, _cap=media_scores_cap) -> pa.Table:
+            sc = t["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+            finite = np.isfinite(sc)
+            h = FixedHistogram(*_HIST_RANGE, _HIST_BINS).add(sc[finite])
+            order = np.lexsort((np.where(finite, -sc, 0.0), finite))
+            keep = order[:_cap]
+            return pa.table({
+                "hist_json": pa.array([json.dumps(h.to_dict())], pa.string()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "top_refs": pa.array(
+                    [pc.take(t["media_ref"], pa.array(keep)).to_pylist()],
+                    pa.list_(pa.string())),
+                "top_scores": pa.array([sc[keep].tolist()],
+                                       pa.list_(pa.float64())),
+            })
+
+        sp = (scored_ds.map_batches(score_partials, batch_format="pyarrow")
+              .to_pandas())
+        n_media = int(sp["n"].sum()) if len(sp) else 0
+        for hj in sp["hist_json"]:
+            score_hist = score_hist.merge(FixedHistogram.from_dict(
+                json.loads(hj)))
+        cand = [(r, s) for refs, scs in zip(sp["top_refs"], sp["top_scores"])
+                for r, s in zip(refs, scs)]
+        worst = sorted(cand,
+                       key=lambda kv: (0 if not np.isfinite(kv[1]) else 1,
+                                       -kv[1] if np.isfinite(kv[1]) else 0)
+                       )[:media_scores_cap]
 
     # ---- ONE heavy scan over remaining partitions ------------------------
     filt = None
@@ -345,7 +398,6 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
         # perceptual + referential constraints as a shuffle join:
         # exploded image spans ⋈ scores on media_ref (left join — a
         # missing score row IS the referential violation)
-        import ray.data as rd
         from ..functions.joins import hash_join
         from ..stages.structural import explode_spans
 
@@ -371,7 +423,9 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
 
         spans_img = docs.map_batches(explode_image_spans, batch_format="pyarrow",
                                      batch_size=batch_size)
-        scores_ds = rd.from_arrow(scores_tbl.select(["media_ref", "score"]))
+        # the scored Dataset feeds the join DIRECTLY — distributed end
+        # to end, no driver round-trip
+        scores_ds = scored_ds.select_columns(["media_ref", "score"])
         joined = hash_join(spans_img, scores_ds, key="media_ref",
                            n_buckets=16, how="left")
 
@@ -470,15 +524,13 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
         "score_histogram": score_hist.to_dict(),
         # bounded regardless of media count: the top-N worst offenders
         # (non-finite first, then score desc) — the full map lives only
-        # in the broadcast, never in summary.json (SURVEY §2.7 sampling)
+        # in the broadcast, never in summary.json (SURVEY §2.7 sampling);
+        # in join mode `worst` comes from per-batch partial top-Ns, the
+        # full score table never touches the driver
         "media_scores": {k: (None if not np.isfinite(v) else v)
-                         for k, v in sorted(
-                             score_map.items(),
-                             key=lambda kv: (0 if not np.isfinite(kv[1]) else 1,
-                                             -kv[1] if np.isfinite(kv[1]) else 0)
-                         )[:media_scores_cap]},
-        "n_media": len(score_map),
-        "media_scores_truncated": len(score_map) > media_scores_cap,
+                         for k, v in worst},
+        "n_media": n_media,
+        "media_scores_truncated": n_media > media_scores_cap,
         "threshold": threshold,
         "wall_time_s": round(time.time() - t0, 3),
         # per-stage wall/cpu breakdown of the main rollup pipeline

@@ -90,7 +90,11 @@ class MediaFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        # zero-copy views into the Arrow binary buffers (the
+        # stages/scorer.py idiom) — no per-payload bytes copies
+        pay_col = batch["payload"].combine_chunks()
+        payloads = [None if not v.is_valid else v.as_buffer()
+                    for v in pay_col]
         codecs = batch["codec"].to_pylist()
         widths = batch["width"].to_pylist()
         heights = batch["height"].to_pylist()
@@ -125,8 +129,11 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"media_ref": [], "frame_idx": [], "features": [],
                "decode_error": []}
+        pay_col = batch["payload"].combine_chunks()
+        payloads = [None if not v.is_valid else v.as_buffer()
+                    for v in pay_col]
         for ref, pl, codec, w, h in zip(batch["media_ref"].to_pylist(),
-                                        batch["payload"].to_pylist(),
+                                        payloads,
                                         batch["codec"].to_pylist(),
                                         batch["width"].to_pylist(),
                                         batch["height"].to_pylist()):

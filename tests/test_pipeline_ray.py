@@ -104,6 +104,30 @@ def test_join_mode_matches_broadcast(ray_session, corpus_paths, tmp_path):
     assert s_j["n_docs"] == s_b["n_docs"]
 
 
+def test_join_mode_never_collects_scores_on_driver(
+        ray_session, corpus_paths, tmp_path, monkeypatch):
+    """broadcast_scores=False must keep the scored media Dataset
+    distributed end-to-end: collect_scores (the only driver-side full
+    score copy) is broadcast-mode-only.  Summary stats (histogram,
+    n_media, worst offenders) must still match the broadcast run."""
+    from butteraugli_ray.pipelines import validate as V
+    s_b = V.validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                            str(tmp_path / "b"), resume=False,
+                            scorer_concurrency=2)
+
+    def boom(_ds):
+        raise AssertionError("collect_scores called in join mode")
+
+    monkeypatch.setattr(V, "collect_scores", boom)
+    s_j = V.validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                            str(tmp_path / "j"), resume=False,
+                            scorer_concurrency=2, broadcast_scores=False)
+    assert s_j["violations_by_check"] == s_b["violations_by_check"]
+    assert s_j["score_histogram"] == s_b["score_histogram"]
+    assert s_j["n_media"] == s_b["n_media"]
+    assert s_j["media_scores"] == s_b["media_scores"]
+
+
 def test_drift_detected_on_changed_media(ray_session, corpus_paths, tmp_path):
     # baseline on the full media pool; rerun against only the high-score
     # media → the score histogram shifts and KS/PSI fire

@@ -421,6 +421,38 @@ def test_semdedup_matches_naive(ray_session):
     assert (~kept[60:]).sum() + (~kept[:15]).sum() >= 15
 
 
+def test_semdedup_hot_cluster_cap(ray_session):
+    """max_cluster ENFORCED: one planted mega-cluster (> cap) must be
+    sub-split by hyperplane sign buckets — planted exact duplicates
+    (same sign bucket by construction) are still removed, and every
+    small cluster's output is identical to the uncapped run."""
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import semdedup
+    rng = np.random.default_rng(23)
+    cent = rng.normal(size=(2, 8))
+    # mega cluster: 300 points near cent[0] (cap 64 → 3 hyperplane bits)
+    mega = cent[0] + rng.normal(size=(300, 8)) * 0.05
+    mega[150:] = mega[:150]            # 150 planted EXACT duplicates
+    small = cent[1] + rng.normal(size=(40, 8)) * 0.05
+    x = np.vstack([mega, small])
+    ids = np.arange(len(x), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(x)}))
+    capped = (semdedup(ds, cent, threshold=0.999, max_cluster=64)
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    # exact duplicates share the sign bucket → never BOTH kept (a pair
+    # may also both drop when near a third kept point at this threshold)
+    k = capped["kept"].to_numpy()
+    assert not (k[:150] & k[150:300]).any()
+    assert k[:300].sum() <= 150
+    # small cluster identical to the uncapped run
+    ds2 = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(x)}))
+    uncapped = (semdedup(ds2, cent, threshold=0.999, max_cluster=10**9)
+                .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    m = capped["cluster"].to_numpy() == 1
+    assert (capped.loc[m, "kept"].to_numpy()
+            == uncapped.loc[m, "kept"].to_numpy()).all()
+
+
 def test_cascade_reason_edges():
     """cascade_reason (pure pandas, no Ray): dup beats every other
     reason; empty/short text → too_short; NaN text handled."""
