@@ -66,6 +66,7 @@ class ReferencePrecompute:
         self.lin = lin
         self.full = None
         self.half = None
+        self._strip_cache: tuple | None = None   # ((strip_h, halo), entries)
         if strip_only:
             return
         ph, pw = lin.shape[1], lin.shape[2]
@@ -77,17 +78,27 @@ class ReferencePrecompute:
             sub = [K.subsample_2x(c) for c in chans]
             self.half = _ScaleData(sub, params.intensity_target)
 
+    @staticmethod
+    def _scale_data_bytes(sd: "_ScaleData") -> int:
+        total = sum(c.nbytes for c in sd.chans)
+        total += sd.blurred_mask.nbytes + sd.mask.nbytes
+        ps = sd.psycho
+        total += sum(p.nbytes for p in ps.uhf) + sum(p.nbytes for p in ps.hf)
+        total += sum(p.nbytes for p in ps.mf) + sum(p.nbytes for p in ps.lf)
+        return total
+
     def memory_bytes(self) -> int:
-        """Rough actor-budget accounting (precompute.rs:733-834 analog)."""
+        """Rough actor-budget accounting (precompute.rs:733-834 analog);
+        includes the per-strip warm cache when built."""
         total = self.lin.nbytes
         for sd in (self.full, self.half):
-            if sd is None:
-                continue
-            total += sum(c.nbytes for c in sd.chans)
-            total += sd.blurred_mask.nbytes + sd.mask.nbytes
-            ps = sd.psycho
-            total += sum(p.nbytes for p in ps.uhf) + sum(p.nbytes for p in ps.hf)
-            total += sum(p.nbytes for p in ps.mf) + sum(p.nbytes for p in ps.lf)
+            if sd is not None:
+                total += self._scale_data_bytes(sd)
+        if self._strip_cache is not None:
+            for entry in self._strip_cache[1]:
+                for sd in entry[4:6]:
+                    if sd is not None:
+                        total += self._scale_data_bytes(sd)
         return total
 
     def _compare_scale(self, sd: _ScaleData, cand_chans: list) -> np.ndarray:
@@ -169,9 +180,87 @@ class ReferencePrecompute:
 
     # ---- warm strip compares (strip.rs:583-905) --------------------------
 
+    def prepare_strip_cache(self, strip_height: int = 256,
+                            halo: int | None = None) -> int:
+        """Build (or rebuild) the PER-STRIP reference-side cache:
+        psycho pyramids + mask-blur intermediates of every strip slab,
+        so repeated ``compare_strip(cache_reference=True)`` calls pay
+        only candidate-side work — the strip analog of the one-shot
+        warm precompute (precompute.rs:127-152), extending the warm
+        part past the linear planes where it previously stopped.
+
+        Memory trade: the cache totals ≈ full-image pyramids (plus halo
+        overlap), so it's OPT-IN — a strip_only reference keeps its
+        bounded-memory contract unless the caller asks for the cache.
+        Returns the cache size in bytes (ST3 budgeting input)."""
+        from .strip import HALO_ROWS_DEFAULT, STRIP_ALIGNMENT, _next_multiple
+        halo = HALO_ROWS_DEFAULT if halo is None else halo
+        key = (strip_height, halo)
+        if self._strip_cache is not None and self._strip_cache[0] == key:
+            pass
+        else:
+            h, w = self.lin.shape[1], self.lin.shape[2]
+            it = self.params.intensity_target
+            entries = []
+            y = 0
+            while y < h:
+                next_y = _next_multiple(y + strip_height, STRIP_ALIGNMENT)
+                if next_y >= h or h - next_y < STRIP_ALIGNMENT:
+                    next_y = h
+                y0 = y - min(halo, y)
+                y1 = next_y + min(halo, h - next_y)
+                chans = [self.lin[c, y0:y1, :] for c in range(3)]
+                sd_full = _ScaleData(chans, it)
+                sh = y1 - y0
+                small = (w < K.MIN_SIZE_FOR_MULTIRESOLUTION
+                         or sh < K.MIN_SIZE_FOR_MULTIRESOLUTION)
+                sd_half = None
+                if (not self.params.single_resolution and not small
+                        and w >= K.MIN_SIZE_FOR_SUBSAMPLE
+                        and sh >= K.MIN_SIZE_FOR_SUBSAMPLE):
+                    sd_half = _ScaleData([K.subsample_2x(c) for c in chans],
+                                         it)
+                entries.append((y, next_y, y0, y1, sd_full, sd_half))
+                y = next_y
+            self._strip_cache = (key, entries)
+        return sum(self._scale_data_bytes(sd)
+                   for e in self._strip_cache[1]
+                   for sd in e[4:6] if sd is not None)
+
+    def _compare_strip_warm(self, lin2: np.ndarray, strip_height: int,
+                            halo: int, stop_check=None) -> ButteraugliResult:
+        """Warm strip walk: reference-side slab pyramids come from the
+        cache (built on demand); candidate-side work per strip mirrors
+        ``_compare_scale``.  Scores match the uncached strip walk to
+        float-order noise (same ~1e-6 class as warm-vs-oneshot)."""
+        self.prepare_strip_cache(strip_height, halo)
+        h, w = self.lin.shape[1], self.lin.shape[2]
+        partials = []
+        full_diffmap = (np.zeros((h, w), dtype=np.float32)
+                        if self.params.compute_diffmap else None)
+        for (y, next_y, y0, y1, sd_full, sd_half) in self._strip_cache[1]:
+            K._poll_stop(stop_check, f"strip boundary row {y}/{h}")
+            cand = [lin2[c, y0:y1, :] for c in range(3)]
+            diffmap = self._compare_scale(sd_full, cand)
+            if sd_half is not None:
+                sub2 = [K.subsample_2x(c) for c in cand]
+                sub = self._compare_scale(sd_half, sub2)
+                diffmap = K.add_supersampled_2x(sub, 0.5, diffmap)
+            i0, i1 = y - y0, next_y - y0
+            partials.append(K.diffmap_partials(diffmap[i0:i1, :]))
+            if full_diffmap is not None:
+                full_diffmap[y:next_y, :] = diffmap[i0:i1, :]
+        merged = K.merge_partials(partials)
+        merged["pixels"] = h * w
+        score, pnorm3 = K.finalize_partials(merged)
+        if not np.isfinite(score):
+            raise FloatingPointError("non-finite strip score")
+        return ButteraugliResult(float(score), float(pnorm3), full_diffmap)
+
     def compare_strip(self, cand_u8: np.ndarray, strip_height: int = 256,
                       halo: int | None = None,
-                      stop_check=None) -> ButteraugliResult:
+                      stop_check=None,
+                      cache_reference: bool = False) -> ButteraugliResult:
         """Strip-bounded compare against the retained reference.
 
         Mirrors ``ButteraugliReference::compare_strip``
@@ -193,6 +282,10 @@ class ReferencePrecompute:
                   if self.params.compute_diffmap else None)
             return ButteraugliResult(0.0, 0.0, dm)
         lin2 = K.srgb_to_linear_planar(reflect_pad_to_min(cand_u8, 8))
+        if cache_reference:
+            return self._compare_strip_warm(
+                lin2, strip_height,
+                HALO_ROWS_DEFAULT if halo is None else halo, stop_check)
         return butteraugli_strip_linear_planar(
             self.lin, lin2, strip_height,
             HALO_ROWS_DEFAULT if halo is None else halo,

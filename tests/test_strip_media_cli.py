@@ -164,6 +164,29 @@ class TestWarmStrip:
         assert abs(r.score - full.score) <= 1e-2 * max(full.score, 1.0)
         assert abs(r.pnorm_3 - full.pnorm_3) <= 1e-2
 
+    def test_strip_cache_matches_uncached(self):
+        """compare_strip(cache_reference=True) — the per-strip warm
+        reference cache (VERDICT r2 #8) — must agree with the uncached
+        strip walk (same slab math; float-order noise bound 1e-6), and
+        the cache must be accounted in memory_bytes."""
+        from butteraugli_ray.metric.precompute import ReferencePrecompute
+        a = gen_random_midrange(96, 700, 5)
+        b = distort_noise(a, 6, 12)
+        pre = ReferencePrecompute(a, strip_only=True)
+        cold = pre.compare_strip(b, strip_height=256)
+        m0 = pre.memory_bytes()
+        nbytes = pre.prepare_strip_cache(256)
+        assert nbytes > 0
+        assert pre.memory_bytes() == m0 + nbytes
+        warm = pre.compare_strip(b, strip_height=256, cache_reference=True)
+        assert warm.score == pytest.approx(cold.score, rel=1e-6)
+        assert warm.pnorm_3 == pytest.approx(cold.pnorm_3, rel=1e-6)
+        # a different strip geometry rebuilds (and still agrees)
+        cold2 = pre.compare_strip(b, strip_height=128)
+        warm2 = pre.compare_strip(b, strip_height=128, cache_reference=True)
+        assert pre._strip_cache[0] == (128, 64)
+        assert warm2.score == pytest.approx(cold2.score, rel=1e-6)
+
     def test_strip_only_memory_below_full(self):
         from butteraugli_ray.metric.precompute import ReferencePrecompute
         a = gen_random_midrange(256, 512, 5)

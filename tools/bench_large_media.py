@@ -39,10 +39,46 @@ def best_of(fn, trials: int) -> float:
     return best
 
 
+def measured_bus_bandwidth_gbs(n_mb: int = 256) -> float:
+    """Memory-bus bandwidth via a STREAM-triad-style numpy pass
+    (a = b*s + c over arrays far beyond LLC): bytes moved ≈ 3 arrays
+    per pass (2 reads + 1 write).  Single-thread measurement — numpy
+    elementwise ops don't multithread, matching the per-actor compare."""
+    n = n_mb * 1024 * 1024 // 8
+    b = np.ones(n)
+    c = np.ones(n)
+    a = b * 1.5 + c                      # warmup + allocation
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        np.multiply(b, 1.5, out=a)
+        np.add(a, c, out=a)
+    dt = time.perf_counter() - t0
+    # 2 passes per rep; each pass touches 3 arrays (triad split in two)
+    return reps * (3 + 2) * n * 8 / dt / 1e9
+
+
+# ST3-math traffic estimate: ~40 plane-sized intermediates per side and
+# scale (SURVEY §1.1 PsychoImage 10 planes ×2 scales ×2 sides + blur
+# H/V passes + Malta reads) touched ~3× each → ≈ 120 plane traversals
+# of 4-byte floats per compare.  Used with the measured bus bandwidth
+# to cap the actor pool where compares saturate the bus instead of a
+# hard-coded constant (VERDICT r2 #9).
+TRAFFIC_PLANE_TRAVERSALS = 120
+
+
+def auto_strip_cap(w: int, h: int, t_single_s: float, bw_gbs: float,
+                   n_cpus: int) -> int:
+    bytes_per_cmp = TRAFFIC_PLANE_TRAVERSALS * w * h * 4
+    cap = bw_gbs * 1e9 * t_single_s / bytes_per_cmp
+    return int(np.clip(round(cap), 4, n_cpus))
+
+
 def single_thread(sizes, trials):
     from butteraugli_ray.metric.api import butteraugli_srgb
     from butteraugli_ray.metric.precompute import ReferencePrecompute
     from butteraugli_ray.metric.strip import butteraugli_strip
+    out = {}
     for (w, h) in sizes:
         a, b = make_pair(w, h)
         full_s = best_of(lambda: butteraugli_srgb(a, b), trials)
@@ -50,10 +86,16 @@ def single_thread(sizes, trials):
         warm_s = best_of(lambda: ref.compare_srgb(b), trials)
         strip_s = best_of(lambda: butteraugli_strip(a, b, strip_height=384),
                           trials)
+        ref.prepare_strip_cache(384)
+        stripw_s = best_of(lambda: ref.compare_strip(
+            b, strip_height=384, cache_reference=True), trials)
         print(json.dumps({"bench": "single_thread", "size": f"{w}x{h}",
                           "full_ms": round(full_s * 1e3, 1),
                           "warm_ms": round(warm_s * 1e3, 1),
-                          "strip_ms": round(strip_s * 1e3, 1)}))
+                          "strip_ms": round(strip_s * 1e3, 1),
+                          "strip_warm_ms": round(stripw_s * 1e3, 1)}))
+        out[(w, h)] = stripw_s
+    return out
 
 
 def concurrent_warm(sizes, n_actors_list, per_actor):
@@ -63,26 +105,36 @@ def concurrent_warm(sizes, n_actors_list, per_actor):
 
     @ray.remote
     class Cmp:
-        def __init__(self, w, h, strip):
+        def __init__(self, w, h, mode):
             from butteraugli_ray.metric.precompute import ReferencePrecompute
             self.a, self.b = make_pair(w, h)
-            self.strip = strip
-            self.ref = None if strip else ReferencePrecompute(self.a)
+            self.mode = mode
+            self.ref = None
+            if mode == "warm":
+                self.ref = ReferencePrecompute(self.a)
+            elif mode == "strip_warm":
+                self.ref = ReferencePrecompute(self.a, strip_only=True)
+                self.ref.prepare_strip_cache(384)
 
         def run(self, n):
             from butteraugli_ray.metric.strip import butteraugli_strip
             t0 = time.perf_counter()
             for _ in range(n):
-                if self.strip:
+                if self.mode == "strip":
                     butteraugli_strip(self.a, self.b, strip_height=384)
+                elif self.mode == "strip_warm":
+                    self.ref.compare_strip(self.b, strip_height=384,
+                                           cache_reference=True)
                 else:
                     self.ref.compare_srgb(self.b)
             return time.perf_counter() - t0
 
     for (w, h) in sizes:
-        for strip in (False, True):
-            for n_actors in n_actors_list:
-                actors = [Cmp.remote(w, h, strip) for _ in range(n_actors)]
+        for mode in ("warm", "strip", "strip_warm"):
+            for n_actors in sorted(set(n_actors_list.get((w, h, mode),
+                                                         n_actors_list.get(
+                                                             "default", [14])))):
+                actors = [Cmp.remote(w, h, mode) for _ in range(n_actors)]
                 ray.get([a.run.remote(1) for a in actors])   # warmup
                 t0 = time.perf_counter()
                 ray.get([a.run.remote(per_actor) for a in actors])
@@ -90,7 +142,7 @@ def concurrent_warm(sizes, n_actors_list, per_actor):
                 cps = n_actors * per_actor / wall
                 print(json.dumps({
                     "bench": "concurrent", "size": f"{w}x{h}",
-                    "mode": "strip" if strip else "warm",
+                    "mode": mode,
                     "n_actors": n_actors, "cmp_per_sec": round(cps, 2)}))
                 for a in actors:
                     ray.kill(a)
@@ -100,9 +152,22 @@ def concurrent_warm(sizes, n_actors_list, per_actor):
 def main():
     quick = "--quick" in sys.argv
     sizes = [(1280, 720)] if quick else [(1280, 720), (1920, 1080)]
-    single_thread(sizes, trials=1 if quick else 3)
-    concurrent_warm(sizes, [14] if quick else [14, 28],
-                    per_actor=2 if quick else 4)
+    n_cpus = len(os.sched_getaffinity(0))
+    bw = measured_bus_bandwidth_gbs()
+    print(json.dumps({"bench": "bus_bandwidth", "gbs": round(bw, 1)}))
+    stripw = single_thread(sizes, trials=1 if quick else 3)
+    caps = {}
+    for (w, h) in sizes:
+        cap = auto_strip_cap(w, h, stripw[(w, h)], bw, n_cpus)
+        caps[(w, h)] = cap
+        print(json.dumps({"bench": "auto_cap", "size": f"{w}x{h}",
+                          "cap": cap}))
+    n_actors = {"default": [14] if quick else [8, 14, 20, 28]}
+    for (w, h) in sizes:
+        for mode in ("warm", "strip", "strip_warm"):
+            base = n_actors["default"]
+            n_actors[(w, h, mode)] = sorted(set(base + [caps[(w, h)]]))
+    concurrent_warm(sizes, n_actors, per_actor=2 if quick else 4)
 
 
 if __name__ == "__main__":
