@@ -60,7 +60,8 @@ BENCH_QUERIES = [
     "curation_cascade", "semdedup", "pmi_collocations", "hashed_search",
     "quality_classifier", "curate_write", "media_features",
     "user_set_ops", "above_avg_orders", "value_p90_by_type", "span_stats",
-    "chunk_stats",
+    "chunk_stats", "value_median_by_type", "value_mad_outliers",
+    "source_drift", "near_dup_groups",
     "validate_corpus",
 ]
 

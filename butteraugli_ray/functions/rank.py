@@ -112,12 +112,15 @@ def range_partition_rank(ds, col: str, tiebreak: str,
     return ranked, n_rows
 
 
-def grouped_median_exact(ds, key: str, col: str, n_bins: int = 512,
-                         collect_cap: int = 65536,
-                         max_rounds: int = 8) -> pd.DataFrame:
-    """EXACT per-group median of a continuous column without ever
-    materializing a whole key group in one task (the distributed
-    selection / histogram-refinement algorithm).
+def grouped_quantile_exact(ds, key: str, col: str, q: float = 0.5,
+                           n_bins: int = 512,
+                           collect_cap: int = 65536,
+                           max_rounds: int = 8) -> pd.DataFrame:
+    """EXACT per-group quantile (``quantile_cont`` interpolation — the
+    pandas/DuckDB contract: rank h=(n-1)·q, v = v₁+(h-⌊h⌋)·(v₂-v₁)) of
+    a continuous column without ever materializing a whole key group in
+    one task (the distributed selection / histogram-refinement
+    algorithm).
 
     Passes (each a streaming ``map_batches`` whose partials are bounded
     by groups × bins, never by rows):
@@ -153,16 +156,17 @@ def grouped_median_exact(ds, key: str, col: str, n_bins: int = 512,
     parts = src.map_batches(stats_partial, batch_format="pandas").to_pandas()
     if not len(parts):
         return pd.DataFrame({key: pd.Series([], dtype=object),
-                             "median": pd.Series([], dtype="float64")})
+                             "quantile": pd.Series([], dtype="float64")})
     stats = parts.groupby(key, as_index=False).agg(
         n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
     state: dict = {}
     for _, r in stats.iterrows():
         n = int(r["n"])
-        k2 = n // 2                           # 0-indexed upper median rank
-        k1 = k2 if n % 2 else k2 - 1
+        h = (n - 1) * q                       # 0-indexed continuous rank
+        k1 = int(np.floor(h))
+        k2 = int(np.ceil(h))
         state[r[key]] = {"lo": float(r["lo"]), "hi": float(r["hi"]),
-                         "k1": k1, "k2": k2, "n_range": n}
+                         "k1": k1, "k2": k2, "w": h - k1, "n_range": n}
 
     def _relax(x: float, up: bool) -> float:
         for _ in range(4):                    # few ulps of safety margin
@@ -247,8 +251,14 @@ def grouped_median_exact(ds, key: str, col: str, n_bins: int = 512,
         v1 = float(uv[np.searchsorted(cum, s["k1"] + 1)])
         v2 = float(uv[np.searchsorted(cum, s["k2"] + 1)])
         out_k.append(kk)
-        out_m.append((v1 + v2) / 2.0)
-    return pd.DataFrame({key: out_k, "median": out_m})
+        out_m.append(v1 + s["w"] * (v2 - v1))   # quantile_cont formula
+    return pd.DataFrame({key: out_k, "quantile": out_m})
+
+
+def grouped_median_exact(ds, key: str, col: str, **kw) -> pd.DataFrame:
+    """Exact per-group median — ``grouped_quantile_exact`` at q=0.5."""
+    out = grouped_quantile_exact(ds, key, col, q=0.5, **kw)
+    return out.rename(columns={"quantile": "median"})
 
 
 def range_partition_scan(ds, order_col: str, val_col: str,

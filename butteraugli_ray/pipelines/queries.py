@@ -749,6 +749,86 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
 # q_shipdate_range — predicate pushdown at the read
 # ---------------------------------------------------------------------------
 
+def q_value_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust per-group outlier profile: median, unscaled MAD
+    (median(|v − median|)), and the count of |v − med| > 3·MAD — both
+    medians EXACT via the distributed histogram-refinement selection
+    (functions/rank.grouped_quantile_exact, quantile_cont contract), so
+    no task ever holds a whole event_type.  Three bounded passes:
+    median → MAD (derived |dev| column) → vectorized outlier-count
+    partials.  Oracle: DuckDB median()/mad() + FILTER."""
+    import ray as _ray
+    from ..functions.rank import grouped_quantile_exact
+    ds = _read(sf_dir, "events", columns=["event_type", "value"]).materialize()
+    med = grouped_quantile_exact(ds, "event_type", "value", q=0.5)
+    med_map = dict(zip(med["event_type"], med["quantile"]))
+    mref = _ray.put(med_map)
+
+    def absdev(df: pd.DataFrame, _m=mref) -> pd.DataFrame:
+        mm = _ray.get(_m)
+        m = df["event_type"].map(mm).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "absdev": np.abs(df["value"].to_numpy(dtype=np.float64) - m)})
+
+    mad = grouped_quantile_exact(ds.map_batches(absdev, batch_format="pandas"),
+                                 "event_type", "absdev", q=0.5)
+    mad_map = dict(zip(mad["event_type"], mad["quantile"]))
+    bref = _ray.put((med_map, mad_map))
+
+    def cnt(df: pd.DataFrame, _b=bref) -> pd.DataFrame:
+        mm, dd = _ray.get(_b)
+        m = df["event_type"].map(mm).to_numpy(dtype=np.float64)
+        d = df["event_type"].map(dd).to_numpy(dtype=np.float64)
+        v = df["value"].to_numpy(dtype=np.float64)
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "o": np.abs(v - m) > 3.0 * d})
+        return out.groupby("event_type", as_index=False).agg(
+            n_outliers=("o", "sum"), n_events=("o", "size"))
+
+    parts = ds.map_batches(cnt, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type", as_index=False).agg(
+        n_outliers=("n_outliers", "sum"), n_events=("n_events", "sum"))
+    agg["med"] = agg["event_type"].map(med_map).round(4)
+    agg["mad"] = agg["event_type"].map(mad_map).round(4)
+    agg = agg[["event_type", "med", "mad", "n_outliers", "n_events"]]
+    agg["n_outliers"] = agg["n_outliers"].astype("int64")
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def q_source_drift(sf_dir: str) -> pd.DataFrame:
+    """Categorical distribution drift (PSI per category) between two
+    deterministic halves of the corpus (doc_id parity — stands in for
+    baseline-vs-current snapshots): Laplace-smoothed source shares and
+    per-source PSI contributions.  ONE tiny (source, half) count
+    shuffle via per-batch partials; everything after is driver math on
+    |sources| rows.  Oracle computes the identical smoothed formula."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "source": df["source"],
+            "half": df["doc_id"].to_numpy(dtype=np.int64) % 2})
+        return g.groupby(["source", "half"], as_index=False).agg(
+            n=("half", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["source", "half"], as_index=False)["n"].sum()
+    srcs = sorted(agg["source"].unique())
+    k = len(srcs)
+    piv = agg.pivot(index="source", columns="half", values="n")         .reindex(srcs).fillna(0.0)
+    t0 = float(piv[0].sum()) if 0 in piv else 0.0
+    t1 = float(piv[1].sum()) if 1 in piv else 0.0
+    p_a = (piv[0].to_numpy(dtype=np.float64) + 1.0) / (t0 + k)
+    p_b = (piv[1].to_numpy(dtype=np.float64) + 1.0) / (t1 + k)
+    psi = (p_a - p_b) * np.log(p_a / p_b)
+    return pd.DataFrame({"source": srcs,
+                         "p_a": np.round(p_a, 6),
+                         "p_b": np.round(p_b, 6),
+                         "psi_term": np.round(psi, 6)})
+
+
 def q_shipdate_range(sf_dir: str) -> pd.DataFrame:
     """Row-group predicate pushdown: the date filter rides into
     read_parquet so pruned row groups never leave storage."""
@@ -3269,6 +3349,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "shipdate_range": q_shipdate_range,
     "value_median_by_type": q_value_median_by_type,
+    "value_mad_outliers": q_value_mad_outliers,
+    "source_drift": q_source_drift,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "user_peak_burst": q_user_peak_burst,
@@ -3562,6 +3644,43 @@ ORACLE_SQL = {
                    WHERE event_type = 'purchase') p
              ON e.user_id = p.user_id AND e.ts >= p.ts
         GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    "value_mad_outliers": """
+        WITH s AS (SELECT event_type, median(value) AS med,
+                          mad(value) AS mad
+                   FROM events GROUP BY 1)
+        SELECT e.event_type,
+               ROUND(ANY_VALUE(s.med), 4) AS med,
+               ROUND(ANY_VALUE(s.mad), 4) AS mad,
+               CAST(count(*) FILTER (WHERE abs(e.value - s.med)
+                                           > 3.0 * s.mad) AS BIGINT)
+                   AS n_outliers,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events e JOIN s USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
+    # Laplace-smoothed categorical PSI between doc_id-parity halves —
+    # identical smoothing constant (|distinct sources|) both sides
+    "source_drift": """
+        WITH h AS (SELECT source, CAST(doc_id % 2 AS BIGINT) AS half,
+                          count(*) AS n
+                   FROM documents GROUP BY 1, 2),
+        src AS (SELECT DISTINCT source FROM documents),
+        k AS (SELECT count(*) AS k FROM src),
+        tot AS (SELECT half, sum(n) AS t FROM h GROUP BY 1),
+        m AS (SELECT s.source,
+                     (COALESCE(h0.n, 0) + 1.0)
+                         / ((SELECT t FROM tot WHERE half = 0)
+                            + (SELECT k FROM k)) AS p_a,
+                     (COALESCE(h1.n, 0) + 1.0)
+                         / ((SELECT t FROM tot WHERE half = 1)
+                            + (SELECT k FROM k)) AS p_b
+              FROM src s
+              LEFT JOIN h h0 ON h0.source = s.source AND h0.half = 0
+              LEFT JOIN h h1 ON h1.source = s.source AND h1.half = 1)
+        SELECT source, ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+               ROUND((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term
+        FROM m ORDER BY source
     """,
     "value_median_by_type": """
         SELECT event_type, ROUND(median(value), 4) AS median_value

@@ -119,3 +119,43 @@ def test_kmeans_fit_matches_single_process_lloyd(ray_session):
     # clusters recovered the generating centers
     d = np.linalg.norm(cent[:, None, :] - true_c[None, :, :], axis=2)
     assert (d.min(axis=0) < 0.5).all()
+
+
+def test_grouped_quantile_exact_matches_duckdb(ray_session):
+    """Distributed histogram-refinement selection == DuckDB
+    quantile_cont at several q, including a tiny collect_cap that
+    forces multiple refinement rounds."""
+    import duckdb
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import grouped_quantile_exact
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    con = duckdb.connect()
+    for q, cap in ((0.5, 65536), (0.5, 64), (0.9, 64), (0.1, 256)):
+        got = (grouped_quantile_exact(ds, "event_type", "value", q=q,
+                                      collect_cap=cap, n_bins=32)
+               .sort_values("event_type").reset_index(drop=True))
+        want = con.execute(
+            f"SELECT event_type, quantile_cont(value, {q}) AS q FROM "
+            f"read_parquet('{sf}/events.parquet') GROUP BY 1 ORDER BY 1"
+        ).df()
+        assert got["event_type"].tolist() == want["event_type"].tolist()
+        np.testing.assert_allclose(got["quantile"].to_numpy(),
+                                   want["q"].to_numpy(), rtol=1e-12,
+                                   err_msg=f"q={q} cap={cap}")
+
+
+def test_grouped_quantile_exact_massive_ties(ray_session):
+    """A group whose values are one massive tie must fall through to
+    the tie-collapsed collect and still be exact."""
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import grouped_quantile_exact
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([np.full(5000, 7.0), rng.normal(size=5000)])
+    df = pd.DataFrame({"k": ["t"] * 5000 + ["n"] * 5000, "v": vals})
+    got = (grouped_quantile_exact(rd.from_pandas(df), "k", "v", q=0.5,
+                                  collect_cap=128, n_bins=16)
+           .set_index("k")["quantile"])
+    assert got["t"] == 7.0
+    assert got["n"] == np.quantile(vals[5000:], 0.5)
