@@ -382,3 +382,106 @@ def logreg_fit(ds, x_col: str = "x", y_col: str = "y",
         reg[-1, -1] = 0.0                    # don't penalize the bias
         w = w + np.linalg.solve(h + l2 * reg, g - l2 * (reg @ w))
     return w, n_rows
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_train(ds, m: int = 4, k_codes: int = 16,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             max_iters: int = 10):
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the d dims split into
+    ``m`` equal subspaces, each clustered with the DISTRIBUTED Lloyd
+    pass (``kmeans_fit`` — k·d-sized sufficient-stat partials, vectors
+    never leave workers).  Vectors are L2-normalized first so the
+    asymmetric L2 distance ranks like cosine.
+
+    Returns codebooks [m, k_codes, d/m] float64.  At 100 TB the train
+    pass runs on a hash-sampled slice; encode/search stay full-corpus
+    (codes are k·d-free: 1 byte per subspace per vector)."""
+    first = ds.take(1)[0]
+    d = len(first[emb_col])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    books = np.zeros((m, k_codes, sub), dtype=np.float64)
+    for s in range(m):
+        lo = s * sub
+
+        def slice_sub(df: pd.DataFrame, _lo=lo) -> pd.DataFrame:
+            x = _normalize(np.stack(df[emb_col].to_numpy()))
+            return pd.DataFrame({id_col: df[id_col],
+                                 emb_col: list(x[:, _lo:_lo + sub])})
+
+        cent, _, _, _ = kmeans_fit(
+            ds.map_batches(slice_sub, batch_format="pandas"),
+            k=k_codes, emb_col=emb_col, id_col=id_col, max_iters=max_iters)
+        books[s] = cent
+    return books
+
+
+class PQScorer:
+    """map_batches stage: encode each batch against the broadcast
+    codebooks and score the broadcast queries via the asymmetric
+    distance LUT — one [m, k_codes] table per query, then a gather-sum
+    over the per-row codes.  Emits per-batch partial top-k rows."""
+
+    def __init__(self, books_ref, queries_ref, k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+        self.books = ray.get(books_ref)            # [m, kc, sub]
+        q = _normalize(ray.get(queries_ref))       # [nq, d]
+        m, kc, sub = self.books.shape
+        # LUT[q, s, c] = ||q_s - books[s, c]||²
+        qs = q.reshape(len(q), m, sub)
+        diff = qs[:, :, None, :] - self.books[None, :, :, :]
+        self.lut = np.einsum("qsck,qsck->qsc", diff, diff)  # [nq, m, kc]
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        x = _normalize(np.stack(df[self.emb_col].to_numpy()))
+        m, kc, sub = self.books.shape
+        xs = x.reshape(len(x), m, sub)
+        # encode: nearest sub-centroid per subspace (vectorized)
+        d2 = (np.einsum("nsk,nsk->ns", xs, xs)[:, :, None]
+              - 2.0 * np.einsum("nsk,sck->nsc", xs, self.books)
+              + np.einsum("sck,sck->sc", self.books, self.books)[None])
+        codes = np.argmin(d2, axis=2)              # [n, m]
+        # ADC: adist[n, q] = Σ_s LUT[q, s, codes[n, s]]
+        adist = self.lut[:, np.arange(m)[None, :], codes].sum(axis=2).T
+        ids = df[self.id_col].to_numpy()
+        k = min(self.k, len(df))
+        top = np.argpartition(adist, k - 1, axis=0)[:k]    # [k, nq]
+        out = {"query_id": [], "vec_id": [], "adist": []}
+        for qi in range(adist.shape[1]):
+            rows = top[:, qi]
+            out["query_id"].extend([qi] * k)
+            out["vec_id"].extend(ids[rows].tolist())
+            out["adist"].extend(adist[rows, qi].tolist())
+        return pd.DataFrame({"query_id": np.array(out["query_id"], np.int64),
+                             "vec_id": np.array(out["vec_id"], np.int64),
+                             "adist": np.array(out["adist"], np.float64)})
+
+
+def knn_pq(ds, queries: np.ndarray, k: int, books: np.ndarray,
+           id_col: str = "vec_id", emb_col: str = "embedding",
+           concurrency: int = 4) -> pd.DataFrame:
+    """PQ asymmetric-distance top-k: codebooks + queries broadcast once
+    (ray.put), per-batch encode + LUT gather-sum partials, driver-side
+    final k-merge — only (query, id, adist) triples ever move."""
+    import ray as _ray
+    bref, qref = _ray.put(books), _ray.put(np.asarray(queries, np.float64))
+    parts = ds.map_batches(
+        PQScorer, fn_constructor_kwargs=dict(
+            books_ref=bref, queries_ref=qref, k=k,
+            id_col=id_col, emb_col=emb_col),
+        batch_format="pandas", concurrency=_safe_concurrency(concurrency),
+    ).to_pandas()
+    out = (parts.sort_values(["query_id", "adist", "vec_id"])
+           .groupby("query_id", group_keys=False).head(k)
+           .reset_index(drop=True))
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out

