@@ -390,35 +390,72 @@ def logreg_fit(ds, x_col: str = "x", y_col: str = "y",
 
 def pq_train(ds, m: int = 4, k_codes: int = 16,
              emb_col: str = "embedding", id_col: str = "vec_id",
-             max_iters: int = 10):
+             max_iters: int = 10, tol: float = 1e-6):
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): the d dims split into
-    ``m`` equal subspaces, each clustered with the DISTRIBUTED Lloyd
-    pass (``kmeans_fit`` — k·d-sized sufficient-stat partials, vectors
-    never leave workers).  Vectors are L2-normalized first so the
-    asymmetric L2 distance ranks like cosine.
+    ``m`` equal subspaces, ALL clustered together — each Lloyd
+    iteration is ONE streaming pass whose batches emit the stacked
+    per-subspace sufficient statistics ([m, kc] counts + [m, kc, sub]
+    vector sums), so the pass count is iters, not m × iters, and
+    vectors never leave workers.  Vectors are L2-normalized first so
+    the asymmetric L2 distance ranks like cosine.  Init is
+    deterministic (k_codes smallest ``id_col`` rows, kmeans_fit rule).
 
-    Returns codebooks [m, k_codes, d/m] float64.  At 100 TB the train
+    Returns codebooks [m, k_codes, sub] float64.  At 100 TB the train
     pass runs on a hash-sampled slice; encode/search stay full-corpus
-    (codes are k·d-free: 1 byte per subspace per vector)."""
-    first = ds.take(1)[0]
-    d = len(first[emb_col])
+    (codes are 1 byte per subspace per vector)."""
+    import pickle
+
+    import ray as _ray
+
+    ds = ds.materialize()
+    init_rows = ds.sort(id_col).limit(k_codes).to_pandas()
+    if len(init_rows) < k_codes:
+        raise ValueError(f"need >= {k_codes} rows to initialize PQ")
+    x0 = _normalize(np.stack(init_rows[emb_col].to_numpy()))
+    d = x0.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     sub = d // m
-    books = np.zeros((m, k_codes, sub), dtype=np.float64)
-    for s in range(m):
-        lo = s * sub
+    books = np.ascontiguousarray(
+        x0.reshape(k_codes, m, sub).transpose(1, 0, 2)).astype(np.float64)
 
-        def slice_sub(df: pd.DataFrame, _lo=lo) -> pd.DataFrame:
+    for _ in range(max_iters):
+        bref = _ray.put(books)
+
+        def partial(df: pd.DataFrame, _ref=bref) -> pd.DataFrame:
+            b = _ray.get(_ref)                       # [m, kc, sub]
             x = _normalize(np.stack(df[emb_col].to_numpy()))
-            return pd.DataFrame({id_col: df[id_col],
-                                 emb_col: list(x[:, _lo:_lo + sub])})
+            xs = x.reshape(len(x), m, sub)
+            d2 = (np.einsum("nsk,nsk->ns", xs, xs)[:, :, None]
+                  - 2.0 * np.einsum("nsk,sck->nsc", xs, b)
+                  + np.einsum("sck,sck->sc", b, b)[None])
+            codes = np.argmin(d2, axis=2)            # [n, m]
+            cnt = np.zeros((m, b.shape[1]), dtype=np.int64)
+            vsum = np.zeros_like(b)
+            for s in range(m):                       # m is tiny (4-16)
+                np.add.at(cnt[s], codes[:, s], 1)
+                np.add.at(vsum[s], codes[:, s], xs[:, s, :])
+            return pd.DataFrame({"part": [pickle.dumps((cnt, vsum),
+                                                       protocol=4)]})
 
-        cent, _, _, _ = kmeans_fit(
-            ds.map_batches(slice_sub, batch_format="pandas"),
-            k=k_codes, emb_col=emb_col, id_col=id_col, max_iters=max_iters)
-        books[s] = cent
+        cnt = np.zeros((m, k_codes), dtype=np.int64)
+        vsum = np.zeros_like(books)
+        for blk in (ds.map_batches(partial, batch_format="pandas")
+                    .iter_batches(batch_format="pandas", batch_size=1024)):
+            for raw in blk["part"]:
+                c_i, v_i = pickle.loads(raw)
+                cnt += c_i
+                vsum += v_i
+        new_books = books.copy()                     # empty code keeps pos
+        nz = cnt > 0
+        new_books[nz] = vsum[nz] / cnt[nz][:, None]
+        shift = float(np.max(np.linalg.norm(new_books - books, axis=2)
+                             / np.maximum(np.linalg.norm(books, axis=2),
+                                          1e-12)))
+        books = new_books
+        if shift < tol:
+            break
     return books
 
 

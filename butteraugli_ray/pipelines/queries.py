@@ -1363,11 +1363,16 @@ def q_ann_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
                         filters=[("vec_id", "in", [0, 1, 2])]).to_pandas()
     queries = np.stack(qdf.sort_values("vec_id")["embedding"].to_numpy())
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    books = pq_train(ds, m=8, k_codes=32, max_iters=8)
-    # ADC shortlist (4k per query) → exact re-rank on the shortlist
+    # codebooks train on a deterministic hash-sampled quarter (the
+    # documented 100 TB shape — encode/search stay full-corpus)
+    train = ds.map_batches(
+        lambda df: df[df["vec_id"].to_numpy(dtype=np.int64) % 4 == 0],
+        batch_format="pandas")
+    books = pq_train(train, m=8, k_codes=32, max_iters=8)
+    # ADC shortlist (20k per query) → exact re-rank on the shortlist
     # only (a pushed-down id-filter read — |shortlist| vectors, never
     # the table)
-    short = knn_pq(ds, queries, 4 * k, books)
+    short = knn_pq(ds, queries, 20 * k, books)
     cand_ids = sorted(set(short["vec_id"].tolist()))
     cand = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"],
