@@ -61,7 +61,8 @@ BENCH_QUERIES = [
     "quality_classifier", "curate_write", "media_features",
     "user_set_ops", "above_avg_orders", "value_p90_by_type", "span_stats",
     "chunk_stats", "value_median_by_type", "value_mad_outliers",
-    "source_drift", "near_dup_groups", "ann_pq",
+    "source_drift", "near_dup_groups", "ann_pq", "hopping_windows",
+    "value_quantiles_exact",
     "validate_corpus",
 ]
 

@@ -1345,11 +1345,17 @@ def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
 
     assigned = ds.map_batches(assign, batch_format="pandas").materialize()
 
-    # pass 1: cluster sizes via per-batch partials (tiny: ≤ k rows each)
-    sizes = (assigned.map_batches(
-        lambda df: df.groupby("cluster", as_index=False).agg(
-            n=(id_col, "size")), batch_format="pandas")
-        .to_pandas().groupby("cluster")["n"].sum())
+    # pass 1: cluster sizes via per-batch partials (tiny: ≤ k rows
+    # each) — Arrow-native on the pruned cluster column so the
+    # embedding lists never convert to pandas for this scan
+    def size_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["cluster"])
+        return pa.table({"cluster": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    sizes = (assigned.select_columns(["cluster"])
+             .map_batches(size_partial, batch_format="pyarrow")
+             .to_pandas().groupby("cluster")["n"].sum())
     hot = {int(cid): min(int(np.ceil(np.log2(n / max_cluster))), 16)
            for cid, n in sizes.items() if n > max_cluster}
     dim = c.shape[1]
@@ -1395,6 +1401,11 @@ def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
         out = pd.DataFrame({id_col: ids, "cluster": cid, "kept": kept})
         return out.sort_values(id_col)
 
+    if not hot:
+        # nothing oversized — skip the subkey pass, shuffle on the
+        # cluster id directly (identical semantics, one fewer scan)
+        return assigned.groupby("cluster").map_groups(
+            dedup_cluster, batch_format="pandas")
     return (assigned.map_batches(subkey, batch_format="pandas")
             .groupby("__g")
             .map_groups(dedup_cluster, batch_format="pandas"))

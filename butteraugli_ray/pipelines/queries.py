@@ -229,6 +229,64 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
 
 
+def q_hopping_windows(sf_dir: str, width_min: int = 60,
+                      slide_min: int = 15) -> pd.DataFrame:
+    """Hopping (overlapping) time-window aggregate — the streaming
+    window shape Ray Data lacks natively: each event belongs to
+    width/slide = 4 windows, emitted via a vectorized repeat inside
+    ``map_batches`` (flat_map 1→4 shape), then the usual partial +
+    bucketed final aggregation.  Only windows with ≥ 50 purchase
+    events survive (keeps the result bounded).  Oracle: DuckDB
+    generate_series window join."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    w_us = np.int64(width_min * 60 * 1_000_000)
+    s_us = np.int64(slide_min * 60 * 1_000_000)
+    k = int(width_min // slide_min)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"]
+        if not len(d):
+            return pd.DataFrame({"w_start": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "sum_value": pd.Series([], dtype="float64")})
+        ts = d["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # last window containing ts starts at floor(ts/slide)*slide;
+        # the k windows are that minus i*slide for i in 0..k-1
+        last = (ts // s_us) * s_us
+        starts = (np.repeat(last, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * s_us, len(d)))
+        vals = np.repeat(d["value"].to_numpy(dtype=np.float64), k)
+        g = pd.DataFrame({"w_start": starts, "v": vals})
+        out = g.groupby("w_start", as_index=False).agg(
+            n_events=("v", "size"), sum_value=("v", "sum"))
+        return out.astype({"w_start": "int64", "n_events": "int64"})
+
+    parts = ds.map_batches(explode, batch_format="pandas")
+    out = _final_agg(parts, ["w_start"], ["n_events", "sum_value"])
+    out = out[out["n_events"] >= 5]
+    out["w_start"] = (pd.to_datetime(out["w_start"], unit="us")
+                      .dt.strftime("%Y-%m-%d %H:%M:%S"))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("w_start").reset_index(drop=True)
+
+
+def q_value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT p10/p50/p90 per event_type via the distributed
+    histogram-refinement selection (grouped_quantile_exact) — the
+    exact counterpart of the t-digest approximation in
+    q_value_quantiles, with a quantile_cont oracle."""
+    from ..functions.rank import grouped_quantile_exact
+    ds = _read(sf_dir, "events", columns=["event_type", "value"]).materialize()
+    out = None
+    for q, name in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+        r = grouped_quantile_exact(ds, "event_type", "value", q=q)
+        r = r.rename(columns={"quantile": name})
+        r[name] = r[name].round(4)
+        out = r if out is None else out.merge(r, on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # q_mktsegment_stats / q_parts_by_brand — simple grouped column stats
 # ---------------------------------------------------------------------------
@@ -3315,7 +3373,11 @@ def q_semdedup(sf_dir: str, k: int = 8,
              "embedding": pa.array([e.tolist() for e in out_emb],
                                    type=t.schema.field("embedding").type)})
 
-    ds = base.union(base.map_batches(plant_dups, batch_format="pyarrow"))
+    # materialize ONCE: kmeans (20 passes), the semdedup size pass and
+    # the dedup shuffle all read these blocks — without this the
+    # read+plant pipeline recomputes per consumer
+    ds = base.union(base.map_batches(plant_dups,
+                                     batch_format="pyarrow")).materialize()
     cent, _, _, _ = kmeans_fit(ds, k=k)
     flags = semdedup(ds, cent, threshold=threshold).to_pandas()
     out = flags.groupby("cluster", as_index=False).agg(
@@ -3385,6 +3447,8 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
     "events_hourly": q_events_hourly,
+    "hopping_windows": q_hopping_windows,
+    "value_quantiles_exact": q_value_quantiles_exact,
     "mktsegment_stats": q_mktsegment_stats,
     "parts_by_brand": q_parts_by_brand,
     "doc_token_stats": q_doc_token_stats,
@@ -3539,6 +3603,30 @@ ORACLE_SQL = {
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "hopping_windows": """
+        WITH p AS (SELECT ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        w AS (
+            SELECT strftime(to_timestamp(ws / 1000000), '%Y-%m-%d %H:%M:%S')
+                       AS w_start,
+                   count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+            FROM p, LATERAL (
+                SELECT (epoch_us(p.ts) // 900000000) * 900000000
+                       - 900000000 * i AS ws
+                FROM generate_series(0, 3) t(i)
+            )
+            GROUP BY ws
+        )
+        SELECT w_start, CAST(n_events AS BIGINT) AS n_events, sum_value
+        FROM w WHERE n_events >= 5 ORDER BY w_start
+    """,
+    "value_quantiles_exact": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.1), 4) AS p10,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
