@@ -271,6 +271,107 @@ def q_hopping_windows(sf_dir: str, width_min: int = 60,
     return out.sort_values("w_start").reset_index(drop=True)
 
 
+def q_order_audit(sf_dir: str, tol: float = 0.02) -> pd.DataFrame:
+    """Cross-table CONSISTENCY audit (the validation-engine shape over
+    relational inputs): o_totalprice vs the order's lineitem total
+    Σ l_extendedprice·(1−disc)·(1+tax).  Per-batch partial sums by
+    orderkey → one orderkey-hash bucket shuffle with a vectorized
+    per-bucket combine (never a per-key aggregate) → bucketed hash
+    join with orders → per-priority violation counts.  The synthetic
+    testdata intentionally breaks the TPC-H invariant, so the audit
+    REPORTS the mismatch profile rather than asserting zero."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_tax"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = (df["l_extendedprice"] * (1 - df["l_discount"])
+             * (1 + df["l_tax"]))
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"], "v": v})
+        out = g.groupby("o_orderkey", as_index=False)["v"].sum()
+        out["__b"] = out["o_orderkey"].to_numpy(dtype=np.int64) % 64
+        return out
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderkey", as_index=False)["v"].sum()
+        return out.rename(columns={"v": "li_sum"})
+
+    sums = (li.map_batches(part, batch_format="pandas")
+            .groupby("__b").map_groups(comb, batch_format="pandas"))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    from ..functions.joins import hash_join
+    joined = hash_join(orders, sums, key="o_orderkey", n_buckets=32,
+                       how="inner")
+
+    def audit(df: pd.DataFrame, _tol=tol) -> pd.DataFrame:
+        diff = np.abs(df["o_totalprice"].to_numpy(dtype=np.float64)
+                      - df["li_sum"].to_numpy(dtype=np.float64))
+        g = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "ok": diff <= _tol, "diff": diff})
+        return g.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("ok", "size"), n_consistent=("ok", "sum"),
+            max_abs_diff=("diff", "max"))
+
+    parts = joined.map_batches(audit, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), n_consistent=("n_consistent", "sum"),
+        max_abs_diff=("max_abs_diff", "max"))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_consistent"] = out["n_consistent"].astype("int64")
+    out["max_abs_diff"] = out["max_abs_diff"].round(2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_token_pack(sf_dir: str, budget: int = 2048,
+                 n_shards: int = 8) -> pd.DataFrame:
+    """Greedy sequence packing — the fixed-token-budget training-
+    example packer: docs are hash-sharded (doc_id % n_shards), ordered
+    by doc_id within a shard, and packed first-fit-in-order into bins
+    of ≤ ``budget`` tokens (an oversized doc occupies a bin alone).
+
+    Scale shape: ONE shard-hash shuffle of the (doc_id, token-count)
+    projection; inside each shard the packer loops over BINS (not
+    rows) with a searchsorted on the token cumsum — O(bins·log n)
+    per shard, vectorized counting per bin.  Oracle: DuckDB recursive
+    CTE replaying the same greedy rule row by row."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.lower().str.count(T.WS_TOKEN_RE)
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": d, "shard": d % n_shards,
+                             "tok": t.to_numpy(dtype=np.int64)})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        shard = int(g["shard"].iloc[0])
+        tok = g["tok"].to_numpy(dtype=np.int64)
+        c = np.concatenate([[0], np.cumsum(tok)])
+        n = len(tok)
+        starts = []
+        i = 0
+        while i < n:                       # loops over BINS, not rows
+            j = int(np.searchsorted(c, c[i] + budget, side="right")) - 1
+            if j <= i:                     # oversized doc → solo bin
+                j = i + 1
+            starts.append(i)
+            i = j
+        starts.append(n)
+        b = np.asarray(starts, dtype=np.int64)
+        return pd.DataFrame({
+            "shard": shard,
+            "bin": np.arange(1, len(b) - 1 + 1, dtype=np.int64),
+            "n_docs": np.diff(b),
+            "bin_tokens": c[b[1:]] - c[b[:-1]],
+        }).astype({"shard": "int64", "bin_tokens": "int64"})
+
+    out = (ds.map_batches(toks, batch_format="pandas")
+           .groupby("shard").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["shard", "bin"]).reset_index(drop=True)
+
+
 def q_value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
     """EXACT p10/p50/p90 per event_type via the distributed
     histogram-refinement selection (grouped_quantile_exact) — the
@@ -3449,6 +3550,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "hopping_windows": q_hopping_windows,
     "value_quantiles_exact": q_value_quantiles_exact,
+    "token_pack": q_token_pack,
+    "order_audit": q_order_audit,
     "mktsegment_stats": q_mktsegment_stats,
     "parts_by_brand": q_parts_by_brand,
     "doc_token_stats": q_doc_token_stats,
@@ -3620,6 +3723,46 @@ ORACLE_SQL = {
         )
         SELECT w_start, CAST(n_events AS BIGINT) AS n_events, sum_value
         FROM w WHERE n_events >= 5 ORDER BY w_start
+    """,
+    "order_audit": """
+        WITH s AS (SELECT l_orderkey AS o_orderkey,
+                          sum(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax)) AS li_sum
+                   FROM lineitem GROUP BY 1)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (
+                   WHERE abs(o_totalprice - li_sum) <= 0.02) AS BIGINT)
+                   AS n_consistent,
+               ROUND(max(abs(o_totalprice - li_sum)), 2) AS max_abs_diff
+        FROM orders JOIN s USING (o_orderkey)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "token_pack": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                   len(regexp_extract_all(lower(coalesce(text, '')),
+                                          '\\S+')) AS tok
+            FROM documents
+        ),
+        ord AS (SELECT *, row_number() OVER (PARTITION BY shard
+                                             ORDER BY doc_id) AS rn
+                FROM toks),
+        pack(shard, rn, tok, fill, bin) AS (
+            SELECT shard, rn, tok, tok, 1 FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.tok,
+                   CASE WHEN p.fill + o.tok <= 2048
+                        THEN p.fill + o.tok ELSE o.tok END,
+                   CASE WHEN p.fill + o.tok <= 2048
+                        THEN p.bin ELSE p.bin + 1 END
+            FROM pack p JOIN ord o
+              ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT shard, CAST(bin AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS bin_tokens
+        FROM pack GROUP BY shard, bin ORDER BY shard, bin
     """,
     "value_quantiles_exact": """
         SELECT event_type,
