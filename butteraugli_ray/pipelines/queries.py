@@ -271,6 +271,57 @@ def q_hopping_windows(sf_dir: str, width_min: int = 60,
     return out.sort_values("w_start").reset_index(drop=True)
 
 
+def q_doc_pagerank(sf_dir: str, n_iters: int = 10,
+                   d: float = 0.85) -> pd.DataFrame:
+    """PageRank over the exact n-gram-Jaccard similarity graph (the
+    dup_groups_exact edge set, both directions): fixed-iteration
+    distributed power iteration (functions/graph.pagerank — one
+    streaming pass per iteration, rank vector broadcast, per-batch
+    contribution partials).  Oracle: the SAME power iteration unrolled
+    as 10 chained SQL CTEs over the jpairs edges."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.graph import pagerank
+    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
+                                threshold=0.6, concurrency=2)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas")
+    out = pagerank(edges, n_iters=n_iters, d=d)
+    out["rank"] = out["rank"].round(8)
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_unrolled_sql(n_iters: int = 10, d: float = 0.85) -> str:
+    """The fixed-iteration power iteration as chained CTEs (standard
+    SQL forbids aggregation in a recursive term, so unroll)."""
+    steps = [r"""
+        e(src, dst) AS (SELECT doc_a, doc_b FROM jpairs
+                        UNION ALL SELECT doc_b, doc_a FROM jpairs),
+        deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg)"""]
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+        r{i} AS (
+            SELECT e.dst AS node,
+                   (SELECT ({1 - d:.2f}) / n FROM nn)
+                   + {d} * sum(p.r / dg.deg) AS r
+            FROM e JOIN r{i - 1} p ON p.node = e.src
+            JOIN deg dg ON dg.node = e.src
+            GROUP BY e.dst)""")
+    return (",".join(steps)
+            + f"""
+        SELECT CAST(node AS BIGINT) AS node, ROUND(r, 8) AS rank
+        FROM r{n_iters} ORDER BY node
+    """)
+
+
 def q_order_audit(sf_dir: str, tol: float = 0.02) -> pd.DataFrame:
     """Cross-table CONSISTENCY audit (the validation-engine shape over
     relational inputs): o_totalprice vs the order's lineitem total
@@ -3552,6 +3603,7 @@ QUERIES = {
     "value_quantiles_exact": q_value_quantiles_exact,
     "token_pack": q_token_pack,
     "order_audit": q_order_audit,
+    "doc_pagerank": q_doc_pagerank,
     "mktsegment_stats": q_mktsegment_stats,
     "parts_by_brand": q_parts_by_brand,
     "doc_token_stats": q_doc_token_stats,
@@ -3724,6 +3776,8 @@ ORACLE_SQL = {
         SELECT w_start, CAST(n_events AS BIGINT) AS n_events, sum_value
         FROM w WHERE n_events >= 5 ORDER BY w_start
     """,
+    "doc_pagerank": ("WITH " + _NGRAM_PAIR_CTES + ","
+                     + _pagerank_unrolled_sql(10, 0.85)),
     "order_audit": """
         WITH s AS (SELECT l_orderkey AS o_orderkey,
                           sum(l_extendedprice * (1 - l_discount)

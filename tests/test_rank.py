@@ -171,3 +171,35 @@ def test_pq_ann_recall(ray_session):
     assert (out.groupby("query_id").size() == 10).all()
     assert (out.groupby("query_id")["recall"].first() >= 0.5).all(), \
         out.groupby("query_id")["recall"].first()
+
+
+def test_pagerank_matches_numpy(ray_session):
+    """Distributed power iteration == dense numpy PageRank on a seeded
+    random graph (same fixed iteration count and damping)."""
+    import ray.data as rd
+    from butteraugli_ray.functions.graph import pagerank
+    rng = np.random.default_rng(7)
+    n = 40
+    src, dst = [], []
+    for _ in range(200):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            src += [a, b]
+            dst += [b, a]
+    edges = pd.DataFrame({"src": np.array(src, np.int64),
+                          "dst": np.array(dst, np.int64)})
+    got = pagerank(rd.from_pandas(edges), n_iters=10, d=0.85)
+
+    nodes = np.sort(np.unique(np.concatenate([src, dst])))
+    pos = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    a = np.zeros((m, m))
+    for s, t in zip(src, dst):
+        a[pos[t], pos[s]] += 1.0
+    deg = a.sum(axis=0)
+    r = np.full(m, 1.0 / m)
+    for _ in range(10):
+        r = (1 - 0.85) / m + 0.85 * (a @ (r / deg))
+    assert got["node"].to_numpy().tolist() == nodes.tolist()
+    np.testing.assert_allclose(got["rank"].to_numpy(), r, rtol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
