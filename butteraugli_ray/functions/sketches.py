@@ -283,3 +283,69 @@ class MisraGries:
         determinism."""
         return sorted(self.counters.items(),
                       key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+class CountMinSketch:
+    """Frequency sketch: k independent hash rows × width w of int64
+    counters; estimate(x) = min over rows (always ≥ true count; error
+    ≤ e·N/w with prob 1−e^−k).  Row hashes are md5-derived
+    (``md5_number_lower(f"{row}:{value}") % w``) so BOTH the counters
+    and the per-key estimates are bit-reproducible in DuckDB — the CMS
+    estimate itself carries a full SQL oracle, like md5_bucket /
+    fingerprint_md5.  Counters are a flat int64 buffer → bytes
+    accumulator, Arrow-native through any groupby shuffle (the
+    HLL/t-digest convention in rayaggs.py)."""
+
+    def __init__(self, k: int = 4, w: int = 512,
+                 counts: np.ndarray | None = None):
+        self.k, self.w = int(k), int(w)
+        self.counts = (counts if counts is not None
+                       else np.zeros((k, w), dtype=np.int64))
+
+    @staticmethod
+    def _buckets(values, k: int, w: int) -> np.ndarray:
+        """[len(values), k] md5 row-buckets; md5 runs once per UNIQUE
+        (row, value) — vocab-bounded like md5_bucket."""
+        import pandas as pd
+
+        from .text import md5_bucket
+        s = pd.Series(values, dtype=object).astype(str)
+        out = np.empty((len(s), k), dtype=np.int64)
+        for j in range(k):
+            out[:, j] = md5_bucket(str(j) + ":" + s, w)
+        return out
+
+    def add_counts(self, values, counts) -> "CountMinSketch":
+        c = np.asarray(counts, dtype=np.int64)
+        if not len(c):
+            return self
+        b = self._buckets(values, self.k, self.w)
+        for j in range(self.k):                   # k is tiny (4-8)
+            np.add.at(self.counts[j], b[:, j], c)
+        return self
+
+    def estimate(self, values) -> np.ndarray:
+        if not len(values):
+            return np.zeros(0, dtype=np.int64)
+        b = self._buckets(values, self.k, self.w)
+        per_row = np.stack([self.counts[j, b[:, j]] for j in range(self.k)])
+        return per_row.min(axis=0).astype(np.int64)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.k, self.w) == (other.k, other.w)
+        return CountMinSketch(self.k, self.w, self.counts + other.counts)
+
+    def to_bytes(self) -> bytes:
+        return (np.array([self.k, self.w], dtype=np.int64).tobytes()
+                + self.counts.tobytes())
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "CountMinSketch":
+        k, w = np.frombuffer(raw[:16], dtype=np.int64)
+        counts = np.frombuffer(raw[16:], dtype=np.int64).reshape(
+            int(k), int(w)).copy()
+        return cls(int(k), int(w), counts)

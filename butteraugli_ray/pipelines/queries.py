@@ -271,6 +271,44 @@ def q_hopping_windows(sf_dir: str, width_min: int = 60,
     return out.sort_values("w_start").reset_index(drop=True)
 
 
+def q_source_counts_cms(sf_dir: str, k: int = 4,
+                        w: int = 512) -> pd.DataFrame:
+    """Count-Min-sketch frequency estimates per source next to the
+    exact counts: per-batch CMS partials (one [k, w] int64 buffer per
+    batch) merge on the driver — counter traffic is k·w·8 bytes per
+    block regardless of row count.  The md5-derived row hashes make
+    the ESTIMATE itself SQL-reproducible, so this sketch query has a
+    FULL DuckDB oracle (not just an error-bound pytest)."""
+    import base64
+    import json as _json
+
+    from ..functions.sketches import CountMinSketch
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def part(df: pd.DataFrame, _k=k, _w=w) -> pd.DataFrame:
+        src = df["source"].fillna("")
+        vc = src.value_counts()
+        cms = CountMinSketch(_k, _w).add_counts(
+            vc.index.to_numpy(dtype=object), vc.to_numpy())
+        return pd.DataFrame({
+            "cms": [base64.b64encode(cms.to_bytes()).decode()],
+            "exact": [_json.dumps(vc.to_dict())]})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    cms = CountMinSketch(k, w)
+    exact: dict = {}
+    for b64, ex in zip(parts["cms"], parts["exact"]):
+        cms = cms.merge(CountMinSketch.from_bytes(base64.b64decode(b64)))
+        for src, n in _json.loads(ex).items():
+            exact[src] = exact.get(src, 0) + int(n)
+    srcs = sorted(exact)
+    est = cms.estimate(srcs)
+    return pd.DataFrame({"source": srcs,
+                         "n_exact": pd.Series([exact[s] for s in srcs],
+                                              dtype="int64"),
+                         "est": pd.Series(est, dtype="int64")})
+
+
 def q_doc_pagerank(sf_dir: str, n_iters: int = 10,
                    d: float = 0.85) -> pd.DataFrame:
     """PageRank over the exact n-gram-Jaccard similarity graph (the
@@ -3604,6 +3642,7 @@ QUERIES = {
     "token_pack": q_token_pack,
     "order_audit": q_order_audit,
     "doc_pagerank": q_doc_pagerank,
+    "source_counts_cms": q_source_counts_cms,
     "mktsegment_stats": q_mktsegment_stats,
     "parts_by_brand": q_parts_by_brand,
     "doc_token_stats": q_doc_token_stats,
@@ -3775,6 +3814,23 @@ ORACLE_SQL = {
         )
         SELECT w_start, CAST(n_events AS BIGINT) AS n_events, sum_value
         FROM w WHERE n_events >= 5 ORDER BY w_start
+    """,
+    "source_counts_cms": """
+        WITH rows_j AS (
+            SELECT COALESCE(source, '') AS source, j,
+                   CAST(md5_number_lower(CAST(j AS VARCHAR) || ':'
+                                         || COALESCE(source, '')) % 512
+                        AS BIGINT) AS b
+            FROM documents CROSS JOIN generate_series(0, 3) t(j)),
+        cms AS (SELECT j, b, count(*) AS c FROM rows_j GROUP BY 1, 2),
+        keys AS (SELECT DISTINCT source, j, b FROM rows_j),
+        est AS (SELECT source, min(c) AS est FROM keys
+                JOIN cms USING (j, b) GROUP BY source),
+        ex AS (SELECT COALESCE(source, '') AS source, count(*) AS n_exact
+               FROM documents GROUP BY 1)
+        SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(est AS BIGINT) AS est
+        FROM ex JOIN est USING (source) ORDER BY source
     """,
     "doc_pagerank": ("WITH " + _NGRAM_PAIR_CTES + ","
                      + _pagerank_unrolled_sql(10, 0.85)),

@@ -106,3 +106,27 @@ class TestMisraGries:
         top = json.loads(out["top"])      # finalize emits a JSON string
         assert [t[0] for t in top] == ["the", "a", "of"]
         assert top[0][1] <= 500
+
+
+def test_count_min_sketch_properties():
+    """CMS never underestimates; error bounded by e*N/w; bytes
+    round-trip and merge == single-shot."""
+    import numpy as np
+    import pandas as pd
+    from butteraugli_ray.functions.sketches import CountMinSketch
+    rng = np.random.default_rng(5)
+    vals = [f"k{i}" for i in rng.zipf(1.5, 20000) if i < 500]
+    ser = pd.Series(vals).value_counts()
+    a, b = CountMinSketch(4, 512), CountMinSketch(4, 512)
+    half = len(ser) // 2
+    a.add_counts(ser.index[:half].to_numpy(object), ser.to_numpy()[:half])
+    b.add_counts(ser.index[half:].to_numpy(object), ser.to_numpy()[half:])
+    merged = a.merge(CountMinSketch.from_bytes(b.to_bytes()))
+    single = CountMinSketch(4, 512).add_counts(
+        ser.index.to_numpy(object), ser.to_numpy())
+    assert (merged.counts == single.counts).all()
+    est = merged.estimate(ser.index.to_numpy(object))
+    true = ser.to_numpy()
+    assert (est >= true).all()                       # never underestimates
+    n = int(true.sum())
+    assert (est - true).max() <= np.e * n / 512 * 3  # cmK error bound (slack 3)
