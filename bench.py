@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "user_set_ops", "above_avg_orders", "value_p90_by_type", "span_stats",
     "chunk_stats", "value_median_by_type", "value_mad_outliers",
     "source_drift", "near_dup_groups", "ann_pq", "hopping_windows",
-    "value_quantiles_exact", "token_pack", "order_audit", "source_counts_cms",
+    "value_quantiles_exact", "token_pack", "order_audit", "source_counts_cms", "streaming_windows",
     "validate_corpus",
 ]
 

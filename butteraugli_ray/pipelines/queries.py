@@ -461,6 +461,36 @@ def q_token_pack(sf_dir: str, budget: int = 2048,
     return out.sort_values(["shard", "bin"]).reset_index(drop=True)
 
 
+def q_streaming_windows(sf_dir: str, width_min: int = 30,
+                        lateness_min: int = 10) -> pd.DataFrame:
+    """STREAMING tumbling event-time windows with a watermark
+    (state/streaming.WindowShard): sharded stateful actors hold only
+    OPEN windows (closed ones emit and free), watermark = max ts −
+    lateness, late events counted and dropped.  On the time-ordered
+    simulation stream nothing is late, so the result equals the batch
+    tumbling-window SQL — one oracle, two execution strategies (the
+    q_user_sessions / streaming_sessions contract).  The out-of-order
+    late-drop path is pytest-pinned separately."""
+    from ..state.streaming import stream_dataset_by_time, windowed_stream
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def renamed(mb: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": mb["event_type"], "ts": mb["ts"],
+                             "value": mb["value"]})
+
+    out, n_late = windowed_stream(
+        (renamed(mb) for mb in stream_dataset_by_time(ds)),
+        width_minutes=width_min, lateness_minutes=lateness_min)
+    assert n_late == 0          # ordered stream ⇒ watermark never drops
+    out = out.rename(columns={"key": "event_type"})
+    out["w_start"] = (pd.to_datetime(out["w_start"], unit="us")
+                      .dt.strftime("%Y-%m-%d %H:%M:%S"))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return (out[["event_type", "w_start", "n_events", "sum_value"]]
+            .sort_values(["event_type", "w_start"]).reset_index(drop=True))
+
+
 def q_value_quantiles_exact(sf_dir: str) -> pd.DataFrame:
     """EXACT p10/p50/p90 per event_type via the distributed
     histogram-refinement selection (grouped_quantile_exact) — the
@@ -3639,6 +3669,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "hopping_windows": q_hopping_windows,
     "value_quantiles_exact": q_value_quantiles_exact,
+    "streaming_windows": q_streaming_windows,
     "token_pack": q_token_pack,
     "order_audit": q_order_audit,
     "doc_pagerank": q_doc_pagerank,
@@ -3873,6 +3904,15 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(tok) AS BIGINT) AS bin_tokens
         FROM pack GROUP BY shard, bin ORDER BY shard, bin
+    """,
+    "streaming_windows": """
+        SELECT event_type,
+               strftime(to_timestamp((epoch_us(ts) // 1800000000)
+                                     * 1800000000 / 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS w_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               ROUND(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "value_quantiles_exact": """
         SELECT event_type,

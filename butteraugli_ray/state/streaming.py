@@ -136,3 +136,93 @@ def stream_dataset_by_time(ds, batch_rows: int = 4096):
     for b in (ds.sort("ts")
               .iter_batches(batch_format="pandas", batch_size=batch_rows)):
         yield b
+
+
+@ray.remote
+class WindowShard:
+    """Event-time tumbling windows with a WATERMARK for one key shard.
+
+    State is bounded by OPEN windows per shard, not stream length: the
+    watermark = max event ts seen − allowed lateness; when it passes a
+    window's end the window finalizes into the emitted buffer and its
+    state is freed.  Events older than an already-closed window are
+    counted as late-drops (closed windows are immutable — the
+    standard watermark contract)."""
+
+    def __init__(self, width_minutes: float = 30.0,
+                 lateness_minutes: float = 10.0):
+        self.w = np.int64(width_minutes * 60 * 1_000_000)
+        self.late = np.int64(lateness_minutes * 60 * 1_000_000)
+        self.open: dict = {}            # (key, w_start) -> [n, sum]
+        self.emitted: list = []
+        self.watermark = np.int64(-(1 << 62))
+        self.n_late = 0
+
+    def _close_ripe(self) -> None:
+        ripe = [kw for kw in self.open if kw[1] + self.w <= self.watermark]
+        for kw in ripe:
+            n, s = self.open.pop(kw)
+            self.emitted.append((kw[0], int(kw[1]), int(n), float(s)))
+
+    def ingest(self, df: pd.DataFrame) -> int:
+        if not len(df):
+            return 0
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ws = (ts // self.w) * self.w
+        g = (pd.DataFrame({"key": df["key"].to_numpy(), "ws": ws,
+                           "v": df["value"].to_numpy(dtype=np.float64)})
+             .groupby(["key", "ws"], as_index=False)
+             .agg(n=("v", "size"), s=("v", "sum")))
+        for key, w0, n, sv in zip(g["key"], g["ws"], g["n"], g["s"]):
+            kw = (key, np.int64(w0))
+            if kw[1] + self.w <= self.watermark:
+                self.n_late += int(n)        # window already closed
+                continue
+            st = self.open.get(kw)
+            if st is None:
+                self.open[kw] = [int(n), float(sv)]
+            else:
+                st[0] += int(n)
+                st[1] += float(sv)
+        self.watermark = max(self.watermark,
+                             np.int64(ts.max()) - self.late)
+        self._close_ripe()
+        return len(self.open)
+
+    def finalize(self) -> tuple:
+        self.watermark = np.int64(1 << 62)
+        self._close_ripe()
+        out = pd.DataFrame(self.emitted,
+                           columns=["key", "w_start", "n_events",
+                                    "sum_value"])
+        return out, self.n_late
+
+
+def windowed_stream(micro_batches, width_minutes: float = 30.0,
+                    lateness_minutes: float = 10.0, n_shards: int = 4,
+                    max_inflight: int | None = None):
+    """Feed micro-batches (pandas frames with key, ts, value) through
+    sharded watermark window actors → ((key, w_start, n_events,
+    sum_value) table, total late-dropped events).  Same backpressure
+    contract as sessionize_stream."""
+    if max_inflight is None:
+        max_inflight = 4 * n_shards
+    shards = [WindowShard.remote(width_minutes, lateness_minutes)
+              for _ in range(n_shards)]
+    pending: list = []
+    for mb in micro_batches:
+        if not len(mb):
+            continue
+        import pandas as _pd
+        sid = (_pd.util.hash_pandas_object(mb["key"], index=False)
+               .to_numpy() % n_shards).astype(np.int64)
+        for i in np.unique(sid):
+            sub = mb[sid == i][["key", "ts", "value"]]
+            pending.append(shards[int(i)].ingest.remote(sub))
+        while len(pending) > max_inflight:
+            _, pending = ray.wait(pending, num_returns=1)
+    ray.get(pending)
+    parts = ray.get([s.finalize.remote() for s in shards])
+    out = pd.concat([p for p, _ in parts], ignore_index=True)
+    n_late = sum(n for _, n in parts)
+    return out.sort_values(["key", "w_start"]).reset_index(drop=True), n_late
