@@ -1506,18 +1506,28 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
 def q_rolling_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
+    # distinct-count scale shape: per-batch (source, fp) dedup → fp-hash
+    # bucket shuffle → per-BUCKET distinct count per source → tiny sum.
+    # A given fp lands in exactly one bucket, so the per-bucket distinct
+    # counts add exactly; no task ever holds a whole source.
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         fp = T.rolling_fingerprint(df["text"])
-        return pd.DataFrame({"source": df["source"],
-                             "fp": fp.astype(np.int64)})
+        g = pd.DataFrame({"source": df["source"],
+                          "fp": fp.astype(np.int64)}).drop_duplicates()
+        g["__b"] = g["fp"].to_numpy(dtype=np.int64) & 63
+        return g
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"source": [g["source"].iloc[0]],
-                             "n_distinct_fp": [np.int64(g["fp"].nunique())]})
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["source", "fp"])
+        return d.groupby("source", as_index=False).agg(n=("fp", "size"))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("source").map_groups(distinct, batch_format="pandas")
-           .to_pandas())
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_distinct,
+                                        batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("source", as_index=False)["n"].sum()
+           .rename(columns={"n": "n_distinct_fp"}))
+    out["n_distinct_fp"] = out["n_distinct_fp"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
 
 

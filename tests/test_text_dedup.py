@@ -498,3 +498,20 @@ def test_exact_dedup_library_functions(ray_session):
     assert groups["n_dups"].tolist() == [3, 2]
     assert groups["keep_id"].tolist() == [1, 2]
     assert [sorted(v) for v in groups["dup_ids"]] == [[3, 6], [5]]
+
+
+def test_rolling_fingerprint_query_matches_naive(ray_session):
+    """The bucketed distinct-count shape == naive pandas nunique."""
+    import pyarrow.parquet as pq
+    from butteraugli_ray.functions import text as T
+    from butteraugli_ray.pipelines.queries import q_rolling_fingerprint
+    sf = "/root/testdata/sf0.001"
+    got = q_rolling_fingerprint(sf)
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["source", "text"]).to_pandas()
+    df["fp"] = T.rolling_fingerprint(df["text"]).astype("int64")
+    want = (df.groupby("source")["fp"].nunique()
+            .rename("n_distinct_fp").reset_index()
+            .sort_values("source").reset_index(drop=True))
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n_distinct_fp"].tolist() == want["n_distinct_fp"].tolist()
