@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "chunk_stats", "value_median_by_type", "value_mad_outliers",
     "source_drift", "near_dup_groups", "ann_pq", "hopping_windows",
     "value_quantiles_exact", "token_pack", "order_audit", "source_counts_cms", "streaming_windows",
+    "event_type_mode", "user_running_value", "revenue_rollup",
+    "first_last_events", "winsorized_stats",
     "validate_corpus",
 ]
 

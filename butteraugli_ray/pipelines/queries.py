@@ -3669,6 +3669,201 @@ def q_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window-frame / rollup / robust-stats operators (round-3 additions)
+# ---------------------------------------------------------------------------
+
+def q_event_type_mode(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE with deterministic tie-break (smallest event_type
+    among the max-count ties): per-batch (user, type) count partials →
+    ONE user-hash bucket shuffle (a user's partials co-locate) →
+    vectorized in-bucket combine + argmax via sort/drop_duplicates.
+    Never a per-key aggregate; driver holds one row per user."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        g["__b"] = (g["user_id"].to_numpy(dtype=np.int64) & 63)
+        return g
+
+    def bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        out = c.drop_duplicates("user_id").rename(
+            columns={"event_type": "mode_event", "n": "n_mode"})
+        out["n_mode"] = out["n_mode"].astype("int64")
+        return out[["user_id", "mode_event", "n_mode"]]
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_mode, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_user_running_value(sf_dir: str) -> pd.DataFrame:
+    """Per-ROW window frames (running total + 3-row moving average per
+    user ordered by (ts, event_id)) — the ROWS BETWEEN frame shape.
+    Single-shuffle bucketed: sort within each user-hash bucket, then
+    vectorized groupby cumsum / rolling sums.  Values quantize to int64
+    cents BEFORE the frame sums so the running aggregation is EXACT and
+    association-order-free (DuckDB's segment-tree window sums and
+    pandas' sequential cumsum would otherwise drift in float)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket_frames(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        v = g["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        g["__c"] = cents
+        grp = g.groupby("user_id")["__c"]
+        cum = grp.cumsum().to_numpy(dtype=np.int64)
+        roll = grp.rolling(3, min_periods=1)
+        s3 = roll.sum().reset_index(level=0, drop=True).sort_index()
+        n3 = roll.count().reset_index(level=0, drop=True).sort_index()
+        s3 = s3.to_numpy(dtype=np.float64)
+        n3 = n3.to_numpy(dtype=np.float64)
+        out = pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "user_id": g["user_id"].to_numpy(dtype=np.int64),
+            "cum_value": np.round(cum / 100.0, 2),
+            "avg3_value": _round_half_away(
+                pd.Series((s3 / 100.0) / n3), 4).to_numpy(),
+        })
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_frames, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(nation, order-year) with 'ALL'/-1 sentinel
+    subtotal rows.  The base (nation, year) aggregate runs distributed
+    (broadcast dim lookup → combiner partials → hash-bucket combine);
+    the rollup levels re-aggregate the ALREADY-REDUCED ~|nations×years|
+    table on the driver — bounded by the dimension product, never by
+    rows.  Revenue sums in int64 cents (o_totalprice has 2 decimals),
+    so every re-aggregation level is exact regardless of association
+    order."""
+    import ray
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup_ref = ray.put(dict(zip(c2n["c_custkey"], c2n["n_name"])))
+
+    class JoinPartial:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            v = df["o_totalprice"].to_numpy(dtype=np.float64) * 100.0
+            g = pd.DataFrame({
+                "n_name": df["o_custkey"].map(self.lookup),
+                "o_year": df["o_orderdate"].dt.year.astype("int64"),
+                "cents": (np.sign(v) * np.floor(np.abs(v) + 0.5)
+                          ).astype(np.int64),
+            })
+            out = g.groupby(["n_name", "o_year"], as_index=False).agg(
+                cents=("cents", "sum"), n_orders=("cents", "size"))
+            out["n_orders"] = out["n_orders"].astype("int64")
+            return out
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    partials = ds.map_batches(JoinPartial, batch_format="pandas",
+                              concurrency=2)
+    base = _final_agg(partials, ["n_name", "o_year"], ["cents", "n_orders"])
+    lvl1 = base.groupby("n_name", as_index=False)[["cents", "n_orders"]].sum()
+    lvl1["o_year"] = -1
+    lvl0 = pd.DataFrame({"n_name": ["ALL"], "o_year": [-1],
+                         "cents": [base["cents"].sum()],
+                         "n_orders": [base["n_orders"].sum()]})
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["o_year"] = out["o_year"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = np.round(out["cents"].to_numpy(np.int64) / 100.0, 2)
+    out = out[["n_name", "o_year", "revenue", "n_orders"]]
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+def q_first_last_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user arg_min/arg_max: event_type of the FIRST and LAST event
+    by (ts, event_id) plus the event count — the first_value /
+    last_value window shape, bucketed: one user-hash shuffle, sort
+    within bucket, vectorized groupby first/last."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket_fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_type", "size"),
+            first_event=("event_type", "first"),
+            last_event=("event_type", "last"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_fl, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_winsorized_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-group WINSORIZED mean: clip values to the group's exact
+    [p05, p95] (quantile_cont contract via the distributed
+    histogram-refinement selection — no task ever holds a whole group),
+    broadcast the tiny per-group bound table into a streaming
+    clip+sum/count partial pass, hash-bucket combine.  The robust-stats
+    shape for heavy-tailed quality scores at corpus scale."""
+    from ..functions.rank import grouped_quantile_exact
+    ds = _read(sf_dir, "events", columns=["event_type", "value"]).materialize()
+    q05 = grouped_quantile_exact(ds, "event_type", "value", q=0.05)
+    q95 = grouped_quantile_exact(ds, "event_type", "value", q=0.95)
+    bounds = q05.rename(columns={"quantile": "lo"}).merge(
+        q95.rename(columns={"quantile": "hi"}), on="event_type")
+    lo = dict(zip(bounds["event_type"], bounds["lo"]))
+    hi = dict(zip(bounds["event_type"], bounds["hi"]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        l = df["event_type"].map(lo).to_numpy(dtype=np.float64)
+        h = df["event_type"].map(hi).to_numpy(dtype=np.float64)
+        c = np.minimum(np.maximum(v, l), h)
+        g = pd.DataFrame({"event_type": df["event_type"], "s": c})
+        out = g.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), n=("s", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type"], ["s", "n"])
+    agg = agg.merge(bounds, on="event_type")
+    agg["p05"] = _round_half_away(agg["lo"], 4)
+    agg["p95"] = _round_half_away(agg["hi"], 4)
+    agg["winsorized_mean"] = _round_half_away(agg["s"] / agg["n"], 4)
+    agg["n"] = agg["n"].astype("int64")
+    out = agg[["event_type", "p05", "p95", "winsorized_mean", "n"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -3767,6 +3962,11 @@ QUERIES = {
     "event_drift": q_event_drift,
     "knn_ivf": q_knn_ivf,
     "validate_corpus": q_validate_corpus,
+    "event_type_mode": q_event_type_mode,
+    "user_running_value": q_user_running_value,
+    "revenue_rollup": q_revenue_rollup,
+    "first_last_events": q_first_last_events,
+    "winsorized_stats": q_winsorized_stats,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -4747,6 +4947,73 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN k > 0 THEN n + 16 * (k - 1)
                              ELSE 0 END) AS BIGINT) AS sum_chunk_tokens
         FROM c GROUP BY source ORDER BY source
+    """,
+    "event_type_mode": """
+        SELECT user_id, event_type AS mode_event, CAST(c AS BIGINT) AS n_mode
+        FROM (
+            SELECT user_id, event_type, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+            FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    "user_running_value": """
+        WITH p AS (SELECT event_id, user_id, ts,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_id, user_id,
+               ROUND(sum(c) OVER wall / 100.0, 2) AS cum_value,
+               ROUND((sum(c) OVER w3 / 100.0) / count(c) OVER w3, 4)
+                   AS avg3_value
+        FROM p
+        WINDOW wall AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING),
+               w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "revenue_rollup": """
+        WITH base AS (
+            SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               CAST(COALESCE(yr, -1) AS BIGINT) AS o_year,
+               ROUND(sum(cents) / 100.0, 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM base
+        GROUP BY ROLLUP(n_name, yr)
+        ORDER BY n_name, o_year
+    """,
+    "first_last_events": """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS fe,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS le
+            FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               min(fe) AS first_event, min(le) AS last_event
+        FROM r GROUP BY user_id ORDER BY user_id
+    """,
+    "winsorized_stats": """
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               ROUND(q.lo, 4) AS p05, ROUND(q.hi, 4) AS p95,
+               ROUND(avg(least(greatest(e.value, q.lo), q.hi)), 4)
+                   AS winsorized_mean,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e JOIN q USING (event_type)
+        GROUP BY e.event_type, q.lo, q.hi ORDER BY event_type
     """,
 }
 

@@ -115,6 +115,11 @@ class TestDataPipelineQueries:
         ("repetition_filter", ["documents"]),
         ("quality_percentile", ["documents"]),
         ("token_entropy", ["documents"]),
+        ("event_type_mode", ["events"]),
+        ("user_running_value", ["events"]),
+        ("revenue_rollup", ["orders", "customer", "nation"]),
+        ("first_last_events", ["events"]),
+        ("winsorized_stats", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
