@@ -3337,9 +3337,10 @@ def q_span_stats(sf_dir: str) -> pd.DataFrame:
     (``ListArray.flatten()`` over Arrow buffers — no Python rows, no
     pandas explode), per-kind span counts, text-char sums and distinct
     media-ref fan-out via ``pyarrow.compute`` kernels, reduced with the
-    combiner Sum.  Rows-only: the spans corpus is derived at runtime
-    (not one of the driver's DuckDB views); pytest pins the totals
-    against an independent pandas reconstruction."""
+    combiner Sum.  SQL-checked via a DYNAMIC oracle (dynamic_oracles):
+    the derived corpus is materialized parquet, so DuckDB UNNESTs the
+    same file and recomputes the aggregates independently; pytest also
+    pins the totals against a pandas reconstruction."""
     import hashlib as _hl
     from ray.data.aggregate import Sum
     import pyarrow.compute as pc
@@ -5031,14 +5032,45 @@ def dynamic_oracles() -> dict:
     recursive transitive closure recomputes the groups independently,
     exactly like the dup_groups_exact oracle does over its SQL-derived
     edge set.  The sf dir comes from $GRAFT_ORACLE_SF (default the
-    driver's sf0.01) so the sweep stays runnable at any scale."""
+    driver's sf0.01) so the sweep stays runnable at any scale.
+
+    ``span_stats``: the interleaved (doc_id, spans) corpus is DERIVED
+    (deterministically, corpus/synth.py) and materialized to parquet,
+    so its nested-column analytics ARE SQL-checkable — DuckDB UNNESTs
+    the same list<struct> file the engine scanned and recomputes the
+    per-kind aggregates independently.  The SQL embeds the corpus path
+    (a function of the sf dir), hence generated here."""
+    import hashlib
     import os
     sf_dir = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    out = {}
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    paths = build_interleaved_corpus(
+        sf_dir, f"/tmp/butteraugli_ray_corpus_{tag}")
+    out["span_stats"] = f"""
+        WITH flat AS (
+            SELECT s.kind AS kind, s.text AS text, s.media_ref AS media_ref
+            FROM (SELECT UNNEST(spans) AS s
+                  FROM read_parquet('{paths["documents"]}'))
+        )
+        SELECT kind,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(COALESCE(sum(length(text)), 0) AS BIGINT)
+                   AS sum_text_chars,
+               CAST(CASE WHEN kind = 'image' THEN
+                    (SELECT count(DISTINCT media_ref) FROM flat
+                     WHERE media_ref IS NOT NULL AND media_ref <> '')
+                    ELSE 0 END AS BIGINT) AS n_distinct_refs
+        FROM flat GROUP BY kind ORDER BY kind
+    """
+
     verified = q_minhash_near_dup(sf_dir)
     if not len(verified):
-        sql = ("SELECT CAST(NULL AS BIGINT) AS label, "
-               "CAST(NULL AS BIGINT) AS n_members WHERE 1 = 0")
-        return {"near_dup_groups": sql}
+        out["near_dup_groups"] = (
+            "SELECT CAST(NULL AS BIGINT) AS label, "
+            "CAST(NULL AS BIGINT) AS n_members WHERE 1 = 0")
+        return out
     vals = ", ".join(f"({int(a)}, {int(b)})"
                      for a, b in zip(verified["id_a"], verified["id_b"]))
     sql = f"""
@@ -5056,4 +5088,5 @@ def dynamic_oracles() -> dict:
         FROM (SELECT node, min(r) AS lbl FROM reach GROUP BY node) q
         GROUP BY lbl ORDER BY label
     """
-    return {"near_dup_groups": sql}
+    out["near_dup_groups"] = sql
+    return out
