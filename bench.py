@@ -64,7 +64,8 @@ BENCH_QUERIES = [
     "source_drift", "near_dup_groups", "ann_pq", "hopping_windows",
     "value_quantiles_exact", "token_pack", "order_audit", "source_counts_cms", "streaming_windows",
     "event_type_mode", "user_running_value", "revenue_rollup",
-    "first_last_events", "winsorized_stats",
+    "first_last_events", "winsorized_stats", "ks_drift_exact",
+    "user_growth",
     "validate_corpus",
 ]
 

@@ -3864,6 +3864,114 @@ def q_winsorized_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_ks_drift_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic between the
+    even- and odd-user halves of the event stream — the exact
+    counterpart of q_event_drift's histogram KS, with a SQL window
+    oracle.
+
+    Distributed shape (no global sort, no task ever holds a whole
+    side): fixed-bin (bin, side) count partials → driver cumulative
+    offsets (B×2 rows) → ONE bin-key shuffle; each bin task sorts only
+    its value RANGE, extends the local tie-collapsed ECDFs by the
+    broadcast below-bin offsets, and emits its local sup |F0−F1|;
+    driver takes the max of B numbers.  All counts are int64, so the
+    ECDF doubles are bit-identical to the oracle's window sums."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"]).materialize()
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        side = df["user_id"].to_numpy(np.int64) % 2
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()],
+                             "n0": [int((side == 0).sum())],
+                             "n1": [int((side == 1).sum())]})
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    n0, n1 = int(st["n0"].sum()), int(st["n1"].sum())
+    n_bins = 64
+    inner = np.linspace(lo, hi, n_bins + 1)[1:-1]
+
+    def binof(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(inner, v, side="right").astype(np.int64)
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "b": binof(df["value"].to_numpy(np.float64)),
+            "side": df["user_id"].to_numpy(np.int64) % 2})
+        out = g.groupby(["b", "side"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    bc = _final_agg(ds.map_batches(bin_counts, batch_format="pandas"),
+                    ["b", "side"], ["n"])
+    off = np.zeros((2, n_bins), dtype=np.int64)
+    for side in (0, 1):
+        per = np.zeros(n_bins, dtype=np.int64)
+        sel = bc[bc["side"] == side]
+        per[sel["b"].to_numpy(np.int64)] = sel["n"].to_numpy(np.int64)
+        off[side] = np.concatenate([[0], np.cumsum(per)[:-1]])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "value": df["value"].to_numpy(np.float64),
+            "side": df["user_id"].to_numpy(np.int64) % 2})
+        out["__bin"] = binof(out["value"].to_numpy())
+        return out
+
+    def bin_ks(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__bin"].iloc[0])
+        v = g["value"].to_numpy(np.float64)
+        s = g["side"].to_numpy(np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, s = v[order], s[order]
+        c0 = np.cumsum(s == 0)
+        c1 = np.cumsum(s == 1)
+        last = np.nonzero(np.r_[v[1:] != v[:-1], True])[0]
+        f0 = (off[0][b] + c0[last]) / np.float64(n0)
+        f1 = (off[1][b] + c1[last]) / np.float64(n1)
+        return pd.DataFrame({"dmax": [float(np.abs(f0 - f1).max())]})
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__bin").map_groups(bin_ks, batch_format="pandas")
+           .to_pandas())
+    return pd.DataFrame({"ks": [round(float(out["dmax"].max()), 6)],
+                         "n_side0": pd.Series([n0], dtype="int64"),
+                         "n_side1": pd.Series([n1], dtype="int64")})
+
+
+def q_user_growth(sf_dir: str) -> pd.DataFrame:
+    """Daily NEW-user counts + running cumulative distinct users — the
+    growth-curve shape.  First-occurrence extraction is a min-combiner
+    (per-batch per-user min ts → one user-hash bucket shuffle →
+    vectorized in-bucket min + per-day partial counts); only the
+    per-day table (bounded by the date range) reaches the driver for
+    the running sum."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["ts"].min()
+        g["__b"] = g["user_id"].to_numpy(dtype=np.int64) & 63
+        return g
+
+    def bucket_days(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", as_index=False)["ts"].min()
+        day = f["ts"].dt.strftime("%Y-%m-%d")
+        out = (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+               .size().rename(columns={"size": "n_new_users"}))
+        out["n_new_users"] = out["n_new_users"].astype("int64")
+        return out
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_days, batch_format="pandas"))
+    out = _final_agg(parts, ["day"], ["n_new_users"])
+    out = out.sort_values("day").reset_index(drop=True)
+    out["n_new_users"] = out["n_new_users"].astype("int64")
+    out["cum_users"] = out["n_new_users"].cumsum().astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3968,6 +4076,8 @@ QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "first_last_events": q_first_last_events,
     "winsorized_stats": q_winsorized_stats,
+    "ks_drift_exact": q_ks_drift_exact,
+    "user_growth": q_user_growth,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5015,6 +5125,35 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n
         FROM events e JOIN q USING (event_type)
         GROUP BY e.event_type, q.lo, q.hi ORDER BY event_type
+    """,
+    "ks_drift_exact": """
+        WITH a AS (SELECT value, user_id % 2 AS side FROM events),
+        n AS (SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS n0,
+                     CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS n1
+              FROM a),
+        e AS (SELECT value,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                         OVER (ORDER BY value) AS c0,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                         OVER (ORDER BY value) AS c1
+              FROM a)
+        SELECT ROUND(max(abs(c0 / n.n0 - c1 / n.n1)), 6) AS ks,
+               CAST(n.n0 AS BIGINT) AS n_side0,
+               CAST(n.n1 AS BIGINT) AS n_side1
+        FROM e, n GROUP BY n.n0, n.n1
+    """,
+    "user_growth": """
+        WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+                   GROUP BY user_id),
+        c AS (SELECT strftime(t0, '%Y-%m-%d') AS day,
+                     count(*) AS n_new_users
+              FROM f GROUP BY 1)
+        SELECT day, CAST(n_new_users AS BIGINT) AS n_new_users,
+               CAST(sum(n_new_users) OVER (ORDER BY day) AS BIGINT)
+                   AS cum_users
+        FROM c ORDER BY day
     """,
 }
 

@@ -120,6 +120,8 @@ class TestDataPipelineQueries:
         ("revenue_rollup", ["orders", "customer", "nation"]),
         ("first_last_events", ["events"]),
         ("winsorized_stats", ["events"]),
+        ("ks_drift_exact", ["events"]),
+        ("user_growth", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
