@@ -1490,6 +1490,11 @@ def q_doc_compression(sf_dir: str) -> pd.DataFrame:
 
 
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Per-document language ID (stopword-presence + CJK-script
+    heuristic, functions/text.detect_language) rolled up to counts.
+    SQL-checked: the oracle is GENERATED from the same stopword table
+    (_lang_id_oracle) and recomputes the heuristic independently in
+    DuckDB."""
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -5156,6 +5161,44 @@ ORACLE_SQL = {
         FROM c ORDER BY day
     """,
 }
+
+
+def _lang_id_oracle() -> str:
+    """SQL replica of functions/text.detect_language, GENERATED from the
+    same stopword table: per-language distinct-stopword PRESENCE counts
+    (whole-token matches — RE2 has no lookarounds, so the engine's
+    ``(?<!\\S)w(?!\\S)`` becomes the presence-equivalent
+    ``(^|\\s)w($|\\s)``), first-max-wins tie cascade in language order,
+    CJK script override, 'unknown' when nothing matches."""
+    from ..functions.text import _STOPWORDS
+    cols = []
+    for lang, sw in _STOPWORDS.items():
+        terms = " + ".join(
+            f"(CASE WHEN regexp_matches(t, '(^|\\s){w}($|\\s)') "
+            f"THEN 1 ELSE 0 END)" for w in sorted(sw))
+        cols.append(f"({terms}) AS c_{lang}")
+    cols_sql = ",\n                   ".join(cols)
+    return f"""
+        WITH m AS (SELECT lower(text) AS t FROM documents),
+        s AS (SELECT {cols_sql},
+                     regexp_matches(t, '[一-鿿぀-ヿ]') AS has_cjk
+              FROM m),
+        p AS (SELECT CASE
+                  WHEN has_cjk THEN 'zh'
+                  WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0
+                      THEN 'unknown'
+                  WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                      THEN 'en'
+                  WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                  WHEN c_fr >= c_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+              FROM s)
+        SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY pred_lang ORDER BY pred_lang
+    """
+
+
+ORACLE_SQL["lang_id"] = _lang_id_oracle()
 
 
 def dynamic_oracles() -> dict:

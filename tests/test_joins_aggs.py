@@ -122,6 +122,7 @@ class TestDataPipelineQueries:
         ("winsorized_stats", ["events"]),
         ("ks_drift_exact", ["events"]),
         ("user_growth", ["events"]),
+        ("lang_id", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
