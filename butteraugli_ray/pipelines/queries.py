@@ -1705,7 +1705,15 @@ def q_ann_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def build_interleaved_corpus(sf_dir: str, out_dir: str) -> dict:
     """Deterministically derive the (doc_id, spans) corpus from the
     testdata documents table (texts become text spans; image spans point
-    into the generator-backed media pool)."""
+    into the generator-backed media pool).
+
+    ~1% of docs carry SEEDED STRUCTURAL violations (did-modulus classes,
+    fully deterministic) so the flagship's structural check family is
+    exercised end-to-end and SQL-checkable (validate_structural's
+    dynamic oracle recomputes every check over this same file).  Null
+    kind/offset violations are deliberately NOT seeded here (covered by
+    corpus/synth.build_corpus ground truth in pytest) so the nested
+    span analytics stay null-free."""
     import os
     import pyarrow.parquet as pq
     from ..corpus.synth import (DOC_SCHEMA, bad_media_refs,
@@ -1727,9 +1735,26 @@ def build_interleaved_corpus(sf_dir: str, out_dir: str) -> dict:
             {"kind": "image", "text": "", "media_ref": ref, "offset": len(t1)},
             {"kind": "text", "text": t2, "media_ref": "", "offset": len(t1) + 1},
         ]
+        r = did % 101
+        if r == 5:                       # offset_nonmonotonic (span 2)
+            spans[2]["offset"] = spans[1]["offset"]
+        elif r == 17:                    # missing_media_ref (dangling)
+            spans[1]["media_ref"] = f"media-dangling-{did:06d}"
+        elif r == 33:                    # empty_media_ref
+            spans[1]["media_ref"] = ""
+        elif r == 57:                    # text_with_media
+            spans[0]["media_ref"] = spans[1]["media_ref"]
+        elif r == 71:                    # negative_offset (span 1)
+            spans[1]["offset"] = -1
+        elif r == 89:                    # invalid_kind
+            spans[1]["kind"] = "video"
         doc_ids.append(f"doc-{did:08d}")
         spans_col.append(spans)
         part_col.append(i // per_part)
+        if did % 499 == 7:               # duplicate_doc_id
+            doc_ids.append(f"doc-{did:08d}")
+            spans_col.append(spans)
+            part_col.append(i // per_part)
     tbl = pa.table({"doc_id": pa.array(doc_ids, pa.string()),
                     "spans": pa.array(spans_col, DOC_SCHEMA.field("spans").type),
                     "partition_id": pa.array(part_col, pa.int32())})
@@ -1763,6 +1788,22 @@ def q_validate_corpus(sf_dir: str) -> pd.DataFrame:
     out = pd.concat([pq.read_table(f).to_pandas() for f in files])
     return (out[["doc_id", "span_idx", "check"]]
             .sort_values(["doc_id", "span_idx", "check"]).reset_index(drop=True))
+
+
+def q_validate_structural(sf_dir: str) -> pd.DataFrame:
+    """The flagship validator's STRUCTURAL violation set (everything but
+    the butteraugli-score constraint): null/domain/referential/
+    monotonicity span checks + the duplicate-doc_id uniqueness check,
+    produced by the same end-to-end validate_corpus run as
+    q_validate_corpus.  SQL-checked via a DYNAMIC oracle
+    (dynamic_oracles): DuckDB UNNESTs the same materialized corpus
+    parquet and recomputes every structural check independently — an
+    independent implementation of the whole check family, not a replay
+    of engine output."""
+    out = q_validate_corpus(sf_dir)
+    out = out[out["check"] != "score_exceeds_threshold"]
+    return (out.sort_values(["doc_id", "span_idx", "check"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -4083,6 +4124,7 @@ QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "ks_drift_exact": q_ks_drift_exact,
     "user_growth": q_user_growth,
+    "validate_structural": q_validate_structural,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5245,6 +5287,61 @@ def dynamic_oracles() -> dict:
                      WHERE media_ref IS NOT NULL AND media_ref <> '')
                     ELSE 0 END AS BIGINT) AS n_distinct_refs
         FROM flat GROUP BY kind ORDER BY kind
+    """
+
+    out["validate_structural"] = f"""
+        WITH raw AS (
+            SELECT doc_id, file_row_number AS rid,
+                   UNNEST(generate_series(1, len(spans))) - 1 AS i,
+                   UNNEST(spans) AS s
+            FROM read_parquet('{paths["documents"]}',
+                              file_row_number = true)),
+        f AS (SELECT doc_id, rid, CAST(i AS INTEGER) AS span_idx,
+                     s.kind AS kind, s.media_ref AS media_ref,
+                     s."offset" AS off
+              FROM raw),
+        keys AS (SELECT DISTINCT media_ref
+                 FROM read_parquet('{paths["media"]}')),
+        lagd AS (SELECT *, lag(off) OVER (PARTITION BY rid
+                                          ORDER BY span_idx) AS prev_off
+                 FROM f)
+        SELECT * FROM (
+            SELECT doc_id, span_idx, 'null_kind' AS "check"
+            FROM f WHERE kind IS NULL
+            UNION ALL
+            SELECT doc_id, span_idx, 'invalid_kind' FROM f
+            WHERE kind IS NOT NULL AND kind NOT IN ('text', 'image')
+            UNION ALL
+            SELECT doc_id, span_idx, 'empty_media_ref' FROM f
+            WHERE kind = 'image'
+              AND (media_ref IS NULL OR media_ref = '')
+            UNION ALL
+            SELECT doc_id, span_idx, 'text_with_media' FROM f
+            WHERE kind = 'text'
+              AND media_ref IS NOT NULL AND media_ref <> ''
+            UNION ALL
+            SELECT doc_id, span_idx, 'missing_media_ref' FROM f
+            WHERE kind = 'image'
+              AND media_ref IS NOT NULL AND media_ref <> ''
+              AND media_ref NOT IN (SELECT media_ref FROM keys)
+            UNION ALL
+            SELECT doc_id, span_idx, 'null_offset' FROM f
+            WHERE off IS NULL
+            UNION ALL
+            SELECT doc_id, span_idx, 'offset_nonmonotonic' FROM lagd
+            WHERE off IS NOT NULL AND prev_off IS NOT NULL
+              AND off <= prev_off
+            UNION ALL
+            SELECT doc_id, span_idx, 'negative_offset' FROM f
+            WHERE off IS NOT NULL AND off < 0
+            UNION ALL
+            SELECT doc_id, CAST(-1 AS INTEGER), 'duplicate_doc_id'
+            FROM (SELECT doc_id,
+                         row_number() OVER (PARTITION BY doc_id) AS rn,
+                         count(*) OVER (PARTITION BY doc_id) AS n
+                  FROM read_parquet('{paths["documents"]}'))
+            WHERE n > 1 AND rn > 1
+        ) ORDER BY doc_id, span_idx, "check"
     """
 
     verified = q_minhash_near_dup(sf_dir)

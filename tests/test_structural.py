@@ -114,23 +114,39 @@ def test_span_stats_matches_pandas_reconstruction(ray_session):
 
     docs = pq.read_table(f"{sf}/documents.parquet",
                          columns=["doc_id", "text"]).to_pandas()
-    n = len(docs)
-    # construction: 2 text spans (halves of text) + 1 image span per doc
-    t1_len, t2_len, refs = [], [], set()
+    # construction: 2 text spans (halves of text) + 1 image span per doc,
+    # plus the deterministic did-modulus violation seeding the builder
+    # applies (build_interleaved_corpus) — replicated independently here.
     from butteraugli_ray.corpus.synth import bad_media_refs, good_media_refs
     good, bad = good_media_refs(), bad_media_refs()
+    n_text = n_image = n_video = text_chars = 0
+    refs = set()
     for did, text in zip(docs["doc_id"], docs["text"]):
         words = text.split()
         half = max(1, len(words) // 2)
-        t1_len.append(len(" ".join(words[:half])))
-        t2_len.append(len(" ".join(words[half:])))
-        refs.add(bad[did % len(bad)] if did % 17 == 0
-                 else good[did % len(good)])
+        t1, t2 = " ".join(words[:half]), " ".join(words[half:])
+        mult = 2 if did % 499 == 7 else 1      # duplicate_doc_id seeding
+        r_ = did % 101
+        n_text += 2 * mult
+        if r_ == 89:                            # invalid_kind → "video"
+            n_video += mult
+        else:
+            n_image += mult
+        text_chars += mult * (len(t1) + len(t2))
+        if r_ == 33:                            # empty_media_ref
+            pass
+        elif r_ == 17:                          # dangling media_ref
+            refs.add(f"media-dangling-{did:06d}")
+        else:
+            refs.add(bad[did % len(bad)] if did % 17 == 0
+                     else good[did % len(good)])
 
     r = got.set_index("kind")
-    assert int(r.loc["text", "n_spans"]) == 2 * n
-    assert int(r.loc["image", "n_spans"]) == n
-    assert int(r.loc["text", "sum_text_chars"]) == sum(t1_len) + sum(t2_len)
+    assert int(r.loc["text", "n_spans"]) == n_text
+    assert int(r.loc["image", "n_spans"]) == n_image
+    assert int(r.loc["video", "n_spans"]) == n_video
+    assert int(r.loc["text", "sum_text_chars"]) == text_chars
     assert int(r.loc["image", "sum_text_chars"]) == 0
     assert int(r.loc["image", "n_distinct_refs"]) == len(refs)
     assert int(r.loc["text", "n_distinct_refs"]) == 0
+    assert int(r.loc["video", "n_distinct_refs"]) == 0
