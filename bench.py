@@ -65,7 +65,8 @@ BENCH_QUERIES = [
     "value_quantiles_exact", "token_pack", "order_audit", "source_counts_cms", "streaming_windows",
     "event_type_mode", "user_running_value", "revenue_rollup",
     "first_last_events", "winsorized_stats", "ks_drift_exact",
-    "user_growth",
+    "user_growth", "grouped_ols", "pareto_front",
+    "csv_roundtrip", "json_roundtrip",
     "validate_corpus",
 ]
 

@@ -4019,6 +4019,214 @@ def q_user_growth(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_grouped_ols — distributed simple linear regression (regr_* family)
+# ---------------------------------------------------------------------------
+_OLS_EPOCH_DAYS = 19723.0       # days('2024-01-01') since the unix epoch
+
+
+def q_grouped_ols(sf_dir: str) -> pd.DataFrame:
+    """Per-group simple linear regression value ~ time (days since
+    2024-01-01) via DISTRIBUTED SUFFICIENT STATISTICS: each batch emits
+    per-group (n, Σx, Σy, Σxx, Σyy, Σxy) — six doubles per group, the
+    d²-sized-partials pattern from the PCA/logreg family applied to
+    SQL's regr_* aggregates — hash-bucket combined, with the closed-form
+    slope / intercept / r² / corr computed on the tiny reduced table.
+
+    x is shifted to DAYS since a fixed epoch before squaring: the
+    regr_* family is shift-invariant, and raw epoch microseconds would
+    put Σx² at ~1e36 where the nΣxx−(Σx)² cancellation destroys every
+    significant digit.  SQL-checked against DuckDB regr_slope /
+    regr_intercept / regr_r2 / corr / regr_count over the identically
+    shifted x."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].astype("int64").to_numpy(dtype=np.float64)
+             / 86_400_000_000.0 - _OLS_EPOCH_DAYS)
+        g = pd.DataFrame({"event_type": df["event_type"], "x": x,
+                          "y": df["value"].to_numpy(dtype=np.float64)})
+        g["xx"], g["yy"], g["xy"] = g.x * g.x, g.y * g.y, g.x * g.y
+        g["n"] = np.int64(1)
+        out = g.groupby("event_type", as_index=False)[
+            ["n", "x", "y", "xx", "yy", "xy"]].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type"], ["n", "x", "y", "xx", "yy", "xy"])
+    n = agg["n"].to_numpy(dtype=np.float64)
+    sxx = agg["xx"] - agg["x"] * agg["x"] / n
+    syy = agg["yy"] - agg["y"] * agg["y"] / n
+    sxy = agg["xy"] - agg["x"] * agg["y"] / n
+    slope = sxy / sxx
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "slope": _round_half_away(slope, 6),
+        "intercept": _round_half_away(
+            agg["y"] / n - slope * (agg["x"] / n), 6),
+        "corr_xy": _round_half_away(sxy / np.sqrt(sxx * syy), 6),
+        "r2": _round_half_away(sxy * sxy / (sxx * syy), 6),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_pareto_front — distributed skyline (non-dominated set)
+# ---------------------------------------------------------------------------
+def _pareto_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2D skyline of (p=o_totalprice max, d=epoch_us max): a row
+    survives iff no other row is ≥ in both and > in at least one.
+    Vectorized: per-p max d + a suffix running max over strictly
+    greater p — O(n log n), no pairwise loop."""
+    if not len(df):
+        return df
+    p = df["o_totalprice"].to_numpy(dtype=np.float64)
+    d = df["epoch_us"].to_numpy(dtype=np.int64)
+    dmax_of_p = pd.Series(d).groupby(p).transform("max").to_numpy()
+    up, inv = np.unique(p, return_inverse=True)
+    gmax = np.full(len(up), np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(gmax, inv, d)
+    # suffix max of gmax over STRICTLY greater p (exclusive)
+    suf = np.r_[np.iinfo(np.int64).min,
+                np.maximum.accumulate(gmax[::-1])[:-1]][::-1]
+    keep = (d == dmax_of_p) & (d > suf[inv])
+    return df[keep]
+
+
+def q_pareto_front(sf_dir: str) -> pd.DataFrame:
+    """Skyline query: the Pareto-optimal orders maximizing BOTH
+    o_totalprice and o_orderdate (biggest-and-latest front).
+
+    Distributed shape (the classic skyline split): every batch reduces
+    to its LOCAL front (the global front is a subset of the union of
+    local fronts — a dominated point is dominated inside its own
+    batch too), local fronts are O(log n) expected on random data, and
+    the final exact front runs once over that tiny union.  No shuffle
+    at all — a map-reduce with a sublinear intermediate.
+
+    SQL-checked against an O(n log n) window formulation of strict
+    dominance (per-price max date + suffix max over greater prices),
+    NOT the O(n²) NOT EXISTS form, so the oracle stays runnable at
+    every sf."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_front(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(epoch_us=df["o_orderdate"].astype("int64"))
+        return _pareto_2d(df)[["o_orderkey", "o_totalprice", "epoch_us"]]
+
+    cand = ds.map_batches(local_front, batch_format="pandas").to_pandas()
+    front = _pareto_2d(cand).copy()
+    front["o_orderkey"] = front["o_orderkey"].astype("int64")
+    front["epoch_us"] = front["epoch_us"].astype("int64")
+    return (front.sort_values("o_orderkey").reset_index(drop=True)
+            [["o_orderkey", "o_totalprice", "epoch_us"]])
+
+
+# ---------------------------------------------------------------------------
+# q_csv_roundtrip / q_json_roundtrip — non-parquet source formats
+# ---------------------------------------------------------------------------
+def _derive_csv(sf_dir: str) -> str:
+    """Deterministically derive a CSV copy of the supplier table (the
+    fixture for the CSV source path; pyarrow's writer emits
+    shortest-round-trip doubles, so the copy is value-exact)."""
+    import hashlib as _hl
+    import os
+    import pyarrow.csv as pcsv
+    import pyarrow.parquet as pq
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/butteraugli_ray_csv_{tag}/supplier.csv"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pcsv.write_csv(pq.read_table(f"{sf_dir}/supplier.parquet"), out)
+    return out
+
+
+def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV source: read the derived supplier CSV with
+    ``ray.data.read_csv`` (Arrow CSV reader per block — the same
+    streaming source shape as parquet, just schema-inferred) and
+    aggregate per nation.  Oracle runs on the original parquet view, so
+    a pass proves the CSV round-trip is value-exact."""
+    import ray.data as rd
+    path = _derive_csv(sf_dir)
+    ds = rd.read_csv(path)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("s_nationkey", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), sum_bal=("s_acctbal", "sum"))
+        out["n_suppliers"] = out["n_suppliers"].astype("int64")
+        return out
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["s_nationkey"], ["n_suppliers", "sum_bal"])
+    out["s_nationkey"] = out["s_nationkey"].astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["sum_bal"] = _round_half_away(out["sum_bal"], 4)
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+def _derive_jsonl(sf_dir: str) -> str:
+    """Deterministically derive a JSONL copy of the part table.  Doubles
+    are serialized with ``json.dumps`` (repr = shortest round-trip), so
+    the copy is value-exact; derivation is a one-time fixture write,
+    not a hot path."""
+    import hashlib as _hl
+    import os
+    import pyarrow.parquet as pq
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/butteraugli_ray_json_{tag}/part.jsonl"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    import json as _json
+    rows = pq.read_table(f"{sf_dir}/part.parquet").to_pylist()
+    with open(out, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    return out
+
+
+def q_json_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL source: read the derived part JSONL with
+    ``ray.data.read_json`` (Arrow JSON reader per block) and compute
+    per-brand stats.  Oracle runs on the original parquet view — a pass
+    proves the JSON round-trip is value-exact."""
+    import ray.data as rd
+    path = _derive_jsonl(sf_dir)
+    ds = rd.read_json(path)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_partkey", "size"), sum_price=("p_retailprice", "sum"),
+            max_size=("p_size", "max"))
+        out["n_parts"] = out["n_parts"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df):
+            df["__b"] = (pd.util.hash_pandas_object(
+                df[["p_brand"]], index=False).to_numpy() % 64).astype("int64")
+        else:
+            df["__b"] = pd.Series([], dtype="int64")
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_brand", as_index=False).agg(
+            n_parts=("n_parts", "sum"), sum_price=("sum_price", "sum"),
+            max_size=("max_size", "max"))
+
+    out = (parts.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["max_size"] = out["max_size"].astype("int64")
+    out["sum_price"] = _round_half_away(out["sum_price"], 4)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -4125,6 +4333,10 @@ QUERIES = {
     "ks_drift_exact": q_ks_drift_exact,
     "user_growth": q_user_growth,
     "validate_structural": q_validate_structural,
+    "grouped_ols": q_grouped_ols,
+    "pareto_front": q_pareto_front,
+    "csv_roundtrip": q_csv_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5201,6 +5413,47 @@ ORACLE_SQL = {
                CAST(sum(n_new_users) OVER (ORDER BY day) AS BIGINT)
                    AS cum_users
         FROM c ORDER BY day
+    """,
+    "grouped_ols": """
+        WITH t AS (SELECT event_type,
+                          epoch_us(ts) / 86400000000.0 - 19723.0 AS x,
+                          value AS y
+                   FROM events)
+        SELECT event_type,
+               CAST(regr_count(y, x) AS BIGINT) AS n,
+               ROUND(regr_slope(y, x), 6) AS slope,
+               ROUND(regr_intercept(y, x), 6) AS intercept,
+               ROUND(corr(y, x), 6) AS corr_xy,
+               ROUND(regr_r2(y, x), 6) AS r2
+        FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    "pareto_front": """
+        WITH t AS (SELECT o_orderkey, o_totalprice AS p,
+                          epoch_us(o_orderdate) AS d
+                   FROM orders),
+        pg AS (SELECT p, max(d) AS dmax FROM t GROUP BY p),
+        sg AS (SELECT p, dmax,
+                      max(dmax) OVER (ORDER BY p DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS dmax_gt
+               FROM pg)
+        SELECT t.o_orderkey, t.p AS o_totalprice,
+               CAST(t.d AS BIGINT) AS epoch_us
+        FROM t JOIN sg USING (p)
+        WHERE t.d = sg.dmax AND (sg.dmax_gt IS NULL OR t.d > sg.dmax_gt)
+        ORDER BY o_orderkey
+    """,
+    "csv_roundtrip": """
+        SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               ROUND(sum(s_acctbal), 4) AS sum_bal
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    "json_roundtrip": """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+               ROUND(sum(p_retailprice), 4) AS sum_price,
+               CAST(max(p_size) AS BIGINT) AS max_size
+        FROM part GROUP BY p_brand ORDER BY p_brand
     """,
 }
 

@@ -228,3 +228,55 @@ def test_tdigest_quantile_per_group_error_bound(ray_session):
     rel = np.abs(got["p90_est"].to_numpy() - exact["p90"].to_numpy()) \
         / np.abs(exact["p90"].to_numpy())
     assert (rel < 0.05).all(), rel
+
+
+def test_pareto_front_brute_force(ray_session):
+    """q_pareto_front equals the O(n²) brute-force strict-dominance
+    skyline (the definition, independent of both the engine's
+    local-front split and the oracle's window formulation)."""
+    import pyarrow.parquet as pq
+    from butteraugli_ray.pipelines.queries import q_pareto_front
+    sf = "/root/testdata/sf0.001"
+    got = q_pareto_front(sf)
+    t = pq.read_table(f"{sf}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice",
+                               "o_orderdate"]).to_pandas()
+    p = t["o_totalprice"].to_numpy(np.float64)
+    d = t["o_orderdate"].astype("int64").to_numpy()
+    keep = []
+    for i in range(len(t)):
+        ge = (p >= p[i]) & (d >= d[i])
+        strict = (p > p[i]) | (d > d[i])
+        if not (ge & strict).any():
+            keep.append(i)
+    exp = (t.iloc[keep].assign(epoch_us=d[keep])
+           .sort_values("o_orderkey").reset_index(drop=True))
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    np.testing.assert_allclose(got["o_totalprice"].to_numpy(),
+                               exp["o_totalprice"].to_numpy())
+    assert got["epoch_us"].tolist() == exp["epoch_us"].tolist()
+
+
+def test_grouped_ols_matches_polyfit(ray_session):
+    """Distributed sufficient-stat OLS equals single-process
+    numpy.polyfit per group (slope + intercept to 1e-6)."""
+    import pyarrow.parquet as pq
+    from butteraugli_ray.pipelines.queries import (_OLS_EPOCH_DAYS,
+                                                   q_grouped_ols)
+    sf = "/root/testdata/sf0.001"
+    got = q_grouped_ols(sf).set_index("event_type")
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_type", "ts", "value"]).to_pandas()
+    x_all = (t["ts"].astype("int64").to_numpy(np.float64)
+             / 86_400_000_000.0 - _OLS_EPOCH_DAYS)
+    for et, g in t.groupby("event_type"):
+        x = x_all[g.index.to_numpy()]
+        y = g["value"].to_numpy(np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got.loc[et]
+        assert abs(row["slope"] - slope) < 1e-5
+        assert abs(row["intercept"] - intercept) < 1e-5
+        assert abs(row["corr_xy"] - r) < 1e-6
+        assert abs(row["r2"] - r * r) < 1e-6
+        assert int(row["n"]) == len(g)
