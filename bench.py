@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "event_type_mode", "user_running_value", "revenue_rollup",
     "first_last_events", "winsorized_stats", "ks_drift_exact",
     "user_growth", "grouped_ols", "pareto_front",
-    "csv_roundtrip", "json_roundtrip",
+    "csv_roundtrip", "json_roundtrip", "pii_scrub",
     "validate_corpus",
 ]
 

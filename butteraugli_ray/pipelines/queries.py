@@ -4227,6 +4227,66 @@ def q_json_roundtrip(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_pii_scrub — PII detection/redaction (emails + phone numbers)
+# ---------------------------------------------------------------------------
+_PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over the document corpus: count and strip emails
+    and phone numbers per source.  The testdata texts are clean word
+    soup, so deterministic synthetic PII is PLANTED first (doc_id%7
+    docs get an email, doc_id%11 a phone number — the same
+    augmented-corpus pattern the near-dup oracles use), then a
+    compiled-regex scrub pass counts matches and redacted characters.
+
+    Scale shape: regexes compile once per actor (__init__-equivalent:
+    module-level compile), the scrub is one vectorized
+    ``str.count``/``str.replace`` per batch, and only per-source
+    partial counts reach the combiner — the PII-filter stage of a
+    training-data pipeline.  The oracle plants identical PII in SQL
+    and counts with the same RE2-compatible patterns."""
+    import re
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    email_re = re.compile(_PII_EMAIL_RE)
+    phone_re = re.compile(_PII_PHONE_RE)
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        t = df["text"].copy()
+        m7 = did % 7 == 0
+        m11 = did % 11 == 0
+        t[m7] = t[m7] + [" user" + str(d) + "@example.com"
+                         for d in did[m7]]
+        t[m11] = t[m11] + [" +1-555-" + str(d % 10000).zfill(4)
+                           for d in did[m11]]
+        n_email = t.str.count(email_re)
+        n_phone = t.str.count(phone_re)
+        clean = t.str.replace(email_re, "", regex=True) \
+                 .str.replace(phone_re, "", regex=True)
+        g = pd.DataFrame({
+            "source": df["source"],
+            "n_docs": np.int64(1),
+            "n_emails": n_email.to_numpy(dtype=np.int64),
+            "n_phones": n_phone.to_numpy(dtype=np.int64),
+            "chars_redacted": (t.str.len() - clean.str.len())
+            .to_numpy(dtype=np.int64),
+        })
+        out = g.groupby("source", as_index=False).sum()
+        for c in ("n_docs", "n_emails", "n_phones", "chars_redacted"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = _final_agg(ds.map_batches(scrub, batch_format="pandas"),
+                     ["source"],
+                     ["n_docs", "n_emails", "n_phones", "chars_redacted"])
+    for c in ("n_docs", "n_emails", "n_phones", "chars_redacted"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -4337,6 +4397,7 @@ QUERIES = {
     "pareto_front": q_pareto_front,
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
+    "pii_scrub": q_pii_scrub,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5454,6 +5515,33 @@ ORACLE_SQL = {
                ROUND(sum(p_retailprice), 4) AS sum_price,
                CAST(max(p_size) AS BIGINT) AS max_size
         FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "pii_scrub": r"""
+        WITH aug AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 7 = 0 THEN ' user' || doc_id
+                           || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN ' +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS text
+            FROM documents),
+        s AS (
+            SELECT source,
+                   len(regexp_extract_all(
+                       text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS ne,
+                   len(regexp_extract_all(
+                       text, '\+1-555-[0-9]{4}')) AS np,
+                   length(text)
+                   - length(regexp_replace(regexp_replace(
+                         text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '', 'g'),
+                         '\+1-555-[0-9]{4}', '', 'g')) AS cr
+            FROM aug)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ne) AS BIGINT) AS n_emails,
+               CAST(sum(np) AS BIGINT) AS n_phones,
+               CAST(sum(cr) AS BIGINT) AS chars_redacted
+        FROM s GROUP BY source ORDER BY source
     """,
 }
 
