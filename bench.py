@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "first_last_events", "winsorized_stats", "ks_drift_exact",
     "user_growth", "grouped_ols", "pareto_front",
     "csv_roundtrip", "json_roundtrip", "pii_scrub",
+    "embedding_dim_stats",
     "validate_corpus",
 ]
 

@@ -4287,6 +4287,54 @@ def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_embedding_dim_stats — per-dimension feature statistics (nested floats)
+# ---------------------------------------------------------------------------
+def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean / population variance / min / max over the
+    embedding column — the feature-distribution profile pass that
+    precedes normalization or whitening in an embedding pipeline.
+
+    Scale shape: each batch flattens the list<float> column ZERO-COPY
+    (Arrow ``flatten()`` over the value buffer), reshapes to (rows, d),
+    and emits ONE d-row sufficient-stat partial (n, Σx, Σx², min, max
+    per dimension); the reduction over partials is O(d × blocks) —
+    bounded, never data-sized — so it runs in one driver combine.
+    Oracle: DuckDB cross-joins ``range(d)`` with ``list_extract`` and
+    recomputes the same aggregates per dimension."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        d = flat.size // len(col)
+        assert d * len(col) == flat.size, "ragged embedding column"
+        m = flat.reshape(-1, d)
+        return pd.DataFrame({
+            "dim": np.arange(d, dtype=np.int64),
+            "n": np.full(d, m.shape[0], dtype=np.int64),
+            "s": m.sum(axis=0), "ss": (m * m).sum(axis=0),
+            "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+    n = agg["n"].to_numpy(dtype=np.float64)
+    mean = agg["s"] / n
+    out = pd.DataFrame({
+        "dim": agg["dim"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "mean": _round_half_away(mean, 6),
+        "var_pop": _round_half_away(agg["ss"] / n - mean * mean, 6),
+        "min_v": _round_half_away(agg["mn"], 6),
+        "max_v": _round_half_away(agg["mx"], 6),
+    })
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -4398,6 +4446,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "json_roundtrip": q_json_roundtrip,
     "pii_scrub": q_pii_scrub,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5542,6 +5591,18 @@ ORACLE_SQL = {
                CAST(sum(np) AS BIGINT) AS n_phones,
                CAST(sum(cr) AS BIGINT) AS chars_redacted
         FROM s GROUP BY source ORDER BY source
+    """,
+    "embedding_dim_stats": """
+        WITH v AS (
+            SELECT CAST(t.i AS BIGINT) AS dim,
+                   CAST(list_extract(e.embedding, t.i + 1) AS DOUBLE) AS x
+            FROM embeddings e, range(0, 64) t(i))
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               ROUND(avg(x), 6) AS mean,
+               ROUND(var_pop(x), 6) AS var_pop,
+               ROUND(min(x), 6) AS min_v,
+               ROUND(max(x), 6) AS max_v
+        FROM v GROUP BY dim ORDER BY dim
     """,
 }
 
