@@ -20,12 +20,13 @@ import pandas as pd
 
 
 def _safe_concurrency(requested):
-    """Actor pools sized >= num_cpus starve their own producer stage in
-    local mode; leave >=2 CPUs free."""
+    """Autoscaling (1, n) pool spec, n additionally capped to leave >=2
+    cluster CPUs free — a fixed pool >= num_cpus starves its own
+    producer/consumer stages in local mode (see functions/pool.py)."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4))
     cap = max(1, cpus - 2)
-    return min(requested or 4, cap)
+    return (1, max(1, min(requested or 4, cap)))
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, dtype=np.float64)
@@ -262,7 +263,7 @@ def pca_project(ds, mean: np.ndarray, components: np.ndarray,
 
 def kmeans_fit(ds, k: int = 8, emb_col: str = "embedding",
                id_col: str = "vec_id", max_iters: int = 20,
-               tol: float = 1e-6):
+               tol: float = 1e-6, return_assign_cent: bool = False):
     """Full distributed Lloyd k-means over an embedding column.
 
     Each iteration is ONE streaming pass: centroids broadcast via
@@ -275,7 +276,10 @@ def kmeans_fit(ds, k: int = 8, emb_col: str = "embedding",
     ``id_col`` values (a pushdown-friendly sorted-limit read), so runs
     are reproducible regardless of block arrival order.
 
-    Returns (centroids [k,d], inertia, n_iters, sizes [k])."""
+    Returns (centroids [k,d], inertia, n_iters, sizes [k]); with
+    ``return_assign_cent=True`` appends the centroids the FINAL
+    assignment used (pre-update — ``sizes``/``inertia`` are computed
+    against these, which is what an external assignment check needs)."""
     import pickle
 
     import ray as _ray
@@ -308,22 +312,32 @@ def kmeans_fit(ds, k: int = 8, emb_col: str = "embedding",
         cnt = np.zeros(k, dtype=np.int64)
         vsum = np.zeros_like(cent)
         new_inertia = 0.0
+        raws = []
         for b in (ds.map_batches(partial, batch_format="pandas")
                   .iter_batches(batch_format="pandas", batch_size=1024)):
-            for raw in b["part"]:
-                c_i, v_i, in_i = pickle.loads(raw)
-                cnt += c_i
-                vsum += v_i
-                new_inertia += in_i
+            raws.extend(b["part"])
+        # float partial sums are not associative: reduce in a SORTED
+        # (content-deterministic) order so repeated runs over the same
+        # blocks are BIT-IDENTICAL regardless of block arrival order
+        # (the kmeans dynamic oracle re-runs the fit and embeds the
+        # centroids — run-to-run ulp drift would poison it)
+        for raw in sorted(raws):
+            c_i, v_i, in_i = pickle.loads(raw)
+            cnt += c_i
+            vsum += v_i
+            new_inertia += in_i
         nonempty = cnt > 0
         new_cent = cent.copy()                   # empty cluster keeps pos
         new_cent[nonempty] = vsum[nonempty] / cnt[nonempty, None]
         denom = np.maximum(np.linalg.norm(cent, axis=1), 1e-12)
         shift = float(np.max(np.linalg.norm(new_cent - cent, axis=1)
                              / denom))
+        assign_cent = cent                       # what the assignment used
         cent, inertia, sizes = new_cent, new_inertia, cnt
         if shift < tol:
             break
+    if return_assign_cent:
+        return cent, inertia, it, sizes, assign_cent
     return cent, inertia, it, sizes
 
 

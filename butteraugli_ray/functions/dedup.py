@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .pool import actor_pool
 import pyarrow.compute as pc
 
 from .text import WS_TOKEN_RE, fingerprint_md5
@@ -383,7 +385,7 @@ def minhash_candidate_pairs(ds, num_perms=128, bands=16, shingle=3, seed=7,
         fn_constructor_kwargs=dict(num_perms=num_perms, bands=bands,
                                    shingle=shingle, seed=seed,
                                    id_col=id_col, text_col=text_col),
-        batch_format="pandas", concurrency=concurrency)
+        batch_format="pandas", concurrency=actor_pool(concurrency))
 
     mask = np.int64((1 << max(n_parts - 1, 1).bit_length()) - 1)
 
@@ -841,7 +843,7 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3,
         NgramShingler,
         fn_constructor_kwargs=dict(shingle=shingle, id_col=id_col,
                                    text_col=text_col),
-        batch_format="pandas", concurrency=concurrency).materialize()
+        batch_format="pandas", concurrency=actor_pool(concurrency)).materialize()
 
     if max_df is not None:
         # one bucketed pass: co-locate all rows of a shingle, drop the
@@ -981,7 +983,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, concurrency: int = 4,
     + one batched Hamming pass per partition (no per-bucket Python —
     up to 4×2¹⁶ distinct chunk buckets otherwise)."""
     hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-                            batch_format="pandas", concurrency=concurrency)
+                            batch_format="pandas", concurrency=actor_pool(concurrency))
 
     mask = np.int64((1 << max(n_parts - 1, 1).bit_length()) - 1)
 
@@ -1279,7 +1281,7 @@ def embedding_near_dup_pairs(ds, dim: int, threshold: float = 0.95,
             HyperplaneBucketer,
             fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
                                        seed=table_seed, emb_col=emb_col),
-            batch_format="pandas", concurrency=concurrency)
+            batch_format="pandas", concurrency=actor_pool(concurrency))
 
         def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(id_col)

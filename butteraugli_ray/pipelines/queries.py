@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import text as T
+from ..functions.pool import actor_pool
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -187,7 +188,8 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                 revenue=("revenue", "sum"), n_orders=("revenue", "size"))
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinAgg, batch_format="pandas", concurrency=2)
+    partials = ds.map_batches(JoinAgg, batch_format="pandas",
+                              concurrency=actor_pool(2))
     out = _final_agg(partials, ["n_name"], ["revenue", "n_orders"])
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
@@ -1014,7 +1016,7 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
     out = ds.map_batches(AntiFilter, batch_format="pandas",
-                         concurrency=2).to_pandas()
+                         concurrency=actor_pool(2)).to_pandas()
     if out.empty:
         return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
                              "c_name": pd.Series([], dtype=str),
@@ -1413,7 +1415,7 @@ def q_top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
     partials = _read(sf_dir, "orders",
                      columns=["o_custkey", "o_orderkey", "o_totalprice"]
                      ).map_batches(PartialTopK, batch_format="pandas",
-                                   concurrency=2)
+                                   concurrency=actor_pool(2))
     allp = partials.to_pandas()                     # tiny by construction
     allp = allp.sort_values(order_cols, ascending=order_dirs)
     top = allp.groupby("c_mktsegment", as_index=False).head(k).copy()
@@ -2411,7 +2413,8 @@ def q_decontaminate(sf_dir: str, eval_mod: int = 7, n: int = 8) -> pd.DataFrame:
             return out.groupby("source", as_index=False).agg(
                 n_train=("c", "size"), n_contaminated=("c", "sum"))
 
-    parts = ds.map_batches(Flagger, batch_format="pandas", concurrency=2)
+    parts = ds.map_batches(Flagger, batch_format="pandas",
+                           concurrency=actor_pool(2))
     out = parts.groupby("source").aggregate(
         Sum("n_train", alias_name="n_train"),
         Sum("n_contaminated", alias_name="n_contaminated")).to_pandas()
@@ -2506,7 +2509,8 @@ def q_dup_passages(sf_dir: str, window: int = 16) -> pd.DataFrame:
                 n_docs=("d", "size"), docs_with_dup_passage=("d", "sum"),
                 dup_passage_pairs=("p", "sum"))
 
-    parts = ds.map_batches(Flagger, batch_format="pandas", concurrency=2)
+    parts = ds.map_batches(Flagger, batch_format="pandas",
+                           concurrency=actor_pool(2))
     out = parts.groupby("source").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("docs_with_dup_passage", alias_name="docs_with_dup_passage"),
@@ -3572,11 +3576,12 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
                     "height": media["height"]})
     ds = rd.from_arrow(src)
     feats = (ds.map_batches(MediaFeaturizer, batch_format="pyarrow",
-                            concurrency=2).to_pandas())
+                            concurrency=actor_pool(2)).to_pandas())
     frames = (ds.map_batches(FrameSampler,
                              fn_constructor_kwargs=dict(n_frames=2,
                                                         every=2),
-                             batch_format="pyarrow", concurrency=2)
+                             batch_format="pyarrow",
+                             concurrency=actor_pool(2))
               .to_pandas())
     nfr = (frames[frames["frame_idx"] >= 0]
            .groupby("media_ref").size())
@@ -3829,7 +3834,7 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders",
                columns=["o_custkey", "o_totalprice", "o_orderdate"])
     partials = ds.map_batches(JoinPartial, batch_format="pandas",
-                              concurrency=2)
+                              concurrency=actor_pool(2))
     base = _final_agg(partials, ["n_name", "o_year"], ["cents", "n_orders"])
     lvl1 = base.groupby("n_name", as_index=False)[["cents", "n_orders"]].sum()
     lvl1["o_year"] = -1
@@ -5751,6 +5756,7 @@ def dynamic_oracles() -> dict:
         out["near_dup_groups"] = (
             "SELECT CAST(NULL AS BIGINT) AS label, "
             "CAST(NULL AS BIGINT) AS n_members WHERE 1 = 0")
+        out["kmeans_clusters"] = _kmeans_dynamic_oracle(sf_dir)
         return out
     vals = ", ".join(f"({int(a)}, {int(b)})"
                      for a, b in zip(verified["id_a"], verified["id_b"]))
@@ -5770,4 +5776,61 @@ def dynamic_oracles() -> dict:
         GROUP BY lbl ORDER BY label
     """
     out["near_dup_groups"] = sql
+    out["kmeans_clusters"] = _kmeans_dynamic_oracle(sf_dir)
     return out
+
+
+def _kmeans_dynamic_oracle(sf_dir: str, k: int = 8) -> str:
+    """Dynamic SQL oracle for ``kmeans_clusters``.
+
+    Lloyd iterations are not SQL-expressible, but everything the query
+    REPORTS is a pure function of (raw table, final assignment
+    centroids): re-run the deterministic fit (bit-identical — partials
+    reduce in sorted order, init is the k smallest vec_ids), embed the
+    PRE-UPDATE centroids the final assignment used as a VALUES list,
+    and let DuckDB independently recompute the assignment (nearest
+    centroid, ties to the lowest cluster id like ``np.argmin``), the
+    cluster sizes, the inertia, and the POST-UPDATE centroid norms
+    (per-dimension AVG of the assigned vectors) from the raw parquet.
+    Only ``n_iters`` is embedded as a literal — it has no meaning
+    outside the iteration loop."""
+    from ..functions.ann import kmeans_fit
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, _, iters, _, acent = kmeans_fit(
+        ds, k=k, max_iters=25, return_assign_cent=True)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            ci, ", ".join(repr(float(v)) for v in acent[ci]))
+        for ci in range(k))
+    return f"""
+        WITH cent(cluster, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                FROM embeddings),
+        d AS (SELECT e.vec_id, c.cluster,
+                     list_distance(e.x, c.cvec) ** 2 AS d2
+              FROM emb e CROSS JOIN cent c),
+        a AS (SELECT vec_id, cluster, d2, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+              FROM d),
+        asg AS (SELECT vec_id, cluster, d2 FROM a WHERE rn = 1),
+        sizes AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster),
+        flat AS (SELECT a.cluster, UNNEST(e.x) AS val,
+                        UNNEST(generate_series(1, len(e.x))) AS dim
+                 FROM asg a JOIN emb e USING (vec_id)),
+        upd AS (SELECT cluster, dim, avg(val) AS m
+                FROM flat GROUP BY cluster, dim),
+        norms AS (SELECT cluster, sqrt(sum(m * m)) AS cn
+                  FROM upd GROUP BY cluster),
+        tot AS (SELECT sum(d2) AS inertia FROM asg)
+        SELECT c.cluster,
+               CAST(COALESCE(s.n, 0) AS BIGINT) AS size,
+               round(COALESCE(n.cn,
+                     sqrt(list_sum(list_transform(c.cvec, v -> v * v)))),
+                     6) AS centroid_norm,
+               round((SELECT inertia FROM tot), 4) AS inertia,
+               CAST({iters} AS BIGINT) AS n_iters
+        FROM cent c
+        LEFT JOIN sizes s USING (cluster)
+        LEFT JOIN norms n USING (cluster)
+        ORDER BY c.cluster
+    """

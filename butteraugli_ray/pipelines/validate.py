@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.sketches import FixedHistogram, HyperLogLog, ks_statistic, psi
+from ..functions.pool import actor_pool
 from ..metric.api import ButteraugliParams
 from ..sources.tables import read_table_filtered
 from ..stages.scorer import MediaScorer
@@ -166,7 +167,7 @@ def score_media_table(media_path: str, params: Optional[ButteraugliParams] = Non
         if media_path.endswith(".parquet") else rd.read_lance(media_path))
     scored = media.map_batches(MediaScorer, fn_constructor_kwargs={"params": params},
                                batch_format="pyarrow", batch_size=batch_size,
-                               concurrency=concurrency)
+                               concurrency=actor_pool(concurrency))
     return scored.materialize()
 
 
@@ -331,7 +332,8 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                           threshold=threshold)
     tagged = docs.map_batches(DocChecker, fn_constructor_kwargs=checker_kwargs,
                               batch_format="pyarrow", batch_size=batch_size,
-                              concurrency=checker_concurrency or scorer_concurrency)
+                              concurrency=actor_pool(
+                                  checker_concurrency or scorer_concurrency))
 
     # ---- duplicate doc_id — global scan on a pruned 2-column projection --
     # Scale shape (functions/dedup.dup_keep_table): per-batch (count, min

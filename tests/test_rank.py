@@ -121,6 +121,39 @@ def test_kmeans_fit_matches_single_process_lloyd(ray_session):
     assert (d.min(axis=0) < 0.5).all()
 
 
+def test_kmeans_fit_rerun_bit_identical_and_assign_cent(ray_session):
+    """Two fits over the same data are BIT-identical (sorted partial
+    reduction — the property the dynamic kmeans_clusters oracle relies
+    on), and sizes/inertia correspond to assignment against the
+    returned PRE-UPDATE centroids."""
+    import ray.data as rd
+    from butteraugli_ray.functions.ann import kmeans_fit
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(500, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(500, dtype=np.int64),
+                       "embedding": list(x)})
+    r1 = kmeans_fit(rd.from_pandas(df), k=5, max_iters=12,
+                    return_assign_cent=True)
+    r2 = kmeans_fit(rd.from_pandas(df), k=5, max_iters=12,
+                    return_assign_cent=True)
+    cent, inertia, iters, sizes, acent = r1
+    assert (cent == r2[0]).all() and (acent == r2[4]).all()
+    assert inertia == r2[1] and iters == r2[2]
+    assert sizes.tolist() == r2[3].tolist()
+    # recompute assignment against acent: sizes/inertia must agree
+    xd = x.astype(np.float64)
+    d2 = (np.sum(xd * xd, 1)[:, None] - 2.0 * (xd @ acent.T)
+          + np.sum(acent * acent, 1)[None, :])
+    a = np.argmin(d2, axis=1)
+    assert np.bincount(a, minlength=5).tolist() == sizes.tolist()
+    exp_in = float(d2[np.arange(len(xd)), a].sum())
+    assert abs(inertia - exp_in) / exp_in < 1e-9
+    # and the POST-update centroids are the per-cluster means
+    for i in range(5):
+        if (a == i).any():
+            assert np.allclose(cent[i], xd[a == i].mean(0), atol=1e-12)
+
+
 def test_grouped_quantile_exact_matches_duckdb(ray_session):
     """Distributed histogram-refinement selection == DuckDB
     quantile_cont at several q, including a tiny collect_cap that
