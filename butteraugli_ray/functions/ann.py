@@ -20,13 +20,11 @@ import pandas as pd
 
 
 def _safe_concurrency(requested):
-    """Autoscaling (1, n) pool spec, n additionally capped to leave >=2
-    cluster CPUs free — a fixed pool >= num_cpus starves its own
-    producer/consumer stages in local mode (see functions/pool.py)."""
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    cap = max(1, cpus - 2)
-    return (1, max(1, min(requested or 4, cap)))
+    """Pool spec capped to leave >=2 cluster CPUs free — a fixed pool
+    >= num_cpus starves its own producer/consumer stages in local mode
+    (see functions/pool.py)."""
+    from .pool import actor_pool
+    return actor_pool(requested or 4)
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = np.asarray(m, dtype=np.float64)

@@ -969,7 +969,7 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_value_median_by_type — exact grouped median (sort inside map_groups)
+# q_value_median_by_type — exact grouped median (histogram refinement)
 # ---------------------------------------------------------------------------
 
 def q_value_median_by_type(sf_dir: str) -> pd.DataFrame:

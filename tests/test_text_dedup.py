@@ -515,3 +515,18 @@ def test_rolling_fingerprint_query_matches_naive(ray_session):
             .sort_values("source").reset_index(drop=True))
     assert got["source"].tolist() == want["source"].tolist()
     assert got["n_distinct_fp"].tolist() == want["n_distinct_fp"].tolist()
+
+
+def test_actor_pool_spec_autoscales(ray_session):
+    """Every stateful stage must request an autoscaling (1, n) pool: a
+    fixed pool >= the cluster CPU count starves its own downstream
+    shuffle (measured deadlock: minhash verify under num_cpus=4 with a
+    fixed 4-actor bander pool)."""
+    import ray
+    from butteraugli_ray.functions.pool import actor_pool
+    cap = max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    assert actor_pool(4) == min(4, cap)
+    assert actor_pool(None) == min(4, cap)
+    assert actor_pool(1) == 1
+    assert actor_pool(64) == cap          # never >= cluster CPUs
+    assert actor_pool((2, 8)) == (2, 8)   # explicit floors pass through
