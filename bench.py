@@ -67,7 +67,8 @@ BENCH_QUERIES = [
     "first_last_events", "winsorized_stats", "ks_drift_exact",
     "user_growth", "grouped_ols", "pareto_front",
     "csv_roundtrip", "json_roundtrip", "pii_scrub",
-    "embedding_dim_stats",
+    "embedding_dim_stats", "triangle_count", "user_event_paths",
+    "lineitem_unpivot",
     "validate_corpus",
 ]
 

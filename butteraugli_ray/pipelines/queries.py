@@ -4340,6 +4340,97 @@ def q_embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_triangle_count — graph motif counting over the similarity graph
+# ---------------------------------------------------------------------------
+
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count over the exact n-gram-Jaccard similarity
+    graph (the dup_groups_exact edge set, oriented doc_a < doc_b by
+    construction): distributed wedge-generate + closure-check
+    (functions/graph.triangle_count — two bucketed shuffles, driver
+    reduces B int partials).  Oracle: DuckDB triple self-join over the
+    same jpairs CTE."""
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.graph import triangle_count
+    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
+                                threshold=0.6, concurrency=2)
+    r = triangle_count(pairs, a_col="doc_a", b_col="doc_b")
+    return pd.DataFrame({
+        "n_nodes": pd.Series([r["n_nodes"]], dtype="int64"),
+        "n_edges": pd.Series([r["n_edges"]], dtype="int64"),
+        "n_triangles": pd.Series([r["n_triangles"]], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# q_user_event_paths — grouped ORDERED string_agg (sequence features)
+# ---------------------------------------------------------------------------
+
+def q_user_event_paths(sf_dir: str, head_n: int = 50) -> pd.DataFrame:
+    """Per-user ordered event-type path over the first ``head_n``
+    events by (ts, event_id) — the grouped ordered string_agg /
+    sequence-feature shape.  ONE hash-bucket shuffle of a 4-column
+    projection, sort-within-bucket, vectorized per-user head + C-speed
+    ``str.join`` — no per-user ``map_groups`` tasks (the
+    q_user_gap_stats rule).  event_id is globally unique, so the
+    within-ties order is deterministic and matches the SQL
+    ``row_number() OVER (ORDER BY ts, event_id)`` oracle."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    mask = np.int64(63)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & mask
+        return df
+
+    def bucket_paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        h = g.groupby("user_id", group_keys=False).head(head_n)
+        out = h.groupby("user_id").agg(
+            n_path_events=("event_type", "size"),
+            path=("event_type", ">".join)).reset_index()
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b")
+           .map_groups(bucket_paths, batch_format="pandas").to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_path_events"] = out["n_path_events"].astype("int64")
+    return (out[["user_id", "n_path_events", "path"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# q_lineitem_unpivot — wide→long reshape (melt) with exact aggregates
+# ---------------------------------------------------------------------------
+
+def q_lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT/melt of four numeric lineitem measures into long-format
+    (metric, n_rows, total, mean) rows: one streaming pass emits a
+    4-row (sum, count) partial per batch, the driver reduces and melts
+    the already-4-row table — reshape happens AFTER reduction, so no
+    wide row ever duplicates 4× through a shuffle."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "metric": cols,
+            "s": [float(df[c].sum()) for c in cols],
+            "n": [int(df[c].notna().sum()) for c in cols]})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    agg = parts.groupby("metric", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    return pd.DataFrame({
+        "metric": agg["metric"],
+        "n_rows": agg["n"].astype("int64"),
+        "total": _round_half_away(agg["s"], 2),
+        "mean": _round_half_away(agg["s"] / agg["n"], 4),
+    }).sort_values("metric").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -4452,6 +4543,9 @@ QUERIES = {
     "json_roundtrip": q_json_roundtrip,
     "pii_scrub": q_pii_scrub,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "triangle_count": q_triangle_count,
+    "user_event_paths": q_user_event_paths,
+    "lineitem_unpivot": q_lineitem_unpivot,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5608,6 +5702,55 @@ ORACLE_SQL = {
                ROUND(min(x), 6) AS min_v,
                ROUND(max(x), 6) AS max_v
         FROM v GROUP BY dim ORDER BY dim
+    """,
+    # exact triangle count over the SAME jpairs similarity edges the
+    # pagerank/dup_groups oracles use — triple self-join closure
+    "triangle_count": "WITH " + _NGRAM_PAIR_CTES + """
+        , e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs)
+        SELECT CAST((SELECT count(*) FROM
+                     (SELECT a FROM e UNION SELECT b FROM e)) AS BIGINT)
+                   AS n_nodes,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT count(*) FROM e e1
+                     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
+                   AS n_triangles
+    """,
+    "user_event_paths": """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS n_path_events,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 50
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "lineitem_unpivot": """
+        SELECT * FROM (
+            SELECT 'l_quantity' AS metric,
+                   CAST(count(l_quantity) AS BIGINT) AS n_rows,
+                   ROUND(sum(l_quantity), 2) AS total,
+                   ROUND(sum(l_quantity) / count(l_quantity), 4) AS mean
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', CAST(count(l_extendedprice) AS BIGINT),
+                   ROUND(sum(l_extendedprice), 2),
+                   ROUND(sum(l_extendedprice) / count(l_extendedprice), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', CAST(count(l_discount) AS BIGINT),
+                   ROUND(sum(l_discount), 2),
+                   ROUND(sum(l_discount) / count(l_discount), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', CAST(count(l_tax) AS BIGINT),
+                   ROUND(sum(l_tax), 2),
+                   ROUND(sum(l_tax) / count(l_tax), 4)
+            FROM lineitem
+        ) ORDER BY metric
     """,
 }
 

@@ -236,3 +236,35 @@ def test_pagerank_matches_numpy(ray_session):
     assert got["node"].to_numpy().tolist() == nodes.tolist()
     np.testing.assert_allclose(got["rank"].to_numpy(), r, rtol=1e-12)
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Distributed wedge+closure count == brute-force triple loop on a
+    random oriented graph (plus planted cliques so the count is big)."""
+    import itertools
+    import ray.data as rd
+    from butteraugli_ray.functions.graph import triangle_count
+    rng = np.random.default_rng(11)
+    n = 60
+    edge_set = set()
+    # random edges
+    for _ in range(300):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edge_set.add((min(a, b), max(a, b)))
+    # planted 5-clique on nodes 100..104 (disjoint ids)
+    for a, b in itertools.combinations(range(100, 105), 2):
+        edge_set.add((a, b))
+    edges = pd.DataFrame(sorted(edge_set), columns=["id_a", "id_b"])
+    exp = 0
+    es = set(map(tuple, edges.to_numpy()))
+    nodes = sorted({v for e in es for v in e})
+    for x, y in es:
+        for z in nodes:
+            if z > y and (x, z) in es and (y, z) in es:
+                exp += 1
+    got = triangle_count(rd.from_pandas(edges), n_parts=8)
+    assert got["n_triangles"] == exp
+    assert exp >= 10                      # the clique alone gives C(5,3)=10
+    assert got["n_edges"] == len(edges)
+    assert got["n_nodes"] == len(nodes)
