@@ -194,3 +194,29 @@ class TestSamplingAndEncodeProperties:
         # zero merges → raw characters
         assert all(len(s) == len(w) + 1
                    for w, s in zip(words, bpe_encode(words, [])))
+
+
+class TestPairsWithinGroups:
+    @given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                              st.integers(min_value=0, max_value=40)),
+                    min_size=0, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_matches_bruteforce(self, rows):
+        """Vectorized triu pair emission (the wedge/candidate-pair
+        primitive behind minhash, simhash, and triangle counting) ==
+        itertools brute force per group, ORDER-INSENSITIVE input."""
+        import itertools
+        import pandas as pd
+        from butteraugli_ray.functions.dedup import pairs_within_groups
+        df = pd.DataFrame(rows, columns=["g", "doc_id"])
+        got = pairs_within_groups(df, "g")
+        got_set = set(zip(got["id_a"], got["id_b"]))
+        exp = set()
+        for _, grp in df.drop_duplicates().groupby("g"):
+            for a, b in itertools.combinations(
+                    sorted(grp["doc_id"].unique()), 2):
+                exp.add((a, b))
+        assert got_set == exp
+        assert len(got) == len(exp)          # no duplicate pair rows
+        if len(got):
+            assert (got["id_a"] < got["id_b"]).all()
