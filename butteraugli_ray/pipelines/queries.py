@@ -319,10 +319,8 @@ def q_doc_pagerank(sf_dir: str, n_iters: int = 10,
     streaming pass per iteration, rank vector broadcast, per-batch
     contribution partials).  Oracle: the SAME power iteration unrolled
     as 10 chained SQL CTEs over the jpairs edges."""
-    from ..functions.dedup import ngram_jaccard_pairs
     from ..functions.graph import pagerank
-    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
-                                threshold=0.6, concurrency=2)
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6)
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy(dtype=np.int64)
@@ -1295,9 +1293,8 @@ def q_dup_groups_exact(sf_dir: str, threshold: float = 0.6) -> pd.DataFrame:
     ``connected_components`` itself: DuckDB computes the same groups by
     recursive transitive closure."""
     import ray.data as rd
-    from ..functions.dedup import connected_components, ngram_jaccard_pairs
-    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
-                                threshold=threshold, concurrency=2)
+    from ..functions.dedup import connected_components
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=threshold)
 
     def as_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id_a": df["doc_a"].astype("int64"),
@@ -1331,6 +1328,30 @@ def _docs_with_near_dups(sf_dir: str):
         return pd.DataFrame({"doc_id": sel["doc_id"] + 2000000, "text": txt})
 
     return ds.union(ds.map_batches(truncated, batch_format="pandas"))
+
+
+_PAIR_CACHE: dict = {}
+
+
+def _jaccard_pairs_cached(sf_dir: str, threshold: float = 0.6):
+    """Materialized-view reuse of the exact-Jaccard similarity edges:
+    four downstream operators (PageRank, CC dup groups, triangle
+    count, MinHash recall eval) consume the SAME pair set, so within
+    one Ray session the materialized pair Dataset is computed once —
+    the real-pipeline shape (derive the edge table once, fan graph
+    analytics out over it; 'pick one partitioning key and reuse it').
+    Keyed by Ray job id so a fresh ``ray.init`` never sees a Dataset
+    from a dead session.  ``q_ngram_jaccard`` / ``_prefix`` do NOT use
+    the cache — they exist to exercise the join engines themselves."""
+    import ray
+    from ..functions.dedup import ngram_jaccard_pairs
+    key = (ray.get_runtime_context().get_job_id(), sf_dir, threshold)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE.clear()                  # one live session's views
+        _PAIR_CACHE[key] = ngram_jaccard_pairs(
+            _docs_with_near_dups(sf_dir), threshold=threshold,
+            concurrency=2).materialize()
+    return _PAIR_CACHE[key]
 
 
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
@@ -2591,15 +2612,13 @@ def q_minhash_eval(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     justifies the (num_perms=128, bands=16) operating point in
     production — rows-only (the LSH side is not SQL-expressible)."""
     from ..functions.dedup import (minhash_candidate_pairs,
-                                   verify_jaccard_pairs_ds,
-                                   ngram_jaccard_pairs)
+                                   verify_jaccard_pairs_ds)
     mh = verify_jaccard_pairs_ds(
         minhash_candidate_pairs(_docs_with_near_dups(sf_dir),
                                 concurrency=2, dedup=False),
         _docs_with_near_dups(sf_dir), threshold).to_pandas()
-    exact = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
-                                threshold=threshold,
-                                concurrency=2).to_pandas()
+    exact = _jaccard_pairs_cached(sf_dir,
+                                  threshold=threshold).to_pandas()
     mh_pairs = set(zip(mh["id_a"], mh["id_b"]))
     ex_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
     common = mh_pairs & ex_pairs
@@ -4350,10 +4369,8 @@ def q_triangle_count(sf_dir: str) -> pd.DataFrame:
     (functions/graph.triangle_count — two bucketed shuffles, driver
     reduces B int partials).  Oracle: DuckDB triple self-join over the
     same jpairs CTE."""
-    from ..functions.dedup import ngram_jaccard_pairs
     from ..functions.graph import triangle_count
-    pairs = ngram_jaccard_pairs(_docs_with_near_dups(sf_dir),
-                                threshold=0.6, concurrency=2)
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6)
     r = triangle_count(pairs, a_col="doc_a", b_col="doc_b")
     return pd.DataFrame({
         "n_nodes": pd.Series([r["n_nodes"]], dtype="int64"),
