@@ -1345,19 +1345,37 @@ def _jaccard_pairs_cached(sf_dir: str, threshold: float = 0.6):
     the cache — they exist to exercise the join engines themselves."""
     import ray
     from ..functions.dedup import ngram_jaccard_pairs
-    key = (ray.get_runtime_context().get_job_id(), sf_dir, threshold)
+    job = ray.get_runtime_context().get_job_id()
+    key = ("jp", job, sf_dir, threshold)
     if key not in _PAIR_CACHE:
-        _PAIR_CACHE.clear()                  # one live session's views
+        _evict_dead_sessions(job)
         _PAIR_CACHE[key] = ngram_jaccard_pairs(
             _docs_with_near_dups(sf_dir), threshold=threshold,
             concurrency=2).materialize()
     return _PAIR_CACHE[key]
 
 
+def _evict_dead_sessions(live_job: str) -> None:
+    """Drop cached views whose Ray session (job id) is gone — a
+    materialized Dataset must never outlive the cluster it lives on."""
+    for k in [k for k in _PAIR_CACHE if k[1] != live_job]:
+        del _PAIR_CACHE[k]
+
+
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """MinHash+LSH candidates → fully-distributed exact-Jaccard verify
     (candidate texts semi-filtered and hash-joined back to the pairs —
-    no driver-side text table)."""
+    no driver-side text table).  The verified pair set is memoized per
+    Ray session like ``_jaccard_pairs_cached`` (it is the input edge
+    table of ``q_near_dup_groups`` AND of the dynamic near_dup_groups
+    oracle — three full LSH pipelines otherwise)."""
+    import ray
+    job = ray.get_runtime_context().get_job_id()
+    key = ("mh", job, sf_dir, threshold)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit.copy()
+    _evict_dead_sessions(job)
     from ..functions.dedup import minhash_candidate_pairs, verify_jaccard_pairs_ds
     ds = _docs_with_near_dups(sf_dir)
     # dedup=False: the verifier's per-pair grouping dedups across bands
@@ -1365,7 +1383,9 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     out = verify_jaccard_pairs_ds(pairs, _docs_with_near_dups(sf_dir),
                                   threshold).to_pandas()
     out["jaccard"] = out["jaccard"].round(4)
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    _PAIR_CACHE[key] = out
+    return out.copy()
 
 
 def q_user_peak_burst(sf_dir: str, window_s: int = 600) -> pd.DataFrame:
