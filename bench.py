@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "user_growth", "grouped_ols", "pareto_front",
     "csv_roundtrip", "json_roundtrip", "pii_scrub",
     "embedding_dim_stats", "triangle_count", "user_event_paths",
-    "lineitem_unpivot",
+    "lineitem_unpivot", "decayed_activity", "benford_drift",
     "validate_corpus",
 ]
 

@@ -4467,6 +4467,75 @@ def q_lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
     }).sort_values("metric").reset_index(drop=True)
 
 
+def q_decayed_activity(sf_dir: str, tau_days: float = 7.0) -> pd.DataFrame:
+    """Per-user exponentially time-decayed activity score
+    Σ value·exp(−Δt/τ), Δt measured back from the corpus' newest event
+    — the online-feature / recency-weighting shape.  Anchoring every
+    term to one global t_ref makes the per-batch grouped sums ADDITIVE
+    (a streaming engine would decay multiplicatively instead), so the
+    whole query is one column-pruned max(ts) pass plus one combiner
+    pass; only (user, partial_sum) rows ever shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    t_ref = pd.Timestamp(ds.max("ts"))
+    tau_s = float(tau_days) * 86400.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = (t_ref - df["ts"]).dt.total_seconds().to_numpy(dtype=np.float64)
+        w = df["value"].to_numpy(dtype=np.float64) * np.exp(-dt / tau_s)
+        return (pd.DataFrame({"user_id": df["user_id"], "w": w})
+                .groupby("user_id", as_index=False)["w"].sum())
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["user_id"], ["w"])
+    out["decayed_value"] = _round_half_away(out["w"], 6)
+    return (out.drop(columns=["w", "__b"], errors="ignore")
+            .sort_values("user_id").reset_index(drop=True))
+
+
+_BENFORD_GROUP = "o_orderpriority"
+
+
+def q_benford_drift(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law conformance per order priority: first-significant-
+    digit distribution of o_totalprice vs log10(1+1/d), chi-square per
+    group.  Digit extraction is STRING-based (first nonzero char of the
+    shortest round-trip float repr) on both sides — floor(log10(x)) is
+    off-by-one at exact powers of ten in floating point.  Distributed
+    shape: per-batch (group, digit) count partials → hash-bucket
+    combine; the chi-square formula runs on the final ≤ groups×9 rows."""
+    ds = _read(sf_dir, "orders", columns=[_BENFORD_GROUP, "o_totalprice"])
+
+    def digit_counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["o_totalprice"].to_numpy(dtype=np.float64)
+        # shortest round-trip repr, same contract as DuckDB's
+        # CAST(double AS VARCHAR) — first char in [1-9] is the digit
+        digs = (pd.Series(s).astype(str)
+                .str.extract(r"([1-9])", expand=False).astype("int64"))
+        d = pd.DataFrame({_BENFORD_GROUP: df[_BENFORD_GROUP].to_numpy(),
+                          "digit": digs})
+        out = d.groupby([_BENFORD_GROUP, "digit"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = _final_agg(ds.map_batches(digit_counts, batch_format="pandas"),
+                        [_BENFORD_GROUP, "digit"], ["n"])
+    counts = counts.drop(columns=["__b"], errors="ignore")
+    # final chi-square on the tiny (group × 9) table
+    full = (pd.MultiIndex.from_product(
+        [sorted(counts[_BENFORD_GROUP].unique()), range(1, 10)],
+        names=[_BENFORD_GROUP, "digit"]).to_frame(index=False)
+        .merge(counts, how="left").fillna({"n": 0}))
+    nt = full.groupby(_BENFORD_GROUP)["n"].transform("sum").to_numpy(
+        dtype=np.float64)
+    e = nt * np.log10(1.0 + 1.0 / full["digit"].to_numpy(dtype=np.float64))
+    obs = full["n"].to_numpy(dtype=np.float64)
+    full["chi2_term"] = (obs - e) ** 2 / e
+    out = full.groupby(_BENFORD_GROUP, as_index=False).agg(
+        n_orders=("n", "sum"), benford_chi2=("chi2_term", "sum"))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["benford_chi2"] = _round_half_away(out["benford_chi2"], 6)
+    return out.sort_values(_BENFORD_GROUP).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4583,6 +4652,8 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "user_event_paths": q_user_event_paths,
     "lineitem_unpivot": q_lineitem_unpivot,
+    "decayed_activity": q_decayed_activity,
+    "benford_drift": q_benford_drift,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5788,6 +5859,36 @@ ORACLE_SQL = {
                    ROUND(sum(l_tax) / count(l_tax), 4)
             FROM lineitem
         ) ORDER BY metric
+    """,
+    "decayed_activity": """
+        WITH tref AS (SELECT max(ts) AS t FROM events)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               ROUND(SUM(value * exp(-((epoch_us(t) - epoch_us(ts)) / 1e6)
+                                     / (7.0 * 86400.0))), 6) AS decayed_value
+        FROM events, tref
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "benford_drift": """
+        WITH d AS (
+            SELECT o_orderpriority,
+                   CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+                                       '[1-9]') AS INT) AS digit
+            FROM orders),
+        c AS (SELECT o_orderpriority, digit, count(*) AS n
+              FROM d GROUP BY 1, 2),
+        tot AS (SELECT o_orderpriority, sum(n) AS nt FROM c GROUP BY 1),
+        grid AS (
+            SELECT t.o_orderpriority, dd.digit,
+                   COALESCE(c.n, 0)::DOUBLE AS n, t.nt::DOUBLE AS nt,
+                   t.nt * log10(1.0 + 1.0 / dd.digit) AS e
+            FROM tot t
+            CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) dd
+            LEFT JOIN c ON c.o_orderpriority = t.o_orderpriority
+                       AND c.digit = dd.digit)
+        SELECT o_orderpriority,
+               CAST(SUM(n) AS BIGINT) AS n_orders,
+               ROUND(SUM((n - e) * (n - e) / e), 6) AS benford_chi2
+        FROM grid GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 }
 

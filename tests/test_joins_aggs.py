@@ -123,6 +123,8 @@ class TestDataPipelineQueries:
         ("ks_drift_exact", ["events"]),
         ("user_growth", ["events"]),
         ("lang_id", ["documents"]),
+        ("decayed_activity", ["events"]),
+        ("benford_drift", ["orders"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
