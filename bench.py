@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "csv_roundtrip", "json_roundtrip", "pii_scrub",
     "embedding_dim_stats", "triangle_count", "user_event_paths",
     "lineitem_unpivot", "decayed_activity", "benford_drift",
+    "naive_bayes_lang",
     "validate_corpus",
 ]
 

@@ -4536,6 +4536,92 @@ def q_benford_drift(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(_BENFORD_GROUP).reset_index(drop=True)
 
 
+def q_naive_bayes_lang(sf_dir: str) -> pd.DataFrame:
+    """Distributed multinomial Naive Bayes, trained and evaluated on the
+    corpus lang label (the classic generative text classifier, add-1
+    smoothed): p(l|d) ∝ p(l)·Π p(tok|l).  Output is the CONFUSION
+    TABLE (lang, pred_lang, n_docs) — integer counts, so the full
+    DuckDB oracle hash-matches despite float log-sums on both sides.
+
+    Scale shape: the TRAIN pass shuffles only per-batch (lang, token)
+    count partials (bounded by |langs|×|vocab|, not token count); the
+    model — a dense (V × L) log-prob matrix + log priors — broadcasts
+    to the SCORE pass, which classifies each batch with one
+    np.add.at scatter over (doc, lang) and ships back per-(lang,
+    pred) count partials.  Ties break toward the lexicographically
+    smallest lang on both sides (argmax-first vs ORDER BY score DESC,
+    cand ASC)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if not lens.sum():
+            return pd.DataFrame({"lang": [], "tok": [],
+                                 "n": pd.Series([], dtype="int64"),
+                                 "nd": pd.Series([], dtype="int64")})
+        flat = pd.DataFrame({
+            "lang": np.repeat(df["lang"].to_numpy(), lens),
+            "tok": np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)])})
+        g = flat.groupby(["lang", "tok"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        g["nd"] = np.int64(0)
+        # per-lang doc counts ride the same partial stream (tok="")
+        pr = df.groupby("lang", as_index=False).size().rename(
+            columns={"size": "nd"})
+        pr["tok"] = ""
+        pr["n"] = np.int64(0)
+        pr["nd"] = pr["nd"].astype("int64")
+        return pd.concat([g, pr[["lang", "tok", "n", "nd"]]],
+                         ignore_index=True)
+
+    cnt = _final_agg(ds.map_batches(count_partial, batch_format="pandas"),
+                     ["lang", "tok"], ["n", "nd"])
+    priors = cnt[cnt["tok"] == ""]
+    cnt = cnt[cnt["tok"] != ""]
+    langs = np.array(sorted(priors["lang"]))
+    lang_index = pd.Index(langs)
+    n_docs_total = float(priors["nd"].sum())
+    log_prior = np.log(priors.set_index("lang")["nd"]
+                       .reindex(langs).to_numpy(dtype=np.float64)
+                       / n_docs_total)
+    tok_index = pd.Index(np.sort(cnt["tok"].unique()))
+    v_size = float(len(tok_index))
+    # dense (V+1 × L) log-prob matrix; the last row is the unseen-token
+    # floor ln(1/(N_l + V)) so get_indexer's -1 lands on it
+    mat = np.zeros((len(tok_index) + 1, len(langs)), dtype=np.float64)
+    li = lang_index.get_indexer(cnt["lang"])
+    ti = tok_index.get_indexer(cnt["tok"])
+    mat[ti, li] = cnt["n"].to_numpy(dtype=np.float64)
+    n_l = mat.sum(axis=0)
+    logp = np.log((mat + 1.0) / (n_l + v_size))
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        scores = np.tile(log_prior, (len(df), 1))
+        if lens.sum():
+            flat = pd.Series(np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)]))
+            ids = tok_index.get_indexer(flat)
+            rows = np.repeat(np.arange(len(df)), lens)
+            np.add.at(scores, rows, logp[ids])
+        pred = langs[np.argmax(scores, axis=1)]
+        g = pd.DataFrame({"lang": df["lang"].to_numpy(), "pred_lang": pred})
+        out = g.groupby(["lang", "pred_lang"], as_index=False).size()
+        out = out.rename(columns={"size": "n_docs"})
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    out = _final_agg(ds.map_batches(score_partial, batch_format="pandas"),
+                     ["lang", "pred_lang"], ["n_docs"])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return (out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+            [["lang", "pred_lang", "n_docs"]])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4654,6 +4740,7 @@ QUERIES = {
     "lineitem_unpivot": q_lineitem_unpivot,
     "decayed_activity": q_decayed_activity,
     "benford_drift": q_benford_drift,
+    "naive_bayes_lang": q_naive_bayes_lang,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -5889,6 +5976,43 @@ ORACLE_SQL = {
                CAST(SUM(n) AS BIGINT) AS n_orders,
                ROUND(SUM((n - e) * (n - e) / e), 6) AS benford_chi2
         FROM grid GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "naive_bayes_lang": r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+            FROM documents),
+        cnt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        prior AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+        ltot AS (
+            SELECT p.lang, COALESCE(sum(c.c), 0) AS nl
+            FROM prior p LEFT JOIN cnt c USING (lang) GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        nt AS (SELECT count(*) AS n FROM documents),
+        tok_sums AS (
+            SELECT t.doc_id, l.lang AS cand,
+                   SUM(ln((COALESCE(c.c, 0) + 1.0) / (l.nl + v.v))) AS s
+            FROM toks t
+            CROSS JOIN ltot l
+            CROSS JOIN v
+            LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand,
+                   ln(p.nd * 1.0 / nt.n) + COALESCE(ts.s, 0.0) AS score
+            FROM documents d
+            CROSS JOIN prior p CROSS JOIN nt
+            LEFT JOIN tok_sums ts ON ts.doc_id = d.doc_id
+                                 AND ts.cand = p.lang),
+        pick AS (
+            SELECT doc_id, true_lang, cand,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rn
+            FROM scored)
+        SELECT true_lang AS lang, cand AS pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pick WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
 

@@ -125,6 +125,7 @@ class TestDataPipelineQueries:
         ("lang_id", ["documents"]),
         ("decayed_activity", ["events"]),
         ("benford_drift", ["orders"]),
+        ("naive_bayes_lang", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
