@@ -1411,3 +1411,215 @@ def semdedup(ds, centroids: np.ndarray, threshold: float = 0.65,
     return (assigned.map_batches(subkey, batch_format="pandas")
             .groupby("__g")
             .map_groups(dedup_cluster, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (q-gram count filter + vectorized DP)
+# ---------------------------------------------------------------------------
+
+def levenshtein_batch(str_a, str_b) -> np.ndarray:
+    """Exact Levenshtein distance for n string pairs at once — the DP
+    runs VECTORIZED ACROSS PAIRS (one (n × len_b) numpy row per DP
+    step), with the sequential in-row dependency
+    cur[j] = min(indep[j], cur[j-1]+1) collapsed to a prefix-min:
+    cur[j] = j + min(i, min_{k<=j}(indep[k]-k)).  Distances are over
+    UTF-8 BYTES (ASCII ⇒ chars), matching DuckDB's levenshtein().
+
+    Cost O(len_a · len_b) vector steps total for the whole batch — no
+    per-pair Python.  Intended for post-blocking verify stages where
+    keys are short (<=64 B); quadratic in key length by nature."""
+    sa = pd.Series(list(str_a), dtype=object).fillna("").str.encode("utf-8")
+    sb = pd.Series(list(str_b), dtype=object).fillna("").str.encode("utf-8")
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = sa.str.len().to_numpy(dtype=np.int64)
+    lb = sb.str.len().to_numpy(dtype=np.int64)
+    ma, mb = max(int(la.max()), 1), max(int(lb.max()), 1)
+    A = np.frombuffer(np.array(sa.to_numpy(), dtype=f"S{ma}").tobytes(),
+                      dtype=np.uint8).reshape(n, ma)
+    B = np.frombuffer(np.array(sb.to_numpy(), dtype=f"S{mb}").tobytes(),
+                      dtype=np.uint8).reshape(n, mb)
+    dist = np.zeros(n, dtype=np.int64)
+    m0 = la == 0
+    dist[m0] = lb[m0]
+    jj = np.arange(1, mb + 1, dtype=np.int64)
+    prev = np.tile(np.arange(mb + 1, dtype=np.int64), (n, 1))
+    for i in range(1, ma + 1):
+        cost = (A[:, i - 1, None] != B).astype(np.int64)
+        indep = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        run = np.minimum.accumulate(indep - jj, axis=1)
+        prev = np.concatenate(
+            [np.full((n, 1), i, dtype=np.int64),
+             jj + np.minimum(run, i)], axis=1)
+        m = la == i
+        if m.any():
+            dist[m] = prev[m, lb[m]]
+    return dist
+
+
+def edit_distance_pairs(ds, d_max: int = 2, q: int = 3,
+                        n_buckets: int = 16,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT edit-distance similarity join → Dataset(id_a, id_b, dist)
+    for every unordered pair with levenshtein <= ``d_max``.  No false
+    negatives: candidates come from the POSITIONAL q-gram COUNT FILTER
+    (Gravano et al., VLDB 2001) — if ed(a,b) <= d then a and b share at
+    least max(|a|,|b|) - q + 1 - d*q positional q-grams — then every
+    candidate is verified with the vectorized Levenshtein DP.
+
+    Distributed shape (mirrors ngram_jaccard_pairs + Ed-Join prefix
+    filtering, Xiao et al. 2008):
+
+        keys ─gram pass→ (gh, id, m)   gh = q bytes packed into an
+             int64 plus an occurrence index (multiset-exact, no string
+             hashing); strings too short for the bound to bite
+             (m <= q-1+d*q) ALSO emit negative LENGTH-BAND keys
+             -(1+m+t), t=0..d — any two such strings within the length
+             filter share a band key, so the degenerate regime rides
+             the SAME inverted-index join instead of a special path
+        ─global gram df (bucketed partials, small-domain table) →
+             PREFIX PRUNE: each string indexes only its d*q+1 RAREST
+             grams under the global (df, gh) total order — lossless by
+             the prefix-filter lemma (required overlap t = max(m)-q+1
+             -d*q admits a prefix of |G|-t+1 <= d*q+1 grams), and it
+             kills the Σ df² hot-gram blowup a raw inverted index
+             suffers on shared-vocabulary corpora (measured 111 s →
+             ~8 s at sf0.1)
+        ─hash_join(gh) on prefix grams → candidate pairs (bucketed
+             pair dedup + |m_a-m_b| <= d_max length filter)
+        ─hash_join(id_a), hash_join(id_b) attach keys → DP verify
+
+    Scale notes: the df table is bounded by the DISTINCT gram domain
+    (≤ alphabet^q × max occurrence), not by corpus size, and rides to
+    the prune stage as a broadcast small side; candidate volume is
+    Σ_gh df_prefix(gh)² over RAREST-gram document frequencies.  Keys
+    are expected SHORT (fingerprint prefixes), so 100 TB corpora block
+    on ~48-byte keys, not documents.  Byte-oriented: supply
+    ASCII/normalized keys (the q-gram bound counts bytes, as does the
+    DP)."""
+    import pyarrow.compute as pc
+    from .joins import hash_join
+
+    if not (1 <= q <= 7):
+        raise ValueError("edit_distance_pairs packs q grams into int64: 1<=q<=7")
+    cutoff = q - 1 + d_max * q
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.encode("utf-8")
+        ml = s.str.len().to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        if not len(df):
+            return pd.DataFrame({"gh": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "m": pd.Series([], dtype="int64")})
+        mx = max(int(ml.max()), q)
+        A = np.frombuffer(np.array(s.to_numpy(), dtype=f"S{mx}").tobytes(),
+                          dtype=np.uint8).reshape(len(df), mx)
+        k = np.maximum(ml - q + 1, 0)
+        rows = np.repeat(np.arange(len(df)), k)
+        starts = (np.arange(int(k.sum()), dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(k)[:-1]]), k))
+        gram = np.zeros(len(rows), dtype=np.int64)
+        for t in range(q):
+            gram = (gram << 8) | A[rows, starts + t].astype(np.int64)
+        occ = (pd.DataFrame({"r": rows, "g": gram})
+               .groupby(["r", "g"], sort=False).cumcount()
+               .to_numpy(dtype=np.int64))
+        out = pd.DataFrame({"gh": (gram << 16) | occ,
+                            id_col: ids[rows], "m": ml[rows]})
+        sh = np.nonzero(ml <= cutoff)[0]
+        if len(sh):
+            t = np.tile(np.arange(d_max + 1, dtype=np.int64), len(sh))
+            srows = np.repeat(sh, d_max + 1)
+            band = pd.DataFrame({"gh": -(1 + ml[srows] + t),
+                                 id_col: ids[srows], "m": ml[srows]})
+            out = pd.concat([out, band], ignore_index=True)
+        return out
+
+    # pass 1: global gram document frequencies — a domain-bounded small
+    # table (distinct grams, not corpus rows), reduced from per-batch
+    # value_counts partials and broadcast to pass 2 in the task closure
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["gh"].value_counts()
+        return pd.DataFrame({"gh": vc.index.to_numpy(dtype=np.int64),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    df_map = (ds.map_batches(gram_rows, batch_format="pandas")
+              .map_batches(df_partial, batch_format="pandas")
+              .to_pandas().groupby("gh")["n"].sum())
+    plen = d_max * q + 1
+
+    # pass 2: regenerate grams and keep only each string's plen RAREST
+    # under the global (df, gh) order — prune and generation share one
+    # batch fn so a string's gram set is never split across blocks.
+    # Short strings (m <= cutoff) are exempt: their band keys + full
+    # gram set ARE the prefix (required overlap <= 0).
+    def pruned_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = gram_rows(df)
+        if not len(g):
+            return g
+        g = g.assign(__df=g["gh"].map(df_map).fillna(0)
+                     .to_numpy(dtype=np.int64))
+        short = g["m"].to_numpy() <= cutoff
+        pruned = (g[~short].sort_values(["__df", "gh"], kind="mergesort")
+                  .groupby(id_col, sort=False).head(plen))
+        return (pd.concat([pruned, g[short]], ignore_index=True)
+                .drop(columns="__df"))
+
+    pruned = ds.map_batches(pruned_rows, batch_format="pandas").materialize()
+
+    def side(a: str, n: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({a: df[id_col], n: df["m"], "gh": df["gh"]})
+        return fn
+
+    co = hash_join(pruned.map_batches(side("id_a", "m_a"), batch_format="pandas"),
+                   pruned.map_batches(side("id_b", "m_b"), batch_format="pandas"),
+                   key="gh", n_buckets=n_buckets)
+
+    nparts = 1 << max(n_buckets - 1, 1).bit_length()
+
+    def ordered(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["id_a"], t["id_b"]))
+        t = t.filter(pc.less_equal(
+            pc.abs(pc.subtract(pc.cast(t["m_a"], pa.int64()),
+                               pc.cast(t["m_b"], pa.int64()))),
+            pa.scalar(d_max, pa.int64())))
+        a = pc.cast(t["id_a"], pa.int64())
+        b = pc.cast(t["id_b"], pa.int64())
+        if t.num_rows and pc.max(b).as_py() >= (1 << 31):
+            raise ValueError("edit_distance int64 pair packing needs ids < 2^31")
+        key = pc.add(pc.multiply(a, pa.scalar(1 << 32, pa.int64())), b)
+        return pa.table({"pair_key": key,
+                         "__pb": pc.bit_wise_and(key, pa.scalar(nparts - 1,
+                                                                pa.int64()))})
+
+    def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["pair_key"].drop_duplicates().to_numpy(dtype=np.int64)
+        return pd.DataFrame({"id_a": key >> 32, "id_b": key & 0xFFFFFFFF})
+
+    cand = (co.map_batches(ordered, batch_format="pyarrow")
+            .groupby("__pb").map_groups(agg_bucket, batch_format="pandas"))
+
+    keys_a = ds.map_batches(
+        lambda df: pd.DataFrame({"id_a": df[id_col].astype("int64"),
+                                 "s_a": df[text_col].fillna("")}),
+        batch_format="pandas")
+    keys_b = ds.map_batches(
+        lambda df: pd.DataFrame({"id_b": df[id_col].astype("int64"),
+                                 "s_b": df[text_col].fillna("")}),
+        batch_format="pandas")
+    withs = hash_join(hash_join(cand, keys_a, key="id_a",
+                                n_buckets=max(n_buckets // 4, 4)),
+                      keys_b, key="id_b", n_buckets=max(n_buckets // 4, 4))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = levenshtein_batch(df["s_a"], df["s_b"])
+        keep = d <= d_max
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy(dtype=np.int64)[keep],
+            "id_b": df["id_b"].to_numpy(dtype=np.int64)[keep],
+            "dist": d[keep]})
+
+    return withs.map_batches(verify, batch_format="pandas")

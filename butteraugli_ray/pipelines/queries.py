@@ -4622,6 +4622,45 @@ def q_naive_bayes_lang(sf_dir: str) -> pd.DataFrame:
             [["lang", "pred_lang", "n_docs"]])
 
 
+def q_edit_distance_join(sf_dir: str, d_max: int = 2,
+                         prefix: int = 48) -> pd.DataFrame:
+    """EXACT edit-distance similarity join over 48-char document
+    fingerprint prefixes (typo-level near-dup detection): every
+    unordered pair within Levenshtein distance ``d_max``, via the
+    lossless positional q-gram count filter + vectorized-DP verify
+    (``functions/dedup.edit_distance_pairs``).  Near-dups are planted
+    as deterministic single-char deletions (id + 3_000_000), mirrored
+    exactly in the DuckDB levenshtein() oracle.  Runs on the
+    doc_id %% 5 == 0 slice — the ORACLE's all-pairs check is quadratic
+    (the engine itself blocks on shared q-grams and stays subquadratic);
+    the slice keeps the oracle honest at sf0.1."""
+    from ..functions.dedup import edit_distance_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 5 == 0]
+        s = df["text"].fillna("").str.slice(0, prefix)
+        base = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "s": s.to_numpy()})
+        v = base[(base["doc_id"] % 7 == 3) & (base["s"].str.len() > 1)]
+        if len(v):
+            ln = np.minimum(v["s"].str.len().to_numpy(dtype=np.int64), 40)
+            p = (v["doc_id"].to_numpy() * 13) % ln
+            # seeded-corruption generator, not a hot path: one python
+            # splice per planted variant (1/35 of the slice)
+            vs = [t[:i] + t[i + 1:] for t, i in zip(v["s"], p)]
+            base = pd.concat([base, pd.DataFrame({
+                "doc_id": v["doc_id"].to_numpy() + 3_000_000, "s": vs})],
+                ignore_index=True)
+        return base
+
+    pairs = edit_distance_pairs(ds.map_batches(keyed, batch_format="pandas"),
+                                d_max=d_max, q=3, text_col="s")
+    out = pairs.to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4741,6 +4780,7 @@ QUERIES = {
     "decayed_activity": q_decayed_activity,
     "benford_drift": q_benford_drift,
     "naive_bayes_lang": q_naive_bayes_lang,
+    "edit_distance_join": q_edit_distance_join,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6013,6 +6053,25 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_docs
         FROM pick WHERE rn = 1
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "edit_distance_join": """
+        WITH base AS (
+            SELECT doc_id, substr(text, 1, 48) AS s
+            FROM documents WHERE doc_id % 5 = 0),
+        var AS (
+            SELECT doc_id + 3000000 AS doc_id,
+                   substr(s, 1, p) || substr(s, p + 2) AS s
+            FROM (SELECT doc_id, s,
+                         CAST((doc_id * 13) % LEAST(length(s), 40) AS INT) AS p
+                  FROM base WHERE doc_id % 7 = 3 AND length(s) > 1)),
+        allk AS (SELECT * FROM base UNION ALL SELECT * FROM var)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM allk a JOIN allk b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.s) - length(b.s)) <= 2
+        WHERE levenshtein(a.s, b.s) <= 2
+        ORDER BY id_a, id_b
     """,
 }
 
