@@ -1469,7 +1469,7 @@ def edit_distance_pairs(ds, d_max: int = 2, q: int = 3,
     candidate is verified with the vectorized Levenshtein DP.
 
     Distributed shape (mirrors ngram_jaccard_pairs + Ed-Join prefix
-    filtering, Xiao et al. 2008):
+    filtering, Xiao et al. 2008) — ONE gram shuffle end-to-end:
 
         keys ─gram pass→ (gh, id, m)   gh = q bytes packed into an
              int64 plus an occurrence index (multiset-exact, no string
@@ -1485,21 +1485,28 @@ def edit_distance_pairs(ds, d_max: int = 2, q: int = 3,
              -d*q admits a prefix of |G|-t+1 <= d*q+1 grams), and it
              kills the Σ df² hot-gram blowup a raw inverted index
              suffers on shared-vocabulary corpora (measured 111 s →
-             ~8 s at sf0.1)
-        ─hash_join(gh) on prefix grams → candidate pairs (bucketed
-             pair dedup + |m_a-m_b| <= d_max length filter)
-        ─hash_join(id_a), hash_join(id_b) attach keys → DP verify
+             ~8 s at sf0.1); the STRING RIDES WITH ITS PREFIX GRAMS
+             (≤ d*q+1 copies of a short key) so the verify needs no
+             re-join against the input
+        ─ONE shuffle: grams → hash(gh) partitions; inside each
+             partition a single vectorized pass emits candidate pairs
+             per gram group (triu gather), length-filters
+             |m_a-m_b| <= d_max, locally dedups, and DP-verifies with
+             the texts already co-resident in the partition
+        ─output-bounded pair dedup (verified pairs only — a pair that
+             shares prefix grams in several partitions is rediscovered
+             once per partition)
 
     Scale notes: the df table is bounded by the DISTINCT gram domain
     (≤ alphabet^q × max occurrence), not by corpus size, and rides to
     the prune stage as a broadcast small side; candidate volume is
     Σ_gh df_prefix(gh)² over RAREST-gram document frequencies.  Keys
     are expected SHORT (fingerprint prefixes), so 100 TB corpora block
-    on ~48-byte keys, not documents.  Byte-oriented: supply
+    on ~48-byte keys, not documents; the only post-gram shuffle is the
+    verified-output dedup, bounded by |result|.  Byte-oriented: supply
     ASCII/normalized keys (the q-gram bound counts bytes, as does the
     DP)."""
-    import pyarrow.compute as pc
-    from .joins import hash_join
+    from .joins import _bucket_of
 
     if not (1 <= q <= 7):
         raise ValueError("edit_distance_pairs packs q grams into int64: 1<=q<=7")
@@ -1554,72 +1561,63 @@ def edit_distance_pairs(ds, d_max: int = 2, q: int = 3,
     # under the global (df, gh) order — prune and generation share one
     # batch fn so a string's gram set is never split across blocks.
     # Short strings (m <= cutoff) are exempt: their band keys + full
-    # gram set ARE the prefix (required overlap <= 0).
+    # gram set ARE the prefix (required overlap <= 0).  The text rides
+    # with each surviving gram row (≤ plen short-key copies) so the
+    # verify stage never re-joins against the input, and the partition
+    # tag is computed here — pass 2 feeds the ONE shuffle directly.
     def pruned_rows(df: pd.DataFrame) -> pd.DataFrame:
         g = gram_rows(df)
         if not len(g):
+            g[text_col] = pd.Series([], dtype=object)
+            g["__part"] = pd.Series([], dtype="int64")
             return g
         g = g.assign(__df=g["gh"].map(df_map).fillna(0)
                      .to_numpy(dtype=np.int64))
         short = g["m"].to_numpy() <= cutoff
         pruned = (g[~short].sort_values(["__df", "gh"], kind="mergesort")
                   .groupby(id_col, sort=False).head(plen))
-        return (pd.concat([pruned, g[short]], ignore_index=True)
-                .drop(columns="__df"))
+        out = (pd.concat([pruned, g[short]], ignore_index=True)
+               .drop(columns="__df"))
+        txt = pd.Series(df[text_col].fillna("").to_numpy(),
+                        index=df[id_col].to_numpy(dtype=np.int64))
+        out[text_col] = txt.reindex(out[id_col].to_numpy()).to_numpy()
+        out["__part"] = _bucket_of(out["gh"].to_numpy(), n_buckets)
+        return out
 
-    pruned = ds.map_batches(pruned_rows, batch_format="pandas").materialize()
+    # the one shuffle: gram rows → hash(gh) partitions; each partition
+    # holds every (id, m, text) row of its gram groups, so candidate
+    # emission, the |m_a-m_b| length filter, local pair dedup and the
+    # vectorized DP verify all happen in a single task with no re-join
+    def part_verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "dist": pd.Series([], dtype="int64")})
+        pairs = pairs_within_groups(g, "gh", id_col=id_col)
+        if not len(pairs):
+            return empty
+        pairs = pairs.drop_duplicates()
+        u = g.drop_duplicates(id_col)
+        lut = u.set_index(u[id_col].to_numpy(dtype=np.int64))
+        ia = pairs["id_a"].to_numpy(dtype=np.int64)
+        ib = pairs["id_b"].to_numpy(dtype=np.int64)
+        ma = lut["m"].reindex(ia).to_numpy(dtype=np.int64)
+        mb = lut["m"].reindex(ib).to_numpy(dtype=np.int64)
+        keep = np.abs(ma - mb) <= d_max
+        if not keep.any():
+            return empty
+        ia, ib = ia[keep], ib[keep]
+        d = levenshtein_batch(lut[text_col].reindex(ia),
+                              lut[text_col].reindex(ib))
+        hit = d <= d_max
+        return pd.DataFrame({"id_a": ia[hit], "id_b": ib[hit],
+                             "dist": d[hit]})
 
-    def side(a: str, n: str):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({a: df[id_col], n: df["m"], "gh": df["gh"]})
-        return fn
+    verified = (ds.map_batches(pruned_rows, batch_format="pandas")
+                .groupby("__part")
+                .map_groups(part_verify, batch_format="pandas"))
 
-    co = hash_join(pruned.map_batches(side("id_a", "m_a"), batch_format="pandas"),
-                   pruned.map_batches(side("id_b", "m_b"), batch_format="pandas"),
-                   key="gh", n_buckets=n_buckets)
-
-    nparts = 1 << max(n_buckets - 1, 1).bit_length()
-
-    def ordered(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["id_a"], t["id_b"]))
-        t = t.filter(pc.less_equal(
-            pc.abs(pc.subtract(pc.cast(t["m_a"], pa.int64()),
-                               pc.cast(t["m_b"], pa.int64()))),
-            pa.scalar(d_max, pa.int64())))
-        a = pc.cast(t["id_a"], pa.int64())
-        b = pc.cast(t["id_b"], pa.int64())
-        if t.num_rows and pc.max(b).as_py() >= (1 << 31):
-            raise ValueError("edit_distance int64 pair packing needs ids < 2^31")
-        key = pc.add(pc.multiply(a, pa.scalar(1 << 32, pa.int64())), b)
-        return pa.table({"pair_key": key,
-                         "__pb": pc.bit_wise_and(key, pa.scalar(nparts - 1,
-                                                                pa.int64()))})
-
-    def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        key = df["pair_key"].drop_duplicates().to_numpy(dtype=np.int64)
-        return pd.DataFrame({"id_a": key >> 32, "id_b": key & 0xFFFFFFFF})
-
-    cand = (co.map_batches(ordered, batch_format="pyarrow")
-            .groupby("__pb").map_groups(agg_bucket, batch_format="pandas"))
-
-    keys_a = ds.map_batches(
-        lambda df: pd.DataFrame({"id_a": df[id_col].astype("int64"),
-                                 "s_a": df[text_col].fillna("")}),
-        batch_format="pandas")
-    keys_b = ds.map_batches(
-        lambda df: pd.DataFrame({"id_b": df[id_col].astype("int64"),
-                                 "s_b": df[text_col].fillna("")}),
-        batch_format="pandas")
-    withs = hash_join(hash_join(cand, keys_a, key="id_a",
-                                n_buckets=max(n_buckets // 4, 4)),
-                      keys_b, key="id_b", n_buckets=max(n_buckets // 4, 4))
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        d = levenshtein_batch(df["s_a"], df["s_b"])
-        keep = d <= d_max
-        return pd.DataFrame({
-            "id_a": df["id_a"].to_numpy(dtype=np.int64)[keep],
-            "id_b": df["id_b"].to_numpy(dtype=np.int64)[keep],
-            "dist": d[keep]})
-
-    return withs.map_batches(verify, batch_format="pandas")
+    # a pair that shares prefix grams in several partitions is verified
+    # once per partition — dedup the OUTPUT (bounded by |result|, not by
+    # candidate volume); dist is identical across rediscoveries
+    return _dedup_pairs_native(verified, extra_col="dist",
+                               n_buckets=max(n_buckets // 4, 4))

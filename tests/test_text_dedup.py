@@ -530,3 +530,65 @@ def test_actor_pool_spec_autoscales(ray_session):
     assert actor_pool(1) == 1
     assert actor_pool(64) == cap          # never >= cluster CPUs
     assert actor_pool((2, 8)) == (2, 8)   # explicit floors pass through
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook O(|a||b|) scalar DP over utf-8 bytes."""
+    a, b = a.encode("utf-8"), b.encode("utf-8")
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_batch_matches_scalar_dp():
+    """Vectorized prefix-min DP == textbook DP on adversarial pairs:
+    empties, equal, disjoint, transposes, prefixes, non-ASCII bytes,
+    plus a seeded random sweep of length-skewed pairs."""
+    from butteraugli_ray.functions.dedup import levenshtein_batch
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+             ("kitten", "sitting"), ("flaw", "lawn"), ("ab", "ba"),
+             ("abcdef", "abc"), ("abc", "abcdef"), ("aaaa", "aabaa"),
+             ("résumé", "resume"), ("xyz", "pqr")]
+    rng = np.random.default_rng(11)
+    alpha = "abcde"
+    for _ in range(60):
+        la, lb = rng.integers(0, 12, size=2)
+        cases.append(("".join(rng.choice(list(alpha), la)),
+                      "".join(rng.choice(list(alpha), lb))))
+    got = levenshtein_batch([a for a, _ in cases], [b for _, b in cases])
+    want = np.array([_lev_ref(a, b) for a, b in cases], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    """End-to-end one-shuffle similarity join == all-pairs scalar DP on
+    a planted corpus mixing near-dups (1-2 edits), exact dups, short
+    strings (the length-band path) and unrelated keys."""
+    import itertools
+    import ray
+    from butteraugli_ray.functions.dedup import edit_distance_pairs
+    base = ["the quick brown fox jumps", "pack my box with jugs",
+            "sphinx of black quartz", "ab", "a", ""]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t[:-1] if t else "x"))      # 1 edit
+        rows.append((i * 10 + 2, ("z" + t[1:]) if len(t) > 1 else t + "q"))
+    df = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "text": [r[1] for r in rows]})
+    got = (edit_distance_pairs(ray.data.from_pandas(df), d_max=2, q=3,
+                               n_buckets=4)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = []
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        d = _lev_ref(ta, tb)
+        if d <= 2:
+            want.append((min(ia, ib), max(ia, ib), d))
+    want = (pd.DataFrame(want, columns=["id_a", "id_b", "dist"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
