@@ -69,7 +69,8 @@ BENCH_QUERIES = [
     "csv_roundtrip", "json_roundtrip", "pii_scrub",
     "embedding_dim_stats", "triangle_count", "user_event_paths",
     "lineitem_unpivot", "decayed_activity", "benford_drift",
-    "naive_bayes_lang",
+    "naive_bayes_lang", "edit_distance_join", "time_weighted_value",
+    "cooccurrence_lift", "wasserstein_drift",
     "validate_corpus",
 ]
 

@@ -4661,6 +4661,222 @@ def q_edit_distance_join(sf_dir: str, d_max: int = 2,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_time_weighted_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user TIME-WEIGHTED average event value — the lead() window
+    shape: each value holds until the user's next event, weighted by
+    the holding interval in seconds (sensor/price rollup semantics,
+    where arithmetic mean over-weights bursts).  Users whose events all
+    share one timestamp (zero total span) drop, mirroring the oracle's
+    HAVING.
+
+    Distributed shape: ONE user-hash bucket shuffle → sort
+    (user, ts, event_id) inside the bucket → vectorized shifted diff
+    with segment boundaries (no per-user Python); per-bucket output is
+    final because a user lives in exactly one bucket.  Ties on ts are
+    broken by event_id on BOTH sides so the zero-width tie rows pick
+    the same survivor as the SQL window."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value",
+                                          "event_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket_twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy(dtype=np.float64)
+        nxt_same = np.r_[uid[1:] == uid[:-1], False]
+        # weights stay in EXACT integer microseconds (as float64 —
+        # sums are order-independent below 2^53), matching the
+        # oracle's epoch_us arithmetic term for term
+        dt = np.where(nxt_same, np.r_[ts[1:] - ts[:-1], 0], 0
+                      ).astype(np.float64)
+        d = pd.DataFrame({"user_id": uid, "w": dt, "wv": dt * v})
+        out = d.groupby("user_id", as_index=False)[["w", "wv"]].sum()
+        out = out[out["w"] > 0]
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "twa_value": _round_half_away(out["wv"] / out["w"], 6),
+            "span_s": _round_half_away(out["w"] / 1e6, 3)})
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_twa, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_cooccurrence_lift(sf_dir: str) -> pd.DataFrame:
+    """Market-basket LIFT between event types over per-user 'baskets':
+    lift(a,b) = P(a,b) / (P(a)·P(b)) with probabilities over distinct
+    users — the association-rule primitive (recommenders, co-failure
+    analysis).
+
+    Distributed shape: per-batch distinct-(user,type) partial → ONE
+    user-hash bucket shuffle → in-bucket global dedup + vectorized
+    triu pair emission over small int type codes
+    (``dedup.pairs_within_groups``) → bucketed pair-count combine.
+    The type-code map and per-type user marginals are tiny
+    (|event_type| rows) and ride in task closures — never a shuffle.
+    At 100 TB the pair domain stays |types|², bounded regardless of
+    row count."""
+    from ..functions.dedup import pairs_within_groups
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        return pd.DataFrame({
+            "user_id": d["user_id"].astype("int64"),
+            "event_type": d["event_type"],
+            "__b": (d["user_id"].to_numpy(dtype=np.int64) & 63)})
+
+    dedup = ds.map_batches(distinct_partial,
+                           batch_format="pandas").materialize()
+
+    # tiny dimension tables from ONE bucketed pass: per-type distinct-
+    # user counts plus the global distinct-user count (a user lives in
+    # exactly one bucket, so per-bucket exact counts sum exactly; the
+    # reserved "" row carries the bucket's user count — nothing
+    # user-cardinality-sized ever reaches the driver)
+    def bucket_marg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        out = (d.groupby("event_type", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return pd.concat(
+            [out, pd.DataFrame({"event_type": [""],
+                                "n": [int(d["user_id"].nunique())]})],
+            ignore_index=True)
+
+    marg = (dedup.groupby("__b")
+            .map_groups(bucket_marg, batch_format="pandas").to_pandas()
+            .groupby("event_type", as_index=False)["n"].sum())
+    n_users = int(marg.loc[marg["event_type"] == "", "n"].sum())
+    marg = marg[marg["event_type"] != ""]
+    types = sorted(marg["event_type"])
+    code = {t: i for i, t in enumerate(types)}
+    n_by_type = dict(zip(marg["event_type"], marg["n"].astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"]).copy()
+        d["tc"] = d["event_type"].map(code).astype(np.int64)
+        p = pairs_within_groups(d, "user_id", id_col="tc")
+        if not len(p):
+            return pd.DataFrame({"ca": pd.Series([], dtype="int64"),
+                                 "cb": pd.Series([], dtype="int64"),
+                                 "n_ab": pd.Series([], dtype="int64")})
+        out = p.groupby(["id_a", "id_b"], as_index=False).size()
+        return pd.DataFrame({"ca": out["id_a"].astype("int64"),
+                             "cb": out["id_b"].astype("int64"),
+                             "n_ab": out["size"].astype("int64")})
+
+    pairs = (dedup.groupby("__b")
+             .map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+             .groupby(["ca", "cb"], as_index=False)["n_ab"].sum())
+    ta = [types[c] for c in pairs["ca"]]
+    tb = [types[c] for c in pairs["cb"]]
+    na = np.array([n_by_type[t] for t in ta], dtype=np.float64)
+    nb = np.array([n_by_type[t] for t in tb], dtype=np.float64)
+    out = pd.DataFrame({
+        "type_a": ta, "type_b": tb,
+        "n_ab": pairs["n_ab"].astype("int64"),
+        "lift": _round_half_away(
+            pd.Series(pairs["n_ab"].to_numpy(np.float64) * n_users
+                      / (na * nb)), 6)})
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_wasserstein_drift(sf_dir: str) -> pd.DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance between the even-
+    and odd-user halves of the event value distribution — the
+    magnitude-aware companion to q_ks_drift_exact (KS sees only the sup
+    gap; W1 integrates |F0−F1| over the VALUE domain, so a small shift
+    of much mass registers).
+
+    Distributed shape (same bin-partition protocol as the exact KS —
+    no global sort, no task holds a whole side): fixed-bin (bin, side)
+    count partials + per-bin min values → driver computes below-bin
+    cumulative offsets AND each bin's next-non-empty-bin min (the
+    closing segment boundary) → ONE bin-key shuffle; each bin task
+    sorts its value range, tie-collapses, and emits
+    Σ |F0−F1|·(v_{i+1}−v_i) with the last width closed by the
+    broadcast boundary; driver sums B partials.  Counts are int64 so
+    the CDF doubles are bit-identical to the oracle's window sums."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"]).materialize()
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        side = df["user_id"].to_numpy(np.int64) % 2
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()],
+                             "n0": [int((side == 0).sum())],
+                             "n1": [int((side == 1).sum())]})
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    n0, n1 = int(st["n0"].sum()), int(st["n1"].sum())
+    n_bins = 64
+    inner = np.linspace(lo, hi, n_bins + 1)[1:-1]
+
+    def binof(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(inner, v, side="right").astype(np.int64)
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({"b": binof(v), "v": v,
+                          "side": df["user_id"].to_numpy(np.int64) % 2})
+        out = g.groupby(["b", "side"], as_index=False).agg(
+            n=("v", "size"), vmin=("v", "min"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    bc = (ds.map_batches(bin_counts, batch_format="pandas").to_pandas()
+          .groupby(["b", "side"], as_index=False)
+          .agg(n=("n", "sum"), vmin=("vmin", "min")))
+    off = np.zeros((2, n_bins), dtype=np.int64)
+    for side in (0, 1):
+        per = np.zeros(n_bins, dtype=np.int64)
+        sel = bc[bc["side"] == side]
+        per[sel["b"].to_numpy(np.int64)] = sel["n"].to_numpy(np.int64)
+        off[side] = np.concatenate([[0], np.cumsum(per)[:-1]])
+    bmin = bc.groupby("b")["vmin"].min()
+    nonempty = sorted(bmin.index.to_numpy(np.int64))
+    nxt_min = {}
+    for i, b in enumerate(nonempty):
+        nxt_min[int(b)] = (float(bmin.loc[nonempty[i + 1]])
+                           if i + 1 < len(nonempty) else hi)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "value": df["value"].to_numpy(np.float64),
+            "side": df["user_id"].to_numpy(np.int64) % 2})
+        out["__bin"] = binof(out["value"].to_numpy())
+        return out
+
+    def bin_w1(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__bin"].iloc[0])
+        v = g["value"].to_numpy(np.float64)
+        s = g["side"].to_numpy(np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, s = v[order], s[order]
+        c0 = np.cumsum(s == 0)
+        c1 = np.cumsum(s == 1)
+        last = np.nonzero(np.r_[v[1:] != v[:-1], True])[0]
+        f0 = (off[0][b] + c0[last]) / np.float64(n0)
+        f1 = (off[1][b] + c1[last]) / np.float64(n1)
+        vd = v[last]
+        widths = np.r_[vd[1:], np.float64(nxt_min[b])] - vd
+        return pd.DataFrame({"w1": [float((np.abs(f0 - f1) * widths).sum())]})
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__bin").map_groups(bin_w1, batch_format="pandas")
+           .to_pandas())
+    return pd.DataFrame({"w1": [round(float(out["w1"].sum()), 6)],
+                         "n_side0": pd.Series([n0], dtype="int64"),
+                         "n_side1": pd.Series([n1], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4781,6 +4997,9 @@ QUERIES = {
     "benford_drift": q_benford_drift,
     "naive_bayes_lang": q_naive_bayes_lang,
     "edit_distance_join": q_edit_distance_join,
+    "time_weighted_value": q_time_weighted_value,
+    "cooccurrence_lift": q_cooccurrence_lift,
+    "wasserstein_drift": q_wasserstein_drift,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6072,6 +6291,59 @@ ORACLE_SQL = {
          AND abs(length(a.s) - length(b.s)) <= 2
         WHERE levenshtein(a.s, b.s) <= 2
         ORDER BY id_a, id_b
+    """,
+    "time_weighted_value": """
+        WITH w AS (
+            SELECT user_id, value,
+                   CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                        - epoch_us(ts) AS DOUBLE) AS dt_us
+            FROM events)
+        SELECT user_id,
+               ROUND(sum(value * dt_us) / sum(dt_us), 6) AS twa_value,
+               ROUND(sum(dt_us) / 1e6, 3) AS span_s
+        FROM w WHERE dt_us IS NOT NULL
+        GROUP BY user_id HAVING sum(dt_us) > 0
+        ORDER BY user_id
+    """,
+    "cooccurrence_lift": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        m AS (SELECT event_type, count(*) AS cnt FROM d GROUP BY 1),
+        u AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS nu
+              FROM events),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_ab
+              FROM d a JOIN d b ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+               ROUND(p.n_ab * u.nu / (ma.cnt * mb.cnt), 6) AS lift
+        FROM p JOIN m ma ON ma.event_type = p.type_a
+               JOIN m mb ON mb.event_type = p.type_b
+               CROSS JOIN u
+        ORDER BY type_a, type_b
+    """,
+    "wasserstein_drift": """
+        WITH a AS (SELECT value, user_id % 2 AS side FROM events),
+        n AS (SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS n0,
+                     CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS n1
+              FROM a),
+        e AS (SELECT value,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                         OVER (ORDER BY value) AS c0,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                         OVER (ORDER BY value) AS c1
+              FROM a),
+        g AS (SELECT DISTINCT value, c0, c1 FROM e),
+        s AS (SELECT value, c0, c1,
+                     lead(value) OVER (ORDER BY value) AS nxt FROM g)
+        SELECT ROUND(sum(abs(c0 / n.n0 - c1 / n.n1) * (nxt - value)), 6)
+                   AS w1,
+               CAST(n.n0 AS BIGINT) AS n_side0,
+               CAST(n.n1 AS BIGINT) AS n_side1
+        FROM s, n WHERE nxt IS NOT NULL GROUP BY n.n0, n.n1
     """,
 }
 
