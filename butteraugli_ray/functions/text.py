@@ -256,3 +256,41 @@ def compression_ratio(texts: pd.Series, level: int = 6) -> np.ndarray:
         b = t.encode("utf-8")
         out[i] = len(zlib.compress(b, level)) / len(b) if b else 0.0
     return out
+
+
+JSON_INT_RE_CACHE: dict = {}
+
+
+def json_scalar_int64(s: pd.Series, key: str) -> pd.Series:
+    """Extract a top-level integer field from a flat JSON-string column
+    → nullable Int64.  VECTORIZED fast path: one compiled-regex
+    ``str.extract`` over the whole column (JSON object syntax for a
+    scalar int field admits exactly this token shape); rows the regex
+    does not match (absent key, non-int value, nesting) fall back to
+    per-row ``json.loads`` — a bounded tail, not the hot path.  Exact
+    for FLAT objects (props-style metadata columns, the documented
+    contract); values embedded inside JSON strings that mimic the
+    ``"key": int`` token shape could fool the fast path, so route
+    nested/adversarial payloads through a real parser stage instead."""
+    import json as _json
+    import re as _re
+    pat = JSON_INT_RE_CACHE.get(key)
+    if pat is None:
+        pat = _re.compile(
+            r'[{,]\s*"' + _re.escape(key) + r'"\s*:\s*(-?\d+)\s*[,}]')
+        JSON_INT_RE_CACHE[key] = pat
+    s = s.fillna("")
+    out = s.str.extract(pat, expand=False)
+    got = out.notna()
+    vals = pd.array(out, dtype="Int64")
+    if not bool(got.all()):
+        # fallback tail: only rows the fast path could not claim
+        for i in np.nonzero(~got.to_numpy())[0]:
+            try:
+                v = _json.loads(s.iloc[i]).get(key)
+                if isinstance(v, bool) or not isinstance(v, int):
+                    v = None
+            except (ValueError, AttributeError):
+                v = None
+            vals[i] = v
+    return pd.Series(vals, index=s.index)

@@ -4877,6 +4877,60 @@ def q_wasserstein_drift(sf_dir: str) -> pd.DataFrame:
                          "n_side1": pd.Series([n1], dtype="int64")})
 
 
+def q_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured JSON metadata rollup: parse the events.props
+    JSON column ({"k": int} telemetry payloads) with the vectorized
+    regex fast-path / loads-fallback extractor
+    (``functions/text.json_scalar_int64``), then per-event_type stats
+    over the extracted field — row count, failed-extraction count,
+    exact mean, max, exact distinct-value count.
+
+    Distributed shape: extraction happens once per batch; sufficient
+    stats (n, n_null, sum, max — int64, order-independent) and the
+    distinct set ride DOMAIN-BOUNDED partials (|types| and
+    |types|×|k| rows per batch), so the driver only ever reduces
+    tiny tables regardless of row count."""
+    from ..functions.text import json_scalar_int64
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = json_scalar_int64(df["props"], "k")
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "k": k.to_numpy(dtype="float64", na_value=np.nan)})
+        d["__isn"] = d["k"].isna()
+        g = d.groupby("event_type")
+        stats = pd.DataFrame({
+            "n": g.size(), "n_null": g["__isn"].sum().astype("int64"),
+            "sum_k": g["k"].sum(), "max_k": g["k"].max()}).reset_index()
+        dv = d.drop(columns="__isn").dropna().drop_duplicates()
+        dv = dv.rename(columns={"k": "kv"})
+        stats["kv"] = np.nan
+        dv["n"] = 0
+        dv["n_null"] = 0
+        dv["sum_k"] = 0.0
+        dv["max_k"] = np.nan
+        return pd.concat([stats, dv[stats.columns.tolist()]],
+                         ignore_index=True)
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    stats = (p[p["kv"].isna()].groupby("event_type", as_index=False)
+             .agg(n=("n", "sum"), n_null=("n_null", "sum"),
+                  sum_k=("sum_k", "sum"), max_k=("max_k", "max")))
+    nd = (p[p["kv"].notna()][["event_type", "kv"]].drop_duplicates()
+          .groupby("event_type", as_index=False).size()
+          .rename(columns={"size": "n_distinct_k"}))
+    out = stats.merge(nd, on="event_type", how="left")
+    nn = (out["n"] - out["n_null"]).to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "n_null": out["n_null"].astype("int64"),
+        "mean_k": _round_half_away(out["sum_k"] / nn, 6),
+        "max_k": out["max_k"].astype("int64"),
+        "n_distinct_k": out["n_distinct_k"].fillna(0).astype("int64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5000,6 +5054,7 @@ QUERIES = {
     "time_weighted_value": q_time_weighted_value,
     "cooccurrence_lift": q_cooccurrence_lift,
     "wasserstein_drift": q_wasserstein_drift,
+    "props_extract": q_props_extract,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6344,6 +6399,20 @@ ORACLE_SQL = {
                CAST(n.n0 AS BIGINT) AS n_side0,
                CAST(n.n1 AS BIGINT) AS n_side1
         FROM s, n WHERE nxt IS NOT NULL GROUP BY n.n0, n.n1
+    """,
+    "props_extract": """
+        WITH x AS (SELECT event_type,
+                          CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               ROUND(CAST(sum(k) AS DOUBLE) / count(k), 6) AS mean_k,
+               CAST(max(k) AS BIGINT) AS max_k,
+               CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        FROM x GROUP BY 1 ORDER BY 1
     """,
 }
 
