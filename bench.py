@@ -70,7 +70,8 @@ BENCH_QUERIES = [
     "embedding_dim_stats", "triangle_count", "user_event_paths",
     "lineitem_unpivot", "decayed_activity", "benford_drift",
     "naive_bayes_lang", "edit_distance_join", "time_weighted_value",
-    "cooccurrence_lift", "wasserstein_drift",
+    "cooccurrence_lift", "wasserstein_drift", "props_extract",
+    "sliding_distinct_users",
     "validate_corpus",
 ]
 

@@ -4931,6 +4931,72 @@ def q_props_extract(sf_dir: str) -> pd.DataFrame:
     }).sort_values("event_type").reset_index(drop=True)
 
 
+def q_sliding_distinct_users(sf_dir: str, width_days: int = 7) -> pd.DataFrame:
+    """Trailing 7-day DISTINCT active users per event day — the
+    sliding-window distinct shape: unlike hopping sums, distinct does
+    NOT decompose into additive window partials (a user active twice
+    in one window counts once), so the window explode used by
+    q_hopping_windows would over-count.
+
+    Distributed shape: distinct (user, day) partials → ONE user-hash
+    bucket shuffle → per bucket, each user's covered-window interval
+    UNION is computed vectorized (runs of active days with gaps <
+    width merge into one interval) and emitted as a difference array
+    over the DAY domain (+1 at interval start, −1 past its end).
+    Buckets hold disjoint users, so per-day delta sums add exactly;
+    the driver prefix-sums a day-domain-sized array (≤ corpus span in
+    days — never row- or user-cardinality) and reads counts at the
+    observed event days."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    w = int(width_days)
+    day_us = np.int64(86_400_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // day_us)
+        d = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "day": day}).drop_duplicates()
+        d["__b"] = d["user_id"].to_numpy(dtype=np.int64) & 63
+        return d
+
+    def bucket_deltas(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"]))
+        uid = d["user_id"].to_numpy(dtype=np.int64)
+        day = d["day"].to_numpy(dtype=np.int64)
+        if not len(d):
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "delta": pd.Series([], dtype="int64")})
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] >= w)]
+        ends = np.r_[new[1:], True]
+        lo, hi = day[new], day[ends]
+        deltas = pd.DataFrame({
+            "day": np.concatenate([lo, hi + w]),
+            "delta": np.concatenate([np.ones(len(lo), dtype=np.int64),
+                                     -np.ones(len(hi), dtype=np.int64)])})
+        return deltas.groupby("day", as_index=False)["delta"].sum()
+
+    deltas = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("__b").map_groups(bucket_deltas,
+                                         batch_format="pandas")
+              .to_pandas().groupby("day", as_index=False)["delta"].sum())
+    # observed event days (domain-bounded): reuse the same partials
+    days = (ds.map_batches(
+        lambda df: pd.DataFrame({"day": np.unique(
+            df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            // day_us)}),
+        batch_format="pandas").to_pandas()["day"].unique())
+    days = np.sort(days)
+    dd = deltas.sort_values("day")
+    cum = dd["delta"].to_numpy(dtype=np.int64).cumsum()
+    pos = np.searchsorted(dd["day"].to_numpy(dtype=np.int64), days,
+                          side="right") - 1
+    counts = np.where(pos >= 0, cum[np.maximum(pos, 0)], 0)
+    return pd.DataFrame({
+        "day": pd.to_datetime(days * 86400, unit="s").strftime("%Y-%m-%d"),
+        "n_users_7d": pd.Series(counts, dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5055,6 +5121,7 @@ QUERIES = {
     "cooccurrence_lift": q_cooccurrence_lift,
     "wasserstein_drift": q_wasserstein_drift,
     "props_extract": q_props_extract,
+    "sliding_distinct_users": q_sliding_distinct_users,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6413,6 +6480,15 @@ ORACLE_SQL = {
                CAST(max(k) AS BIGINT) AS max_k,
                CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
         FROM x GROUP BY 1 ORDER BY 1
+    """,
+    "sliding_distinct_users": """
+        WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+        days AS (SELECT DISTINCT day FROM d)
+        SELECT strftime(w.day, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users_7d
+        FROM days w JOIN d ON d.day BETWEEN w.day - 6 AND w.day
+        GROUP BY 1 ORDER BY 1
     """,
 }
 
