@@ -592,3 +592,17 @@ def test_edit_distance_pairs_matches_bruteforce(ray_session):
     want = (pd.DataFrame(want, columns=["id_a", "id_b", "dist"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_json_scalar_int64_fast_path_and_fallback():
+    """Regex fast path and json.loads fallback agree: ints extract,
+    floats/strings/bools/missing/malformed all yield <NA>, negative
+    and multi-key objects work, and the no-NaN output is Int64."""
+    s = pd.Series(['{"k": 69}', '{"k":-3, "z": 1}', '{"z": 1, "k": 7}',
+                   '{"z": 1}', "not json", None, '{"k": "12"}',
+                   '{"k": 2.5}', '{"k": true}', '{"k": 25e3}', "{}",
+                   '{ "k" : 0 }'])
+    got = T.json_scalar_int64(s, "k")
+    assert got.dtype.name == "Int64"
+    assert got.tolist() == [69, -3, 7, pd.NA, pd.NA, pd.NA, pd.NA,
+                            pd.NA, pd.NA, pd.NA, pd.NA, 0]
