@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "lineitem_unpivot", "decayed_activity", "benford_drift",
     "naive_bayes_lang", "edit_distance_join", "time_weighted_value",
     "cooccurrence_lift", "wasserstein_drift", "props_extract",
-    "sliding_distinct_users",
+    "sliding_distinct_users", "scd_merge", "week_over_week",
     "validate_corpus",
 ]
 

@@ -4997,6 +4997,95 @@ def q_sliding_distinct_users(sf_dir: str, width_days: int = 7) -> pd.DataFrame:
         "n_users_7d": pd.Series(counts, dtype="int64")})
 
 
+def q_scd_merge(sf_dir: str, versions: int = 3) -> pd.DataFrame:
+    """CDC upsert / SCD latest-wins merge: apply a change stream onto a
+    base table, keeping the HIGHEST version per key — the warehouse
+    merge-into shape.  Changes are planted deterministically (every
+    o_orderkey % 10 == 0 gets ``versions`` updates, each bumping
+    o_totalprice by 1000·v), mirrored exactly in the oracle.
+
+    Distributed shape: base ∪ changes is a streaming union (no
+    driver concat); ONE key-hash bucket shuffle; each bucket picks
+    survivors with a vectorized sort + groupby-head(1) — a key lives
+    in exactly one bucket so per-bucket output is final.  Output is
+    bounded to the touched keys (the merge DELTA, what a real CDC sink
+    writes), not the whole base."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"])
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_totalprice": df["o_totalprice"].astype("float64"),
+            "version": np.zeros(len(df), dtype=np.int64)})
+
+    def change_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_orderkey"] % 10 == 0]
+        k = np.repeat(d["o_orderkey"].to_numpy(dtype=np.int64), versions)
+        p = np.repeat(d["o_totalprice"].to_numpy(dtype=np.float64),
+                      versions)
+        v = np.tile(np.arange(1, versions + 1, dtype=np.int64), len(d))
+        return pd.DataFrame({"o_orderkey": k,
+                             "o_totalprice": p + 1000.0 * v,
+                             "version": v})
+
+    union = (ds.map_batches(base_rows, batch_format="pandas")
+             .union(ds.map_batches(change_rows, batch_format="pandas")))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["o_orderkey"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderkey", "version"],
+                          ascending=[True, False])
+        top = g.groupby("o_orderkey", sort=False).head(1)
+        top = top[top["version"] > 0]
+        return pd.DataFrame({
+            "o_orderkey": top["o_orderkey"].astype("int64"),
+            "version": top["version"].astype("int64"),
+            "o_totalprice": _round_half_away(top["o_totalprice"], 2)})
+
+    out = (union.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket_merge, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_week_over_week(sf_dir: str) -> pd.DataFrame:
+    """Weekly revenue with week-over-week delta and percent change —
+    the period-over-period reporting shape (lag over an aggregated
+    series).  Distributed shape: weekly sum partials per batch
+    (domain-bounded: |weeks| rows) → tiny driver reduce + shift;
+    nothing row-cardinality ever leaves the workers.  Weeks are ISO
+    Mondays (date_trunc('week') semantics)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].to_numpy("datetime64[us]")
+               .astype(np.int64) // day_us)
+        # 1970-01-01 is a Thursday; ISO weeks start Monday (day 4 ≡ 0)
+        week = (day - 4) // 7
+        g = pd.DataFrame({"week": week,
+                          "rev": df["o_totalprice"].to_numpy(np.float64)})
+        out = g.groupby("week", as_index=False)["rev"].sum()
+        return out.astype({"week": "int64"})
+
+    p = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("week", as_index=False)["rev"].sum()
+         .sort_values("week").reset_index(drop=True))
+    prev = p["rev"].shift(1)
+    week_start = pd.to_datetime((p["week"] * 7 + 4) * 86400, unit="s")
+    return pd.DataFrame({
+        "week": week_start.dt.strftime("%Y-%m-%d"),
+        "revenue": _round_half_away(p["rev"], 2),
+        "delta": _round_half_away(p["rev"] - prev, 2),
+        "pct_change": _round_half_away((p["rev"] - prev) / prev * 100.0,
+                                       6)})
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5122,6 +5211,8 @@ QUERIES = {
     "wasserstein_drift": q_wasserstein_drift,
     "props_extract": q_props_extract,
     "sliding_distinct_users": q_sliding_distinct_users,
+    "scd_merge": q_scd_merge,
+    "week_over_week": q_week_over_week,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6489,6 +6580,34 @@ ORACLE_SQL = {
                CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users_7d
         FROM days w JOIN d ON d.day BETWEEN w.day - 6 AND w.day
         GROUP BY 1 ORDER BY 1
+    """,
+    "scd_merge": """
+        WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS version
+                      FROM orders),
+        chg AS (SELECT o.o_orderkey,
+                       o.o_totalprice + 1000.0 * t.v AS o_totalprice,
+                       t.v AS version
+                FROM orders o, generate_series(1, 3) AS t(v)
+                WHERE o.o_orderkey % 10 = 0),
+        u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY version DESC) AS rn
+              FROM u)
+        SELECT o_orderkey, CAST(version AS BIGINT) AS version,
+               ROUND(o_totalprice, 2) AS o_totalprice
+        FROM r WHERE rn = 1 AND version > 0 ORDER BY o_orderkey
+    """,
+    "week_over_week": """
+        WITH w AS (SELECT date_trunc('week', o_orderdate) AS wk,
+                          sum(o_totalprice) AS rev
+                   FROM orders GROUP BY 1)
+        SELECT strftime(wk, '%Y-%m-%d') AS week,
+               ROUND(rev, 2) AS revenue,
+               ROUND(rev - lag(rev) OVER (ORDER BY wk), 2) AS delta,
+               ROUND((rev - lag(rev) OVER (ORDER BY wk))
+                     / lag(rev) OVER (ORDER BY wk) * 100.0, 6)
+                   AS pct_change
+        FROM w ORDER BY week
     """,
 }
 
