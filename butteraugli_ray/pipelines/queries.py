@@ -5086,6 +5086,144 @@ def q_week_over_week(sf_dir: str) -> pd.DataFrame:
                                        6)})
 
 
+def q_cust_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: the DISTRIBUTION of per-customer order counts,
+    including the zero-order customers a plain groupby never sees (the
+    LEFT JOIN ... GROUP BY count-of-counts pattern).
+
+    Distributed shape: per-batch order-count partials keyed on
+    o_custkey (combiner) → bucketed `_final_agg` → the count table is
+    |customers| rows max; the zero bucket comes from a COUNT over the
+    customer table minus the distinct custkeys seen — no join ever
+    ships the big side.  At 100 TB the count table is the only shuffle
+    and it is pre-combined per batch."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"o_custkey": "int64", "n": "int64"})
+
+    per_cust = _final_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], ["n"])
+    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    dist = (per_cust.groupby("n", as_index=False).size()
+            .rename(columns={"n": "c_count", "size": "custdist"}))
+    zero = n_customers - len(per_cust)
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True)
+    dist = dist.astype({"c_count": "int64", "custdist": "int64"})
+    return (dist.sort_values(["custdist", "c_count"],
+                             ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def q_promo_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: percent of discounted revenue from PROMO-type
+    parts in one ship month — conditional aggregate over a broadcast
+    dimension join.
+
+    Distributed shape: the (p_partkey → is_promo) map is a bool array
+    indexed by partkey, `ray.put` ONCE and read per batch (part is the
+    small dim side even at 100 TB); lineitem streams with a shipdate +
+    column projection at the read.  Each batch emits one (promo, total)
+    partial — the driver sums a handful of floats."""
+    import ray
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    maxk = int(part["p_partkey"].max())
+    is_promo = np.zeros(maxk + 1, dtype=bool)
+    is_promo[part["p_partkey"].to_numpy(np.int64)] = (
+        part["p_type"].to_numpy() == "PROMO")
+    promo_ref = ray.put(is_promo)
+
+    lo, hi = np.datetime64("1996-03-01"), np.datetime64("1996-04-01")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flags = ray.get(promo_ref)
+        sd = df["l_shipdate"].to_numpy("datetime64[us]")
+        m = (sd >= lo) & (sd < hi)
+        if not m.any():
+            return pd.DataFrame({"promo": pd.Series([], dtype="float64"),
+                                 "total": pd.Series([], dtype="float64")})
+        d = df[m]
+        rev = (d["l_extendedprice"] * (1 - d["l_discount"])).to_numpy()
+        pk = d["l_partkey"].to_numpy(np.int64)
+        pm = flags[np.clip(pk, 0, len(flags) - 1)] & (pk < len(flags))
+        return pd.DataFrame({"promo": [float(rev[pm].sum())],
+                             "total": [float(rev.sum())]})
+
+    p = li.map_batches(partial, batch_format="pandas").to_pandas()
+    promo, total = float(p["promo"].sum()), float(p["total"].sum())
+    share = 100.0 * promo / total if total else 0.0
+    return pd.DataFrame({
+        "promo_revenue": _round_half_away(pd.Series([promo]), 2),
+        "promo_share": _round_half_away(pd.Series([share]), 6)})
+
+
+def q_idle_customers(sf_dir: str, max_orders: int = 3) -> pd.DataFrame:
+    """TPC-H Q22 shape: well-funded but IDLE customers (fewer than
+    ``max_orders`` orders, including zero) — scalar-subquery threshold
+    (average POSITIVE account balance) + low-activity semi predicate +
+    per-nation rollup.
+
+    Distributed shape: the threshold is a driver scalar from per-batch
+    (sum, count) partials; per-custkey order counts come from the
+    bucketed combiner (`_final_agg`, bounded by |customers|); only the
+    LOW-count custkey set — tiny by the predicate's nature — is
+    broadcast, plus the count-table key set for the zero-order case
+    (bounded by |customers|, the small dim side; swap in the repo's
+    Bloom anti join when it isn't).  The rollup is a combiner + tiny
+    groupby."""
+    import ray
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df.loc[df["c_acctbal"] > 0.0, "c_acctbal"]
+        return pd.DataFrame({"s": [float(pos.sum())], "n": [len(pos)]})
+
+    bp = cust.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    thresh = float(bp["s"].sum()) / max(int(bp["n"].sum()), 1)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype(
+            {"o_custkey": "int64", "n": "int64"})
+
+    counts = _final_agg(orders.map_batches(cnt_partial,
+                                           batch_format="pandas"),
+                        ["o_custkey"], ["n"])
+    few = counts.loc[counts["n"] < max_orders, "o_custkey"] \
+        .to_numpy(np.int64)
+    any_orders = np.sort(counts["o_custkey"].to_numpy(np.int64))
+    few_ref, any_ref = ray.put(np.sort(few)), ray.put(any_orders)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        few_k, any_k = ray.get(few_ref), ray.get(any_ref)
+        ck = df["c_custkey"].to_numpy(np.int64)
+        idle = np.isin(ck, few_k) | ~np.isin(ck, any_k)
+        m = (df["c_acctbal"].to_numpy() > thresh) & idle
+        d = df[m]
+        return (d.groupby("c_nationkey", as_index=False)
+                .agg(numcust=("c_custkey", "size"),
+                     totacctbal=("c_acctbal", "sum")))
+
+    out = _final_agg(cust.map_batches(partial, batch_format="pandas"),
+                     ["c_nationkey"], ["numcust", "totacctbal"])
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = _round_half_away(out["totacctbal"], 2)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5213,6 +5351,9 @@ QUERIES = {
     "sliding_distinct_users": q_sliding_distinct_users,
     "scd_merge": q_scd_merge,
     "week_over_week": q_week_over_week,
+    "cust_order_distribution": q_cust_order_distribution,
+    "promo_share": q_promo_share,
+    "idle_customers": q_idle_customers,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6608,6 +6749,40 @@ ORACLE_SQL = {
                      / lag(rev) OVER (ORDER BY wk) * 100.0, 6)
                    AS pct_change
         FROM w ORDER BY week
+    """,
+    "cust_order_distribution": """
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "promo_share": """
+        SELECT ROUND(sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END), 2) AS promo_revenue,
+               ROUND(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-03-01'
+          AND l_shipdate < DATE '1996-04-01'
+    """,
+    "idle_customers": """
+        WITH cnt AS (SELECT c_custkey, count(o_orderkey) AS n
+                     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                     GROUP BY c_custkey)
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               ROUND(sum(c_acctbal), 2) AS totacctbal
+        FROM customer JOIN cnt USING (c_custkey)
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND cnt.n < 3
+        GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 }
 

@@ -126,6 +126,9 @@ class TestDataPipelineQueries:
         ("decayed_activity", ["events"]),
         ("benford_drift", ["orders"]),
         ("naive_bayes_lang", ["documents"]),
+        ("cust_order_distribution", ["customer", "orders"]),
+        ("promo_share", ["lineitem", "part"]),
+        ("idle_customers", ["customer", "orders"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
