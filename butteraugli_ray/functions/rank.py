@@ -298,3 +298,57 @@ def range_partition_scan(ds, order_col: str, val_col: str,
     scanned = tagged.groupby("__rb").map_groups(scan_bucket,
                                                 batch_format="pandas")
     return scanned, total
+
+
+def auc_exact(ds, score_col: str, label_col: str,
+              n_buckets: int | None = None) -> dict:
+    """EXACT ROC AUC of ``score_col`` against binary ``label_col``
+    (0/1 int) via the tie-averaged rank-sum (Mann-Whitney) identity:
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻),   R⁺ = Σ over positives of
+        the AVERAGE 1-based rank of their score (ties share the mean
+        of their rank block — the trapezoidal-ROC tie convention).
+
+    One range-bucket shuffle (same skeleton as ``range_partition_rank``;
+    equal scores never split across buckets), then each bucket emits a
+    THREE-int partial: (rows, positives, local doubled rank-sum
+    Σ_v p_v·(2·L_v + c_v + 1) over its distinct values).  The driver
+    folds B partials with arbitrary-precision Python ints (2·rank sums
+    stay integers, so the result is arithmetic-exact at any n — no
+    float cumsum ever happens on row-cardinality data).
+
+    Returns ``{"n_pos", "n_neg", "auc"}`` (auc as float)."""
+    tagged, n_rows = _range_bucketize(ds, score_col, n_buckets)
+    if n_rows == 0:
+        return {"n_pos": 0, "n_neg": 0, "auc": float("nan")}
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["__rb"].iloc[0])
+        v = df[score_col].to_numpy(dtype=np.float64)
+        y = df[label_col].to_numpy(dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, y = v[order], y[order]
+        uv, start, cnt = np.unique(v, return_index=True,
+                                   return_counts=True)
+        pos = np.add.reduceat(y, start) if len(v) else \
+            np.empty(0, dtype=np.int64)
+        before = start.astype(np.int64)          # rows < v inside bucket
+        s2 = int((pos * (2 * before + cnt + 1)).sum())
+        return pd.DataFrame({"__rb": [b], "n": [len(v)],
+                             "npos": [int(y.sum())], "s2": [s2]})
+
+    p = (tagged.groupby("__rb")
+         .map_groups(bucket_partial, batch_format="pandas")
+         .to_pandas().sort_values("__rb"))
+    ns = p["n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    r2 = 0
+    for off, pb, s2 in zip(offsets, p["npos"], p["s2"]):
+        r2 += int(s2) + 2 * int(off) * int(pb)     # global doubled R⁺
+    n_pos = int(p["npos"].sum())
+    n_neg = int(n_rows) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return {"n_pos": n_pos, "n_neg": n_neg, "auc": float("nan")}
+    num = r2 - n_pos * (n_pos + 1)                  # 2·(R⁺ − n⁺(n⁺+1)/2)
+    return {"n_pos": n_pos, "n_neg": n_neg,
+            "auc": num / (2.0 * n_pos * n_neg)}

@@ -5224,6 +5224,35 @@ def q_idle_customers(sf_dir: str, max_orders: int = 3) -> pd.DataFrame:
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_auc_eval(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed ROC AUC — the model-evaluation reduction every
+    trained quality classifier needs, computed WITHOUT sklearn or a
+    global sort: does ``value`` discriminate conversion events
+    (purchase/signup) from the rest?
+
+    Distributed shape: one range-bucket shuffle (tie-averaged
+    Mann-Whitney rank sums, `functions/rank.auc_exact`); each bucket
+    reduces to a 3-int partial and the driver folds B ints with
+    arbitrary precision, so the result is arithmetic-exact at any
+    cardinality — no float cumsum touches row-scale data."""
+    from ..functions.rank import auc_exact
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    pos_types = ("purchase", "signup")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        return pd.DataFrame({
+            "score": d["value"].to_numpy(np.float64),
+            "y": d["event_type"].isin(pos_types).to_numpy(np.int64)})
+
+    r = auc_exact(ds.map_batches(prep, batch_format="pandas"),
+                  "score", "y")
+    return pd.DataFrame({
+        "n_pos": pd.Series([r["n_pos"]], dtype="int64"),
+        "n_neg": pd.Series([r["n_neg"]], dtype="int64"),
+        "auc": _round_half_away(pd.Series([r["auc"]]), 6)})
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5354,6 +5383,7 @@ QUERIES = {
     "cust_order_distribution": q_cust_order_distribution,
     "promo_share": q_promo_share,
     "idle_customers": q_idle_customers,
+    "auc_eval": q_auc_eval,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6783,6 +6813,24 @@ ORACLE_SQL = {
                            WHERE c_acctbal > 0.0)
           AND cnt.n < 3
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "auc_eval": """
+        WITH s AS (SELECT value AS v,
+                          CASE WHEN event_type IN ('purchase', 'signup')
+                               THEN 1 ELSE 0 END AS y
+                   FROM events WHERE value IS NOT NULL),
+        r AS (SELECT y,
+                     rank() OVER (ORDER BY v)
+                     + (count(*) OVER (PARTITION BY v) - 1) / 2.0
+                         AS avg_rank
+              FROM s),
+        agg AS (SELECT sum(y) AS np, count(*) - sum(y) AS nn,
+                       sum(CASE WHEN y = 1 THEN avg_rank END) AS rpos
+                FROM r)
+        SELECT CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               ROUND((rpos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+        FROM agg
     """,
 }
 

@@ -129,6 +129,7 @@ class TestDataPipelineQueries:
         ("cust_order_distribution", ["customer", "orders"]),
         ("promo_share", ["lineitem", "part"]),
         ("idle_customers", ["customer", "orders"]),
+        ("auc_eval", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb

@@ -268,3 +268,25 @@ def test_triangle_count_matches_bruteforce(ray_session):
     assert exp >= 10                      # the clique alone gives C(5,3)=10
     assert got["n_edges"] == len(edges)
     assert got["n_nodes"] == len(nodes)
+
+
+def test_auc_exact_matches_bruteforce_with_ties(ray_session):
+    """Distributed tie-averaged rank-sum AUC == the O(n²) pairwise
+    definition (wins + half-ties) on data with heavy planted ties."""
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import auc_exact
+    rng = np.random.default_rng(7)
+    n = 400
+    # quantized scores force large tie blocks; labels correlate weakly
+    score = np.round(rng.normal(size=n), 1)
+    y = (score + rng.normal(scale=1.5, size=n) > 0).astype(np.int64)
+    df = pd.DataFrame({"score": score, "y": y})
+    got = auc_exact(rd.from_pandas(df).repartition(7), "score", "y",
+                    n_buckets=5)
+    pos, neg = score[y == 1], score[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    exp = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got["n_pos"] == int(y.sum())
+    assert got["n_neg"] == int((1 - y).sum())
+    assert abs(got["auc"] - exp) < 1e-12
