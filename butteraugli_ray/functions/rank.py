@@ -352,3 +352,151 @@ def auc_exact(ds, score_col: str, label_col: str,
     num = r2 - n_pos * (n_pos + 1)                  # 2·(R⁺ − n⁺(n⁺+1)/2)
     return {"n_pos": n_pos, "n_neg": n_neg,
             "auc": num / (2.0 * n_pos * n_neg)}
+
+
+def grouped_weighted_median_exact(ds, key: str, col: str, wcol: str,
+                                  q: float = 0.5,
+                                  n_bins: int = 512,
+                                  collect_cap: int = 65536,
+                                  max_rounds: int = 8) -> pd.DataFrame:
+    """EXACT per-group WEIGHTED quantile: the smallest value v with
+    cumulative weight(rows ≤ v) ≥ q · total_weight (the lower weighted
+    median convention — what a cumsum-window SQL formulation computes).
+    Weights must be integral (cast to int64) so every cumulative sum is
+    arithmetic-exact and engine/oracle can never disagree at a
+    threshold boundary.
+
+    Same histogram-refinement skeleton as ``grouped_quantile_exact``:
+    per-group (total-weight, min, max) partials → ≤ ``max_rounds``
+    fixed-bin WEIGHT-sum passes (partials bounded by groups × bins,
+    below-range weight RE-MEASURED each round) → final (value, weight)
+    collect inside the residual range, bounded by distinct values
+    there.  No task ever materializes a key group."""
+    src = ds.materialize()
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[key, col, wcol]].dropna()
+        if not len(d):
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "lo": pd.Series([], dtype="float64"),
+                                 "hi": pd.Series([], dtype="float64")})
+        d = d.assign(__w=d[wcol].to_numpy(dtype=np.int64))
+        return d.groupby(key, as_index=False).agg(
+            w=("__w", "sum"), n=(col, "size"),
+            lo=(col, "min"), hi=(col, "max"))
+
+    parts = src.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             "wmedian": pd.Series([], dtype="float64")})
+    stats = parts.groupby(key, as_index=False).agg(
+        w=("w", "sum"), n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    state: dict = {}
+    for _, r in stats.iterrows():
+        # target weight: integral when q·w is (q=0.5, even w); exact
+        # float otherwise — both sides compare cum ≥ target identically
+        state[r[key]] = {"lo": float(r["lo"]), "hi": float(r["hi"]),
+                         "target": q * int(r["w"]),
+                         "n_range": int(r["n"])}
+
+    def _relax(x: float, up: bool) -> float:
+        for _ in range(4):
+            x = np.nextafter(x, np.inf if up else -np.inf)
+        return float(x)
+
+    for _ in range(max_rounds):
+        active = {k: (s["lo"], s["hi"]) for k, s in state.items()
+                  if s["n_range"] > collect_cap and s["lo"] < s["hi"]}
+        if not active:
+            break
+
+        def hist_partial(df: pd.DataFrame, _b=dict(active)) -> pd.DataFrame:
+            d = df[[key, col, wcol]].dropna()
+            rows = {"k": [], "below": [], "hist": [], "cnt": []}
+            for kk, (lo, hi) in _b.items():
+                sel = d[d[key] == kk]
+                v = sel[col].to_numpy(dtype=np.float64)
+                w = sel[wcol].to_numpy(dtype=np.int64)
+                rows["k"].append(kk)
+                rows["below"].append(int(w[v < lo].sum()))
+                m = (v >= lo) & (v <= hi)
+                v, w = v[m], w[m]
+                idx = np.clip(((v - lo) / (hi - lo) * n_bins)
+                              .astype(np.int64), 0, n_bins - 1)
+                rows["hist"].append(np.bincount(
+                    idx, weights=w.astype(np.float64),
+                    minlength=n_bins).astype(np.int64).tobytes())
+                rows["cnt"].append(np.bincount(idx, minlength=n_bins)
+                                   .astype(np.int64).tobytes())
+            return pd.DataFrame(rows)
+
+        hp = src.map_batches(hist_partial, batch_format="pandas").to_pandas()
+        progressed = False
+        for kk, (lo, hi) in active.items():
+            sel = hp[hp["k"] == kk]
+            below = int(sel["below"].sum())
+            hist = np.zeros(n_bins, dtype=np.int64)
+            cnts = np.zeros(n_bins, dtype=np.int64)
+            for b, c in zip(sel["hist"], sel["cnt"]):
+                hist += np.frombuffer(b, dtype=np.int64)
+                cnts += np.frombuffer(c, dtype=np.int64)
+            cum = below + np.cumsum(hist)
+            s = state[kk]
+            b1 = int(np.searchsorted(cum, s["target"], side="left"))
+            # cum[b1] is the first bin where cum ≥ target
+            b1 = min(b1, n_bins - 1)
+            w = (hi - lo) / n_bins
+            new_lo = _relax(lo + b1 * w, up=False)
+            new_hi = _relax(min(lo + (b1 + 1) * w, hi), up=True)
+            new_n = int(cnts[b1])
+            if new_lo > lo or new_hi < hi:
+                progressed = True
+                s["lo"], s["hi"] = max(new_lo, lo), min(new_hi, hi)
+                s["n_range"] = new_n
+        if not progressed:
+            break
+
+    bounds = {k: (s["lo"], s["hi"]) for k, s in state.items()}
+
+    def vc_partial(df: pd.DataFrame, _b=dict(bounds)) -> pd.DataFrame:
+        d = df[[key, col, wcol]].dropna()
+        rows = {"k": [], "below": [], "val": [], "wt": []}
+        for kk, (lo, hi) in _b.items():
+            sel = d[d[key] == kk]
+            v = sel[col].to_numpy(dtype=np.float64)
+            w = sel[wcol].to_numpy(dtype=np.int64)
+            nb = int(w[v < lo].sum())
+            m = (v >= lo) & (v <= hi)
+            v, w = v[m], w[m]
+            order = np.argsort(v, kind="stable")
+            v, w = v[order], w[order]
+            uv, start = np.unique(v, return_index=True)
+            uw = np.add.reduceat(w, start) if len(v) else w
+            rows["k"].append(kk)
+            rows["below"].append(nb)
+            rows["val"].append(uv.tobytes())
+            rows["wt"].append(uw.astype(np.int64).tobytes())
+        return pd.DataFrame(rows)
+
+    vp = src.map_batches(vc_partial, batch_format="pandas").to_pandas()
+    out_k, out_v = [], []
+    for kk, s in state.items():
+        sel = vp[vp["k"] == kk]
+        below = int(sel["below"].sum())
+        vals = np.concatenate([np.frombuffer(b, dtype=np.float64)
+                               for b in sel["val"]]) if len(sel) else \
+            np.empty(0)
+        wts = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                              for b in sel["wt"]]) if len(sel) else \
+            np.empty(0, dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        uv, start = np.unique(vals, return_index=True)
+        uw = np.add.reduceat(wts, start) if len(vals) else wts
+        cum = below + np.cumsum(uw)
+        i = int(np.searchsorted(cum, s["target"], side="left"))
+        out_k.append(kk)
+        out_v.append(float(uv[min(i, len(uv) - 1)]))
+    return pd.DataFrame({key: out_k, "wmedian": out_v})

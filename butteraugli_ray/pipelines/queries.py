@@ -5253,6 +5253,29 @@ def q_auc_eval(sf_dir: str) -> pd.DataFrame:
         "auc": _round_half_away(pd.Series([r["auc"]]), 6)})
 
 
+def q_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group WEIGHTED median — price level at which half the
+    shipped QUANTITY sits below (weight = l_quantity, value =
+    l_extendedprice, group = l_returnflag): the inventory/cost-curve
+    percentile shape a plain row-median cannot express.
+
+    Distributed shape: `functions/rank.grouped_weighted_median_exact`
+    histogram refinement — per-group fixed-bin weight-sum partials
+    (groups × bins ints, never rows), driver range shrink, final
+    collect bounded by distinct values in the residual range.  Integer
+    weights keep every cumulative comparison arithmetic-exact, so the
+    cumsum-window SQL formulation matches bit-for-bit."""
+    from ..functions.rank import grouped_weighted_median_exact
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = grouped_weighted_median_exact(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity", q=0.5,
+        collect_cap=4096)
+    out = out.rename(columns={"wmedian": "wmedian_price"})
+    out["wmedian_price"] = _round_half_away(out["wmedian_price"], 2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5384,6 +5407,7 @@ QUERIES = {
     "promo_share": q_promo_share,
     "idle_customers": q_idle_customers,
     "auc_eval": q_auc_eval,
+    "weighted_median": q_weighted_median,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6831,6 +6855,19 @@ ORACLE_SQL = {
                CAST(nn AS BIGINT) AS n_neg,
                ROUND((rpos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
         FROM agg
+    """,
+    "weighted_median": """
+        WITH c AS (SELECT l_returnflag,
+                          l_extendedprice AS v,
+                          sum(CAST(l_quantity AS BIGINT))
+                              OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS cum,
+                          sum(CAST(l_quantity AS BIGINT))
+                              OVER (PARTITION BY l_returnflag) AS tot
+                   FROM lineitem)
+        SELECT l_returnflag, ROUND(min(v), 2) AS wmedian_price
+        FROM c WHERE cum >= 0.5 * tot
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }
 

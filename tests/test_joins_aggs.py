@@ -130,6 +130,7 @@ class TestDataPipelineQueries:
         ("promo_share", ["lineitem", "part"]),
         ("idle_customers", ["customer", "orders"]),
         ("auc_eval", ["events"]),
+        ("weighted_median", ["lineitem"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb

@@ -290,3 +290,25 @@ def test_auc_exact_matches_bruteforce_with_ties(ray_session):
     assert got["n_pos"] == int(y.sum())
     assert got["n_neg"] == int((1 - y).sum())
     assert abs(got["auc"] - exp) < 1e-12
+
+
+def test_grouped_weighted_median_matches_bruteforce(ray_session):
+    """Histogram-refinement weighted median == the O(n log n) local
+    definition (smallest v with cumweight ≥ half) with heavy ties and a
+    collect cap small enough to force refinement rounds."""
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import grouped_weighted_median_exact
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], size=n),
+        "v": np.round(rng.lognormal(3, 1, size=n), 2),
+        "w": rng.integers(1, 9, size=n).astype(np.int64)})
+    got = grouped_weighted_median_exact(
+        rd.from_pandas(df).repartition(6), "k", "v", "w",
+        collect_cap=64, n_bins=16)
+    for k, sub in df.groupby("k"):
+        sub = sub.sort_values("v")
+        cum = sub["w"].cumsum()
+        exp = float(sub.loc[cum >= 0.5 * sub["w"].sum(), "v"].iloc[0])
+        assert float(got.loc[got["k"] == k, "wmedian"].iloc[0]) == exp
