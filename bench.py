@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "naive_bayes_lang", "edit_distance_join", "time_weighted_value",
     "cooccurrence_lift", "wasserstein_drift", "props_extract",
     "sliding_distinct_users", "scd_merge", "week_over_week",
-    "cust_order_distribution", "promo_share", "idle_customers", "auc_eval", "weighted_median",
+    "cust_order_distribution", "promo_share", "idle_customers", "auc_eval", "weighted_median", "kcore",
     "validate_corpus",
 ]
 

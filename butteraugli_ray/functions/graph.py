@@ -152,3 +152,69 @@ def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
              .map_groups(close_count, batch_format="pandas").to_pandas())
     return {"n_nodes": int(len(nodes)), "n_edges": int(n_edges),
             "n_triangles": int(parts["n"].sum())}
+
+
+def kcore(edges_ds, k: int = 2, a_col: str = "id_a", b_col: str = "id_b",
+          max_rounds: int = 200):
+    """k-core decomposition by iterative peeling over undirected
+    (a, b) edges: repeatedly drop nodes with degree < k inside the
+    surviving subgraph until a fixpoint; returns
+    ``(DataFrame[node, deg], rounds)`` where ``deg`` is the node's
+    degree WITHIN the k-core.
+
+    Distributed shape: the edge set streams once per round (degree
+    partials are vectorized np.unique counts, combined on the driver);
+    the alive-node set broadcasts via ``ray.put`` — bounded by the
+    similarity graph's node population, the same driver bound
+    ``pagerank`` and the CC candidate set accept.  Peeling is monotone
+    (alive set only shrinks), so the loop terminates in ≤ rounds-of-
+    peeling passes; beyond ~10⁸ nodes shard the alive set by node-hash
+    bucket and turn the membership test into a bucketed semi-join,
+    leaving the loop unchanged."""
+    import ray as _ray
+
+    edges = edges_ds.materialize()
+
+    def all_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([
+            df[a_col].to_numpy(np.int64), df[b_col].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": u})
+
+    nodes = edges.map_batches(all_nodes, batch_format="pandas").to_pandas()
+    alive = np.unique(nodes["node"].to_numpy(np.int64))
+    empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "deg": pd.Series([], dtype="int64")})
+    rounds = 0
+    while rounds < max_rounds:
+        aref = _ray.put(alive)
+
+        def deg_alive(df: pd.DataFrame, _ref=aref) -> pd.DataFrame:
+            al = _ray.get(_ref)
+            a = df[a_col].to_numpy(np.int64)
+            b = df[b_col].to_numpy(np.int64)
+            m = np.isin(a, al) & np.isin(b, al)
+            both = np.concatenate([a[m], b[m]])
+            if not len(both):
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "deg": pd.Series([], dtype="int64")})
+            u, c = np.unique(both, return_counts=True)
+            return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+        parts = edges.map_batches(deg_alive,
+                                  batch_format="pandas").to_pandas()
+        rounds += 1
+        if not len(parts):
+            return empty, rounds
+        degs = parts.groupby("node")["deg"].sum()
+        keep = degs[degs >= k]
+        new_alive = np.sort(keep.index.to_numpy(np.int64))
+        if len(new_alive) == len(alive):
+            out = pd.DataFrame({
+                "node": new_alive,
+                "deg": keep.reindex(new_alive).to_numpy(np.int64)})
+            return out, rounds
+        alive = new_alive
+        if not len(alive):
+            return empty, rounds
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")

@@ -5276,6 +5276,56 @@ def q_weighted_median(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_kcore(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """k-core decomposition (k=2) of the exact n-gram-Jaccard
+    similarity graph: peel away pendant near-dup chains until only the
+    densely-duplicated CORES remain — the graph-shape complement to
+    connected components (CC finds families; the 2-core finds the
+    families' cyclic hearts, the usual seed set for template/boilerplate
+    mining).
+
+    Distributed shape: `functions/graph.kcore` — one streaming edge
+    pass per peel round, alive-set broadcast bounded by the candidate-
+    pair node population (the pagerank/CC bound).  Oracle: the same
+    peeling unrolled as chained CTEs over the jpairs edge set."""
+    from ..functions.graph import kcore
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6)
+    out, _rounds = kcore(pairs, k=k, a_col="doc_a", b_col="doc_b")
+    out = out.rename(columns={"node": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["deg"] = out["deg"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _kcore_unrolled_sql(k: int = 2, rounds: int = 8) -> str:
+    """Iterative peeling as chained CTEs (aggregation is not allowed in
+    a recursive term, so unroll — the pagerank-oracle pattern).  The
+    peel is a monotone fixpoint, so unrolling MORE rounds than the
+    engine needed is harmless: converged rounds are identity.  Every
+    step is MATERIALIZED — each d_i references e and c_{i-1} twice, so
+    inlining would expand the chain exponentially (measured: 'too many
+    open files' from re-reading the parquet at every leaf)."""
+    steps = ["""
+        e(src, dst) AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM jpairs
+            UNION ALL SELECT doc_b, doc_a FROM jpairs),
+        c0(node) AS MATERIALIZED (SELECT DISTINCT src FROM e)"""]
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        d{i} AS MATERIALIZED (
+            SELECT e.src AS node, count(*) AS deg FROM e
+            WHERE e.src IN (SELECT node FROM c{i - 1})
+              AND e.dst IN (SELECT node FROM c{i - 1})
+            GROUP BY 1),
+        c{i}(node) AS MATERIALIZED (
+            SELECT node FROM d{i} WHERE deg >= {k})""")
+    return ("WITH " + _NGRAM_PAIR_CTES + "," + ",".join(steps) + f"""
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(deg AS BIGINT) AS deg
+        FROM d{rounds} WHERE deg >= {k} ORDER BY doc_id
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5408,6 +5458,7 @@ QUERIES = {
     "idle_customers": q_idle_customers,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
+    "kcore": q_kcore,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -6870,6 +6921,8 @@ ORACLE_SQL = {
         GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }
+
+ORACLE_SQL["kcore"] = _kcore_unrolled_sql()
 
 
 def _lang_id_oracle() -> str:

@@ -312,3 +312,21 @@ def test_grouped_weighted_median_matches_bruteforce(ray_session):
         cum = sub["w"].cumsum()
         exp = float(sub.loc[cum >= 0.5 * sub["w"].sum(), "v"].iloc[0])
         assert float(got.loc[got["k"] == k, "wmedian"].iloc[0]) == exp
+
+
+def test_kcore_peels_pendants_keeps_clique(ray_session):
+    """2-core of (4-clique + pendant chain hanging off it) is exactly
+    the clique; a pure tree has an empty 2-core."""
+    import itertools
+    import ray.data as rd
+    from butteraugli_ray.functions.graph import kcore
+    clique = list(itertools.combinations([10, 11, 12, 13], 2))
+    chain = [(13, 20), (20, 21), (21, 22)]
+    edges = pd.DataFrame(clique + chain, columns=["id_a", "id_b"])
+    out, rounds = kcore(rd.from_pandas(edges).repartition(3), k=2)
+    assert sorted(out["node"]) == [10, 11, 12, 13]
+    assert (out["deg"] == 3).all()
+    assert rounds >= 2                      # chain peels over ≥2 rounds
+    tree = pd.DataFrame([(1, 2), (2, 3), (2, 4)], columns=["id_a", "id_b"])
+    empty, _ = kcore(rd.from_pandas(tree), k=2)
+    assert len(empty) == 0
