@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "cooccurrence_lift", "wasserstein_drift", "props_extract",
     "sliding_distinct_users", "scd_merge", "week_over_week",
     "cust_order_distribution", "promo_share", "idle_customers", "auc_eval", "weighted_median", "kcore",
+    "small_qty_revenue", "large_volume_customers", "top_supplier_revenue",
     "validate_corpus",
 ]
 

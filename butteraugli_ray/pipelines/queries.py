@@ -5326,6 +5326,168 @@ def _kcore_unrolled_sql(k: int = 2, rounds: int = 8) -> str:
     """)
 
 
+def q_small_qty_revenue(sf_dir: str, brand: str = "Brand#4") -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand — a correlated scalar subquery (0.2 × per-part average
+    quantity) turned into a broadcast threshold lookup.
+
+    Distributed shape: pass 1 streams lineitem emitting per-batch
+    (partkey → sum qty, count) partials, combined by the bucketed
+    `_final_agg` — the result is bounded by |part| (the small dim side
+    at any scale).  The 0.2·avg threshold becomes a float array indexed
+    by partkey, masked to the brand's parts, `ray.put` ONCE; pass 2
+    streams lineitem again summing l_extendedprice where the row's
+    quantity is under its part's threshold.  No join ever ships the
+    fact side; two streaming scans + one |part|-sized broadcast."""
+    import ray
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = part.loc[part["p_brand"] == brand, "p_partkey"] \
+        .to_numpy(np.int64)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False).agg(
+            s=("l_quantity", "sum"), n=("l_quantity", "size"))
+        return g.astype({"l_partkey": "int64", "s": "float64", "n": "int64"})
+
+    per_part = _final_agg(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pandas"),
+        ["l_partkey"], ["s", "n"])
+    maxk = int(per_part["l_partkey"].max())
+    thresh = np.full(maxk + 1, -np.inf)
+    bk = brand_keys[brand_keys <= maxk]
+    pp = per_part.set_index("l_partkey")
+    hit = pp.index.intersection(bk)
+    thresh[hit.to_numpy(np.int64)] = (
+        0.2 * pp.loc[hit, "s"] / pp.loc[hit, "n"]).to_numpy()
+    thr_ref = ray.put(thresh)
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        thr = ray.get(thr_ref)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        ok = pk <= len(thr) - 1
+        t = np.where(ok, thr[np.clip(pk, 0, len(thr) - 1)], -np.inf)
+        m = df["l_quantity"].to_numpy() < t
+        return pd.DataFrame({"rev": [float(
+            df["l_extendedprice"].to_numpy()[m].sum())]})
+
+    p = (_read(sf_dir, "lineitem", columns=li_cols)
+         .map_batches(rev_partial, batch_format="pandas").to_pandas())
+    return pd.DataFrame({"avg_yearly": _round_half_away(
+        pd.Series([float(p["rev"].sum()) / 7.0]), 2)})
+
+
+def q_large_volume_customers(sf_dir: str, min_qty: float = 200.0,
+                             k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders —
+    HAVING over a high-cardinality group (per-order quantity sums)
+    followed by dimension attachment.
+
+    Distributed shape: per-batch (orderkey → sum qty) partials are
+    bucket-tagged and each bucket applies the HAVING filter INSIDE the
+    combine task, so only qualifying orders (tiny by the predicate's
+    nature) ever reach the driver — the |orders|-sized count table
+    never materializes anywhere.  The qualifying orderkey set then
+    broadcasts into an orders scan, and the matched custkeys (same
+    cardinality) broadcast into a customer scan; both matched sides are
+    result-sized."""
+    import ray
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"))
+        return g.astype({"l_orderkey": "int64", "sum_qty": "float64"})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["l_orderkey"].to_numpy(np.int64) % 64)
+        return df
+
+    def combine_filter(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        return c[c["sum_qty"] > min_qty]
+
+    big = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+           .map_batches(qty_partial, batch_format="pandas")
+           .map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(combine_filter, batch_format="pandas")
+           .to_pandas())
+    keys_ref = ray.put(np.sort(big["l_orderkey"].to_numpy(np.int64)))
+
+    def match_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        m = np.isin(df["o_orderkey"].to_numpy(np.int64), keys)
+        return df[m]
+
+    ords = (_read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate",
+                           "o_totalprice"])
+            .map_batches(match_orders, batch_format="pandas").to_pandas())
+    cust_ref = ray.put(np.sort(ords["o_custkey"].unique().astype(np.int64)))
+
+    def match_cust(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(cust_ref)
+        m = np.isin(df["c_custkey"].to_numpy(np.int64), keys)
+        return df[m]
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .map_batches(match_cust, batch_format="pandas").to_pandas())
+    out = (ords.merge(big, left_on="o_orderkey", right_on="l_orderkey")
+           .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    out = out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]]
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True]).head(k).reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = _round_half_away(out["o_totalprice"], 2)
+    out["sum_qty"] = _round_half_away(out["sum_qty"], 2)
+    return out
+
+
+def q_top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — a view-style aggregate plus an argmax scalar subquery.
+
+    Distributed shape: per-batch (suppkey → revenue) partials with the
+    shipdate filter applied at the batch (and the scan projected to 4
+    columns), combined by the bucketed `_final_agg`; the result is
+    bounded by |supplier| — tiny — so the argmax and the dimension
+    merge are driver-side on result-sized tables.  Revenue is rounded
+    to cents BEFORE the argmax on both engines so float summation
+    order cannot flip the winner."""
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy("datetime64[us]")
+        d = df[(sd >= lo) & (sd < hi)]
+        if not len(d):
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                                 "rev": pd.Series([], dtype="float64")})
+        rev = d["l_extendedprice"] * (1 - d["l_discount"])
+        g = d.assign(rev=rev).groupby("l_suppkey", as_index=False)["rev"].sum()
+        return g.astype({"l_suppkey": "int64", "rev": "float64"})
+
+    per_supp = _final_agg(
+        _read(sf_dir, "lineitem",
+              columns=["l_suppkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+        .map_batches(partial, batch_format="pandas"),
+        ["l_suppkey"], ["rev"])
+    per_supp["total_revenue"] = _round_half_away(per_supp["rev"], 2)
+    best = per_supp[per_supp["total_revenue"]
+                    == per_supp["total_revenue"].max()]
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_revenue"]]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5456,6 +5618,9 @@ QUERIES = {
     "cust_order_distribution": q_cust_order_distribution,
     "promo_share": q_promo_share,
     "idle_customers": q_idle_customers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "top_supplier_revenue": q_top_supplier_revenue,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -6888,6 +7053,42 @@ ORACLE_SQL = {
                            WHERE c_acctbal > 0.0)
           AND cnt.n < 3
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "small_qty_revenue": """
+        SELECT ROUND(COALESCE(sum(l_extendedprice), 0.0) / 7.0, 2)
+                   AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+    "large_volume_customers": """
+        WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                     FROM lineitem GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > 200.0)
+        SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               ROUND(sum_qty, 2) AS sum_qty
+        FROM big JOIN orders ON o_orderkey = l_orderkey
+                 JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+    "top_supplier_revenue": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
     """,
     "auc_eval": """
         WITH s AS (SELECT value AS v,

@@ -131,6 +131,9 @@ class TestDataPipelineQueries:
         ("idle_customers", ["customer", "orders"]),
         ("auc_eval", ["events"]),
         ("weighted_median", ["lineitem"]),
+        ("small_qty_revenue", ["lineitem", "part"]),
+        ("large_volume_customers", ["lineitem", "orders", "customer"]),
+        ("top_supplier_revenue", ["lineitem", "supplier"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
