@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "sliding_distinct_users", "scd_merge", "week_over_week",
     "cust_order_distribution", "promo_share", "idle_customers", "auc_eval", "weighted_median", "kcore",
     "small_qty_revenue", "large_volume_customers", "top_supplier_revenue",
+    "grouped_corr", "js_drift", "phrase_search", "rrf_fusion",
     "validate_corpus",
 ]
 

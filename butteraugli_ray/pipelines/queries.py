@@ -5488,6 +5488,168 @@ def q_top_supplier_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("s_suppkey").reset_index(drop=True)
 
 
+def q_grouped_corr(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group Pearson correlation (quantity vs extended price
+    per return flag) — the grouped bivariate-statistics reduction.
+
+    Distributed shape: TWO streaming passes of d²-sized sufficient
+    statistics (the PCA/OLS pattern).  Pass 1 emits per-batch
+    (n, Σx, Σy) partials per group for the means; pass 2 re-streams
+    with the |groups|-bounded means captured in the closure and emits
+    CENTERED second-moment partials (Σ(x-µx)², Σ(y-µy)², Σ(x-µx)(y-µy))
+    — centering avoids the n·Σx² − (Σx)² catastrophic cancellation that
+    a single-pass raw-moment formula hits at 100 TB row counts, so the
+    6-decimal round matches DuckDB's numerically-stable corr()."""
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("l_quantity", "size"), sx=("l_quantity", "sum"),
+            sy=("l_extendedprice", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    m = _final_agg(_read(sf_dir, "lineitem", columns=cols)
+                   .map_batches(p1, batch_format="pandas"),
+                   ["l_returnflag"], ["n", "sx", "sy"])
+    means = {r["l_returnflag"]: (r["sx"] / r["n"], r["sy"] / r["n"])
+             for _, r in m.iterrows()}
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for flag, d in df.groupby("l_returnflag"):
+            mx, my = means[flag]
+            x = d["l_quantity"].to_numpy(np.float64) - mx
+            y = d["l_extendedprice"].to_numpy(np.float64) - my
+            out.append((flag, float((x * x).sum()), float((y * y).sum()),
+                        float((x * y).sum())))
+        return pd.DataFrame(out, columns=["l_returnflag", "sxx", "syy",
+                                          "sxy"])
+
+    s = _final_agg(_read(sf_dir, "lineitem", columns=cols)
+                   .map_batches(p2, batch_format="pandas"),
+                   ["l_returnflag"], ["sxx", "syy", "sxy"])
+    s["corr_qty_price"] = _round_half_away(
+        s["sxy"] / np.sqrt(s["sxx"] * s["syy"]), 6)
+    return (s[["l_returnflag", "corr_qty_price"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q_js_drift(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence terms between two corpus snapshots
+    (event_id-parity halves of the event_type distribution) — the
+    bounded symmetric companion to the PSI/KS/Wasserstein drift family
+    (JS is finite even when a category vanishes from one side, where
+    PSI needs smoothing to stay defined; both engines smooth
+    identically so the per-category terms compare exactly).
+
+    Distributed shape: ONE tiny (event_type, half) count shuffle via
+    per-batch partials; the divergence itself is driver math on
+    |event types| rows."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "half": df["event_id"].to_numpy(dtype=np.int64) % 2})
+        g = g.groupby(["event_type", "half"], as_index=False).agg(
+            n=("half", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    agg = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type", "half"], ["n"])
+    types = sorted(agg["event_type"].unique())
+    k = len(types)
+    piv = (agg.pivot(index="event_type", columns="half", values="n")
+           .reindex(types).fillna(0.0))
+    c0 = piv[0].to_numpy(np.float64) if 0 in piv else np.zeros(k)
+    c1 = piv[1].to_numpy(np.float64) if 1 in piv else np.zeros(k)
+    p = (c0 + 1.0) / (c0.sum() + k)
+    q = (c1 + 1.0) / (c1.sum() + k)
+    mid = 0.5 * (p + q)
+    js = 0.5 * p * np.log(p / mid) + 0.5 * q * np.log(q / mid)
+    return pd.DataFrame({"event_type": types,
+                         "p_a": np.round(p, 6),
+                         "p_b": np.round(q, 6),
+                         "js_term": np.round(js, 6)})
+
+
+def q_phrase_search(sf_dir: str, phrase: str = "table scan") -> pd.DataFrame:
+    """Exact phrase search: documents whose TOKEN stream contains the
+    query tokens adjacently (not a raw substring match — 'stable scan'
+    must not hit).  Adjacency over the token stream is equivalent to a
+    substring match over the single-space-normalized token join, which
+    keeps the whole predicate one vectorized pandas str pipeline.
+
+    Distributed shape: the predicate is row-local, so this is a pure
+    streaming filter — no shuffle, no index materialization; the scan
+    projects (doc_id, text, source) only and each batch filters itself.
+    The matched set (result-sized) is the only thing that moves."""
+    import re
+    norm_ws = re.compile(r"[^a-z0-9]+")
+    needle = " " + " ".join(norm_ws.split(phrase.lower())).strip() + " "
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (" " + df["text"].str.lower()
+                .str.replace(norm_ws, " ", regex=True).str.strip() + " ")
+        hit = norm.str.contains(needle, regex=False)
+        d = df.loc[hit, ["doc_id", "source"]].copy()
+        d["doc_id"] = d["doc_id"].astype("int64")
+        return d
+
+    out = ds.map_batches(match, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rrf_fusion(sf_dir: str, k: int = 10, depth: int = 50,
+                 c: int = 60) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    hybrid-search combiner (score = Σ 1/(c + rank) over the lists an
+    item appears in, c = 60).
+
+    Lists: (a) BM25 ranking for query 0 of the shared BM25 machinery,
+    (b) a length prior (n_chars descending), both cut at ``depth``.
+    Distributed shape: list (a) rides the existing distributed BM25
+    sufficient-statistics pipeline; list (b) is a per-batch top-depth
+    partial → driver top-depth (the bounded top-k pattern).  The fusion
+    itself is driver math on ≤ 2·depth rows.  Ranks tie-break on
+    doc_id on BOTH engines, and BM25 ranks are taken over the rounded
+    score exactly as the oracle orders them."""
+    bm = q_bm25_topk(sf_dir, k=depth)
+    bm = bm[bm["query_id"] == 0].copy()
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True])
+    bm["rank_a"] = np.arange(1, len(bm) + 1)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def top_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True]).head(depth)
+
+    cand = (docs.map_batches(top_partial, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(depth).reset_index(drop=True))
+    cand["rank_b"] = np.arange(1, len(cand) + 1)
+
+    fused = pd.merge(bm[["doc_id", "rank_a"]],
+                     cand[["doc_id", "rank_b"]],
+                     on="doc_id", how="outer")
+    score = np.zeros(len(fused))
+    for col in ("rank_a", "rank_b"):
+        r = fused[col].to_numpy(np.float64)
+        ok = ~np.isnan(r)
+        score[ok] += 1.0 / (c + r[ok])
+    fused["rrf_score"] = _round_half_away(pd.Series(score), 6)
+    fused["doc_id"] = fused["doc_id"].astype("int64")
+    out = (fused[["doc_id", "rrf_score"]]
+           .sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5621,6 +5783,10 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "large_volume_customers": q_large_volume_customers,
     "top_supplier_revenue": q_top_supplier_revenue,
+    "grouped_corr": q_grouped_corr,
+    "js_drift": q_js_drift,
+    "phrase_search": q_phrase_search,
+    "rrf_fusion": q_rrf_fusion,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -7074,6 +7240,72 @@ ORACLE_SQL = {
                  JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         LIMIT 100
+    """,
+    "grouped_corr": """
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6)
+                   AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "js_drift": """
+        WITH cnt AS (SELECT event_type,
+                            sum(CASE WHEN event_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS c0,
+                            sum(CASE WHEN event_id % 2 = 1
+                                THEN 1 ELSE 0 END) AS c1
+                     FROM events GROUP BY event_type),
+        tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1, count(*) AS k
+                FROM cnt),
+        pq AS (SELECT event_type,
+                      (c0 + 1.0) / (t0 + k) AS p,
+                      (c1 + 1.0) / (t1 + k) AS q
+               FROM cnt CROSS JOIN tot)
+        SELECT event_type,
+               ROUND(p, 6) AS p_a, ROUND(q, 6) AS p_b,
+               ROUND(0.5 * p * ln(p / (0.5 * (p + q)))
+                     + 0.5 * q * ln(q / (0.5 * (p + q))), 6) AS js_term
+        FROM pq ORDER BY event_type
+    """,
+    "phrase_search": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+        FROM documents
+        WHERE contains(' ' || trim(regexp_replace(lower(text),
+                                   '[^a-z0-9]+', ' ', 'g')) || ' ',
+                       ' table scan ')
+        ORDER BY doc_id
+    """,
+    "rrf_fusion": r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\S+') AS t
+                      FROM documents),
+        dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        stats AS (SELECT count(*) AS n,
+                         sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        qmap(term) AS (VALUES ('query'), ('filter'), ('join')),
+        tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+               WHERE tok IN (SELECT term FROM qmap) GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+        scores AS (
+            SELECT tf.doc_id,
+                   sum(ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ) AS score
+            FROM tf JOIN dfreq d USING (term)
+            JOIN dl USING (doc_id) CROSS JOIN stats s
+            GROUP BY 1),
+        la AS (SELECT doc_id, row_number() OVER (
+                   ORDER BY ROUND(score, 6) DESC, doc_id) AS rank_a
+               FROM scores QUALIFY rank_a <= 50),
+        lb AS (SELECT doc_id, row_number() OVER (
+                   ORDER BY n_chars DESC, doc_id) AS rank_b
+               FROM documents QUALIFY rank_b <= 50)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               ROUND(COALESCE(1.0 / (60 + rank_a), 0)
+                     + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf_score
+        FROM la FULL OUTER JOIN lb USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
     """,
     "top_supplier_revenue": """
         WITH revenue AS (

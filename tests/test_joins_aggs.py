@@ -134,6 +134,10 @@ class TestDataPipelineQueries:
         ("small_qty_revenue", ["lineitem", "part"]),
         ("large_volume_customers", ["lineitem", "orders", "customer"]),
         ("top_supplier_revenue", ["lineitem", "supplier"]),
+        ("grouped_corr", ["lineitem"]),
+        ("js_drift", ["events"]),
+        ("phrase_search", ["documents"]),
+        ("rrf_fusion", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
