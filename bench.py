@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "cust_order_distribution", "promo_share", "idle_customers", "auc_eval", "weighted_median", "kcore",
     "small_qty_revenue", "large_volume_customers", "top_supplier_revenue",
     "grouped_corr", "js_drift", "phrase_search", "rrf_fusion",
+    "volume_shipping", "market_share", "product_profit",
+    "returned_customers", "bracket_revenue",
     "validate_corpus",
 ]
 

@@ -30,3 +30,27 @@ def actor_pool(n):
         return (1, n)
     cpus = int(ray.cluster_resources().get("CPU", 4))
     return max(1, min(n, cpus - 2))
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def broadcast_get(ref):
+    """Per-worker-process cache around ``ray.get`` for ``ray.put``
+    broadcasts read inside PLAIN ``map_batches`` functions (stateless
+    tasks).  Worker processes persist across tasks, so the object
+    deserializes once per worker — the actor-pool ``__init__`` benefit
+    without reserving CPUs for a fixed pool (two fixed pools feeding a
+    shuffle can hold every CPU on a small cluster and wedge the
+    downstream join; see the deadlock note above).  Bounded: keeps the
+    8 most recent refs so a long-lived worker can't pin dead objects.
+    """
+    import ray
+    key = ref.hex() if hasattr(ref, "hex") else ref
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        if len(_BROADCAST_CACHE) >= 8:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        _BROADCAST_CACHE[key] = hit
+    return hit

@@ -5650,6 +5650,330 @@ def q_rrf_fusion(sf_dir: str, k: int = 10, depth: int = 50,
     return out
 
 
+def _nation_maps(sf_dir: str):
+    """Driver-side dimension prep shared by the Q7/Q8/Q9/Q10 shapes:
+    suppkey→nation-name, custkey→nation-name, custkey→regionkey.
+    supplier/nation are dimension-sized at any SF; customer scales with
+    SF but stays ~1/10 of orders — the same broadcast-dim choice as
+    q_revenue_by_nation (swap the customer side to a second hash_join
+    at the 100 TB tier; functions/joins.py already supports it)."""
+    import pyarrow.parquet as pq
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nregion = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    supp_nation = {int(k): nname[v] for k, v in
+                   zip(supp["s_suppkey"], supp["s_nationkey"])}
+    cust_nation = {int(k): nname[v] for k, v in
+                   zip(cust["c_custkey"], cust["c_nationkey"])}
+    cust_region = {int(k): int(nregion[v]) for k, v in
+                   zip(cust["c_custkey"], cust["c_nationkey"])}
+    return supp_nation, cust_nation, cust_region
+
+
+def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nations by ship year
+    (supplier nation ↔ customer nation, both directions).
+
+    Distributed shape: BOTH fact sides are pruned to the two nations
+    BEFORE the orderkey hash join — the supplier/customer nation maps
+    broadcast once via ray.put, each scan keeps only rows whose mapped
+    nation is one of the pair, so the all-to-all join moves ~2/25ths of
+    each table; the (nation, nation, year) aggregate is partial
+    per-batch and bucket-combined (reference analog: the engine's
+    multi-way join + grouped reduction family, SURVEY §2.5/§2.6)."""
+    import ray
+    from ..functions.joins import hash_join
+    from ..functions.pool import broadcast_get
+    pair = ("NATION_3", "NATION_7")
+    supp_nation, cust_nation, _ = _nation_maps(sf_dir)
+    sref = ray.put({k: v for k, v in supp_nation.items() if v in pair})
+    cref = ray.put({k: v for k, v in cust_nation.items() if v in pair})
+    lo, hi = np.datetime64("1995-01-01"), np.datetime64("1997-01-01")
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        cn = df["o_custkey"].map(broadcast_get(cref))
+        d = df[cn.notna()]
+        return pd.DataFrame({
+            "o_orderkey": d["o_orderkey"].astype("int64"),
+            "cust_nation": cn[cn.notna()].astype(str)})
+
+    def item_side(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["l_suppkey"].map(broadcast_get(sref))
+        sd = df["l_shipdate"].to_numpy("datetime64[us]")
+        keep = sn.notna().to_numpy() & (sd >= lo) & (sd < hi)
+        d = df[keep]
+        year = d["l_shipdate"].dt.year.astype("int64")
+        vol = d["l_extendedprice"] * (1 - d["l_discount"])
+        return pd.DataFrame({
+            "o_orderkey": d["l_orderkey"].astype("int64"),
+            "supp_nation": sn[keep].astype(str),
+            "l_year": year, "volume": vol})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(order_side, batch_format="pandas")
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                           "l_extendedprice", "l_discount"]) \
+        .map_batches(item_side, batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["volume"])
+        d = d[d["supp_nation"] != d["cust_nation"]]
+        if not len(d):
+            return pd.DataFrame({
+                "supp_nation": pd.Series([], dtype=str),
+                "cust_nation": pd.Series([], dtype=str),
+                "l_year": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64")})
+        g = d.groupby(["supp_nation", "cust_nation", "l_year"],
+                      as_index=False).agg(revenue=("volume", "sum"))
+        g["l_year"] = g["l_year"].astype("int64")
+        return g
+
+    out = _final_agg(joined.map_batches(partial, batch_format="pandas"),
+                     ["supp_nation", "cust_nation", "l_year"], ["revenue"])
+    out["revenue"] = _round_half_away(out["revenue"], 2)
+    out["l_year"] = out["l_year"].astype("int64")
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+def q_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: NATION_12 suppliers' share of STANDARD-part
+    revenue sold to region-2 (ASIA-analog) customers, by order year.
+
+    Distributed shape: the part filter (STANDARD partkeys) and the
+    region-2 customer set broadcast once; the lineitem scan keeps only
+    qualifying parts, the orders scan only region-2 customers, THEN the
+    orderkey hash join runs on the pruned sides.  The share is computed
+    from two co-grouped sums (total, target-nation) so one pass serves
+    both numerator and denominator."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.joins import hash_join
+    target, region = "NATION_12", 2
+    supp_nation, _, cust_region = _nation_maps(sf_dir)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    std = set(part.loc[part["p_type"] == "STANDARD", "p_partkey"]
+              .astype("int64"))
+    from ..functions.pool import broadcast_get
+    pref = ray.put(std)
+    sref = ray.put(supp_nation)
+    cref = ray.put({k for k, v in cust_region.items() if v == region})
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_custkey"].isin(broadcast_get(cref))]
+        return pd.DataFrame({
+            "o_orderkey": d["o_orderkey"].astype("int64"),
+            "o_year": d["o_orderdate"].dt.year.astype("int64")})
+
+    def item_side(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["l_partkey"].isin(broadcast_get(pref))]
+        vol = d["l_extendedprice"] * (1 - d["l_discount"])
+        tgt = d["l_suppkey"].map(broadcast_get(sref)) == target
+        return pd.DataFrame({
+            "o_orderkey": d["l_orderkey"].astype("int64"),
+            "volume": vol.to_numpy(),
+            "tgt_volume": np.where(tgt.to_numpy(), vol.to_numpy(), 0.0)})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pandas")
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"]) \
+        .map_batches(item_side, batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["volume"])
+        g = d.groupby("o_year", as_index=False).agg(
+            total_volume=("volume", "sum"), tgt=("tgt_volume", "sum"))
+        g["o_year"] = g["o_year"].astype("int64")
+        return g
+
+    out = _final_agg(joined.map_batches(partial, batch_format="pandas"),
+                     ["o_year"], ["total_volume", "tgt"])
+    out["mkt_share"] = _round_half_away(out["tgt"] / out["total_volume"], 6)
+    out["total_volume"] = _round_half_away(out["total_volume"], 2)
+    out["o_year"] = out["o_year"].astype("int64")
+    return (out[["o_year", "mkt_share", "total_volume"]]
+            .sort_values("o_year").reset_index(drop=True))
+
+
+def q_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape: profit on parts named '%bolt%' by supplier
+    nation and ship year, with cost synthesized from p_retailprice
+    (the testdata has no partsupp table — documented substitution).
+
+    Distributed shape: ONE lineitem scan; the bolt-part cost map and
+    the supplier nation map broadcast once; profit partials aggregate
+    per (nation, year) in-batch and bucket-combine — no shuffle join
+    at all (the part/supplier sides are dimension-sized)."""
+    import ray
+    import pyarrow.parquet as pq
+    supp_nation, _, _ = _nation_maps(sf_dir)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    bolt = part[part["p_name"].str.contains("bolt")]
+    cost = {int(k): float(v) * 0.6 for k, v in
+            zip(bolt["p_partkey"], bolt["p_retailprice"])}
+    from ..functions.pool import broadcast_get
+    cref, sref = ray.put(cost), ray.put(supp_nation)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        unit_cost = df["l_partkey"].map(broadcast_get(cref))
+        d = df[unit_cost.notna()]
+        if not len(d):
+            return pd.DataFrame({
+                "nation": pd.Series([], dtype=str),
+                "o_year": pd.Series([], dtype="int64"),
+                "profit": pd.Series([], dtype="float64")})
+        # per-item cent rounding: kills summation-order sensitivity
+        # at half-cent boundaries (same trick as returned_customers)
+        profit = _round_half_away(
+            d["l_extendedprice"] * (1 - d["l_discount"])
+            - unit_cost[unit_cost.notna()] * d["l_quantity"], 2)
+        g = pd.DataFrame({
+            "nation": d["l_suppkey"].map(broadcast_get(sref)).astype(str),
+            "o_year": d["l_shipdate"].dt.year.astype("int64"),
+            "profit": profit.to_numpy()})
+        return g.groupby(["nation", "o_year"], as_index=False).agg(
+            profit=("profit", "sum"))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["nation", "o_year"], ["profit"])
+    out["profit"] = _round_half_away(out["profit"], 2)
+    out["o_year"] = out["o_year"].astype("int64")
+    return (out.sort_values(["nation", "o_year"])
+            .reset_index(drop=True))
+
+
+def q_returned_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items (l_returnflag = 'R') for H1-1996 orders.
+
+    Distributed shape: orders date-filtered and lineitem flag-filtered
+    at their scans, orderkey hash join on the pruned sides, per-custkey
+    revenue partials bucket-combined (result bounded by |customer|);
+    only the |result|-sized table comes to the driver for the rounded
+    argsort + dimension attach."""
+    import pyarrow.parquet as pq
+    from ..functions.joins import hash_join
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-07-01")
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy("datetime64[us]")
+        d = df[(od >= lo) & (od < hi)]
+        return pd.DataFrame({"o_orderkey": d["o_orderkey"].astype("int64"),
+                             "o_custkey": d["o_custkey"].astype("int64")})
+
+    def item_side(df: pd.DataFrame) -> pd.DataFrame:
+        # per-item rounding to cents BEFORE the sum: the per-customer
+        # total then has no float-summation-order sensitivity at the
+        # half-cent boundary (both engines add identical cent terms)
+        d = df[df["l_returnflag"] == "R"]
+        rev = _round_half_away(d["l_extendedprice"] * (1 - d["l_discount"]),
+                               2)
+        return pd.DataFrame({"o_orderkey": d["l_orderkey"].astype("int64"),
+                             "rev": rev.to_numpy()})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pandas")
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag",
+                           "l_extendedprice", "l_discount"]) \
+        .map_batches(item_side, batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["rev"])
+        g = d.groupby("o_custkey", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size"))
+        g["o_custkey"] = g["o_custkey"].astype("int64")
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    per_cust = _final_agg(joined.map_batches(partial, batch_format="pandas"),
+                          ["o_custkey"], ["revenue", "n_items"])
+    per_cust["revenue"] = _round_half_away(per_cust["revenue"], 2)
+    top = per_cust.sort_values(["revenue", "o_custkey"],
+                               ascending=[False, True]).head(20)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name",
+                                  "c_acctbal"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out[["c_custkey", "c_name", "c_acctbal", "revenue", "n_items"]]
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return (out.sort_values(["revenue", "c_custkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q_bracket_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of three
+    (brand, size-range, quantity-range) brackets.
+
+    Distributed shape: the part side collapses to a broadcast
+    partkey→(bracket-id) map built driver-side from the three
+    predicates (part is dimension-sized); the lineitem scan evaluates
+    the matching bracket's quantity range vectorized — no join, one
+    scalar-row result."""
+    import ray
+    import pyarrow.parquet as pq
+    brackets = [("Brand#12", 1, 10, 1.0, 15.0),
+                ("Brand#23", 11, 25, 10.0, 30.0),
+                ("Brand#3", 26, 50, 20.0, 50.0)]
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    pmap = {}
+    for i, (brand, slo, shi, _, _) in enumerate(brackets):
+        sel = part[(part["p_brand"] == brand)
+                   & (part["p_size"] >= slo) & (part["p_size"] <= shi)]
+        for k in sel["p_partkey"].astype("int64"):
+            pmap[int(k)] = i
+    from ..functions.pool import broadcast_get
+    pref = ray.put(pmap)
+    qlo = np.array([b[3] for b in brackets])
+    qhi = np.array([b[4] for b in brackets])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bid = df["l_partkey"].map(broadcast_get(pref))
+        d = df[bid.notna()]
+        if not len(d):
+            return pd.DataFrame({"revenue": [0.0],
+                                 "n_items": pd.Series([0], dtype="int64")})
+        b = bid[bid.notna()].astype(int).to_numpy()
+        q = d["l_quantity"].to_numpy()
+        keep = (q >= qlo[b]) & (q <= qhi[b])
+        rev = (d["l_extendedprice"].to_numpy()
+               * (1 - d["l_discount"].to_numpy()))[keep]
+        return pd.DataFrame({"revenue": [float(rev.sum())],
+                             "n_items": pd.Series([int(keep.sum())],
+                                                  dtype="int64")})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "revenue": _round_half_away(pd.Series([parts["revenue"].sum()]), 2),
+        "n_items": pd.Series([int(parts["n_items"].sum())], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5787,6 +6111,11 @@ QUERIES = {
     "js_drift": q_js_drift,
     "phrase_search": q_phrase_search,
     "rrf_fusion": q_rrf_fusion,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "returned_customers": q_returned_customers,
+    "bracket_revenue": q_bracket_revenue,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -7352,6 +7681,85 @@ ORACLE_SQL = {
         SELECT l_returnflag, ROUND(min(v), 2) AS wmedian_price
         FROM c WHERE cum >= 0.5 * tot
         GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(sum(volume), 2) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                         AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= DATE '1995-01-01'
+                AND l_shipdate < DATE '1997-01-01')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "market_share": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               ROUND(sum(CASE WHEN n1.n_name = 'NATION_12'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS mkt_share,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE p_type = 'STANDARD' AND n2.n_regionkey = 2
+        GROUP BY o_year ORDER BY o_year
+    """,
+    "product_profit": """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+               ROUND(sum(ROUND(l_extendedprice * (1 - l_discount)
+                               - 0.6 * p_retailprice * l_quantity, 2)), 2)
+                   AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, o_year ORDER BY nation, o_year
+    """,
+    "returned_customers": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   ROUND(sum(ROUND(l_extendedprice * (1 - l_discount), 2)),
+                         2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-07-01'
+            GROUP BY o_custkey)
+        SELECT c_custkey, c_name, c_acctbal, revenue, n_items
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "bracket_revenue": """
+        SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 11 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
     """,
 }
 

@@ -138,6 +138,13 @@ class TestDataPipelineQueries:
         ("js_drift", ["events"]),
         ("phrase_search", ["documents"]),
         ("rrf_fusion", ["documents"]),
+        ("volume_shipping",
+         ["lineitem", "orders", "supplier", "customer", "nation"]),
+        ("market_share",
+         ["lineitem", "orders", "part", "supplier", "customer", "nation"]),
+        ("product_profit", ["lineitem", "part", "supplier", "nation"]),
+        ("returned_customers", ["lineitem", "orders", "customer"]),
+        ("bracket_revenue", ["lineitem", "part"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
