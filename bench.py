@@ -76,7 +76,8 @@ BENCH_QUERIES = [
     "small_qty_revenue", "large_volume_customers", "top_supplier_revenue",
     "grouped_corr", "js_drift", "phrase_search", "rrf_fusion",
     "volume_shipping", "market_share", "product_profit",
-    "returned_customers", "bracket_revenue",
+    "returned_customers", "bracket_revenue", "waiting_suppliers",
+    "min_price_supplier", "event_transitions",
     "validate_corpus",
 ]
 

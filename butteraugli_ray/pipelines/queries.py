@@ -5974,6 +5974,146 @@ def q_bracket_revenue(sf_dir: str) -> pd.DataFrame:
         "n_items": pd.Series([int(parts["n_items"].sum())], dtype="int64")})
 
 
+def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE latest shipper in
+    multi-supplier orders (the testdata lacks receipt/commit dates, so
+    'kept the order waiting' = strictly-latest shipdate), top 10 by
+    order count.
+
+    Distributed shape: ONE orderkey-hash bucket shuffle; per-order max
+    shipdate / distinct-supplier counts are vectorized groupby
+    transforms inside the bucket task (every order lives in exactly one
+    bucket, so the per-supplier partial is exact), then a tiny
+    |supplier|-bounded combine.  No per-order Python, no unique-key
+    native groupby (the measured degenerate regime, SCALE.md)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["l_orderkey"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g.groupby("l_orderkey")["l_shipdate"].transform("max")
+        ns = g.groupby("l_orderkey")["l_suppkey"].transform("nunique")
+        at = (g[(g["l_shipdate"] == mx) & (ns >= 2)]
+              [["l_orderkey", "l_suppkey"]].drop_duplicates())
+        n_at_max = at.groupby("l_orderkey")["l_suppkey"].transform("size")
+        sole = at[n_at_max == 1]
+        out = sole.groupby("l_suppkey", as_index=False).size()
+        out.columns = ["l_suppkey", "numwait"]
+        out["l_suppkey"] = out["l_suppkey"].astype("int64")
+        out["numwait"] = out["numwait"].astype("int64")
+        return out
+
+    per_supp = _final_agg(ds.map_batches(tag, batch_format="pandas")
+                          .groupby("__b")
+                          .map_groups(bucket, batch_format="pandas"),
+                          ["l_suppkey"], ["numwait"])
+    import pyarrow.parquet as pq
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = per_supp.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "numwait"]]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out.sort_values(["numwait", "s_suppkey"],
+                            ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def q_min_price_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape: for every LARGE-type part, the supplier offering
+    the minimum observed unit price (tie → lowest suppkey) — the
+    grouped arg-min over a fact table (the testdata has no partsupp, so
+    offers are observed lineitem unit prices — documented substitution).
+
+    Distributed shape: the LARGE partkey set broadcasts once and prunes
+    the scan; ONE partkey-hash bucket shuffle; the per-part arg-min is
+    a vectorized lexicographic sort + drop_duplicates inside the bucket
+    task (exact — each part lives in one bucket); unit prices round to
+    6 dp on BOTH engines before the arg-min so float ulps cannot flip a
+    tie."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.pool import broadcast_get
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_type"]).to_pandas()
+    large = part[part["p_type"] == "LARGE"]
+    pref = ray.put(set(large["p_partkey"].astype("int64")))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["l_partkey"].isin(broadcast_get(pref))]
+        price = _round_half_away(d["l_extendedprice"] / d["l_quantity"], 6)
+        out = pd.DataFrame({"l_partkey": d["l_partkey"].astype("int64"),
+                            "l_suppkey": d["l_suppkey"].astype("int64"),
+                            "unit_price": price.to_numpy()})
+        out["__b"] = out["l_partkey"].to_numpy() & 63
+        return out
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g.sort_values(["l_partkey", "unit_price", "l_suppkey"])
+             .drop_duplicates("l_partkey"))
+        return w[["l_partkey", "l_suppkey", "unit_price"]]
+
+    w = (_read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice"])
+         .map_batches(scan, batch_format="pandas")
+         .groupby("__b").map_groups(bucket, batch_format="pandas")
+         .to_pandas())
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = (w.merge(part[["p_partkey", "p_name"]],
+                   left_on="l_partkey", right_on="p_partkey")
+           .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    out = out[["p_partkey", "p_name", "s_suppkey", "s_name", "unit_price"]]
+    out = out.rename(columns={"unit_price": "min_price"})
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: P(next_type | type) with counts — the lead() window shape
+    feeding a grouped frequency normalization.
+
+    Distributed shape: ONE user-hash bucket shuffle; within the bucket
+    task the stream sorts by (user, ts, event_id) and the next-event
+    column is a C-level groupby shift — per-user streams never split
+    across buckets, so pair counts are exact partials; the 5×5-bounded
+    transition matrix normalizes driver-side."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        nxt = g.groupby("user_id", sort=False)["event_type"].shift(-1)
+        d = pd.DataFrame({"event_type": g["event_type"], "next_type": nxt})
+        d = d.dropna(subset=["next_type"])
+        out = d.groupby(["event_type", "next_type"], as_index=False).size()
+        out.columns = ["event_type", "next_type", "n_pairs"]
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    out = _final_agg(ds.map_batches(tag, batch_format="pandas")
+                     .groupby("__b")
+                     .map_groups(bucket, batch_format="pandas"),
+                     ["event_type", "next_type"], ["n_pairs"])
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    totals = out.groupby("event_type")["n_pairs"].transform("sum")
+    out["prob"] = _round_half_away(out["n_pairs"] / totals, 6)
+    return (out.sort_values(["event_type", "next_type"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6116,6 +6256,9 @@ QUERIES = {
     "product_profit": q_product_profit,
     "returned_customers": q_returned_customers,
     "bracket_revenue": q_bracket_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+    "min_price_supplier": q_min_price_supplier,
+    "event_transitions": q_event_transitions,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -7760,6 +7903,59 @@ ORACLE_SQL = {
                AND l_quantity BETWEEN 10 AND 30)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
                AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "waiting_suppliers": """
+        WITH per AS (
+            SELECT l_orderkey, max(l_shipdate) AS mx,
+                   count(DISTINCT l_suppkey) AS ns
+            FROM lineitem GROUP BY l_orderkey),
+        atmax AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN per p ON l.l_orderkey = p.l_orderkey
+            WHERE l.l_shipdate = p.mx AND p.ns >= 2
+            GROUP BY l.l_orderkey, l.l_suppkey),
+        sole AS (
+            SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+            FROM atmax GROUP BY l_orderkey HAVING count(*) = 1)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey LIMIT 10
+    """,
+    "min_price_supplier": """
+        WITH lp AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'LARGE'),
+        m AS (SELECT l_partkey, min(unit_price) AS min_price
+              FROM lp GROUP BY l_partkey),
+        w AS (SELECT lp.l_partkey, min(lp.l_suppkey) AS l_suppkey,
+                     m.min_price
+              FROM lp JOIN m ON lp.l_partkey = m.l_partkey
+                            AND lp.unit_price = m.min_price
+              GROUP BY lp.l_partkey, m.min_price)
+        SELECT w.l_partkey AS p_partkey, p_name, s_suppkey, s_name,
+               min_price
+        FROM w JOIN part ON w.l_partkey = p_partkey
+        JOIN supplier ON w.l_suppkey = s_suppkey
+        ORDER BY p_partkey
+    """,
+    "event_transitions": """
+        WITH s AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS next_type
+            FROM events)
+        SELECT event_type, next_type,
+               count(*) AS n_pairs,
+               ROUND(count(*) * 1.0
+                     / sum(count(*)) OVER (PARTITION BY event_type), 6)
+                   AS prob
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+        ORDER BY event_type, next_type
     """,
 }
 

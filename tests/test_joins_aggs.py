@@ -145,6 +145,9 @@ class TestDataPipelineQueries:
         ("product_profit", ["lineitem", "part", "supplier", "nation"]),
         ("returned_customers", ["lineitem", "orders", "customer"]),
         ("bracket_revenue", ["lineitem", "part"]),
+        ("waiting_suppliers", ["lineitem", "supplier"]),
+        ("min_price_supplier", ["lineitem", "part", "supplier"]),
+        ("event_transitions", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
