@@ -77,7 +77,8 @@ BENCH_QUERIES = [
     "grouped_corr", "js_drift", "phrase_search", "rrf_fusion",
     "volume_shipping", "market_share", "product_profit",
     "returned_customers", "bracket_revenue", "waiting_suppliers",
-    "min_price_supplier", "event_transitions",
+    "min_price_supplier", "event_transitions", "gini_by_segment",
+    "active_time", "grouped_moments",
     "validate_corpus",
 ]
 

@@ -6114,6 +6114,201 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_gini_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Exact per-segment Gini coefficient of order totals — the
+    rank-weighted inequality statistic G = 2·Σᵢ i·x₍ᵢ₎/(n·Σx) − (n+1)/n
+    (i = 1-based rank ascending; tie order cannot change the sum since
+    equal values contribute symmetrically).
+
+    Distributed shape: NO per-segment whole-group sort.  Pass 1 streams
+    (segment, value-bin) → (count, sum) partials over a fixed value
+    grid; the driver cumsums the segments×bins-bounded table into
+    below-bin rank offsets.  Pass 2 re-shuffles once on the packed
+    (segment, bin) key; each bucket task sorts ONLY its bin's values —
+    ties never straddle a bin since binning is by value — and emits the
+    Σ rank·x partial with the global offset applied.  Single-task
+    memory is bounded by the largest bin, not the largest segment."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.pool import broadcast_get
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cref = ray.put(dict(zip(cust["c_custkey"].astype("int64"),
+                            cust["c_mktsegment"])))
+    n_bins = 64
+
+    def seg_of(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["o_custkey"].map(broadcast_get(cref))
+        return pd.DataFrame({"seg": seg.astype(str),
+                             "v": df["o_totalprice"].to_numpy()})
+
+    ds = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+          .map_batches(seg_of, batch_format="pandas")).materialize()
+
+    # pass 0: global value range (2 scalars)
+    def rng(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [float(df["v"].min())],
+                             "hi": [float(df["v"].max())]})
+
+    r = ds.map_batches(rng, batch_format="pandas").to_pandas()
+    lo, hi = r["lo"].min(), r["hi"].max()
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    # pass 1: (segment, bin) → count / sum partials
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(np.searchsorted(edges, df["v"].to_numpy(),
+                                    side="right") - 1, 0, n_bins - 1)
+        g = pd.DataFrame({"seg": df["seg"], "bin": b.astype("int64"),
+                          "n": 1, "s": df["v"].to_numpy()})
+        out = g.groupby(["seg", "bin"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    tbl = _final_agg(ds.map_batches(hist, batch_format="pandas"),
+                     ["seg", "bin"], ["n", "s"])
+    tbl = tbl.sort_values(["seg", "bin"]).reset_index(drop=True)
+    tbl["offset"] = (tbl.groupby("seg")["n"].cumsum()
+                     - tbl["n"]).astype("int64")
+    seg_n = tbl.groupby("seg")["n"].sum()
+    seg_tot = tbl.groupby("seg")["s"].sum()
+    off_ref = ray.put({(r0.seg, int(r0.bin)): int(r0.offset)
+                       for r0 in tbl.itertuples()})
+
+    # pass 2: per (segment, bin) bucket → Σ rank·x with global offsets
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        b = np.clip(np.searchsorted(edges, df["v"].to_numpy(),
+                                    side="right") - 1, 0, n_bins - 1)
+        df["bin"] = b.astype("int64")
+        df["__b"] = b.astype("int64") & 63
+        return df
+
+    def rank_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (seg, b), d in g.groupby(["seg", "bin"]):
+            v = np.sort(d["v"].to_numpy())
+            off = broadcast_get(off_ref)[(seg, int(b))]
+            ranks = off + 1 + np.arange(len(v), dtype=np.float64)
+            out.append((seg, float(np.dot(ranks, v))))
+        if not out:
+            return pd.DataFrame({"seg": pd.Series([], dtype=str),
+                                 "s1": pd.Series([], dtype="float64")})
+        return pd.DataFrame(out, columns=["seg", "s1"])
+
+    s1 = _final_agg(ds.map_batches(tag, batch_format="pandas")
+                    .groupby("__b")
+                    .map_groups(rank_sum, batch_format="pandas"),
+                    ["seg"], ["s1"]).set_index("seg")["s1"]
+    segs = sorted(seg_n.index)
+    gini = [2.0 * s1[s] / (seg_n[s] * seg_tot[s])
+            - (seg_n[s] + 1.0) / seg_n[s] for s in segs]
+    return pd.DataFrame({
+        "c_mktsegment": segs,
+        "n_orders": seg_n[segs].astype("int64").to_numpy(),
+        "gini": _round_half_away(pd.Series(gini), 6)})
+
+
+def q_active_time(sf_dir: str) -> pd.DataFrame:
+    """Per-user active time: each event opens a 300 s activity window;
+    overlapping windows merge (interval union), reporting merged-
+    interval counts and total active seconds — the classic coverage /
+    sessionized-uptime operator.
+
+    Distributed shape: ONE user-hash bucket shuffle; inside the bucket
+    task the merge is vectorized (sort by (user, ts), per-user running
+    cummax of window ends shifted one row → new-interval flags →
+    cumsum group ids → min/max per merged id).  Durations stay in
+    integer microseconds until the final divide, so the sums are exact
+    in both engines."""
+    win_us = 300 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        s = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        e = s + win_us
+        grp = g.groupby("user_id", sort=False)
+        prev_max_e = (pd.Series(e, index=g.index).groupby(
+            g["user_id"], sort=False).cummax().groupby(
+            g["user_id"], sort=False).shift(1))
+        new_iv = prev_max_e.isna() | (pd.Series(s, index=g.index)
+                                      > prev_max_e)
+        gid = new_iv.astype("int64").cumsum()
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "gid": gid.to_numpy(), "s": s, "e": e})
+        m = d.groupby(["user_id", "gid"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max"))
+        out = m.assign(dur=m["e"] - m["s"]).groupby(
+            "user_id", as_index=False).agg(
+            n_intervals=("dur", "size"), active_us=("dur", "sum"))
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_intervals"] = out["n_intervals"].astype("int64")
+        out["active_us"] = out["active_us"].astype("int64")
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket, batch_format="pandas")
+           .to_pandas())
+    out["active_s"] = _round_half_away(out["active_us"] / 1e6, 3)
+    return (out[["user_id", "n_intervals", "active_s"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q_grouped_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type higher central moments: variance, standardized
+    skewness m₃/m₂^1.5·√n and excess kurtosis n·m₄/m₂²−3 — the grouped
+    moment-statistics reduction.
+
+    Distributed shape: the grouped_corr two-pass pattern — pass 1
+    per-batch (n, Σv) partials for the means; pass 2 re-streams with
+    the |groups|-bounded means in the closure and emits CENTERED
+    power-sum partials (Σ(v−µ)², Σ(v−µ)³, Σ(v−µ)⁴), avoiding the
+    raw-moment cancellation that breaks single-pass kurtosis at scale.
+    The oracle recomputes from the same centered sums in SQL, so the
+    check verifies the distributed reduction, not a library formula."""
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), sv=("value", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    m = _final_agg(_read(sf_dir, "events",
+                         columns=["event_type", "value"])
+                   .map_batches(p1, batch_format="pandas"),
+                   ["event_type"], ["n", "sv"])
+    means = dict(zip(m["event_type"], m["sv"] / m["n"]))
+
+    def p2(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t, d in df.groupby("event_type"):
+            c = d["value"].to_numpy() - means[t]
+            out.append((t, float((c ** 2).sum()), float((c ** 3).sum()),
+                        float((c ** 4).sum())))
+        return pd.DataFrame(out, columns=["event_type", "m2", "m3", "m4"])
+
+    s = _final_agg(_read(sf_dir, "events",
+                         columns=["event_type", "value"])
+                   .map_batches(p2, batch_format="pandas"),
+                   ["event_type"], ["m2", "m3", "m4"])
+    s = s.merge(m[["event_type", "n"]], on="event_type")
+    n = s["n"].astype("float64")
+    out = pd.DataFrame({
+        "event_type": s["event_type"],
+        "n": s["n"].astype("int64"),
+        "variance": _round_half_away(s["m2"] / n, 6),
+        "skewness": _round_half_away(
+            s["m3"] / s["m2"] ** 1.5 * np.sqrt(n), 6),
+        "ex_kurtosis": _round_half_away(
+            n * s["m4"] / s["m2"] ** 2 - 3.0, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6259,6 +6454,9 @@ QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "min_price_supplier": q_min_price_supplier,
     "event_transitions": q_event_transitions,
+    "gini_by_segment": q_gini_by_segment,
+    "active_time": q_active_time,
+    "grouped_moments": q_grouped_moments,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -7956,6 +8154,53 @@ ORACLE_SQL = {
         FROM s WHERE next_type IS NOT NULL
         GROUP BY event_type, next_type
         ORDER BY event_type, next_type
+    """,
+    "gini_by_segment": """
+        WITH x AS (
+            SELECT c_mktsegment AS seg, o_totalprice AS v,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice) AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT seg AS c_mktsegment,
+               count(*) AS n_orders,
+               ROUND(2.0 * sum(rk * v) / (count(*) * sum(v))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM x GROUP BY seg ORDER BY seg
+    """,
+    "active_time": """
+        WITH iv AS (SELECT user_id, ts AS s,
+                           ts + INTERVAL 300 SECOND AS e FROM events),
+        m AS (SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pme
+              FROM iv),
+        g AS (SELECT *,
+                     sum(CASE WHEN pme IS NULL OR s > pme
+                         THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS gid
+              FROM m),
+        mg AS (SELECT user_id, gid, min(s) AS s, max(e) AS e
+               FROM g GROUP BY user_id, gid)
+        SELECT user_id, count(*) AS n_intervals,
+               ROUND(sum(epoch(e) - epoch(s)), 3) AS active_s
+        FROM mg GROUP BY user_id ORDER BY user_id
+    """,
+    "grouped_moments": """
+        WITH mu AS (SELECT event_type, sum(value) / count(*) AS mu,
+                           count(*) AS n
+                    FROM events GROUP BY event_type),
+        c AS (SELECT e.event_type, e.value - mu.mu AS cv, mu.n AS n
+              FROM events e JOIN mu ON e.event_type = mu.event_type)
+        SELECT event_type, max(n) AS n,
+               ROUND(sum(cv * cv) / max(n), 6) AS variance,
+               ROUND(sum(cv * cv * cv) / POWER(sum(cv * cv), 1.5)
+                     * SQRT(max(n)), 6) AS skewness,
+               ROUND(max(n) * sum(cv * cv * cv * cv)
+                     / POWER(sum(cv * cv), 2) - 3.0, 6) AS ex_kurtosis
+        FROM c GROUP BY event_type ORDER BY event_type
     """,
 }
 

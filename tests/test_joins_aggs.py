@@ -148,6 +148,9 @@ class TestDataPipelineQueries:
         ("waiting_suppliers", ["lineitem", "supplier"]),
         ("min_price_supplier", ["lineitem", "part", "supplier"]),
         ("event_transitions", ["events"]),
+        ("gini_by_segment", ["orders", "customer"]),
+        ("active_time", ["events"]),
+        ("grouped_moments", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
