@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "volume_shipping", "market_share", "product_profit",
     "returned_customers", "bracket_revenue", "waiting_suppliers",
     "min_price_supplier", "event_transitions", "gini_by_segment",
-    "active_time", "grouped_moments",
+    "active_time", "grouped_moments", "gap_fill", "running_balance",
     "validate_corpus",
 ]
 

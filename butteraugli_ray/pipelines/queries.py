@@ -6309,6 +6309,117 @@ def q_grouped_moments(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """Per-user hourly gap-fill resample: snap events to hours (last
+    value per hour by (ts, event_id)), generate the dense hourly grid
+    between each user's first and last hour, forward-fill, and report
+    per-user grid size / filled-hour count / fill-weighted value sum —
+    the time-series resample + ffill operator.
+
+    Distributed shape: ONE user-hash bucket shuffle; the dense grid is
+    built with the concatenated-arange idiom (np.repeat + one
+    np.arange, no per-user Python), the ffill is a C-level groupby
+    ffill, and the per-user output is |users|-bounded.  Hourly values
+    round to 2 dp on BOTH engines before the grid sum so summation
+    order cannot move the rounded total."""
+    hour_us = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        h = (g["ts"].to_numpy("datetime64[us]").astype("int64")
+             // hour_us) * hour_us
+        hourly = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(), "h": h,
+            "v": _round_half_away(g["value"], 2).to_numpy()})
+        hourly = hourly.drop_duplicates(["user_id", "h"], keep="last")
+        b = hourly.groupby("user_id")["h"].agg(["min", "max"])
+        reps = ((b["max"] - b["min"]) // hour_us + 1).to_numpy()
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        offs = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(starts, reps)
+        grid = pd.DataFrame({
+            "user_id": np.repeat(b.index.to_numpy(), reps),
+            "h": np.repeat(b["min"].to_numpy(), reps) + offs * hour_us})
+        m = grid.merge(hourly, on=["user_id", "h"], how="left")
+        m = m.sort_values(["user_id", "h"])
+        filled = m["v"].isna()
+        m["fv"] = m.groupby("user_id", sort=False)["v"].ffill()
+        out = pd.DataFrame({
+            "user_id": m["user_id"], "filled": filled.astype("int64"),
+            "fv": m["fv"]}).groupby("user_id", as_index=False).agg(
+            n_hours=("fv", "size"), n_filled=("filled", "sum"),
+            sum_value=("fv", "sum"))
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_hours"] = out["n_hours"].astype("int64")
+        out["n_filled"] = out["n_filled"].astype("int64")
+        out["sum_value"] = _round_half_away(out["sum_value"], 2)
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_running_balance(sf_dir: str) -> pd.DataFrame:
+    """Per-part inventory balance clamped at zero: returns add stock
+    (+l_quantity when l_returnflag='R'), shipments drain it, and the
+    balance can never go negative — the CLAMPED prefix scan
+    yᵢ = max(0, yᵢ₋₁ + xᵢ).
+
+    The clamp looks sequential but has a closed scan form:
+    yᵢ = Sᵢ − min(0, min_{j≤i} Sⱼ) with S the plain prefix sum — so the
+    whole operator reduces to two associative scans (cumsum + cummin),
+    vectorized per part inside ONE partkey-hash bucket shuffle.  The
+    oracle recomputes via windowed sum + windowed min over the same
+    (shipdate, orderkey, linenumber) total order.  Output: final and
+    peak balance per part — |part|-bounded."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_orderkey", "l_linenumber",
+                        "l_quantity", "l_returnflag", "l_shipdate"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        delta = np.where(df["l_returnflag"].to_numpy() == "R",
+                         df["l_quantity"].to_numpy(),
+                         -df["l_quantity"].to_numpy())
+        out = pd.DataFrame({
+            "l_partkey": df["l_partkey"].astype("int64"),
+            "l_shipdate": df["l_shipdate"],
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "l_linenumber": df["l_linenumber"].astype("int64"),
+            "delta": delta})
+        out["__b"] = out["l_partkey"].to_numpy() & 63
+        return out
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "l_shipdate", "l_orderkey",
+                           "l_linenumber"])
+        grp = g.groupby("l_partkey", sort=False)["delta"]
+        s = grp.cumsum()
+        mn = np.minimum(s.groupby(g["l_partkey"], sort=False).cummin(), 0.0)
+        y = s - mn
+        d = pd.DataFrame({"l_partkey": g["l_partkey"].to_numpy(),
+                          "y": y.to_numpy()})
+        out = d.groupby("l_partkey", as_index=False).agg(
+            final_balance=("y", "last"), peak_balance=("y", "max"))
+        out["l_partkey"] = out["l_partkey"].astype("int64")
+        out["final_balance"] = _round_half_away(out["final_balance"], 2)
+        out["peak_balance"] = _round_half_away(out["peak_balance"], 2)
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6457,6 +6568,8 @@ QUERIES = {
     "gini_by_segment": q_gini_by_segment,
     "active_time": q_active_time,
     "grouped_moments": q_grouped_moments,
+    "gap_fill": q_gap_fill,
+    "running_balance": q_running_balance,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -8201,6 +8314,66 @@ ORACLE_SQL = {
                ROUND(max(n) * sum(cv * cv * cv * cv)
                      / POWER(sum(cv * cv), 2) - 3.0, 6) AS ex_kurtosis
         FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    "gap_fill": """
+        WITH e AS (
+            SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   value,
+                   row_number() OVER (PARTITION BY user_id,
+                                          date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn
+            FROM events),
+        hourly AS (SELECT user_id, h, ROUND(value, 2) AS v
+                   FROM e WHERE rn = 1),
+        b AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+              FROM hourly GROUP BY user_id),
+        grid AS (SELECT user_id,
+                        UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+                            AS h
+                 FROM b),
+        j AS (SELECT g.user_id, g.h, hourly.v
+              FROM grid g LEFT JOIN hourly
+                   ON g.user_id = hourly.user_id AND g.h = hourly.h),
+        f AS (SELECT user_id, h, v,
+                     last_value(v IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY h
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS fv
+              FROM j)
+        SELECT user_id, count(*) AS n_hours,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_filled,
+               ROUND(sum(fv), 2) AS sum_value
+        FROM f GROUP BY user_id ORDER BY user_id
+    """,
+    "running_balance": """
+        WITH d AS (
+            SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'R' THEN l_quantity
+                        ELSE -l_quantity END AS delta
+            FROM lineitem),
+        s AS (SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                     sum(delta) OVER w AS S
+              FROM d WINDOW w AS (PARTITION BY l_partkey
+                                  ORDER BY l_shipdate, l_orderkey,
+                                           l_linenumber)),
+        r AS (SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                     S - LEAST(0, min(S) OVER w2) AS y
+              FROM s WINDOW w2 AS (PARTITION BY l_partkey
+                                   ORDER BY l_shipdate, l_orderkey,
+                                            l_linenumber)),
+        q AS (SELECT l_partkey, y,
+                     row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY l_shipdate DESC,
+                                                 l_orderkey DESC,
+                                                 l_linenumber DESC) AS rn
+              FROM r)
+        SELECT l_partkey,
+               ROUND(max(CASE WHEN rn = 1 THEN y END), 2)
+                   AS final_balance,
+               ROUND(max(y), 2) AS peak_balance
+        FROM q GROUP BY l_partkey ORDER BY l_partkey
     """,
 }
 

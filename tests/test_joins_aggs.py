@@ -151,6 +151,8 @@ class TestDataPipelineQueries:
         ("gini_by_segment", ["orders", "customer"]),
         ("active_time", ["events"]),
         ("grouped_moments", ["events"]),
+        ("gap_fill", ["events"]),
+        ("running_balance", ["lineitem"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
