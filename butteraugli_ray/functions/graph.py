@@ -218,3 +218,55 @@ def kcore(edges_ds, k: int = 2, a_col: str = "id_a", b_col: str = "id_b",
         if not len(alive):
             return empty, rounds
     raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+
+
+def bfs_levels(edges_ds, seeds: np.ndarray,
+               a_col: str = "id_a", b_col: str = "id_b",
+               max_rounds: int = 64):
+    """Multi-source BFS over undirected (a, b) edges: every node
+    reachable from any seed gets ``level`` = hop distance to its
+    NEAREST seed (seeds are level 0) — the distance-to-labeled-node
+    operator behind label spreading / influence radius analyses.
+    Returns ``(DataFrame[node, level], rounds)``.
+
+    Distributed shape: one streaming edge pass per frontier round; the
+    frontier and visited sets broadcast via ``ray.put`` — bounded by
+    the graph's node population, the same driver bound ``kcore`` /
+    ``pagerank`` accept (shard by node-hash bucket past ~10⁸ nodes).
+    BFS frontiers are monotone (visited only grows), so the loop ends
+    in ≤ eccentricity rounds."""
+    import ray as _ray
+
+    edges = edges_ds.materialize()
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    nodes = [seeds]
+    levels = [np.zeros(len(seeds), dtype=np.int64)]
+    frontier = seeds
+    visited = seeds
+    rounds = 0
+    while frontier.size and rounds < max_rounds:
+        fref = _ray.put(frontier)
+        vref = _ray.put(visited)
+
+        def expand(df: pd.DataFrame, _f=fref, _v=vref) -> pd.DataFrame:
+            f = _ray.get(_f)
+            v = _ray.get(_v)
+            a = df[a_col].to_numpy(np.int64)
+            b = df[b_col].to_numpy(np.int64)
+            nxt = np.concatenate([b[np.isin(a, f)], a[np.isin(b, f)]])
+            nxt = np.unique(nxt)
+            return pd.DataFrame({"node": nxt[~np.isin(nxt, v)]})
+
+        parts = edges.map_batches(expand, batch_format="pandas").to_pandas()
+        rounds += 1
+        new = (np.unique(parts["node"].to_numpy(np.int64))
+               if len(parts) else np.array([], dtype=np.int64))
+        if not new.size:
+            break
+        nodes.append(new)
+        levels.append(np.full(len(new), rounds, dtype=np.int64))
+        visited = np.union1d(visited, new)
+        frontier = new
+    out = pd.DataFrame({"node": np.concatenate(nodes),
+                        "level": np.concatenate(levels)})
+    return out.sort_values("node").reset_index(drop=True), rounds

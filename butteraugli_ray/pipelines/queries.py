@@ -6420,6 +6420,42 @@ def q_running_balance(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+def q_bfs_levels(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BFS distance over the exact n-gram-Jaccard
+    similarity graph: every 8th doc id acts as a seed (level 0) and
+    each reachable node reports the hop distance to its nearest seed —
+    the label-spreading / influence-radius traversal shape, completing
+    the graph family (CC, PageRank, k-core, triangles).
+
+    Distributed shape: ``functions/graph.bfs_levels`` — one streaming
+    edge pass per frontier round, frontier + visited sets broadcast
+    (node-population bound, the kcore/pagerank bound).  Oracle: a
+    bounded recursive CTE over the same jpairs edge set computes
+    min-level per node independently."""
+    from ..functions.graph import bfs_levels
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6)
+
+    def nodes_of(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([
+            df["doc_a"].to_numpy(np.int64),
+            df["doc_b"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": u})
+
+    nodes = np.unique(pairs.map_batches(nodes_of, batch_format="pandas")
+                      .to_pandas()["node"].to_numpy(np.int64))
+    seeds = nodes[nodes % 8 == 0]
+    if not len(seeds):
+        return pd.DataFrame({"level": pd.Series([], dtype="int64"),
+                             "n_nodes": pd.Series([], dtype="int64")})
+    lv, _rounds = bfs_levels(pairs, seeds,
+                             a_col="doc_a", b_col="doc_b")
+    out = lv.groupby("level", as_index=False).size()
+    out.columns = ["level", "n_nodes"]
+    out["level"] = out["level"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out.sort_values("level").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6570,6 +6606,7 @@ QUERIES = {
     "grouped_moments": q_grouped_moments,
     "gap_fill": q_gap_fill,
     "running_balance": q_running_balance,
+    "bfs_levels": q_bfs_levels,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -8378,6 +8415,24 @@ ORACLE_SQL = {
 }
 
 ORACLE_SQL["kcore"] = _kcore_unrolled_sql()
+
+# bfs_levels: bounded recursive min-level CTE over the same jpairs edge
+# set the engine's BFS runs on (seeds = every 8th doc id in the graph)
+ORACLE_SQL["bfs_levels"] = ("WITH RECURSIVE " + _NGRAM_PAIR_CTES + """,
+        e(src, dst) AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM jpairs
+            UNION ALL SELECT doc_b, doc_a FROM jpairs),
+        walk(node, lvl) AS (
+            SELECT DISTINCT src, 0 FROM e WHERE src % 8 = 0
+            UNION
+            SELECT e.dst, walk.lvl + 1 FROM walk
+            JOIN e ON e.src = walk.node
+            WHERE walk.lvl < 64),
+        best AS (SELECT node, min(lvl) AS lvl FROM walk GROUP BY node)
+        SELECT CAST(lvl AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM best GROUP BY lvl ORDER BY level
+    """)
 
 
 def _lang_id_oracle() -> str:

@@ -153,6 +153,7 @@ class TestDataPipelineQueries:
         ("grouped_moments", ["events"]),
         ("gap_fill", ["events"]),
         ("running_balance", ["lineitem"]),
+        ("bfs_levels", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
