@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "returned_customers", "bracket_revenue", "waiting_suppliers",
     "min_price_supplier", "event_transitions", "gini_by_segment",
     "active_time", "grouped_moments", "gap_fill", "running_balance",
-    "bfs_levels",
+    "bfs_levels", "rfm_segments", "ab_test", "multi_touch",
     "validate_corpus",
 ]
 

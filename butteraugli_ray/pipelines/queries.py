@@ -88,14 +88,18 @@ def _dup_keep_table(hashed, n_buckets: int = 64) -> pd.DataFrame:
     return dup_keep_table(hashed, n_buckets=n_buckets)
 
 
-def _final_agg(partials, keys, sum_cols, n_buckets: int = 64):
+def _final_agg(partials, keys, sum_cols, n_buckets: int = 64,
+               extra_aggs: dict | None = None):
     """groupby over per-batch partial rows (the combiner pattern).
 
     HASH-BUCKETED: each partial row is tagged with an int64 bucket of
     its key tuple and each bucket combines with ONE vectorized pandas
     groupby-sum — never Ray's per-key aggregate path, which measures
     ~0.08 ms/key (fine at 10² keys, 40+ s at 5×10⁵ — the
-    q_big_orders / passage-dup lesson applied to every combiner)."""
+    q_big_orders / passage-dup lesson applied to every combiner).
+
+    ``extra_aggs``: {column: "max"|"min"} for non-sum associative
+    combines riding the same shuffle."""
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -108,7 +112,10 @@ def _final_agg(partials, keys, sum_cols, n_buckets: int = 64):
         return df
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, as_index=False)[sum_cols].sum()
+        spec = {c: (c, "sum") for c in sum_cols}
+        for c, how in (extra_aggs or {}).items():
+            spec[c] = (c, how)
+        return g.groupby(keys, as_index=False).agg(**spec)
 
     out = (partials.map_batches(tag, batch_format="pandas")
            .groupby("__b").map_groups(combine, batch_format="pandas")
@@ -6456,6 +6463,147 @@ def q_bfs_levels(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("level").reset_index(drop=True)
 
 
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: per-customer Recency (last order
+    date), Frequency (order count), Monetary (total spend), each
+    NTILE(5)-binned with a custkey tie-break, reporting the customer
+    count per (r, f, m) cell — the classic marketing cube.
+
+    Distributed shape: the heavy per-customer reduction streams through
+    the bucketed ``_final_agg`` (custkey is unique-key cardinality —
+    never Ray's native sort groupby, SCALE.md); the NTILE then runs on
+    the |customer|-bounded aggregate (at ≥10⁹ customers route it
+    through functions/rank.range_partition_rank unchanged).  Monetary
+    rounds to cents on both engines before ranking so float ulps can't
+    flip a tile boundary."""
+    from ..functions.rank import ntile_of
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            r=("o_orderdate", "max"), f=("o_orderdate", "size"),
+            m=("o_totalprice", "sum"))
+        g["o_custkey"] = g["o_custkey"].astype("int64")
+        g["f"] = g["f"].astype("int64")
+        return g
+
+    per_cust = _final_agg(
+        _read(sf_dir, "orders",
+              columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], ["f", "m"], extra_aggs={"r": "max"})
+    per_cust["m"] = _round_half_away(per_cust["m"], 2)
+    n = len(per_cust)
+    tiles = {}
+    for col in ("r", "f", "m"):
+        order = per_cust.sort_values([col, "o_custkey"]).index
+        rank = pd.Series(np.arange(1, n + 1, dtype=np.int64),
+                         index=order).sort_index()
+        tiles[f"{col}_tile"] = ntile_of(rank.to_numpy(), n, 5)
+    out = pd.DataFrame(tiles)
+    out = out.groupby(["r_tile", "f_tile", "m_tile"], as_index=False).size()
+    out.columns = ["r_tile", "f_tile", "m_tile", "n_customers"]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["r_tile", "f_tile", "m_tile"])
+            .reset_index(drop=True))
+
+
+def q_ab_test(sf_dir: str) -> pd.DataFrame:
+    """Grouped two-proportion z-test: users split A/B by id parity;
+    per weekday, test whether the purchase rate differs — the grouped
+    hypothesis-testing reduction (rates, pooled variance, z).
+
+    Distributed shape: one streaming pass of per-(weekday, arm)
+    (events, purchases) count partials; the 7×2-bounded table computes
+    rates and z on the driver with the same pooled-variance algebra the
+    oracle states in SQL."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "dow": df["ts"].dt.dayofweek.astype("int64"),
+            "arm": (df["user_id"].to_numpy(dtype=np.int64) % 2),
+            "k": (df["event_type"] == "purchase").astype("int64")})
+        out = g.groupby(["dow", "arm"], as_index=False).agg(
+            n=("k", "size"), k=("k", "sum"))
+        out["n"] = out["n"].astype("int64")
+        out["k"] = out["k"].astype("int64")
+        return out
+
+    t = _final_agg(_read(sf_dir, "events",
+                         columns=["ts", "user_id", "event_type"])
+                   .map_batches(partial, batch_format="pandas"),
+                   ["dow", "arm"], ["n", "k"])
+    w = t.pivot(index="dow", columns="arm", values=["n", "k"])
+    na, nb = w[("n", 0)].astype(float), w[("n", 1)].astype(float)
+    ka, kb = w[("k", 0)].astype(float), w[("k", 1)].astype(float)
+    pa, pb = ka / na, kb / nb
+    pool = (ka + kb) / (na + nb)
+    z = (pa - pb) / np.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    return pd.DataFrame({
+        "dow": w.index.astype("int64"),
+        "rate_a": _round_half_away(pa, 6).to_numpy(),
+        "rate_b": _round_half_away(pb, 6).to_numpy(),
+        "z_stat": _round_half_away(z, 4).to_numpy(),
+    }).sort_values("dow").reset_index(drop=True)
+
+
+def q_multi_touch(sf_dir: str) -> pd.DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally over the SAME user's clicks in the preceding hour; revenue
+    rolls up by click hour-of-day — which hours' engagement drives
+    spend (the window-join + fractional-credit shape, complementing the
+    last-touch as-of join in click_attribution).
+
+    Distributed shape: ONE user-hash bucket shuffle; the click×purchase
+    window join, per-purchase touch counts (groupby-transform size) and
+    the hour rollup are all vectorized inside the bucket task; partials
+    combine over the 24-row result."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type",
+                        "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(["click", "purchase"])].copy()
+        d["__b"] = d["user_id"].to_numpy(dtype=np.int64) & 63
+        return d
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        c = g[g["event_type"] == "click"]
+        j = p[["user_id", "ts", "event_id", "value"]].merge(
+            c[["user_id", "ts"]].rename(columns={"ts": "ct"}),
+            on="user_id")
+        lo = j["ts"] - pd.Timedelta(hours=1)
+        j = j[(j["ct"] >= lo) & (j["ct"] < j["ts"])]
+        if not len(j):
+            return pd.DataFrame({
+                "click_hour": pd.Series([], dtype="int64"),
+                "attributed_value": pd.Series([], dtype="float64"),
+                "n_touches": pd.Series([], dtype="int64")})
+        n = j.groupby("event_id")["ct"].transform("size")
+        # exact integer micro-credits: floor((value·10⁶)/n) is the same
+        # IEEE double expression on both engines, and integer sums are
+        # order-independent — no half-cent knife edges at any scale
+        micro = np.floor(j["value"].to_numpy() * 1e6
+                         / n.to_numpy()).astype("int64")
+        out = pd.DataFrame({
+            "click_hour": j["ct"].dt.hour.astype("int64"),
+            "attributed_micro": micro, "n_touches": 1})
+        out = out.groupby("click_hour", as_index=False).agg(
+            attributed_micro=("attributed_micro", "sum"),
+            n_touches=("n_touches", "sum"))
+        out["n_touches"] = out["n_touches"].astype("int64")
+        return out
+
+    out = _final_agg(ds.map_batches(tag, batch_format="pandas")
+                     .groupby("__b")
+                     .map_groups(bucket, batch_format="pandas"),
+                     ["click_hour"], ["attributed_micro", "n_touches"])
+    out["attributed_micro"] = out["attributed_micro"].astype("int64")
+    out["n_touches"] = out["n_touches"].astype("int64")
+    out["click_hour"] = out["click_hour"].astype("int64")
+    return out.sort_values("click_hour").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6607,6 +6755,9 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "running_balance": q_running_balance,
     "bfs_levels": q_bfs_levels,
+    "rfm_segments": q_rfm_segments,
+    "ab_test": q_ab_test,
+    "multi_touch": q_multi_touch,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -8411,6 +8562,58 @@ ORACLE_SQL = {
                    AS final_balance,
                ROUND(max(y), 2) AS peak_balance
         FROM q GROUP BY l_partkey ORDER BY l_partkey
+    """,
+    "rfm_segments": """
+        WITH rfm AS (
+            SELECT o_custkey, max(o_orderdate) AS r, count(*) AS f,
+                   ROUND(sum(o_totalprice), 2) AS m
+            FROM orders GROUP BY o_custkey),
+        t AS (SELECT ntile(5) OVER (ORDER BY r, o_custkey) AS r_tile,
+                     ntile(5) OVER (ORDER BY f, o_custkey) AS f_tile,
+                     ntile(5) OVER (ORDER BY m, o_custkey) AS m_tile
+              FROM rfm)
+        SELECT CAST(r_tile AS BIGINT) AS r_tile,
+               CAST(f_tile AS BIGINT) AS f_tile,
+               CAST(m_tile AS BIGINT) AS m_tile,
+               count(*) AS n_customers
+        FROM t GROUP BY r_tile, f_tile, m_tile
+        ORDER BY r_tile, f_tile, m_tile
+    """,
+    "ab_test": """
+        WITH c AS (
+            SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                   user_id % 2 AS arm,
+                   count(*) AS n,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS k
+            FROM events GROUP BY dow, arm),
+        w AS (SELECT a.dow,
+                     a.k * 1.0 / a.n AS pa, b.k * 1.0 / b.n AS pb,
+                     (a.k + b.k) * 1.0 / (a.n + b.n) AS pool,
+                     a.n AS na, b.n AS nb
+              FROM c a JOIN c b ON a.dow = b.dow
+              WHERE a.arm = 0 AND b.arm = 1)
+        SELECT dow, ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+               ROUND((pa - pb) / sqrt(pool * (1 - pool)
+                     * (1.0 / na + 1.0 / nb)), 4) AS z_stat
+        FROM w ORDER BY dow
+    """,
+    "multi_touch": """
+        WITH p AS (SELECT user_id, ts AS pt, event_id, value
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS ct FROM events
+              WHERE event_type = 'click'),
+        j AS (SELECT p.event_id, p.value, c.ct
+              FROM p JOIN c ON p.user_id = c.user_id
+              WHERE c.ct >= p.pt - INTERVAL 1 HOUR AND c.ct < p.pt),
+        w AS (SELECT value, ct,
+                     count(*) OVER (PARTITION BY event_id) AS n
+              FROM j)
+        SELECT CAST(EXTRACT(hour FROM ct) AS BIGINT) AS click_hour,
+               CAST(sum(CAST(floor(value * 1000000 / n) AS BIGINT))
+                    AS BIGINT) AS attributed_micro,
+               count(*) AS n_touches
+        FROM w GROUP BY click_hour ORDER BY click_hour
     """,
 }
 

@@ -154,6 +154,9 @@ class TestDataPipelineQueries:
         ("gap_fill", ["events"]),
         ("running_balance", ["lineitem"]),
         ("bfs_levels", ["documents"]),
+        ("rfm_segments", ["orders"]),
+        ("ab_test", ["events"]),
+        ("multi_touch", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
