@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "min_price_supplier", "event_transitions", "gini_by_segment",
     "active_time", "grouped_moments", "gap_fill", "running_balance",
     "bfs_levels", "rfm_segments", "ab_test", "multi_touch",
+    "cusum_changepoint", "event_paths_3gram",
     "validate_corpus",
 ]
 

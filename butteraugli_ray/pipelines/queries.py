@@ -6604,6 +6604,119 @@ def q_multi_touch(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("click_hour").reset_index(drop=True)
 
 
+def q_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Grouped CUSUM drift scan: per event type, the maximum |cumulative
+    sum of (value − type mean)| over (ts, event_id) order — the classic
+    changepoint-magnitude statistic over a FEW groups × many rows (the
+    regime where per-key bucketing doesn't help and a global ordered
+    scan is required).
+
+    Distributed shape: the parallel-scan combine.  Pass 1 streams type
+    means (sufficient stats).  Pass 2 tags each row with its ts range
+    bucket (quantile cuts; equal ts never split) and emits ONE partial
+    per (type, bucket): (Σd, max-prefix, min-prefix) of the locally
+    sorted deltas.  The driver folds the types×buckets-bounded partials
+    left-to-right with a running carry — max |CUSUM| = max over buckets
+    of |carry + local extremum| — so no task ever holds a whole type
+    and no second pass is needed."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "event_id", "value"])
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), sv=("value", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    m = _final_agg(ds.map_batches(p1, batch_format="pandas"),
+                   ["event_type"], ["n", "sv"])
+    means = dict(zip(m["event_type"], m["sv"] / m["n"]))
+    ns = dict(zip(m["event_type"], m["n"].astype("int64")))
+
+    # quantile ts cuts from a sample scan (equal ts collapse into one
+    # bucket because searchsorted cuts on value, not position)
+    sample = ds.limit(100_000).to_pandas()["ts"]
+    cuts = np.unique(np.quantile(
+        sample.to_numpy("datetime64[us]").astype("int64"),
+        np.linspace(0, 1, 65)[1:-1]).astype("int64"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        df = df.assign(__rb=np.searchsorted(cuts, t, side="right")
+                       .astype("int64"))
+        return df
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (ty, b), d in g.groupby(["event_type", "__rb"]):
+            d = d.sort_values(["ts", "event_id"])
+            s = np.cumsum(d["value"].to_numpy() - means[ty])
+            out.append((ty, int(b), float(s[-1]),
+                        float(s.max()), float(s.min())))
+        if not out:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "rb": pd.Series([], dtype="int64"),
+                "tot": pd.Series([], dtype="float64"),
+                "mx": pd.Series([], dtype="float64"),
+                "mn": pd.Series([], dtype="float64")})
+        return pd.DataFrame(
+            out, columns=["event_type", "rb", "tot", "mx", "mn"])
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__rb")
+             .map_groups(scan_bucket, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for ty, d in parts.groupby("event_type"):
+        d = d.sort_values("rb")
+        carry, best = 0.0, 0.0
+        for r in d.itertuples():
+            best = max(best, abs(carry + r.mx), abs(carry + r.mn))
+            carry += r.tot
+        rows.append((ty, ns[ty], best))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "max_cusum"])
+    out["n"] = out["n"].astype("int64")
+    out["max_cusum"] = _round_half_away(out["max_cusum"], 4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_event_paths_3gram(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k most common 3-step event-type paths across user streams —
+    the sequential-pattern-mining n-gram shape (double lead() window).
+
+    Distributed shape: ONE user-hash bucket shuffle; two C-level
+    groupby shifts build the trigram, counts combine through the
+    bucketed aggregate (≤ |types|³ rows), top-k on the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)["event_type"]
+        b, c = grp.shift(-1), grp.shift(-2)
+        ok = c.notna()
+        path = (g["event_type"][ok] + ">" + b[ok] + ">" + c[ok])
+        out = pd.DataFrame({"path": path}).groupby(
+            "path", as_index=False).size()
+        out.columns = ["path", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = _final_agg(ds.map_batches(tag, batch_format="pandas")
+                     .groupby("__b")
+                     .map_groups(bucket, batch_format="pandas"),
+                     ["path"], ["n"])
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "path"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6758,6 +6871,8 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "ab_test": q_ab_test,
     "multi_touch": q_multi_touch,
+    "cusum_changepoint": q_cusum_changepoint,
+    "event_paths_3gram": q_event_paths_3gram,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -8614,6 +8729,30 @@ ORACLE_SQL = {
                     AS BIGINT) AS attributed_micro,
                count(*) AS n_touches
         FROM w GROUP BY click_hour ORDER BY click_hour
+    """,
+    "cusum_changepoint": """
+        WITH mu AS (SELECT event_type, sum(value) / count(*) AS mu
+                    FROM events GROUP BY event_type),
+        d AS (SELECT e.event_type, e.ts, e.event_id, e.value - mu.mu AS dv
+              FROM events e JOIN mu ON e.event_type = mu.event_type),
+        s AS (SELECT event_type,
+                     sum(dv) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS S
+              FROM d)
+        SELECT event_type, count(*) AS n,
+               ROUND(max(abs(S)), 4) AS max_cusum
+        FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    "event_paths_3gram": """
+        WITH s AS (
+            SELECT event_type AS a,
+                   lead(event_type, 1) OVER w AS b,
+                   lead(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+        FROM s WHERE c IS NOT NULL
+        GROUP BY path ORDER BY n DESC, path LIMIT 10
     """,
 }
 

@@ -157,6 +157,8 @@ class TestDataPipelineQueries:
         ("rfm_segments", ["orders"]),
         ("ab_test", ["events"]),
         ("multi_touch", ["events"]),
+        ("cusum_changepoint", ["events"]),
+        ("event_paths_3gram", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
