@@ -80,7 +80,8 @@ BENCH_QUERIES = [
     "min_price_supplier", "event_transitions", "gini_by_segment",
     "active_time", "grouped_moments", "gap_fill", "running_balance",
     "bfs_levels", "rfm_segments", "ab_test", "multi_touch",
-    "cusum_changepoint", "event_paths_3gram",
+    "cusum_changepoint", "event_paths_3gram", "time_window_sum",
+    "conversion_latency",
     "validate_corpus",
 ]
 

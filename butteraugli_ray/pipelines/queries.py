@@ -6717,6 +6717,130 @@ def q_event_paths_3gram(sf_dir: str, k: int = 10) -> pd.DataFrame:
             .head(k).reset_index(drop=True))
 
 
+def q_time_window_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing TIME window: for every event, the sum and
+    count of the same user's values in the preceding 10 minutes
+    (inclusive of now) — the RANGE-BETWEEN-INTERVAL frame, which unlike
+    the ROWS frames in user_running_value must binary-search the window
+    start per row.
+
+    Distributed shape: ONE user-hash bucket shuffle; inside the bucket
+    the frame is two vectorized searchsorted bounds over the per-user
+    prefix-sum array (values quantized to int64 cents first, so the
+    subtraction of prefix sums is EXACT and association-free).  Window
+    boundaries use timestamps only (ties all fall inside RANGE frames
+    on both engines by definition)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+    win_us = 600 * 1_000_000
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"]).reset_index(drop=True)
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        v = g["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        # one MONOTONIC key across all per-user segments: dense user
+        # code × (time span + window + 2) + relative time — window
+        # searches can then never cross a segment boundary.  (int64
+        # headroom: users-per-bucket × span; raise the bucket count
+        # past ~10⁴ multi-year users per bucket.)
+        ucode = pd.factorize(uid)[0].astype(np.int64)
+        rel = t - t.min()
+        span = int(rel.max()) + win_us + 2
+        key = ucode * span + rel
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(key, key - win_us, side="left")
+        # RANGE CURRENT ROW includes ALL ties of the current ts
+        hi = np.searchsorted(key, key, side="right")
+        wsum = csum[hi] - csum[lo]
+        wcnt = (hi - lo).astype("int64")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "w_sum": np.round(wsum / 100.0, 2),
+            "w_count": wcnt})
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_conversion_latency(sf_dir: str) -> pd.DataFrame:
+    """Signup→first-purchase conversion latency, summarized per signup
+    weekday: converters, mean hours, exact median hours — the funnel-
+    latency metric (pair users' first signup with their first purchase
+    AFTER it, then a grouped exact quantile).
+
+    Distributed shape: ONE user-hash bucket shuffle derives per-user
+    (first signup, first purchase ≥ signup) latency rows fully
+    vectorized; the |users|-bounded latency Dataset then feeds
+    functions/rank.grouped_quantile_exact (histogram-refinement median,
+    no whole-group materialization) and a mean from exact integer-µs
+    sums."""
+    from ..functions.rank import grouped_quantile_exact
+    import ray.data as rd
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(["signup", "purchase"])].copy()
+        d["__b"] = d["user_id"].to_numpy(dtype=np.int64) & 63
+        return d
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        s = (g[g["event_type"] == "signup"]
+             .drop_duplicates("user_id", keep="first")
+             [["user_id", "ts"]].rename(columns={"ts": "st"}))
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]]
+        j = s.merge(p, on="user_id")
+        j = j[j["ts"] >= j["st"]]
+        j = (j.sort_values(["user_id", "ts"])
+             .drop_duplicates("user_id", keep="first"))
+        if not len(j):
+            return pd.DataFrame({
+                "dow": pd.Series([], dtype="int64"),
+                "lat_us": pd.Series([], dtype="int64")})
+        lat = (j["ts"].to_numpy("datetime64[us]").astype("int64")
+               - j["st"].to_numpy("datetime64[us]").astype("int64"))
+        return pd.DataFrame({
+            "dow": j["st"].dt.dayofweek.astype("int64").to_numpy(),
+            "lat_us": lat})
+
+    lats = (ds.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(bucket, batch_format="pandas"))
+    lats = lats.materialize()
+
+    def mpart(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dow", as_index=False).agg(
+            n=("lat_us", "size"), s=("lat_us", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["s"] = g["s"].astype("int64")
+        return g
+
+    m = _final_agg(lats.map_batches(mpart, batch_format="pandas"),
+                   ["dow"], ["n", "s"])
+    med = grouped_quantile_exact(
+        lats.map_batches(
+            lambda df: df.assign(lat_h=df["lat_us"] / 3.6e9),
+            batch_format="pandas"),
+        key="dow", col="lat_h", q=0.5)
+    med_col = [c for c in med.columns if c != "dow"][0]
+    out = m.merge(med.rename(columns={med_col: "median_hours"}), on="dow")
+    out["dow"] = out["dow"].astype("int64")
+    out["n_converted"] = out["n"].astype("int64")
+    out["mean_hours"] = _round_half_away(
+        pd.Series(out["s"] / out["n"] / 3.6e9), 6)
+    out["median_hours"] = _round_half_away(out["median_hours"], 6)
+    return (out[["dow", "n_converted", "mean_hours", "median_hours"]]
+            .sort_values("dow").reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6873,6 +6997,8 @@ QUERIES = {
     "multi_touch": q_multi_touch,
     "cusum_changepoint": q_cusum_changepoint,
     "event_paths_3gram": q_event_paths_3gram,
+    "time_window_sum": q_time_window_sum,
+    "conversion_latency": q_conversion_latency,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -8753,6 +8879,38 @@ ORACLE_SQL = {
         SELECT a || '>' || b || '>' || c AS path, count(*) AS n
         FROM s WHERE c IS NOT NULL
         GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+    "time_window_sum": """
+        WITH c AS (SELECT event_id, user_id, ts,
+                          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT event_id,
+                     sum(cents) OVER win AS wc,
+                     count(*) OVER win AS w_count
+              FROM c
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                             AND CURRENT ROW))
+        SELECT event_id, ROUND(wc / 100.0, 2) AS w_sum, w_count
+        FROM w ORDER BY event_id
+    """,
+    "conversion_latency": """
+        WITH su AS (SELECT user_id, min(ts) AS st FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        fp AS (SELECT e.user_id, min(e.ts) AS pt
+               FROM events e JOIN su ON e.user_id = su.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= su.st
+               GROUP BY e.user_id),
+        lat AS (SELECT CAST(isodow(su.st) - 1 AS BIGINT) AS dow,
+                       CAST(epoch_us(fp.pt) - epoch_us(su.st) AS BIGINT)
+                           AS lat_us
+                FROM su JOIN fp ON su.user_id = fp.user_id)
+        SELECT dow, count(*) AS n_converted,
+               ROUND(sum(lat_us) * 1.0 / count(*) / 3600000000.0, 6)
+                   AS mean_hours,
+               ROUND(quantile_cont(lat_us / 3600000000.0, 0.5), 6)
+                   AS median_hours
+        FROM lat GROUP BY dow ORDER BY dow
     """,
 }
 

@@ -159,6 +159,8 @@ class TestDataPipelineQueries:
         ("multi_touch", ["events"]),
         ("cusum_changepoint", ["events"]),
         ("event_paths_3gram", ["events"]),
+        ("time_window_sum", ["events"]),
+        ("conversion_latency", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
