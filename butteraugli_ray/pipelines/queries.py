@@ -6841,6 +6841,44 @@ def q_conversion_latency(sf_dir: str) -> pd.DataFrame:
             .sort_values("dow").reset_index(drop=True))
 
 
+def q_partitioned_write(sf_dir: str) -> pd.DataFrame:
+    """Hive-partitioned parquet sink + pruned re-read: write events
+    partitioned by event_type (``write_parquet(partition_cols=...)``,
+    one directory per key — the resumable layout where a re-run skips
+    finished partitions), then re-read ONLY the purchase partition via
+    partition pruning (directory filter, no full scan) and aggregate it
+    per weekday.  A pass proves the partitioned round-trip is
+    value-exact AND that the pruned read touches one partition (the
+    oracle aggregates the ORIGINAL source with the same filter)."""
+    import hashlib
+    import shutil
+    import ray.data as rd
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/butteraugli_ray_events_part_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value", "user_id"])
+    ds.write_parquet(out_dir, partition_cols=["event_type"])
+
+    pruned = rd.read_parquet(f"{out_dir}/event_type=purchase")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "dow": pd.to_datetime(df["ts"]).dt.dayofweek.astype("int64"),
+            "v": df["value"].to_numpy()})
+        out = g.groupby("dow", as_index=False).agg(
+            n=("v", "size"), sum_value=("v", "sum"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = _final_agg(pruned.map_batches(partial, batch_format="pandas"),
+                     ["dow"], ["n", "sum_value"])
+    out["sum_value"] = _round_half_away(out["sum_value"], 2)
+    out["n"] = out["n"].astype("int64")
+    out["dow"] = out["dow"].astype("int64")
+    return out.sort_values("dow").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6999,6 +7037,7 @@ QUERIES = {
     "event_paths_3gram": q_event_paths_3gram,
     "time_window_sum": q_time_window_sum,
     "conversion_latency": q_conversion_latency,
+    "partitioned_write": q_partitioned_write,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -8911,6 +8950,13 @@ ORACLE_SQL = {
                ROUND(quantile_cont(lat_us / 3600000000.0, 0.5), 6)
                    AS median_hours
         FROM lat GROUP BY dow ORDER BY dow
+    """,
+    "partitioned_write": """
+        SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+               count(*) AS n,
+               ROUND(sum(value), 2) AS sum_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY dow ORDER BY dow
     """,
 }
 

@@ -161,6 +161,7 @@ class TestDataPipelineQueries:
         ("event_paths_3gram", ["events"]),
         ("time_window_sum", ["events"]),
         ("conversion_latency", ["events"]),
+        ("partitioned_write", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
