@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "active_time", "grouped_moments", "gap_fill", "running_balance",
     "bfs_levels", "rfm_segments", "ab_test", "multi_touch",
     "cusum_changepoint", "event_paths_3gram", "time_window_sum",
-    "conversion_latency", "partitioned_write",
+    "conversion_latency", "partitioned_write", "reciprocal_nn",
     "validate_corpus",
 ]
 

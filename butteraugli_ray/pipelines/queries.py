@@ -6879,6 +6879,45 @@ def q_partitioned_write(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("dow").reset_index(drop=True)
 
 
+def q_reciprocal_nn(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal nearest-neighbor pairs over the embedding table:
+    (a, b) where b is a's cosine-nearest OTHER vector AND a is b's —
+    the mutual-NN matcher behind dedup canonicalization and
+    cross-lingual alignment.
+
+    Distributed shape: the query matrix broadcasts once (the embedding
+    table IS the small side here — at ≥10⁷ vectors switch the candidate
+    step to the LSH-bucketed variant, embedding_near_dup_lsh) and each
+    batch computes a blocked matmul top-k partial (functions/ann
+    BruteForceTopK); the winner per query is picked AFTER rounding sims
+    to 6 dp with a vec_id tie-break, matching the oracle's double-cast
+    list_cosine_similarity ranking exactly."""
+    import pyarrow.parquet as pq
+    from ..functions.ann import knn_cosine
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    Q = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    qids = t["vec_id"].to_numpy(dtype=np.int64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = knn_cosine(ds, Q, k=4)
+    top["qid"] = qids[top["query_id"].to_numpy(dtype=np.int64)]
+    top = top[top["vec_id"] != top["qid"]].copy()
+    top["sim_r"] = _round_half_away(top["sim"], 6)
+    top = top.sort_values(["qid", "sim_r", "vec_id"],
+                          ascending=[True, False, True])
+    nn = top.drop_duplicates("qid", keep="first")
+    fwd = dict(zip(nn["qid"], nn["vec_id"]))
+    sim = dict(zip(nn["qid"], nn["sim_r"]))
+    rows = [(a, b, sim[a]) for a, b in fwd.items()
+            if a < b and fwd.get(b) == a]
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "sim"])
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values("id_a").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7038,6 +7077,7 @@ QUERIES = {
     "time_window_sum": q_time_window_sum,
     "conversion_latency": q_conversion_latency,
     "partitioned_write": q_partitioned_write,
+    "reciprocal_nn": q_reciprocal_nn,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -8957,6 +8997,23 @@ ORACLE_SQL = {
                ROUND(sum(value), 2) AS sum_value
         FROM events WHERE event_type = 'purchase'
         GROUP BY dow ORDER BY dow
+    """,
+    "reciprocal_nn": """
+        WITH p AS (
+            SELECT a.vec_id AS qa, b.vec_id AS qb,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b
+                 ON a.vec_id <> b.vec_id),
+        r AS (SELECT qa, qb, sim,
+                     row_number() OVER (PARTITION BY qa
+                                        ORDER BY sim DESC, qb) AS rn
+              FROM p),
+        nn AS (SELECT qa, qb, sim FROM r WHERE rn = 1)
+        SELECT x.qa AS id_a, x.qb AS id_b, x.sim AS sim
+        FROM nn x JOIN nn y ON x.qb = y.qa AND y.qb = x.qa
+        WHERE x.qa < x.qb ORDER BY id_a
     """,
 }
 

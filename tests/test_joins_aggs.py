@@ -162,6 +162,7 @@ class TestDataPipelineQueries:
         ("time_window_sum", ["events"]),
         ("conversion_latency", ["events"]),
         ("partitioned_write", ["events"]),
+        ("reciprocal_nn", ["embeddings"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
