@@ -362,8 +362,12 @@ def pairs_within_groups(df: pd.DataFrame, group_col: str,
     if not out_a:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64")})
+    # two groups in the same partition can emit the same (a, b) pair
+    # (e.g. two LSH bands agreeing) — dedup here so the emission is a
+    # set per call, not a multiset (hypothesis-found contract hole)
     return pd.DataFrame({"id_a": np.concatenate(out_a),
-                         "id_b": np.concatenate(out_b)})
+                         "id_b": np.concatenate(out_b)}).drop_duplicates(
+        ignore_index=True)
 
 
 def minhash_candidate_pairs(ds, num_perms=128, bands=16, shingle=3, seed=7,
