@@ -334,11 +334,17 @@ def _dedup_pairs_native(pairs_ds, extra_col: str | None = None,
 
 
 def pairs_within_groups(df: pd.DataFrame, group_col: str,
-                        id_col: str = "doc_id") -> pd.DataFrame:
+                        id_col: str = "doc_id",
+                        unique: bool = True) -> pd.DataFrame:
     """All (id_a < id_b) pairs within each ``group_col`` group,
     VECTORIZED: sort once, then one triu gather per distinct group
     size — no per-group Python (a hash-bucketed partition holds many
-    thousands of groups; per-group calls dominated the old path)."""
+    thousands of groups; per-group calls dominated the old path).
+
+    ``unique=True`` (default) dedups pairs ACROSS groups so candidate
+    emission is a set per call (two LSH bands agreeing emit one pair);
+    pass ``unique=False`` when the multiset matters (triangle wedges:
+    each pivot's (b, c) is a distinct wedge to close)."""
     df = (df[[group_col, id_col]].drop_duplicates()
           .sort_values([group_col, id_col]))
     g = df[group_col].to_numpy()
@@ -362,12 +368,13 @@ def pairs_within_groups(df: pd.DataFrame, group_col: str,
     if not out_a:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({"id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b)})
     # two groups in the same partition can emit the same (a, b) pair
-    # (e.g. two LSH bands agreeing) — dedup here so the emission is a
-    # set per call, not a multiset (hypothesis-found contract hole)
-    return pd.DataFrame({"id_a": np.concatenate(out_a),
-                         "id_b": np.concatenate(out_b)}).drop_duplicates(
-        ignore_index=True)
+    # (e.g. two LSH bands agreeing) — dedup so the emission is a set
+    # per call (hypothesis-found contract hole), unless the caller
+    # needs the multiset (triangle wedges)
+    return out.drop_duplicates(ignore_index=True) if unique else out
 
 
 def minhash_candidate_pairs(ds, num_perms=128, bands=16, shingle=3, seed=7,

@@ -116,7 +116,9 @@ def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
 
     def emit_wedges(g: pd.DataFrame) -> pd.DataFrame:
         from .dedup import pairs_within_groups
-        w = pairs_within_groups(g, a_col, id_col=b_col)
+        # multiset: each pivot's (b, c) wedge is distinct — do NOT
+        # dedup across pivots or closures undercount
+        w = pairs_within_groups(g, a_col, id_col=b_col, unique=False)
         if not len(w):
             return pd.DataFrame({"b": pd.Series([], dtype="int64"),
                                  "c": pd.Series([], dtype="int64"),

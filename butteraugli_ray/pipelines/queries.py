@@ -6918,6 +6918,87 @@ def q_reciprocal_nn(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("id_a").reset_index(drop=True)
 
 
+def q_diversified_topk(sf_dir: str, k: int = 20, per_cust: int = 2
+                       ) -> pd.DataFrame:
+    """Diversity-constrained global top-k: the k highest-value orders
+    with AT MOST ``per_cust`` per customer — the search-style
+    diversified ranking (a plain global top-k would let one whale
+    customer fill the page).
+
+    Distributed shape: ONE custkey-hash bucket shuffle; the per-customer
+    cap is a vectorized sort + groupby-head inside the bucket task
+    (exact — a customer lives in one bucket), and only ≤ per_cust rows
+    per customer survive to the driver-side global top-k (bounded by
+    min(k, customers×cap))."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["o_custkey"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        top = g.groupby("o_custkey", sort=False).head(per_cust)
+        # local prune: only the bucket's top-k can reach the global top-k
+        top = top.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+        return top[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_abc_analysis(sf_dir: str) -> pd.DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts sorted by
+    descending revenue accumulate share; class A = the head reaching
+    80% of total, B = to 95%, C = the tail — the inventory-analytics
+    cumulative-share operator.
+
+    Distributed shape: the heavy per-part revenue reduction streams
+    through the bucketed combiner (partkey is unique-key cardinality);
+    the cumulative walk runs on the |part|-bounded aggregate with
+    revenue pre-rounded to cents on BOTH engines so the 80/95%
+    boundaries cannot move with summation order (boundary rule:
+    strictly-below, evaluated on the INCLUSIVE running sum)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-item cent rounding (the returned_customers rule): per-part
+        # sums then have no half-cent summation-order sensitivity
+        rev = _round_half_away(
+            df["l_extendedprice"] * (1 - df["l_discount"]), 2)
+        g = pd.DataFrame({"l_partkey": df["l_partkey"].astype("int64"),
+                          "rev": rev.to_numpy()})
+        return g.groupby("l_partkey", as_index=False).agg(rev=("rev", "sum"))
+
+    per_part = _final_agg(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], ["rev"])
+    per_part["rev"] = _round_half_away(per_part["rev"], 2)
+    per_part = per_part.sort_values(["rev", "l_partkey"],
+                                    ascending=[False, True])
+    cents = np.round(per_part["rev"].to_numpy() * 100).astype("int64")
+    run = np.cumsum(cents)
+    total = run[-1]
+    cls = np.where(run <= 0.80 * total, "A",
+                   np.where(run <= 0.95 * total, "B", "C"))
+    d = pd.DataFrame({"abc": cls, "rev": per_part["rev"].to_numpy()})
+    out = d.groupby("abc", as_index=False).agg(
+        n_parts=("rev", "size"), revenue=("rev", "sum"))
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["revenue"] = _round_half_away(out["revenue"], 2)
+    return out.sort_values("abc").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7078,6 +7159,8 @@ QUERIES = {
     "conversion_latency": q_conversion_latency,
     "partitioned_write": q_partitioned_write,
     "reciprocal_nn": q_reciprocal_nn,
+    "diversified_topk": q_diversified_topk,
+    "abc_analysis": q_abc_analysis,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9014,6 +9097,35 @@ ORACLE_SQL = {
         SELECT x.qa AS id_a, x.qb AS id_b, x.sim AS sim
         FROM nn x JOIN nn y ON x.qb = y.qa AND y.qb = x.qa
         WHERE x.qa < x.qb ORDER BY id_a
+    """,
+    "diversified_topk": """
+        WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                          row_number() OVER (PARTITION BY o_custkey
+                                             ORDER BY o_totalprice DESC,
+                                                      o_orderkey) AS rn
+                   FROM orders)
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM r WHERE rn <= 2
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    "abc_analysis": """
+        WITH pp AS (
+            SELECT l_partkey,
+                   ROUND(sum(ROUND(l_extendedprice * (1 - l_discount),
+                                   2)), 2) AS rev
+            FROM lineitem GROUP BY l_partkey),
+        c AS (SELECT rev,
+                     sum(CAST(ROUND(rev * 100) AS BIGINT))
+                         OVER (ORDER BY rev DESC, l_partkey) AS run,
+                     sum(CAST(ROUND(rev * 100) AS BIGINT)) OVER () AS total
+              FROM pp),
+        k AS (SELECT rev,
+                     CASE WHEN run <= 0.80 * total THEN 'A'
+                          WHEN run <= 0.95 * total THEN 'B'
+                          ELSE 'C' END AS abc
+              FROM c)
+        SELECT abc, count(*) AS n_parts, ROUND(sum(rev), 2) AS revenue
+        FROM k GROUP BY abc ORDER BY abc
     """,
 }
 

@@ -163,6 +163,8 @@ class TestDataPipelineQueries:
         ("conversion_latency", ["events"]),
         ("partitioned_write", ["events"]),
         ("reciprocal_nn", ["embeddings"]),
+        ("diversified_topk", ["orders"]),
+        ("abc_analysis", ["lineitem"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
