@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     "bfs_levels", "rfm_segments", "ab_test", "multi_touch",
     "cusum_changepoint", "event_paths_3gram", "time_window_sum",
     "conversion_latency", "partitioned_write", "reciprocal_nn",
-    "diversified_topk", "abc_analysis",
+    "diversified_topk", "abc_analysis", "ewma_by_type", "above_p95",
     "validate_corpus",
 ]
 

@@ -6999,6 +6999,121 @@ def q_abc_analysis(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("abc").reset_index(drop=True)
 
 
+def q_ewma_by_type(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:
+    """Final EWMA of value per event type over (ts, event_id) order —
+    the exponentially-weighted recurrence yₜ = α·xₜ + (1−α)·yₜ₋₁, the
+    canonical 'sequential' smoother.
+
+    Distributed shape: the recurrence is AFFINE, so it composes: a
+    bucket of length L maps y_in → (1−α)^L·y_in + B where B is the
+    bucket's local zero-state EWMA.  One (type, ts-range-bucket)
+    partial pass emits (L, B); the driver folds the types×buckets
+    carries left-to-right — the affine-recurrence parallel scan (the
+    CUSUM combine's multiplicative sibling).  The oracle recomputes via
+    the closed-form weight sum Σ α(1−α)^(n−i)xᵢ, which equals the
+    recurrence with y₀=0."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "event_id", "value"])
+    sample = ds.limit(100_000).to_pandas()["ts"]
+    cuts = np.unique(np.quantile(
+        sample.to_numpy("datetime64[us]").astype("int64"),
+        np.linspace(0, 1, 65)[1:-1]).astype("int64"))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        return df.assign(__rb=np.searchsorted(cuts, t, side="right")
+                         .astype("int64"))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (ty, b), d in g.groupby(["event_type", "__rb"]):
+            d = d.sort_values(["ts", "event_id"])
+            x = d["value"].to_numpy(dtype=np.float64)
+            # local zero-state EWMA B = Σ α(1-α)^(L-i) xᵢ as one dot
+            # (pandas ewm is adjust-mode-sensitive; this is explicit)
+            L = len(x)
+            w = (1 - alpha) ** np.arange(L - 1, -1, -1, dtype=np.float64)
+            B = float(alpha * np.dot(w, x))
+            out.append((ty, int(b), L, B))
+        if not out:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=str),
+                "rb": pd.Series([], dtype="int64"),
+                "L": pd.Series([], dtype="int64"),
+                "B": pd.Series([], dtype="float64")})
+        return pd.DataFrame(out, columns=["event_type", "rb", "L", "B"])
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("__rb")
+             .map_groups(partial, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for ty, d in parts.groupby("event_type"):
+        d = d.sort_values("rb")
+        y, n = 0.0, 0
+        for r in d.itertuples():
+            y = ((1 - alpha) ** r.L) * y + r.B
+            n += r.L
+        rows.append((ty, n, y))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "ewma"])
+    out["n"] = out["n"].astype("int64")
+    out["ewma"] = _round_half_away(out["ewma"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_above_p95(sf_dir: str) -> pd.DataFrame:
+    """Quantile semi-join: orders strictly above their market segment's
+    exact p95 total — count and revenue share per segment (the
+    percentile-threshold filter every outlier/quality gate uses).
+
+    Distributed shape: the segment p95s come from the histogram-
+    refinement exact quantile (no whole-group sort), broadcast as a
+    5-entry map into a second streaming pass that filters and
+    aggregates per batch.  Thresholds round to 6 dp on both engines
+    before the strict comparison."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.rank import grouped_quantile_exact
+    from ..functions.pool import broadcast_get
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cref = ray.put(dict(zip(cust["c_custkey"].astype("int64"),
+                            cust["c_mktsegment"])))
+
+    def seg_of(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["o_custkey"].map(broadcast_get(cref))
+        return pd.DataFrame({"seg": seg.astype(str),
+                             "v": df["o_totalprice"].to_numpy()})
+
+    ds = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+          .map_batches(seg_of, batch_format="pandas")).materialize()
+    p95 = grouped_quantile_exact(ds, key="seg", col="v", q=0.95)
+    col = [c for c in p95.columns if c != "seg"][0]
+    thr = dict(zip(p95["seg"], _round_half_away(p95[col], 6)))
+    tref = ray.put(thr)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["seg"].map(broadcast_get(tref))
+        above = df["v"].to_numpy() > t.to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"c_mktsegment": df["seg"],
+                          "n_above": above.astype("int64"),
+                          "rev_above": np.where(above, df["v"], 0.0),
+                          "n": 1, "rev": df["v"].to_numpy()})
+        out = g.groupby("c_mktsegment", as_index=False).agg(
+            n_above=("n_above", "sum"), rev_above=("rev_above", "sum"),
+            n=("n", "sum"), rev=("rev", "sum"))
+        return out
+
+    m = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["c_mktsegment"], ["n_above", "rev_above", "n", "rev"])
+    out = pd.DataFrame({
+        "c_mktsegment": m["c_mktsegment"],
+        "p95": [thr[s] for s in m["c_mktsegment"]],
+        "n_above": m["n_above"].astype("int64"),
+        "rev_share": _round_half_away(m["rev_above"] / m["rev"], 6)})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7161,6 +7276,8 @@ QUERIES = {
     "reciprocal_nn": q_reciprocal_nn,
     "diversified_topk": q_diversified_topk,
     "abc_analysis": q_abc_analysis,
+    "ewma_by_type": q_ewma_by_type,
+    "above_p95": q_above_p95,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9126,6 +9243,30 @@ ORACLE_SQL = {
               FROM c)
         SELECT abc, count(*) AS n_parts, ROUND(sum(rev), 2) AS revenue
         FROM k GROUP BY abc ORDER BY abc
+    """,
+    "ewma_by_type": """
+        WITH s AS (SELECT event_type, value,
+                          row_number() OVER w AS i,
+                          count(*) OVER (PARTITION BY event_type) AS n
+                   FROM events
+                   WINDOW w AS (PARTITION BY event_type
+                                ORDER BY ts, event_id))
+        SELECT event_type, max(n) AS n,
+               ROUND(sum(0.1 * power(0.9, n - i) * value), 6) AS ewma
+        FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    "above_p95": """
+        WITH j AS (SELECT c_mktsegment AS seg, o_totalprice AS v
+                   FROM orders JOIN customer ON o_custkey = c_custkey),
+        q AS (SELECT seg, ROUND(quantile_cont(v, 0.95), 6) AS p95
+              FROM j GROUP BY seg)
+        SELECT j.seg AS c_mktsegment, max(q.p95) AS p95,
+               CAST(sum(CASE WHEN j.v > q.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               ROUND(sum(CASE WHEN j.v > q.p95 THEN j.v ELSE 0 END)
+                     / sum(j.v), 6) AS rev_share
+        FROM j JOIN q ON j.seg = q.seg
+        GROUP BY j.seg ORDER BY c_mktsegment
     """,
 }
 

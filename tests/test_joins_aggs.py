@@ -165,6 +165,8 @@ class TestDataPipelineQueries:
         ("reciprocal_nn", ["embeddings"]),
         ("diversified_topk", ["orders"]),
         ("abc_analysis", ["lineitem"]),
+        ("ewma_by_type", ["events"]),
+        ("above_p95", ["orders", "customer"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
