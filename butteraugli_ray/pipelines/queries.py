@@ -7114,6 +7114,153 @@ def q_above_p95(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape: top-k BUILDING-segment orders by open revenue
+    (orders placed before, lineitems shipped after a cut date) — the
+    unique-key-cardinality groupby feeding a global top-k.
+
+    Distributed shape: the BUILDING custkey set broadcasts and prunes
+    the orders scan; the orderkey hash join runs on date-pruned sides;
+    per-order revenue combines through the bucketed combiner (orderkey
+    is unique-key cardinality — never Ray's native sort groupby) with a
+    per-bucket top-k prune so only 64·k candidate rows reach the
+    driver."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.joins import hash_join
+    from ..functions.pool import broadcast_get
+    cut = np.datetime64("1996-06-01")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    bld = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+              .astype("int64"))
+    cref = ray.put(bld)
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy("datetime64[us]")
+        keep = (od < cut) & df["o_custkey"].isin(
+            broadcast_get(cref)).to_numpy()
+        d = df[keep]
+        return pd.DataFrame({
+            "o_orderkey": d["o_orderkey"].astype("int64"),
+            "o_orderdate": d["o_orderdate"],
+            "o_orderpriority": d["o_orderpriority"].astype(str)})
+
+    def item_side(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy("datetime64[us]")
+        d = df[sd > cut]
+        # per-item cent rounding (the returned_customers rule)
+        rev = _round_half_away(
+            d["l_extendedprice"] * (1 - d["l_discount"]), 2)
+        return pd.DataFrame({"o_orderkey": d["l_orderkey"].astype("int64"),
+                             "rev": rev.to_numpy()})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(order_side, batch_format="pandas")
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate",
+                           "l_extendedprice", "l_discount"]) \
+        .map_batches(item_side, batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["rev"])
+        g = d.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                      as_index=False).agg(revenue=("rev", "sum"))
+        g["o_orderkey"] = g["o_orderkey"].astype("int64")
+        return g
+
+    per_order = _final_agg(joined.map_batches(partial,
+                                              batch_format="pandas"),
+                           ["o_orderkey", "o_orderdate",
+                            "o_orderpriority"], ["revenue"])
+    per_order["revenue"] = _round_half_away(per_order["revenue"], 2)
+    out = per_order.sort_values(["revenue", "o_orderkey"],
+                                ascending=[False, True]).head(k)
+    out = out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+    return out.reset_index(drop=True)
+
+
+def q_late_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape: order count per priority for orders with AT
+    LEAST ONE slow lineitem (shipped > 60 days after the order date) —
+    the EXISTS semi-join aggregate.
+
+    Distributed shape: orderkey→orderdate would be a fact-sized
+    broadcast, so the semi-join runs as the bucketed hash join on
+    (date-projected) sides; the EXISTS collapse is a vectorized
+    drop_duplicates on orderkey inside the join task, and the 5-row
+    priority count combines through the bucketed combiner."""
+    from ..functions.joins import hash_join
+    lag = np.timedelta64(60, "D")
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderdate": df["o_orderdate"],
+            "o_orderpriority": df["o_orderpriority"].astype(str)})
+
+    def item_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"),
+                             "l_shipdate": df["l_shipdate"]})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(order_side, batch_format="pandas")
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(item_side, batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["l_shipdate"])
+        sd = d["l_shipdate"].to_numpy("datetime64[us]")
+        od = d["o_orderdate"].to_numpy("datetime64[us]")
+        late = d[sd > od + lag]
+        uniq = late.drop_duplicates("o_orderkey")
+        out = uniq.groupby("o_orderpriority", as_index=False).size()
+        out.columns = ["o_orderpriority", "n_orders"]
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    out = _final_agg(joined.map_batches(partial, batch_format="pandas"),
+                     ["o_orderpriority"], ["n_orders"])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: the what-if discount-revenue scalar — one
+    filtered scan, one global sum (the minimal scan+reduce every engine
+    must do perfectly).  Per-item cent rounding keeps the scalar
+    order-free."""
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy("datetime64[us]")
+        disc = df["l_discount"].to_numpy()
+        qty = df["l_quantity"].to_numpy()
+        keep = ((sd >= lo) & (sd < hi) & (disc >= 0.05)
+                & (disc <= 0.07) & (qty < 24))
+        d = df[keep]
+        rev = _round_half_away(d["l_extendedprice"] * d["l_discount"], 2)
+        return pd.DataFrame({
+            "revenue": [float(rev.sum())],
+            "n_items": pd.Series([int(keep.sum())], dtype="int64")})
+
+    parts = (_read(sf_dir, "lineitem",
+                   columns=["l_shipdate", "l_discount", "l_quantity",
+                            "l_extendedprice"])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    return pd.DataFrame({
+        "revenue": _round_half_away(pd.Series([parts["revenue"].sum()]), 2),
+        "n_items": pd.Series([int(parts["n_items"].sum())],
+                             dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7278,6 +7425,9 @@ QUERIES = {
     "abc_analysis": q_abc_analysis,
     "ewma_by_type": q_ewma_by_type,
     "above_p95": q_above_p95,
+    "shipping_priority": q_shipping_priority,
+    "late_orders": q_late_orders,
+    "forecast_revenue": q_forecast_revenue,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9267,6 +9417,39 @@ ORACLE_SQL = {
                      / sum(j.v), 6) AS rev_share
         FROM j JOIN q ON j.seg = q.seg
         GROUP BY j.seg ORDER BY c_mktsegment
+    """,
+    "shipping_priority": """
+        SELECT o_orderkey,
+               ROUND(sum(ROUND(l_extendedprice * (1 - l_discount), 2)),
+                     2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1996-06-01'
+          AND l_shipdate > DATE '1996-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "late_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate
+                                        + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "forecast_revenue": """
+        SELECT ROUND(sum(ROUND(l_extendedprice * l_discount, 2)), 2)
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
     """,
 }
 

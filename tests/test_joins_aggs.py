@@ -167,6 +167,9 @@ class TestDataPipelineQueries:
         ("abc_analysis", ["lineitem"]),
         ("ewma_by_type", ["events"]),
         ("above_p95", ["orders", "customer"]),
+        ("shipping_priority", ["orders", "customer", "lineitem"]),
+        ("late_orders", ["orders", "lineitem"]),
+        ("forecast_revenue", ["lineitem"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
