@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "cusum_changepoint", "event_paths_3gram", "time_window_sum",
     "conversion_latency", "partitioned_write", "reciprocal_nn",
     "diversified_topk", "abc_analysis", "ewma_by_type", "above_p95",
-    "shipping_priority", "late_orders", "forecast_revenue",
+    "shipping_priority", "late_orders", "forecast_revenue", "debounce",
     "validate_corpus",
 ]
 

@@ -7261,6 +7261,52 @@ def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
                              dtype="int64")})
 
 
+def q_debounce(sf_dir: str, gap_s: int = 5) -> pd.DataFrame:
+    """Debounce / throttle filter: an event survives only if the SAME
+    user had no event of the SAME type in the strictly-preceding
+    ``gap_s`` seconds — the stream-hygiene operator that kills
+    double-clicks and retry storms before they pollute counts.
+    Reports kept vs total per type.
+
+    Distributed shape: ONE user-hash bucket shuffle; the gap test is a
+    C-level groupby(user, type) shift over (ts, event_id) order; the
+    5-row summary combines through the bucketed combiner.  Equal-ts
+    duplicates debounce deterministically (diff 0 ≤ gap regardless of
+    tie order)."""
+    gap_us = gap_s * 1_000_000
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        t = pd.Series(g["ts"].to_numpy("datetime64[us]").astype("int64"),
+                      index=g.index)
+        prev = t.groupby([g["user_id"], g["event_type"]], sort=False) \
+            .shift(1)
+        keep = prev.isna() | ((t - prev) > gap_us)
+        out = pd.DataFrame({"event_type": g["event_type"],
+                            "kept": keep.astype("int64"), "n": 1})
+        out = out.groupby("event_type", as_index=False).agg(
+            n_kept=("kept", "sum"), n_total=("n", "sum"))
+        out["n_kept"] = out["n_kept"].astype("int64")
+        out["n_total"] = out["n_total"].astype("int64")
+        return out
+
+    out = _final_agg(ds.map_batches(tag, batch_format="pandas")
+                     .groupby("__b")
+                     .map_groups(bucket, batch_format="pandas"),
+                     ["event_type"], ["n_kept", "n_total"])
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    out["kept_share"] = _round_half_away(out["n_kept"] / out["n_total"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7428,6 +7474,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "late_orders": q_late_orders,
     "forecast_revenue": q_forecast_revenue,
+    "debounce": q_debounce,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9450,6 +9497,22 @@ ORACLE_SQL = {
           AND l_shipdate < DATE '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
+    """,
+    "debounce": """
+        WITH s AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS d
+            FROM events)
+        SELECT event_type,
+               CAST(sum(CASE WHEN d IS NULL OR d > 5000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               count(*) AS n_total,
+               ROUND(sum(CASE WHEN d IS NULL OR d > 5000000
+                         THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS kept_share
+        FROM s GROUP BY event_type ORDER BY event_type
     """,
 }
 

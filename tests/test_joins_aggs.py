@@ -170,6 +170,7 @@ class TestDataPipelineQueries:
         ("shipping_priority", ["orders", "customer", "lineitem"]),
         ("late_orders", ["orders", "lineitem"]),
         ("forecast_revenue", ["lineitem"]),
+        ("debounce", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
