@@ -4769,7 +4769,8 @@ def q_cooccurrence_lift(sf_dir: str) -> pd.DataFrame:
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["user_id", "event_type"]).copy()
         d["tc"] = d["event_type"].map(code).astype(np.int64)
-        p = pairs_within_groups(d, "user_id", id_col="tc")
+        # multiset: each user basket contributes one count per type pair
+        p = pairs_within_groups(d, "user_id", id_col="tc", unique=False)
         if not len(p):
             return pd.DataFrame({"ca": pd.Series([], dtype="int64"),
                                  "cb": pd.Series([], dtype="int64"),
