@@ -7308,6 +7308,88 @@ def q_debounce(sf_dir: str, gap_s: int = 5) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_chi_square(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test between document language and
+    source: χ² = Σ (O−E)²/E over the contingency matrix — the
+    categorical-association sibling of the grouped z-test.
+
+    Distributed shape: one streaming pass of (lang, source) count
+    partials through the bucketed combiner; the langs×sources-bounded
+    matrix computes margins, expected counts and the statistic on the
+    driver with the same algebra the oracle states in SQL."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        g.columns = ["lang", "source", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    obs = _final_agg(_read(sf_dir, "documents",
+                           columns=["lang", "source"])
+                     .map_batches(partial, batch_format="pandas"),
+                     ["lang", "source"], ["n"])
+    total = obs["n"].sum()
+    rm = obs.groupby("lang")["n"].sum()
+    cm = obs.groupby("source")["n"].sum()
+    e = (obs["lang"].map(rm).to_numpy(dtype=np.float64)
+         * obs["source"].map(cm).to_numpy(dtype=np.float64) / total)
+    chi2 = float((((obs["n"].to_numpy(dtype=np.float64) - e) ** 2)
+                  / e).sum())
+    dof = (len(rm) - 1) * (len(cm) - 1)
+    return pd.DataFrame({
+        "chi2": _round_half_away(pd.Series([chi2]), 4),
+        "dof": pd.Series([dof], dtype="int64"),
+        "n": pd.Series([int(total)], dtype="int64")})
+
+
+def q_trending_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Trending-term detection: tokens whose smoothed frequency ratio
+    between the corpus's second and first half (by doc_id) is highest —
+    the drift-mining shape over text instead of numeric columns.
+
+    Distributed shape: ONE streaming pass tokenizes per batch and emits
+    (term, half) count partials bounded by per-batch vocabulary (the
+    TF-IDF combiner shape); the ratio + top-k runs on the vocab-bounded
+    table.  Laplace +1 smoothing keeps unseen-side terms finite and
+    ties break lexicographically."""
+    import pyarrow.parquet as pq
+    meta = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    # (min+max)//2: exact integer split point on both engines
+    mid = (int(meta["doc_id"].min()) + int(meta["doc_id"].max())) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        half = np.where(df["doc_id"].to_numpy(dtype=np.int64) > mid,
+                        "b", "a")
+        ex = pd.DataFrame({"half": half, "term": toks}).explode("term")
+        ex = ex.dropna(subset=["term"])
+        g = ex.groupby(["term", "half"], as_index=False).size()
+        g.columns = ["term", "half", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"])
+                        .map_batches(partial, batch_format="pandas"),
+                        ["term", "half"], ["n"])
+    w = counts.pivot(index="term", columns="half", values="n") \
+        .fillna(0).astype("int64")
+    for c in ("a", "b"):
+        if c not in w.columns:
+            w[c] = 0
+    ratio = (w["b"] + 1) / (w["a"] + 1)
+    out = pd.DataFrame({
+        "term": w.index,
+        "n_first": w["a"].to_numpy(),
+        "n_second": w["b"].to_numpy(),
+        "trend_ratio": _round_half_away(pd.Series(ratio.to_numpy()), 6)})
+    out = out.sort_values(["trend_ratio", "term"],
+                          ascending=[False, True]).head(k)
+    out["n_first"] = out["n_first"].astype("int64")
+    out["n_second"] = out["n_second"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7476,6 +7558,8 @@ QUERIES = {
     "late_orders": q_late_orders,
     "forecast_revenue": q_forecast_revenue,
     "debounce": q_debounce,
+    "chi_square": q_chi_square,
+    "trending_terms": q_trending_terms,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9514,6 +9598,39 @@ ORACLE_SQL = {
                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
                    AS kept_share
         FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    "chi_square": """
+        WITH o AS (SELECT lang, source, count(*) AS n
+                   FROM documents GROUP BY lang, source),
+        t AS (SELECT sum(n) AS total FROM o),
+        r AS (SELECT lang, sum(n) AS rn FROM o GROUP BY lang),
+        c AS (SELECT source, sum(n) AS cn FROM o GROUP BY source)
+        SELECT ROUND(sum(POWER(o.n - r.rn * c.cn * 1.0 / t.total, 2)
+                         / (r.rn * c.cn * 1.0 / t.total)), 4) AS chi2,
+               CAST((SELECT count(*) - 1 FROM r)
+                    * (SELECT count(*) - 1 FROM c) AS BIGINT) AS dof,
+               CAST(max(t.total) AS BIGINT) AS n
+        FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+    """,
+    "trending_terms": r"""
+        WITH mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS m
+                     FROM documents),
+        tok AS (SELECT CASE WHEN doc_id > (SELECT m FROM mid)
+                       THEN 'b' ELSE 'a' END AS half,
+                       unnest(regexp_extract_all(lower(text), '\S+'))
+                           AS term
+                FROM documents),
+        c AS (SELECT term,
+                     sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)
+                         AS n_first,
+                     sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)
+                         AS n_second
+              FROM tok GROUP BY term)
+        SELECT term, CAST(n_first AS BIGINT) AS n_first,
+               CAST(n_second AS BIGINT) AS n_second,
+               ROUND((n_second + 1) * 1.0 / (n_first + 1), 6)
+                   AS trend_ratio
+        FROM c ORDER BY trend_ratio DESC, term LIMIT 10
     """,
 }
 

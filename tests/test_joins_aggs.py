@@ -171,6 +171,8 @@ class TestDataPipelineQueries:
         ("late_orders", ["orders", "lineitem"]),
         ("forecast_revenue", ["lineitem"]),
         ("debounce", ["events"]),
+        ("chi_square", ["documents"]),
+        ("trending_terms", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
