@@ -84,7 +84,7 @@ BENCH_QUERIES = [
     "conversion_latency", "partitioned_write", "reciprocal_nn",
     "diversified_topk", "abc_analysis", "ewma_by_type", "above_p95",
     "shipping_priority", "late_orders", "forecast_revenue", "debounce",
-    "chi_square", "trending_terms",
+    "chi_square", "trending_terms", "rank_with_ties", "adaptive_join",
     "validate_corpus",
 ]
 

@@ -7390,6 +7390,106 @@ def q_trending_terms(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_rank_with_ties(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top orders by RANK() ≤ k — tie-INCLUSIVE top-k (every order
+    tying the k-th price qualifies, so the result can exceed k rows) —
+    the semantics gap between RANK and the row_number top-k the engine
+    already has.
+
+    Distributed shape: per-batch top-k partials find the global k-th
+    value on the driver (64×k rows max), then one filtered streaming
+    pass keeps every row ≥ that threshold — no global sort, exact tie
+    inclusion."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nlargest(k, "o_totalprice")[["o_orderkey",
+                                               "o_totalprice"]]
+
+    cand = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    kth = cand["o_totalprice"].nlargest(k).iloc[-1]
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_totalprice"] >= kth]
+        return d[["o_orderkey", "o_totalprice"]]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["rank"] = (out["o_totalprice"].rank(method="min",
+                                            ascending=False)
+                   .astype("int64"))
+    out = out[out["rank"] <= k]
+    return (out.sort_values(["rank", "o_orderkey"])
+            .reset_index(drop=True))
+
+
+def q_adaptive_join(sf_dir: str, broadcast_limit: int = 1_000_000
+                    ) -> pd.DataFrame:
+    """Adaptive join-strategy dispatch: revenue per market segment via
+    orders ⋈ customer, where the engine PICKS the join plan at run
+    time — broadcast the build side if its row count (cheap Parquet
+    metadata) fits the limit, else fall back to the bucketed hash
+    join.  Both plans are result-identical; the oracle checks whichever
+    ran (the optimizer-style size-based dispatch every warehouse does,
+    expressed over Ray Data).
+
+    Scale note: at 100 TB the customer side crosses the limit and the
+    same call transparently takes the functions/joins.hash_join path —
+    the decision is per-run metadata, not code."""
+    import ray
+    from ..functions.pool import broadcast_get
+    from ..functions.joins import hash_join
+    import pyarrow.parquet as pq
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet") \
+        .metadata.num_rows
+
+    if n_cust <= broadcast_limit:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey",
+                                      "c_mktsegment"]).to_pandas()
+        cref = ray.put(dict(zip(cust["c_custkey"].astype("int64"),
+                                cust["c_mktsegment"])))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            seg = df["o_custkey"].map(broadcast_get(cref))
+            g = pd.DataFrame({"c_mktsegment": seg.astype(str),
+                              "rev": df["o_totalprice"].to_numpy()})
+            out = g.groupby("c_mktsegment", as_index=False).agg(
+                revenue=("rev", "sum"), n_orders=("rev", "size"))
+            out["n_orders"] = out["n_orders"].astype("int64")
+            return out
+
+        parts = _read(sf_dir, "orders",
+                      columns=["o_custkey", "o_totalprice"]) \
+            .map_batches(partial, batch_format="pandas")
+    else:                                    # pragma: no cover - 100 TB path
+        orders = _read(sf_dir, "orders",
+                       columns=["o_custkey", "o_totalprice"]) \
+            .map_batches(lambda df: df.rename(
+                columns={"o_custkey": "c_custkey"}),
+                batch_format="pandas")
+        cust_ds = _read(sf_dir, "customer",
+                        columns=["c_custkey", "c_mktsegment"])
+        joined = hash_join(cust_ds, orders, key="c_custkey",
+                           n_buckets=64)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.dropna(subset=["o_totalprice"])
+            out = d.groupby("c_mktsegment", as_index=False).agg(
+                revenue=("o_totalprice", "sum"),
+                n_orders=("o_totalprice", "size"))
+            out["n_orders"] = out["n_orders"].astype("int64")
+            return out
+
+        parts = joined.map_batches(partial, batch_format="pandas")
+
+    out = _final_agg(parts, ["c_mktsegment"], ["revenue", "n_orders"])
+    out["revenue"] = _round_half_away(out["revenue"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7560,6 +7660,8 @@ QUERIES = {
     "debounce": q_debounce,
     "chi_square": q_chi_square,
     "trending_terms": q_trending_terms,
+    "rank_with_ties": q_rank_with_ties,
+    "adaptive_join": q_adaptive_join,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9631,6 +9733,20 @@ ORACLE_SQL = {
                ROUND((n_second + 1) * 1.0 / (n_first + 1), 6)
                    AS trend_ratio
         FROM c ORDER BY trend_ratio DESC, term LIMIT 10
+    """,
+    "rank_with_ties": """
+        WITH r AS (SELECT o_orderkey, o_totalprice,
+                          rank() OVER (ORDER BY o_totalprice DESC)
+                              AS rank
+                   FROM orders)
+        SELECT o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 10 ORDER BY rank, o_orderkey
+    """,
+    "adaptive_join": """
+        SELECT c_mktsegment, ROUND(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 }
 

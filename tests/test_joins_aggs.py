@@ -173,6 +173,8 @@ class TestDataPipelineQueries:
         ("debounce", ["events"]),
         ("chi_square", ["documents"]),
         ("trending_terms", ["documents"]),
+        ("rank_with_ties", ["orders"]),
+        ("adaptive_join", ["orders", "customer"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
