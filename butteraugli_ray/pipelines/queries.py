@@ -7490,6 +7490,101 @@ def q_adaptive_join(sf_dir: str, broadcast_limit: int = 1_000_000
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_cross_source_dups(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination matrix: the verified exact-Jaccard
+    near-dup pairs rolled up by (source_a, source_b) — which corpus
+    sources duplicate INTO which (the provenance question behind every
+    leakage audit).  Derived augmented docs (+2,000,000 ids) map back
+    to their base doc's source on both engines.
+
+    Distributed shape: the pair set (already session-memoized) streams
+    once; the pair-member id set is bounded by the similarity graph's
+    node population, so the doc_id→source lookup is built from ONE
+    pruned documents pass and broadcast back — no documents shuffle."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.pool import broadcast_get
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6)
+
+    def base_ids(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([
+            df["doc_a"].to_numpy(np.int64),
+            df["doc_b"].to_numpy(np.int64)])) % 2_000_000
+        return pd.DataFrame({"doc_id": np.unique(u)})
+
+    members = np.unique(pairs.map_batches(base_ids, batch_format="pandas")
+                        .to_pandas()["doc_id"].to_numpy(np.int64))
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"],
+        filters=[("doc_id", "in", [int(x) for x in members])]).to_pandas()
+    sref = ray.put(dict(zip(docs["doc_id"].astype("int64"),
+                            docs["source"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        src = broadcast_get(sref)
+        a = pd.Series(df["doc_a"].to_numpy(np.int64) % 2_000_000) \
+            .map(src)
+        b = pd.Series(df["doc_b"].to_numpy(np.int64) % 2_000_000) \
+            .map(src)
+        lo = np.minimum(a.to_numpy(dtype=object), b.to_numpy(dtype=object))
+        hi = np.maximum(a.to_numpy(dtype=object), b.to_numpy(dtype=object))
+        g = pd.DataFrame({"source_a": lo.astype(str),
+                          "source_b": hi.astype(str), "n": 1})
+        out = g.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_pairs=("n", "sum"))
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    out = _final_agg(pairs.map_batches(partial, batch_format="pandas"),
+                     ["source_a", "source_b"], ["n_pairs"])
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+def q_rank_delta(sf_dir: str) -> pd.DataFrame:
+    """Leaderboard movement: each nation's revenue rank in 1995 vs
+    1996 and the rank delta — the period-over-period ranking shape
+    (rank is computed per year on the |nation|-bounded aggregate, with
+    revenue rounded to cents first so ranks cannot flip on float ulps).
+
+    Distributed shape: ONE streaming pass of (nation, year) revenue
+    partials through the bucketed combiner (customer nation broadcast
+    as in revenue_by_nation); ranking and the delta run on the ≤ 50-row
+    driver table."""
+    import ray
+    from ..functions.pool import broadcast_get
+    supp_nation, cust_nation, _ = _nation_maps(sf_dir)
+    cref = ray.put(cust_nation)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        year = df["o_orderdate"].dt.year.astype("int64")
+        keep = year.isin([1995, 1996])
+        d = df[keep]
+        g = pd.DataFrame({
+            "n_name": d["o_custkey"].map(broadcast_get(cref)).astype(str),
+            "o_year": year[keep].to_numpy(),
+            "rev": d["o_totalprice"].to_numpy()})
+        return g.groupby(["n_name", "o_year"], as_index=False).agg(
+            rev=("rev", "sum"))
+
+    t = _final_agg(_read(sf_dir, "orders",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+                   .map_batches(partial, batch_format="pandas"),
+                   ["n_name", "o_year"], ["rev"])
+    t["rev"] = _round_half_away(t["rev"], 2)
+    w = t.pivot(index="n_name", columns="o_year", values="rev").dropna()
+    r95 = w[1995].rank(method="min", ascending=False).astype("int64")
+    r96 = w[1996].rank(method="min", ascending=False).astype("int64")
+    out = pd.DataFrame({
+        "n_name": w.index.astype(str),
+        "rank_1995": r95.to_numpy(),
+        "rank_1996": r96.to_numpy(),
+        "rank_delta": (r95 - r96).to_numpy()})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7662,6 +7757,8 @@ QUERIES = {
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
+    "cross_source_dups": q_cross_source_dups,
+    "rank_delta": q_rank_delta,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9748,7 +9845,37 @@ ORACLE_SQL = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
+    "rank_delta": """
+        WITH r AS (SELECT n_name,
+                          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                              AS y,
+                          ROUND(sum(o_totalprice), 2) AS rev
+                   FROM orders
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+                   WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+                   GROUP BY n_name, y),
+        a AS (SELECT n_name, rank() OVER (ORDER BY rev DESC) AS rk
+              FROM r WHERE y = 1995),
+        b AS (SELECT n_name, rank() OVER (ORDER BY rev DESC) AS rk
+              FROM r WHERE y = 1996)
+        SELECT a.n_name, CAST(a.rk AS BIGINT) AS rank_1995,
+               CAST(b.rk AS BIGINT) AS rank_1996,
+               CAST(a.rk - b.rk AS BIGINT) AS rank_delta
+        FROM a JOIN b ON a.n_name = b.n_name ORDER BY a.n_name
+    """,
 }
+
+ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,
+        m AS (SELECT doc_a % 2000000 AS ba, doc_b % 2000000 AS bb
+              FROM jpairs),
+        s AS (SELECT da.source AS sa, db.source AS sb
+              FROM m JOIN documents da ON m.ba = da.doc_id
+                     JOIN documents db ON m.bb = db.doc_id)
+        SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+               count(*) AS n_pairs
+        FROM s GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """)
 
 ORACLE_SQL["kcore"] = _kcore_unrolled_sql()
 

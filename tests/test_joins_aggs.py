@@ -175,6 +175,8 @@ class TestDataPipelineQueries:
         ("trending_terms", ["documents"]),
         ("rank_with_ties", ["orders"]),
         ("adaptive_join", ["orders", "customer"]),
+        ("cross_source_dups", ["documents"]),
+        ("rank_delta", ["orders", "customer", "nation"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
