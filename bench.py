@@ -85,7 +85,8 @@ BENCH_QUERIES = [
     "diversified_topk", "abc_analysis", "ewma_by_type", "above_p95",
     "shipping_priority", "late_orders", "forecast_revenue", "debounce",
     "chi_square", "trending_terms", "rank_with_ties", "adaptive_join",
-    "cross_source_dups", "rank_delta",
+    "cross_source_dups", "rank_delta", "day_streaks",
+    "near_dup_keep_best",
     "validate_corpus",
 ]
 

@@ -7585,6 +7585,101 @@ def q_rank_delta(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def q_day_streaks(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (distinct active days; day_number − dense
+    day rank is constant within an island).
+
+    Distributed shape: ONE user-hash bucket shuffle; distinct days,
+    the island id (epoch-day minus per-user cumcount) and the max
+    island length are all C-level groupby operations inside the bucket
+    task; output is |users|-bounded."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": (df["ts"].to_numpy("datetime64[us]")
+                    .astype("datetime64[D]").astype("int64"))})
+        d = d.drop_duplicates()
+        d["__b"] = d["user_id"].to_numpy() & 63
+        return d
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"])
+        pos = g.groupby("user_id", sort=False).cumcount()
+        island = g["day"].to_numpy() - pos.to_numpy()
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "island": island})
+        lens = d.groupby(["user_id", "island"], as_index=False).size()
+        out = lens.groupby("user_id", as_index=False).agg(
+            longest_streak=("size", "max"), n_streaks=("size", "size"),
+            n_active_days=("size", "sum"))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("__b").map_groups(bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_near_dup_keep_best(sf_dir: str, threshold: float = 0.6
+                         ) -> pd.DataFrame:
+    """Canonical-representative selection: within each exact-Jaccard
+    duplicate family, KEEP the longest document (tie → lowest doc_id;
+    derived +2,000,000 docs count by their own id) — the real curation
+    policy behind 'dedup' (keep best, not keep first).  Reports the
+    kept doc and member/dropped counts per family.
+
+    Distributed shape: connected components label the pair graph (the
+    dup_groups machinery); the label table is bounded by the dup-family
+    node population, so the n_chars attach is one pruned documents read
+    broadcast back, and the per-family arg-max is a vectorized
+    lexicographic sort + drop_duplicates."""
+    import pyarrow.parquet as pq
+    from ..functions.dedup import connected_components
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=threshold)
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": df["doc_a"].astype("int64"),
+                             "id_b": df["doc_b"].astype("int64")})
+
+    comp = connected_components(
+        pairs.map_batches(as_edges, batch_format="pandas"),
+        max_iters=20).to_pandas()
+    if not len(comp):
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "kept_doc": pd.Series([], dtype="int64"),
+            "kept_chars": pd.Series([], dtype="int64"),
+            "n_members": pd.Series([], dtype="int64")})
+    comp = comp.drop_duplicates("node")
+    base = np.unique(comp["node"].to_numpy(np.int64) % 2_000_000)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        filters=[("doc_id", "in", [int(x) for x in base])]).to_pandas()
+    nmap = dict(zip(docs["doc_id"].astype("int64"),
+                    docs["n_chars"].astype("int64")))
+    comp["n_chars"] = pd.Series(
+        comp["node"].to_numpy(np.int64) % 2_000_000).map(nmap) \
+        .astype("int64").to_numpy()
+    best = (comp.sort_values(["label", "n_chars", "node"],
+                             ascending=[True, False, True])
+            .drop_duplicates("label"))
+    sizes = comp.groupby("label", as_index=False).agg(
+        n_members=("node", "nunique"))
+    out = best.merge(sizes, on="label")
+    out = pd.DataFrame({
+        "label": out["label"].astype("int64"),
+        "kept_doc": out["node"].astype("int64"),
+        "kept_chars": out["n_chars"].astype("int64"),
+        "n_members": out["n_members"].astype("int64")})
+    return out.sort_values("label").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -7759,6 +7854,8 @@ QUERIES = {
     "adaptive_join": q_adaptive_join,
     "cross_source_dups": q_cross_source_dups,
     "rank_delta": q_rank_delta,
+    "day_streaks": q_day_streaks,
+    "near_dup_keep_best": q_near_dup_keep_best,
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
@@ -9875,6 +9972,52 @@ ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,
         SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
                count(*) AS n_pairs
         FROM s GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """)
+
+ORACLE_SQL["day_streaks"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(epoch(date_trunc('day', ts)) / 86400
+                               AS BIGINT) AS day
+                   FROM events),
+        i AS (SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS island
+              FROM d),
+        l AS (SELECT user_id, island, count(*) AS len
+              FROM i GROUP BY user_id, island)
+        SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+               count(*) AS n_streaks,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM l GROUP BY user_id ORDER BY user_id
+    """
+
+ORACLE_SQL["near_dup_keep_best"] = ("WITH RECURSIVE " + _NGRAM_PAIR_CTES
+                                    + """,
+        e(src, dst) AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM jpairs
+            UNION ALL SELECT doc_b, doc_a FROM jpairs),
+        nodes(node) AS (SELECT DISTINCT src FROM e),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, e.dst FROM reach
+            JOIN e ON e.src = reach.r),
+        lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+        nc AS (SELECT l.node, l.label, d.n_chars
+               FROM lab l JOIN documents d
+                    ON l.node % 2000000 = d.doc_id),
+        best AS (SELECT label, node, n_chars,
+                        row_number() OVER (PARTITION BY label
+                                           ORDER BY n_chars DESC, node)
+                            AS rn
+                 FROM nc),
+        fams AS (SELECT label, count(DISTINCT node) AS n_members
+               FROM nc GROUP BY label)
+        SELECT CAST(b.label AS BIGINT) AS label,
+               CAST(b.node AS BIGINT) AS kept_doc,
+               CAST(b.n_chars AS BIGINT) AS kept_chars,
+               CAST(fams.n_members AS BIGINT) AS n_members
+        FROM best b JOIN fams USING (label) WHERE rn = 1 ORDER BY label
     """)
 
 ORACLE_SQL["kcore"] = _kcore_unrolled_sql()

@@ -177,6 +177,8 @@ class TestDataPipelineQueries:
         ("adaptive_join", ["orders", "customer"]),
         ("cross_source_dups", ["documents"]),
         ("rank_delta", ["orders", "customer", "nation"]),
+        ("day_streaks", ["events"]),
+        ("near_dup_keep_best", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
