@@ -5715,7 +5715,9 @@ def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
         keep = sn.notna().to_numpy() & (sd >= lo) & (sd < hi)
         d = df[keep]
         year = d["l_shipdate"].dt.year.astype("int64")
-        vol = d["l_extendedprice"] * (1 - d["l_discount"])
+        # per-item cent rounding: order-free totals (SCALE.md rule)
+        vol = _round_half_away(
+            d["l_extendedprice"] * (1 - d["l_discount"]), 2)
         return pd.DataFrame({
             "o_orderkey": d["l_orderkey"].astype("int64"),
             "supp_nation": sn[keep].astype(str),
@@ -5783,7 +5785,10 @@ def q_market_share(sf_dir: str) -> pd.DataFrame:
 
     def item_side(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["l_partkey"].isin(broadcast_get(pref))]
-        vol = d["l_extendedprice"] * (1 - d["l_discount"])
+        # per-item cent rounding (the returned_customers rule): the
+        # year totals are then order-free at the half-cent boundary
+        vol = _round_half_away(
+            d["l_extendedprice"] * (1 - d["l_discount"]), 2)
         tgt = d["l_suppkey"].map(broadcast_get(sref)) == target
         return pd.DataFrame({
             "o_orderkey": d["l_orderkey"].astype("int64"),
@@ -5967,8 +5972,10 @@ def q_bracket_revenue(sf_dir: str) -> pd.DataFrame:
         b = bid[bid.notna()].astype(int).to_numpy()
         q = d["l_quantity"].to_numpy()
         keep = (q >= qlo[b]) & (q <= qhi[b])
-        rev = (d["l_extendedprice"].to_numpy()
-               * (1 - d["l_discount"].to_numpy()))[keep]
+        # per-item cent rounding: order-free scalar (SCALE.md rule)
+        rev = _round_half_away(pd.Series(
+            (d["l_extendedprice"].to_numpy()
+             * (1 - d["l_discount"].to_numpy()))[keep]), 2).to_numpy()
         return pd.DataFrame({"revenue": [float(rev.sum())],
                              "n_items": pd.Series([int(keep.sum())],
                                                   dtype="int64")})
@@ -9428,7 +9435,8 @@ ORACLE_SQL = {
         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                      CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
                          AS l_year,
-                     l_extendedprice * (1 - l_discount) AS volume
+                     ROUND(l_extendedprice * (1 - l_discount), 2)
+                         AS volume
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
               JOIN supplier ON l_suppkey = s_suppkey
@@ -9445,12 +9453,13 @@ ORACLE_SQL = {
     "market_share": """
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
                ROUND(sum(CASE WHEN n1.n_name = 'NATION_12'
-                         THEN l_extendedprice * (1 - l_discount)
+                         THEN ROUND(l_extendedprice * (1 - l_discount),
+                                    2)
                          ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6)
-                   AS mkt_share,
-               ROUND(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS total_volume
+                     / sum(ROUND(l_extendedprice * (1 - l_discount),
+                                 2)), 6) AS mkt_share,
+               ROUND(sum(ROUND(l_extendedprice * (1 - l_discount), 2)),
+                     2) AS total_volume
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN part ON l_partkey = p_partkey
@@ -9490,8 +9499,8 @@ ORACLE_SQL = {
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     "bracket_revenue": """
-        SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS revenue,
+        SELECT ROUND(sum(ROUND(l_extendedprice * (1 - l_discount), 2)),
+                     2) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
