@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "chi_square", "trending_terms", "rank_with_ties", "adaptive_join",
     "cross_source_dups", "rank_delta", "day_streaks",
     "near_dup_keep_best",
+    "activity_full_outer", "events_pivot", "hourly_autocorr",
+    "degree_assortativity", "geo_mean_value",
     "validate_corpus",
 ]
 

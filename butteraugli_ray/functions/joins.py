@@ -57,6 +57,12 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     hot_keys = hot_keys or {}
     if hot_keys and max(hot_keys.values()) > 4096:
         raise ValueError("salt factors above 4096 break bucket-key packing")
+    if how in ("outer", "right") and hot_keys:
+        # build-side replication would duplicate unmatched right rows
+        # once per salt; outer semantics need each right row exactly once
+        raise ValueError("hot_keys salting supports inner/left joins only")
+    if how not in ("inner", "left", "outer", "right"):
+        raise ValueError(f"unsupported join how={how!r}")
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -99,16 +105,22 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     rschema = right.schema()
     if lschema is None or rschema is None:
         # an empty side: inner join is empty; emit zero rows with the
-        # non-empty side's columns (minus the tags)
+        # non-empty side's columns (minus the tags).  outer (and the
+        # side-preserving left/right cases) pass the surviving side
+        # through unchanged — its columns are all we know about.
         base = lschema or rschema
         cols = ([c for c in base.names if not c.startswith("__")]
                 if base is not None else [])
         src = left_ds if lschema is not None else right_ds
+        keep_rows = (how == "outer"
+                     or (how == "left" and lschema is not None)
+                     or (how == "right" and rschema is not None))
 
-        def empty(df: pd.DataFrame) -> pd.DataFrame:
-            return df.head(0)[[c for c in cols if c in df.columns]]
+        def trim(df: pd.DataFrame) -> pd.DataFrame:
+            out = df if keep_rows else df.head(0)
+            return out[[c for c in cols if c in out.columns]]
 
-        return src.map_batches(empty, batch_format="pandas")
+        return src.map_batches(trim, batch_format="pandas")
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     all_cols = list(dict.fromkeys(list(lcols) + list(rcols)))
@@ -130,11 +142,20 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == "left"][join_cols_l]
         r = g[g["__side"] == "right"][join_cols_r]
-        if not len(l) or (how == "inner" and not len(r)):
-            return pd.DataFrame(columns=[c for c in all_cols
-                                         if not c.startswith("__")])
-        if not len(r):              # left join against an empty build side
-            merged = l.copy()
+        empty_out = pd.DataFrame(columns=[c for c in all_cols
+                                          if not c.startswith("__")])
+        if not len(l):
+            if how in ("inner", "left") or not len(r):
+                return empty_out
+            # outer/right: right-only bucket — emit r padded with l cols
+            merged = r.copy()
+            for c in join_cols_l:
+                if c != key:
+                    merged[c] = None
+        elif not len(r):            # probe side alone in the bucket
+            if how in ("inner", "right"):
+                return empty_out
+            merged = l.copy()       # left/outer keep unmatched probe rows
             for c in join_cols_r:
                 if c != key:
                     merged[c] = None

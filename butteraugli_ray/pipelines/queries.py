@@ -123,6 +123,29 @@ def _final_agg(partials, keys, sum_cols, n_buckets: int = 64,
     return out
 
 
+def _final_agg_ds(partials, keys, sum_cols, n_buckets: int = 64):
+    """``_final_agg`` that stays a Dataset — for aggregates that feed a
+    further distributed stage (e.g. a hash_join side) instead of the
+    driver.  Same hash-bucket + vectorized-combine shuffle."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df):
+            df["__b"] = (pd.util.hash_pandas_object(
+                df[keys], index=False).to_numpy()
+                % n_buckets).astype("int64")
+        else:
+            df["__b"] = pd.Series([], dtype="int64")
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(
+            **{c: (c, "sum") for c in sum_cols})
+
+    return (partials.map_batches(tag, batch_format="pandas")
+            .groupby("__b").map_groups(combine, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # q_lineitem_pricing — TPC-H Q1 shape: filter → partial agg → small groupby
 # ---------------------------------------------------------------------------
@@ -7688,6 +7711,199 @@ def q_near_dup_keep_best(sf_dir: str, threshold: float = 0.6
 
 
 # ---------------------------------------------------------------------------
+# q_activity_full_outer — distributed FULL OUTER hash join
+# ---------------------------------------------------------------------------
+
+def q_activity_full_outer(sf_dir: str) -> pd.DataFrame:
+    """Per-key event activity FULL OUTER JOIN order spend — the
+    reconcile-two-ledgers shape where BOTH unmatched sides must
+    survive (users who never ordered AND customers who never clicked).
+
+    Distributed shape: each side pre-aggregates through the bucketed
+    combiner (``_final_agg_ds`` — stays a Dataset), then
+    ``hash_join(how="outer")`` merges them with one bucket shuffle;
+    unmatched rows of either side surface from their bucket task.
+    Money travels as exact int64 cents (the half-cent summation rule)
+    and is only divided back to 2dp at the edge."""
+    from ..functions.joins import hash_join
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def ev_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "uid": df["user_id"].astype("int64"),
+            "cents": _round_half_away(df["value"] * 100.0, 0)
+            .astype("int64")})
+        g = d.groupby("uid", as_index=False).agg(
+            n_events=("cents", "size"), ev_cents=("cents", "sum"))
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "uid": df["o_custkey"].astype("int64"),
+            "cents": _round_half_away(df["o_totalprice"] * 100.0, 0)
+            .astype("int64")})
+        g = d.groupby("uid", as_index=False).agg(
+            n_orders=("cents", "size"), ord_cents=("cents", "sum"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    left = _final_agg_ds(ev.map_batches(ev_part, batch_format="pandas"),
+                         ["uid"], ["n_events", "ev_cents"])
+    right = _final_agg_ds(orders.map_batches(o_part, batch_format="pandas"),
+                          ["uid"], ["n_orders", "ord_cents"])
+    out = hash_join(left, right, "uid", how="outer").to_pandas()
+
+    def col(name):
+        return pd.to_numeric(out[name], errors="coerce").fillna(0)
+
+    out = pd.DataFrame({
+        "uid": out["uid"].astype("int64"),
+        "n_events": col("n_events").astype("int64"),
+        "event_value": col("ev_cents").astype("int64") / 100.0,
+        "n_orders": col("n_orders").astype("int64"),
+        "order_total": col("ord_cents").astype("int64") / 100.0})
+    return out.sort_values("uid").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_events_pivot — long→wide pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot event counts into one column per event type, keyed by ISO
+    day-of-week — the long→wide sibling of ``q_lineitem_unpivot``.
+    One streaming pass emits (dow, type) count partials; the bucketed
+    combiner reduces them and the dow×5 matrix pivots on the driver."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "dow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+            "event_type": df["event_type"]}).groupby(
+            ["dow", "event_type"], as_index=False).size()
+        g.columns = ["dow", "event_type", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["dow", "event_type"], ["n"])
+    wide = counts.pivot_table(index="dow", columns="event_type",
+                              values="n", aggfunc="sum",
+                              fill_value=0).reset_index()
+    out = pd.DataFrame({"dow": wide["dow"].astype("int64")})
+    for t in types:
+        out[t] = (wide[t].astype("int64") if t in wide.columns
+                  else pd.Series(np.zeros(len(wide)), dtype="int64"))
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_hourly_autocorr — grouped lag-1 autocorrelation (time-series feature)
+# ---------------------------------------------------------------------------
+
+def q_hourly_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of each event type's hourly count series —
+    the burstiness/seasonality diagnostic over the windowed-count shape.
+
+    Distributed shape: ONE pass of (type, hour) count partials through
+    the bucketed combiner (hours×types-bounded result); the per-type
+    Pearson r over consecutive present hours computes on the driver
+    exactly as the SQL ``corr(n, LAG(n) OVER (ORDER BY hr))`` states
+    (Pearson r is scale-invariant, so sample-vs-population variance
+    normalization cancels)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hr": df["ts"].dt.floor("h")}).groupby(
+            ["event_type", "hr"], as_index=False).size()
+        g.columns = ["event_type", "hr", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "hr"], ["n"])
+    rows = []
+    for et, g in counts.groupby("event_type"):
+        c = g.sort_values("hr")["n"].to_numpy(dtype=np.float64)
+        r = (float(np.corrcoef(c[1:], c[:-1])[0, 1])
+             if len(c) >= 3 else float("nan"))
+        rows.append((et, len(c), r))
+    out = pd.DataFrame(rows, columns=["event_type", "n_hours", "autocorr"])
+    out["n_hours"] = out["n_hours"].astype("int64")
+    out["autocorr"] = _round_half_away(out["autocorr"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_degree_assortativity — graph-level degree-mixing statistic
+# ---------------------------------------------------------------------------
+
+def q_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the exact-Jaccard similarity graph:
+    Pearson correlation of endpoint degrees over the directed edge
+    list (both directions, the standard Newman formulation) — do hubs
+    attach to hubs?  Consumes the session-memoized pair view
+    (``_jaccard_pairs_cached``); the edge table is bounded by the
+    near-dup structure, so degrees + corr run on the driver like the
+    other graph summaries (triangle_count reduces B partials the same
+    way)."""
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6).to_pandas()
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    deg = pd.Series(src).value_counts()
+    x = deg.reindex(src).to_numpy(dtype=np.float64)
+    y = deg.reindex(dst).to_numpy(dtype=np.float64)
+    r = float(np.corrcoef(x, y)[0, 1]) if len(x) >= 2 else float("nan")
+    return pd.DataFrame({
+        "assortativity": _round_half_away(pd.Series([r]), 6),
+        "n_edges": pd.Series([len(a)], dtype="int64"),
+        "n_nodes": pd.Series([int(deg.size)], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# q_geo_mean_value — grouped geometric + harmonic means
+# ---------------------------------------------------------------------------
+
+def q_geo_mean_value(sf_dir: str) -> pd.DataFrame:
+    """Geometric and harmonic mean of event value per type — the
+    log-domain / reciprocal-domain aggregates (rate and ratio metrics
+    that the arithmetic mean biases).  Both reduce to plain sums
+    (Σln v, Σ1/v) so they ride the standard partial-sum combiner; only
+    strictly positive values participate (guarded identically in SQL)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        keep = v > 0
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy()[keep],
+                          "ln_v": np.log(v[keep]), "inv_v": 1.0 / v[keep]})
+        g = d.groupby("event_type", as_index=False).agg(
+            n=("ln_v", "size"), ln_sum=("ln_v", "sum"),
+            inv_sum=("inv_v", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    agg = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type"], ["n", "ln_sum", "inv_sum"])
+    agg["n"] = agg["n"].astype("int64")
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"],
+        "geo_mean": _round_half_away(
+            pd.Series(np.exp(agg["ln_sum"] / agg["n"])), 6),
+        "harm_mean": _round_half_away(
+            pd.Series(agg["n"] / agg["inv_sum"]), 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -7856,6 +8072,11 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "debounce": q_debounce,
     "chi_square": q_chi_square,
+    "activity_full_outer": q_activity_full_outer,
+    "events_pivot": q_events_pivot,
+    "hourly_autocorr": q_hourly_autocorr,
+    "degree_assortativity": q_degree_assortativity,
+    "geo_mean_value": q_geo_mean_value,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -9971,6 +10192,66 @@ ORACLE_SQL = {
         FROM a JOIN b ON a.n_name = b.n_name ORDER BY a.n_name
     """,
 }
+
+ORACLE_SQL["activity_full_outer"] = """
+    WITH e AS (SELECT user_id AS uid, count(*) AS n_events,
+                      sum(CAST(ROUND(value * 100) AS BIGINT)) AS ev_cents
+               FROM events GROUP BY user_id),
+    o AS (SELECT o_custkey AS uid, count(*) AS n_orders,
+                 sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS oc
+          FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(e.uid, o.uid) AS uid,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(e.ev_cents, 0) / 100.0 AS event_value,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(o.oc, 0) / 100.0 AS order_total
+    FROM e FULL OUTER JOIN o ON e.uid = o.uid ORDER BY uid
+"""
+
+ORACLE_SQL["events_pivot"] = """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(count(*) FILTER (WHERE event_type = 'click')
+                AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error')
+                AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')
+                AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view')
+                AS BIGINT) AS view
+    FROM events GROUP BY 1 ORDER BY dow
+"""
+
+ORACLE_SQL["hourly_autocorr"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, n,
+                 LAG(n) OVER (PARTITION BY event_type ORDER BY hr) AS pn
+          FROM h)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           ROUND(corr(n, pn), 6) AS autocorr
+    FROM l GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["degree_assortativity"] = ("WITH " + _NGRAM_PAIR_CTES + """,
+    e(src, dst) AS (SELECT doc_a, doc_b FROM jpairs
+                    UNION ALL SELECT doc_b, doc_a FROM jpairs),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src)
+    SELECT ROUND(corr(da.d, db.d), 6) AS assortativity,
+           CAST((SELECT count(*) FROM jpairs) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes
+    FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+""")
+
+ORACLE_SQL["geo_mean_value"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           ROUND(exp(avg(ln(value))), 6) AS geo_mean,
+           ROUND(count(*) / sum(1.0 / value), 6) AS harm_mean
+    FROM events WHERE value > 0
+    GROUP BY event_type ORDER BY event_type
+"""
 
 ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,
         m AS (SELECT doc_a % 2000000 AS ba, doc_b % 2000000 AS bb

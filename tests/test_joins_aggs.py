@@ -38,6 +38,38 @@ class TestHashJoin:
         assert key(salted) == key(plain)
         assert len(salted) == len(left.merge(right, on="k"))
 
+    @pytest.mark.parametrize("how", ["left", "right", "outer"])
+    def test_non_inner_modes_match_pandas(self, ray_session, how):
+        import ray.data as rd
+        from butteraugli_ray.functions.joins import hash_join
+        rng = np.random.default_rng(3)
+        # disjoint key tails on BOTH sides so every mode has unmatched
+        # rows to keep or drop: left keys 0..59, right keys 40..99
+        left = pd.DataFrame({"k": rng.integers(0, 60, 400).astype("int64"),
+                             "lv": np.arange(400, dtype="int64")})
+        right = pd.DataFrame({"k": rng.integers(40, 100, 150).astype("int64"),
+                              "rv": np.arange(150, dtype="int64") * 10})
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="k", n_buckets=8, how=how).to_pandas()
+        want = left.merge(right, on="k", how=how)
+
+        def canon(df):
+            out = df[["k", "lv", "rv"]].copy()
+            for c in ("lv", "rv"):   # None/NaN-padded cols → sentinel
+                out[c] = pd.to_numeric(out[c], errors="coerce") \
+                    .fillna(-1).astype("int64")
+            return sorted(map(tuple, out.values.tolist()))
+
+        assert canon(got) == canon(want)
+
+    def test_outer_rejects_salting(self, ray_session):
+        import ray.data as rd
+        from butteraugli_ray.functions.joins import hash_join
+        df = pd.DataFrame({"k": np.arange(5, dtype="int64"), "v": range(5)})
+        with pytest.raises(ValueError):
+            hash_join(rd.from_pandas(df), rd.from_pandas(df),
+                      key="k", how="outer", hot_keys={1: 2})
+
 
 class TestAsofQuery:
     def test_click_attribution_matches_duckdb(self, ray_session):
