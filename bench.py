@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "near_dup_keep_best",
     "activity_full_outer", "events_pivot", "hourly_autocorr",
     "degree_assortativity", "geo_mean_value",
+    "order_value_delta", "value_histogram", "label_centroids",
+    "source_lang_profile", "ecdf_probe",
     "validate_corpus",
 ]
 

@@ -7904,6 +7904,216 @@ def q_geo_mean_value(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_order_value_delta — LAG window over a second fact table (orders)
+# ---------------------------------------------------------------------------
+
+def q_order_value_delta(sf_dir: str) -> pd.DataFrame:
+    """Change in order value between each customer's consecutive orders,
+    rolled up by the later order's priority — the LAG-window shape on
+    the ORDERS fact table (the event-table window ops all ride events).
+
+    Distributed shape: the q_user_gap_stats rule — ONE custkey-hash
+    bucket shuffle of a 5-column projection, sort-within-bucket by
+    (custkey, date, orderkey), vectorized run-boundary diff (no per-key
+    tasks).  Money diffs travel as exact int64 cents; the single
+    divide-and-round happens on the bounded per-priority result, so
+    summation order can never flip a half cent."""
+    ds = _read(sf_dir, "orders", columns=[
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+        "o_orderpriority"])
+    n_buckets = 64
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "cust": df["o_custkey"].astype("int64"),
+            "date": df["o_orderdate"],
+            "okey": df["o_orderkey"].astype("int64"),
+            "cents": _round_half_away(df["o_totalprice"] * 100.0, 0)
+            .astype("int64"),
+            "prio": df["o_orderpriority"]})
+        out["__b"] = (pd.util.hash_pandas_object(
+            out["cust"], index=False).to_numpy()
+            % n_buckets).astype("int64")
+        return out
+
+    def bucket_deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cust", "date", "okey"])
+        cust = g["cust"].to_numpy()
+        cents = g["cents"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = cust[1:] == cust[:-1]       # not a run boundary
+        d = np.empty(len(g), dtype=np.int64)
+        d[1:] = cents[1:] - cents[:-1]
+        keep = same
+        out = pd.DataFrame({
+            "prio": g["prio"].to_numpy()[keep],
+            "delta": d[keep]})
+        agg = out.groupby("prio", as_index=False).agg(
+            n_deltas=("delta", "size"), sum_delta=("delta", "sum"),
+            sum_abs=("delta", lambda s: int(np.abs(s.to_numpy()).sum())))
+        agg["n_deltas"] = agg["n_deltas"].astype("int64")
+        agg["sum_abs"] = agg["sum_abs"].astype("int64")
+        return agg
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_deltas,
+                                        batch_format="pandas"))
+    agg = _final_agg(parts, ["prio"], ["n_deltas", "sum_delta", "sum_abs"])
+    agg["n_deltas"] = agg["n_deltas"].astype("int64")
+    out = pd.DataFrame({
+        "o_orderpriority": agg["prio"],
+        "n_deltas": agg["n_deltas"],
+        "avg_delta": _round_half_away(
+            agg["sum_delta"] / (100.0 * agg["n_deltas"]), 2),
+        "total_abs_delta": _round_half_away(agg["sum_abs"] / 100.0, 2)})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_value_histogram — grouped equi-width histogram (fixed bins)
+# ---------------------------------------------------------------------------
+
+def q_value_histogram(sf_dir: str, width: float = 50.0) -> pd.DataFrame:
+    """Equi-width histogram of event value per type (bin = ⌊v/50⌋) —
+    the fixed-bin distribution profile that feeds dashboards without
+    any sort or quantile machinery: pure partial-count combiner, result
+    bounded by types × bins."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "bin": np.floor(df["value"].to_numpy(dtype=np.float64)
+                            / width).astype("int64")}).groupby(
+            ["event_type", "bin"], as_index=False).size()
+        g.columns = ["event_type", "bin", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type", "bin"], ["n"])
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["event_type", "bin"])
+            .reset_index(drop=True)[["event_type", "bin", "n"]])
+
+
+# ---------------------------------------------------------------------------
+# q_label_centroids — grouped vector-mean aggregate over embeddings
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid (vector mean) summarized by its L2
+    norm — the class-prototype aggregate behind SemDeDup/IVF seeding.
+    Each batch reduces to a labels×d partial sum matrix (d=64), the
+    driver adds the bounded partials; no vector ever shuffles."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: "pa.Table") -> pd.DataFrame:
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        emb = batch.column("embedding")
+        flat = emb.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        d = len(flat) // len(lab)
+        mat = flat.reshape(len(lab), d)
+        labs = np.unique(lab)
+        sums = np.zeros((len(labs), d))
+        cnts = np.zeros(len(labs), dtype=np.int64)
+        for i, lv in enumerate(labs):
+            m = lab == lv
+            sums[i] = mat[m].sum(axis=0)
+            cnts[i] = int(m.sum())
+        out = pd.DataFrame({"label": labs.astype("int64"),
+                            "n": cnts})
+        for j in range(d):
+            out[f"s{j}"] = sums[:, j]
+        return out
+
+    scols = [f"s{j}" for j in range(64)]
+    agg = _final_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["label"], ["n"] + scols)
+    cent = agg[scols].to_numpy() / agg["n"].to_numpy()[:, None]
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "centroid_norm": _round_half_away(
+            pd.Series(np.sqrt((cent ** 2).sum(axis=1))), 6)})
+    return out.sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_source_lang_profile — grouped DISTINCT set aggregate (sorted csv)
+# ---------------------------------------------------------------------------
+
+def q_source_lang_profile(sf_dir: str) -> pd.DataFrame:
+    """Sorted distinct-language set per source as a csv string — the
+    grouped set-aggregate (array_agg DISTINCT) shape.  Distinct
+    (source, lang) pairs reduce through the bucketed distinct combiner
+    (each pair survives exactly once); the sources×langs-bounded table
+    joins to csv on the driver."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["source", "lang"]].drop_duplicates().copy()
+        if len(d):
+            d["__b"] = (pd.util.hash_pandas_object(
+                d[["source", "lang"]], index=False).to_numpy()
+                % 64).astype("int64")
+        else:
+            d["__b"] = pd.Series([], dtype="int64")
+        return d
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["source", "lang"])[["source", "lang"]]
+
+    pairs = (ds.map_batches(distinct_partial, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_distinct,
+                                        batch_format="pandas")
+             .to_pandas())
+    out = (pairs.sort_values(["source", "lang"])
+           .groupby("source", as_index=False)
+           .agg(n_langs=("lang", "size"), langs=("lang", ",".join)))
+    out["n_langs"] = out["n_langs"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_ecdf_probe — grouped empirical CDF evaluated at probe points
+# ---------------------------------------------------------------------------
+
+def q_ecdf_probe(sf_dir: str) -> pd.DataFrame:
+    """Empirical CDF of event value per type at fixed probe points
+    (P(v ≤ 50/100/250/400)) — the calibration-curve shape: evaluating a
+    distribution at known thresholds needs only count partials, never a
+    sort.  One pass emits (type, ≤probe counts, n); fractions divide on
+    the bounded result."""
+    probes = [50.0, 100.0, 250.0, 400.0]
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"event_type": df["event_type"]})
+        for i, p in enumerate(probes):
+            g[f"le{i}"] = (v <= p).astype("int64")
+        g["n"] = 1
+        agg = g.groupby("event_type", as_index=False).sum()
+        return agg
+
+    agg = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type"],
+                     [f"le{i}" for i in range(len(probes))] + ["n"])
+    rows = []
+    for _, r in agg.iterrows():
+        for i, p in enumerate(probes):
+            rows.append((r["event_type"], p,
+                         float(r[f"le{i}"]) / float(r["n"])))
+    out = pd.DataFrame(rows, columns=["event_type", "probe", "frac"])
+    out["frac"] = _round_half_away(out["frac"], 6)
+    return (out.sort_values(["event_type", "probe"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8077,6 +8287,11 @@ QUERIES = {
     "hourly_autocorr": q_hourly_autocorr,
     "degree_assortativity": q_degree_assortativity,
     "geo_mean_value": q_geo_mean_value,
+    "order_value_delta": q_order_value_delta,
+    "value_histogram": q_value_histogram,
+    "label_centroids": q_label_centroids,
+    "source_lang_profile": q_source_lang_profile,
+    "ecdf_probe": q_ecdf_probe,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -10251,6 +10466,57 @@ ORACLE_SQL["geo_mean_value"] = """
            ROUND(count(*) / sum(1.0 / value), 6) AS harm_mean
     FROM events WHERE value > 0
     GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["order_value_delta"] = """
+    WITH w AS (SELECT o_orderpriority,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                      LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS pc
+               FROM orders)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_deltas,
+           ROUND(sum(c - pc) / (100.0 * count(*)), 2) AS avg_delta,
+           ROUND(sum(ABS(c - pc)) / 100.0, 2) AS total_abs_delta
+    FROM w WHERE pc IS NOT NULL
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["value_histogram"] = """
+    SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2 ORDER BY event_type, bin
+"""
+
+ORACLE_SQL["label_centroids"] = """
+    WITH flat AS (SELECT label,
+                         UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+                         UNNEST(generate_series(
+                             1, len(embedding))) AS dim
+                  FROM embeddings),
+    cent AS (SELECT label, dim, avg(val) AS m
+             FROM flat GROUP BY label, dim),
+    sz AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+    SELECT CAST(c.label AS BIGINT) AS label,
+           CAST(s.n AS BIGINT) AS n,
+           ROUND(sqrt(sum(c.m * c.m)), 6) AS centroid_norm
+    FROM cent c JOIN sz s USING (label)
+    GROUP BY c.label, s.n ORDER BY label
+"""
+
+ORACLE_SQL["source_lang_profile"] = """
+    SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["ecdf_probe"] = """
+    WITH p(probe) AS (VALUES (50.0), (100.0), (250.0), (400.0))
+    SELECT event_type, probe,
+           ROUND(sum(CASE WHEN value <= probe THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS frac
+    FROM events CROSS JOIN p
+    GROUP BY event_type, probe ORDER BY event_type, probe
 """
 
 ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,
