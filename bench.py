@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "degree_assortativity", "geo_mean_value",
     "order_value_delta", "value_histogram", "label_centroids",
     "source_lang_profile", "ecdf_probe",
+    "revenue_cube", "order_to_ship_days", "hourly_ma3", "welch_ttest",
     "validate_corpus",
 ]
 

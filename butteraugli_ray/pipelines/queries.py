@@ -8114,6 +8114,210 @@ def q_ecdf_probe(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_revenue_cube — GROUP BY CUBE (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+def q_revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """Revenue by GROUP BY CUBE(o_orderpriority, o_orderstatus): the
+    four grouping sets (both, priority-only, status-only, grand total)
+    with 'ALL' sentinels — the full-cube sibling of
+    ``q_revenue_rollup``.  One distributed pass reduces the base
+    priority×status cell matrix in exact int64 cents; every margin then
+    re-aggregates the bounded cell table on the driver, so all levels
+    are summation-order-free."""
+    ds = _read(sf_dir, "orders", columns=[
+        "o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "prio": df["o_orderpriority"],
+            "status": df["o_orderstatus"],
+            "cents": _round_half_away(df["o_totalprice"] * 100.0, 0)
+            .astype("int64")})
+        g = d.groupby(["prio", "status"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    base = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                      ["prio", "status"], ["n", "cents"])
+    levels = []
+    for keys in ([ "prio", "status"], ["prio"], ["status"], []):
+        g = (base.groupby(keys, as_index=False)[["n", "cents"]].sum()
+             if keys else
+             pd.DataFrame({"n": [base["n"].sum()],
+                           "cents": [base["cents"].sum()]}))
+        if "prio" not in keys:
+            g["prio"] = "ALL"
+        if "status" not in keys:
+            g["status"] = "ALL"
+        levels.append(g[["prio", "status", "n", "cents"]])
+    out = pd.concat(levels, ignore_index=True)
+    out = pd.DataFrame({
+        "o_orderpriority": out["prio"],
+        "o_orderstatus": out["status"],
+        "n_orders": out["n"].astype("int64"),
+        "revenue": out["cents"].astype("int64") / 100.0})
+    return (out.sort_values(["o_orderpriority", "o_orderstatus"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# q_order_to_ship_days — high-cardinality MIN reduce + fact-fact join
+# ---------------------------------------------------------------------------
+
+def q_order_to_ship_days(sf_dir: str) -> pd.DataFrame:
+    """Days from order placement to its FIRST lineitem shipment,
+    summarized per priority — the fulfillment-latency metric.  Two
+    fact-table stages that must both scale: a MIN reduce at orderkey
+    cardinality (per-batch min partials → bucketed min combine — never
+    Ray's per-key aggregate) and an orderkey hash join back to orders;
+    only the 5-row priority summary reaches the driver."""
+    from ..functions.joins import hash_join
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=[
+        "o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "ship_day": (df["l_shipdate"].to_numpy()
+                         .astype("datetime64[D]").astype("int64"))})
+        return g.groupby("o_orderkey", as_index=False).agg(
+            ship_day=("ship_day", "min"))
+
+    # min rides the bucketed combine (never Ray's per-key aggregate)
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (pd.util.hash_pandas_object(
+            df["o_orderkey"], index=False).to_numpy() % 64).astype("int64")
+        return df
+
+    def combine_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderkey", as_index=False).agg(
+            ship_day=("ship_day", "min"))
+
+    first_ship = (li.map_batches(li_part, batch_format="pandas")
+                  .map_batches(tag, batch_format="pandas")
+                  .groupby("__b").map_groups(combine_min,
+                                             batch_format="pandas"))
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "order_day": (df["o_orderdate"].to_numpy()
+                          .astype("datetime64[D]").astype("int64")),
+            "prio": df["o_orderpriority"]})
+
+    joined = hash_join(first_ship,
+                       orders.map_batches(o_proj, batch_format="pandas"),
+                       "o_orderkey")
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        lag = (pd.to_numeric(df["ship_day"]).to_numpy(dtype=np.int64)
+               - pd.to_numeric(df["order_day"]).to_numpy(dtype=np.int64))
+        g = pd.DataFrame({"prio": df["prio"], "lag": lag}).groupby(
+            "prio", as_index=False).agg(
+            n_orders=("lag", "size"), sum_days=("lag", "sum"),
+            max_days=("lag", "max"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    agg = _final_agg(joined.map_batches(summarize, batch_format="pandas"),
+                     ["prio"], ["n_orders", "sum_days"],
+                     extra_aggs={"max_days": "max"})
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    out = pd.DataFrame({
+        "o_orderpriority": agg["prio"],
+        "n_orders": agg["n_orders"],
+        "avg_days": _round_half_away(
+            agg["sum_days"] / agg["n_orders"], 4),
+        "max_days": agg["max_days"].astype("int64")})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_hourly_ma3 — ROWS-frame moving average (3-row trailing window)
+# ---------------------------------------------------------------------------
+
+def q_hourly_ma3(sf_dir: str) -> pd.DataFrame:
+    """3-row trailing moving average of hourly event counts per type —
+    the ROWS BETWEEN 2 PRECEDING AND CURRENT ROW frame (the
+    time-RANGE frame lives in q_time_window_sum; ROWS frames count
+    rows, not time, so gaps in the hour series behave differently).
+    Count reduction is the distributed part (bucketed combiner); the
+    hours×types-bounded series convolves vectorized on the driver."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hr": df["ts"].dt.floor("h")}).groupby(
+            ["event_type", "hr"], as_index=False).size()
+        g.columns = ["event_type", "hr", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "hr"], ["n"])
+    frames = []
+    for et, g in counts.groupby("event_type"):
+        g = g.sort_values("hr").reset_index(drop=True)
+        n = g["n"].to_numpy(dtype=np.float64)
+        csum = np.concatenate([[0.0], np.cumsum(n)])
+        lo = np.maximum(np.arange(len(n)) - 2, 0)
+        ma = (csum[np.arange(len(n)) + 1] - csum[lo]) \
+            / (np.arange(len(n)) + 1 - lo)
+        frames.append(pd.DataFrame({
+            "event_type": et, "hr": g["hr"], "n": g["n"],
+            "ma3": ma}))
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["ma3"] = _round_half_away(out["ma3"], 6)
+    return (out.sort_values(["event_type", "hr"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# q_welch_ttest — two-sample unequal-variance mean test
+# ---------------------------------------------------------------------------
+
+def q_welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch's t-test of event value, weekday vs weekend — the
+    continuous-outcome sibling of the two-proportion z-test
+    (``q_ab_test``).  Sufficient statistics (n, Σv, Σv²) per arm reduce
+    through one combiner pass; t and the Welch–Satterthwaite df compute
+    on the driver with sample variances exactly as the SQL states."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (df["ts"].dt.dayofweek >= 5).to_numpy()
+        v = df["value"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"arm": np.where(wk, "weekend", "weekday"),
+                          "n": 1, "s": v, "s2": v * v})
+        return g.groupby("arm", as_index=False).sum()
+
+    agg = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["arm"], ["n", "s", "s2"]).set_index("arm")
+    n1, s1, q1 = (float(agg.loc["weekday", c]) for c in ("n", "s", "s2"))
+    n2, s2, q2 = (float(agg.loc["weekend", c]) for c in ("n", "s", "s2"))
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (q1 - n1 * m1 * m1) / (n1 - 1)
+    v2 = (q2 - n2 * m2 * m2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / np.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1)
+                       + (v2 / n2) ** 2 / (n2 - 1))
+    return pd.DataFrame({
+        "n_weekday": pd.Series([int(n1)], dtype="int64"),
+        "n_weekend": pd.Series([int(n2)], dtype="int64"),
+        "mean_weekday": _round_half_away(pd.Series([m1]), 4),
+        "mean_weekend": _round_half_away(pd.Series([m2]), 4),
+        "t_stat": _round_half_away(pd.Series([t]), 4),
+        "welch_df": _round_half_away(pd.Series([dof]), 2)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8292,6 +8496,10 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "source_lang_profile": q_source_lang_profile,
     "ecdf_probe": q_ecdf_probe,
+    "revenue_cube": q_revenue_cube,
+    "order_to_ship_days": q_order_to_ship_days,
+    "hourly_ma3": q_hourly_ma3,
+    "welch_ttest": q_welch_ttest,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -10517,6 +10725,65 @@ ORACLE_SQL["ecdf_probe"] = """
                  * 1.0 / count(*), 6) AS frac
     FROM events CROSS JOIN p
     GROUP BY event_type, probe ORDER BY event_type, probe
+"""
+
+ORACLE_SQL["revenue_cube"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+               AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority, o_orderstatus
+"""
+
+ORACLE_SQL["order_to_ship_days"] = """
+    WITH fs AS (SELECT l_orderkey AS o_orderkey,
+                       min(l_shipdate) AS first_ship
+                FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(date_diff('day', o_orderdate, first_ship))
+                 * 1.0 / count(*), 4) AS avg_days,
+           CAST(max(date_diff('day', o_orderdate, first_ship))
+                AS BIGINT) AS max_days
+    FROM fs JOIN orders USING (o_orderkey)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["hourly_ma3"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+           ROUND(avg(n) OVER (PARTITION BY event_type ORDER BY hr
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS ma3
+    FROM h ORDER BY event_type, hr
+"""
+
+ORACLE_SQL["welch_ttest"] = """
+    WITH a AS (SELECT CASE WHEN dayofweek(ts) IN (0, 6)
+                      THEN 'weekend' ELSE 'weekday' END AS arm, value
+               FROM events),
+    s AS (SELECT arm, count(*) AS n, avg(value) AS m,
+                 var_samp(value) AS v
+          FROM a GROUP BY arm),
+    w AS (SELECT
+            (SELECT n FROM s WHERE arm = 'weekday') AS n1,
+            (SELECT n FROM s WHERE arm = 'weekend') AS n2,
+            (SELECT m FROM s WHERE arm = 'weekday') AS m1,
+            (SELECT m FROM s WHERE arm = 'weekend') AS m2,
+            (SELECT v FROM s WHERE arm = 'weekday') AS v1,
+            (SELECT v FROM s WHERE arm = 'weekend') AS v2)
+    SELECT CAST(n1 AS BIGINT) AS n_weekday,
+           CAST(n2 AS BIGINT) AS n_weekend,
+           ROUND(m1, 4) AS mean_weekday, ROUND(m2, 4) AS mean_weekend,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND(POWER(v1 / n1 + v2 / n2, 2)
+                 / (POWER(v1 / n1, 2) / (n1 - 1)
+                    + POWER(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df
+    FROM w
 """
 
 ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,
