@@ -211,6 +211,20 @@ class TestDataPipelineQueries:
         ("rank_delta", ["orders", "customer", "nation"]),
         ("day_streaks", ["events"]),
         ("near_dup_keep_best", ["documents"]),
+        ("activity_full_outer", ["events", "orders"]),
+        ("events_pivot", ["events"]),
+        ("hourly_autocorr", ["events"]),
+        ("degree_assortativity", ["documents"]),
+        ("geo_mean_value", ["events"]),
+        ("order_value_delta", ["orders"]),
+        ("value_histogram", ["events"]),
+        ("label_centroids", ["embeddings"]),
+        ("source_lang_profile", ["documents"]),
+        ("ecdf_probe", ["events"]),
+        ("revenue_cube", ["orders"]),
+        ("order_to_ship_days", ["orders", "lineitem"]),
+        ("hourly_ma3", ["events"]),
+        ("welch_ttest", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
