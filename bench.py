@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "order_value_delta", "value_histogram", "label_centroids",
     "source_lang_profile", "ecdf_probe",
     "revenue_cube", "order_to_ship_days", "hourly_ma3", "welch_ttest",
+    "centroid_distances", "type_user_jaccard", "knn_classify",
     "validate_corpus",
 ]
 

@@ -8318,6 +8318,151 @@ def q_welch_ttest(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_centroid_distances — pairwise distances between class prototypes
+# ---------------------------------------------------------------------------
+
+def q_centroid_distances(sf_dir: str) -> pd.DataFrame:
+    """Pairwise L2 distance between per-label embedding centroids —
+    the class-separability matrix (which prototypes are confusable).
+    Reuses the q_label_centroids reduction (labels×d partial sums, one
+    combiner pass); the k×k distance matrix is driver-trivial."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: "pa.Table") -> pd.DataFrame:
+        lab = batch.column("label").to_numpy().astype(np.int64)
+        flat = batch.column("embedding").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // len(lab)
+        mat = flat.reshape(len(lab), d)
+        labs = np.unique(lab)
+        out = pd.DataFrame({"label": labs.astype("int64")})
+        cnt = np.zeros(len(labs), dtype=np.int64)
+        sums = np.zeros((len(labs), d))
+        for i, lv in enumerate(labs):
+            m = lab == lv
+            sums[i] = mat[m].sum(axis=0)
+            cnt[i] = int(m.sum())
+        out["n"] = cnt
+        for j in range(d):
+            out[f"s{j}"] = sums[:, j]
+        return out
+
+    scols = [f"s{j}" for j in range(64)]
+    agg = _final_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     ["label"], ["n"] + scols).sort_values("label")
+    labs = agg["label"].to_numpy(dtype=np.int64)
+    cent = agg[scols].to_numpy() / agg["n"].to_numpy()[:, None]
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            rows.append((labs[i], labs[j],
+                         float(np.sqrt(((cent[i] - cent[j]) ** 2).sum()))))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "dist"])
+    out["label_a"] = out["label_a"].astype("int64")
+    out["label_b"] = out["label_b"].astype("int64")
+    out["dist"] = _round_half_away(out["dist"], 6)
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_type_user_jaccard — set similarity BETWEEN groups (audience overlap)
+# ---------------------------------------------------------------------------
+
+def q_type_user_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Jaccard similarity of user audiences between every pair of event
+    types — the audience-overlap matrix.  Distinct (user, type) pairs
+    reduce through the bucketed distinct combiner, then ONE user-hash
+    bucket shuffle builds each user's within-bucket type pairs by a
+    vectorized self-merge (a user has ≤|types| rows, so the per-user
+    blowup is bounded by types², never by users); intersection counts
+    and per-type totals combine to Jaccard on the bounded matrix."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = 64
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "event_type"]].drop_duplicates().copy()
+        d["__b"] = (d["user_id"].to_numpy(dtype=np.int64)
+                    % n_buckets).astype("int64")
+        return d
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        # per-type partial totals ride along as type_b='' rows
+        tot = d.groupby("event_type", as_index=False).size()
+        tot.columns = ["type_a", "n"]
+        tot["type_b"] = ""
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        inter = m.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size()
+        inter.columns = ["type_a", "type_b", "n"]
+        out = pd.concat([tot[["type_a", "type_b", "n"]], inter],
+                        ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = _final_agg(
+        ds.map_batches(distinct_partial, batch_format="pandas")
+        .groupby("__b").map_groups(bucket_pairs, batch_format="pandas"),
+        ["type_a", "type_b"], ["n"])
+    tot = dict(zip(agg[agg["type_b"] == ""]["type_a"],
+                   agg[agg["type_b"] == ""]["n"]))
+    inter = agg[agg["type_b"] != ""].reset_index(drop=True)
+    na = inter["type_a"].map(tot).to_numpy(dtype=np.float64)
+    nb = inter["type_b"].map(tot).to_numpy(dtype=np.float64)
+    i = inter["n"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame({
+        "type_a": inter["type_a"], "type_b": inter["type_b"],
+        "n_common": inter["n"].astype("int64"),
+        "jaccard": _round_half_away(
+            pd.Series(i / (na + nb - i)), 6)})
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_knn_classify — k-NN majority-vote label prediction
+# ---------------------------------------------------------------------------
+
+def q_knn_classify(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Predict a label for each probe vector by majority vote of its
+    k=5 cosine nearest neighbors (ties → smallest label) — the lazy-
+    learner classifier over the ANN machinery.  Probes are the 8
+    smallest vec_ids (predicate-pushdown read); candidates stream
+    through the same broadcast-query brute-force top-k stage as
+    ``q_ann_topk`` (functions/ann.knn_cosine); neighbor labels come
+    from one pushed-down point lookup on the 40-row result."""
+    import pyarrow.parquet as pq
+    from ..functions.ann import knn_cosine
+    probe_ids = list(range(8))
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", probe_ids)]).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(lambda df: df[df["vec_id"] >= 8],
+                     batch_format="pandas")
+    nn = knn_cosine(ds, queries, k)
+    nn["qid"] = nn["query_id"].map(
+        dict(enumerate(qdf["vec_id"].astype(int)))).astype("int64")
+    lab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filters=[("vec_id", "in",
+                  [int(v) for v in nn["vec_id"].unique()])]).to_pandas()
+    nn = nn.merge(lab, on="vec_id")
+    votes = nn.groupby(["qid", "label"], as_index=False).size()
+    votes.columns = ["qid", "label", "votes"]
+    best = (votes.sort_values(["qid", "votes", "label"],
+                              ascending=[True, False, True])
+            .drop_duplicates("qid"))
+    out = pd.DataFrame({
+        "qid": best["qid"].astype("int64"),
+        "pred_label": best["label"].astype("int64"),
+        "votes": best["votes"].astype("int64")})
+    return out.sort_values("qid").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8500,6 +8645,9 @@ QUERIES = {
     "order_to_ship_days": q_order_to_ship_days,
     "hourly_ma3": q_hourly_ma3,
     "welch_ttest": q_welch_ttest,
+    "centroid_distances": q_centroid_distances,
+    "type_user_jaccard": q_type_user_jaccard,
+    "knn_classify": q_knn_classify,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -10784,6 +10932,55 @@ ORACLE_SQL["welch_ttest"] = """
                  / (POWER(v1 / n1, 2) / (n1 - 1)
                     + POWER(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df
     FROM w
+"""
+
+ORACLE_SQL["centroid_distances"] = """
+    WITH flat AS (SELECT label,
+                         UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+                         UNNEST(generate_series(1, len(embedding)))
+                             AS dim
+                  FROM embeddings),
+    cent AS (SELECT label, dim, avg(val) AS m
+             FROM flat GROUP BY label, dim)
+    SELECT CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           ROUND(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS dist
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label ORDER BY label_a, label_b
+"""
+
+ORACLE_SQL["type_user_jaccard"] = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS c
+          FROM d a JOIN d b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(c AS BIGINT) AS n_common,
+           ROUND(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+    FROM i JOIN tot x ON type_a = x.event_type
+           JOIN tot y ON type_b = y.event_type
+    ORDER BY type_a, type_b
+"""
+
+ORACLE_SQL["knn_classify"] = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id < 8),
+    r AS (SELECT qid, vec_id, label,
+                 row_number() OVER (PARTITION BY qid
+                     ORDER BY list_cosine_similarity(qe, embedding)
+                         DESC, vec_id) AS rn
+          FROM q, embeddings WHERE vec_id >= 8),
+    v AS (SELECT qid, label, count(*) AS votes
+          FROM r WHERE rn <= 5 GROUP BY qid, label),
+    w AS (SELECT qid, label, votes, row_number() OVER (
+              PARTITION BY qid ORDER BY votes DESC, label) AS rk
+          FROM v)
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(label AS BIGINT) AS pred_label,
+           CAST(votes AS BIGINT) AS votes
+    FROM w WHERE rk = 1 ORDER BY qid
 """
 
 ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,

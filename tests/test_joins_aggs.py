@@ -225,6 +225,9 @@ class TestDataPipelineQueries:
         ("order_to_ship_days", ["orders", "lineitem"]),
         ("hourly_ma3", ["events"]),
         ("welch_ttest", ["events"]),
+        ("centroid_distances", ["embeddings"]),
+        ("type_user_jaccard", ["events"]),
+        ("knn_classify", ["embeddings"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
