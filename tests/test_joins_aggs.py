@@ -62,6 +62,20 @@ class TestHashJoin:
 
         assert canon(got) == canon(want)
 
+    def test_outer_with_empty_side_passes_through(self, ray_session):
+        import ray.data as rd
+        from butteraugli_ray.functions.joins import hash_join
+        left = pd.DataFrame({"k": np.arange(5, dtype="int64"),
+                             "lv": np.arange(5, dtype="int64")})
+        empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "rv": pd.Series([], dtype="int64")})
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(empty),
+                        key="k", how="outer").to_pandas()
+        assert sorted(got["k"].astype("int64")) == list(range(5))
+        got_r = hash_join(rd.from_pandas(empty), rd.from_pandas(left),
+                          key="k", how="outer").to_pandas()
+        assert sorted(got_r["k"].astype("int64")) == list(range(5))
+
     def test_outer_rejects_salting(self, ray_session):
         import ray.data as rd
         from butteraugli_ray.functions.joins import hash_join
