@@ -1412,7 +1412,9 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     pairs = minhash_candidate_pairs(ds, concurrency=4, dedup=False)
     out = verify_jaccard_pairs_ds(pairs, _docs_with_near_dups(sf_dir),
                                   threshold).to_pandas()
-    out["jaccard"] = out["jaccard"].round(4)
+    # half-away like DuckDB ROUND: 29/32 = 0.90625 is dyadic-exact and
+    # numpy's half-even would flip the dynamic oracle's row hash
+    out["jaccard"] = _round_half_away(out["jaccard"], 4)
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     _PAIR_CACHE[key] = out
     return out.copy()
@@ -8665,7 +8667,7 @@ _TOKS = r"regexp_extract_all(text, '\S+')"
 # shared CTE chain: augmented near-dup corpus → distinct word-trigram
 # shingles → exact-Jaccard pairs at threshold 0.6 (used by the
 # ngram_jaccard oracle and, via recursive closure, dup_groups_exact)
-_NGRAM_PAIR_CTES = r"""aug AS (
+_SHINGLE_CTES = r"""aug AS (
             SELECT doc_id, text FROM documents
             UNION ALL
             SELECT doc_id + 2000000 AS doc_id,
@@ -8686,7 +8688,9 @@ _NGRAM_PAIR_CTES = r"""aug AS (
                 FROM toks WHERE len(t) > 0
             )
         ),
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+_NGRAM_PAIR_CTES = _SHINGLE_CTES + r""",
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -11225,6 +11229,49 @@ def dynamic_oracles() -> dict:
         GROUP BY lbl ORDER BY label
     """
     out["near_dup_groups"] = sql
+
+    # minhash_near_dup: the LSH candidate generation (64-bit shingle
+    # hashing) is not SQL-expressible, but everything the query REPORTS
+    # is — embed the verified pair ids and let DuckDB independently
+    # recompute each pair's exact word-3-shingle Jaccard from the raw
+    # documents and re-apply the >= 0.5 threshold (a wrong jaccard or a
+    # below-threshold survivor flips the row hash; recall is separately
+    # measured by q_minhash_eval against the exact join).
+    out["minhash_near_dup"] = f"""
+        WITH {_SHINGLE_CTES},
+        p(id_a, id_b) AS (SELECT * FROM (VALUES {vals})),
+        i AS (SELECT p.id_a, p.id_b, count(*) AS c
+              FROM p JOIN sh a ON a.doc_id = p.id_a
+                     JOIN sh b ON b.doc_id = p.id_b AND a.sh = b.sh
+              GROUP BY 1, 2),
+        j AS (SELECT i.id_a, i.id_b, c * 1.0 / (sa.n + sb.n - c) AS jac
+              FROM i JOIN sz sa ON i.id_a = sa.doc_id
+                     JOIN sz sb ON i.id_b = sb.doc_id)
+        SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM j
+        WHERE jac >= 0.5 ORDER BY id_a, id_b
+    """
+
+    # embedding_near_dup_lsh: hyperplane bucketing is engine-side, but
+    # the reported pairs are checkable — embed the candidate ids and
+    # let DuckDB recompute each cosine from the raw embeddings and
+    # re-apply the threshold (the non-LSH q_embedding_near_dup already
+    # proves the cosine math matches DuckDB's at ROUND 4).
+    lsh = q_embedding_near_dup_lsh(sf_dir)
+    if len(lsh):
+        lvals = ", ".join(f"({int(a)}, {int(b)})"
+                          for a, b in zip(lsh["id_a"], lsh["id_b"]))
+        out["embedding_near_dup_lsh"] = f"""
+            WITH p(id_a, id_b) AS (SELECT * FROM (VALUES {lvals})),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)
+            SELECT p.id_a, p.id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM p JOIN e a ON a.vec_id = p.id_a
+                   JOIN e b ON b.vec_id = p.id_b
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY id_a, id_b
+        """
+
     out["kmeans_clusters"] = _kmeans_dynamic_oracle(sf_dir)
     return out
 
