@@ -11272,6 +11272,39 @@ def dynamic_oracles() -> dict:
             ORDER BY id_a, id_b
         """
 
+    # simhash_near_dup: the 64-bit token hashing is engine-side, but
+    # given the per-doc fingerprints (recomputed deterministically by
+    # the same SimHasher pass and embedded losslessly as four 16-bit
+    # chunks) DuckDB independently re-derives the pigeonhole pairing,
+    # the Hamming distances, the <= max_hamming filter, and the
+    # cross-bucket dedup — exactly the pair-emission contract the
+    # hypothesis suite once caught a bug in.
+    from ..functions.dedup import SimHasher, actor_pool
+    hashed = _docs_with_near_dups(sf_dir).map_batches(
+        SimHasher, batch_format="pandas",
+        concurrency=actor_pool(4)).to_pandas()
+    fp = hashed.drop_duplicates("doc_id")[["doc_id", "simhash"]]
+    h = fp["simhash"].to_numpy().astype(np.uint64)
+    ch = [((h >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int64)
+          for k in range(4)]
+    fvals = ", ".join(
+        f"({int(d)},{a},{b},{c},{e})" for d, a, b, c, e in
+        zip(fp["doc_id"], ch[0], ch[1], ch[2], ch[3]))
+    out["simhash_near_dup"] = f"""
+        WITH f(doc_id, c0, c1, c2, c3) AS (VALUES {fvals}),
+        e AS (SELECT doc_id, unnest([c0, c1, c2, c3]) AS chunk,
+                     unnest([0, 1, 2, 3]) AS ci, c0, c1, c2, c3 FROM f),
+        p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.c0, b.c0))
+                   + bit_count(xor(a.c1, b.c1))
+                   + bit_count(xor(a.c2, b.c2))
+                   + bit_count(xor(a.c3, b.c3)) AS hamming
+              FROM e a JOIN e b ON a.ci = b.ci AND a.chunk = b.chunk
+                                AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM p WHERE hamming <= 5 ORDER BY id_a, id_b
+    """
+
     out["kmeans_clusters"] = _kmeans_dynamic_oracle(sf_dir)
     return out
 
