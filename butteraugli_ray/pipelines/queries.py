@@ -8465,6 +8465,80 @@ def q_knn_classify(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_cross_type_corr — cross-correlation between event-type time series
+# ---------------------------------------------------------------------------
+
+def q_cross_type_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation between every pair of event types' hourly
+    count series (aligned on the full hour spine, absent hours = 0) —
+    the does-one-signal-track-another diagnostic, cross-series where
+    q_hourly_autocorr is self-series.  One combiner pass reduces
+    (type, hour) counts; the hours×types-bounded matrix aligns and
+    correlates on the driver exactly as the SQL's hour-spine join."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hr": df["ts"].dt.floor("h")}).groupby(
+            ["event_type", "hr"], as_index=False).size()
+        g.columns = ["event_type", "hr", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "hr"], ["n"])
+    wide = counts.pivot_table(index="hr", columns="event_type",
+                              values="n", fill_value=0)
+    types = sorted(wide.columns)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            r = float(np.corrcoef(wide[a].to_numpy(dtype=np.float64),
+                                  wide[b].to_numpy(dtype=np.float64))[0, 1])
+            rows.append((a, b, r))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "corr"])
+    out["corr"] = _round_half_away(out["corr"], 6)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_fit — power-law exponent of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+def q_zipf_fit(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
+    """Zipf exponent of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-100 tokens — the power-law
+    diagnostic for vocabulary health (a natural corpus sits near −1;
+    template spam flattens it).  Token counts reduce through the
+    TF-IDF-style vocab-bounded combiner; ranking (freq desc, token asc
+    — deterministic under ties) and the 100-point regression are
+    driver-trivial."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(T.WS_TOKEN_RE)
+        ex = toks.explode().dropna()
+        g = ex.value_counts().rename_axis("term").reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["term"], ["n"])
+    top = (counts.sort_values(["n", "term"], ascending=[False, True])
+           .head(top_n).reset_index(drop=True))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    intercept = ym - slope * xm
+    return pd.DataFrame({
+        "n_tokens_ranked": pd.Series([len(top)], dtype="int64"),
+        "zipf_slope": _round_half_away(pd.Series([slope]), 6),
+        "zipf_intercept": _round_half_away(pd.Series([intercept]), 6)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8650,6 +8724,8 @@ QUERIES = {
     "centroid_distances": q_centroid_distances,
     "type_user_jaccard": q_type_user_jaccard,
     "knn_classify": q_knn_classify,
+    "cross_type_corr": q_cross_type_corr,
+    "zipf_fit": q_zipf_fit,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -10985,6 +11061,41 @@ ORACLE_SQL["knn_classify"] = """
            CAST(label AS BIGINT) AS pred_label,
            CAST(votes AS BIGINT) AS votes
     FROM w WHERE rk = 1 ORDER BY qid
+"""
+
+ORACLE_SQL["cross_type_corr"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    hrs AS (SELECT DISTINCT hr FROM h),
+    ty AS (SELECT DISTINCT event_type FROM h),
+    fl AS (SELECT ty.event_type, hrs.hr, COALESCE(h.n, 0) AS n
+           FROM ty CROSS JOIN hrs
+           LEFT JOIN h ON h.event_type = ty.event_type
+                      AND h.hr = hrs.hr)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(corr(a.n, b.n), 6) AS "corr"
+    FROM fl a JOIN fl b ON a.hr = b.hr
+                       AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY type_a, type_b
+"""
+
+ORACLE_SQL["zipf_fit"] = r"""
+    WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\S+'))
+                     AS term
+                 FROM documents),
+    c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk
+          FROM c),
+    top AS (SELECT ln(rk * 1.0) AS x, ln(n * 1.0) AS y
+            FROM r WHERE rk <= 100),
+    s AS (SELECT count(*) AS m, regr_slope(y, x) AS slope,
+                 regr_intercept(y, x) AS icept
+          FROM top)
+    SELECT CAST(m AS BIGINT) AS n_tokens_ranked,
+           ROUND(slope, 6) AS zipf_slope,
+           ROUND(icept, 6) AS zipf_intercept
+    FROM s
 """
 
 ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,

@@ -242,6 +242,8 @@ class TestDataPipelineQueries:
         ("centroid_distances", ["embeddings"]),
         ("type_user_jaccard", ["events"]),
         ("knn_classify", ["embeddings"]),
+        ("cross_type_corr", ["events"]),
+        ("zipf_fit", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
