@@ -93,7 +93,7 @@ BENCH_QUERIES = [
     "source_lang_profile", "ecdf_probe",
     "revenue_cube", "order_to_ship_days", "hourly_ma3", "welch_ttest",
     "centroid_distances", "type_user_jaccard", "knn_classify",
-    "cross_type_corr", "zipf_fit",
+    "cross_type_corr", "zipf_fit", "fano_burstiness", "hhi_by_segment",
     "validate_corpus",
 ]
 

@@ -8539,6 +8539,105 @@ def q_zipf_fit(sf_dir: str, top_n: int = 100) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_fano_burstiness — dispersion index of hourly arrival counts
+# ---------------------------------------------------------------------------
+
+def q_fano_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Fano factor (var/mean) of each event type's hourly counts on the
+    gap-filled hour spine — the burstiness dispersion index (1 ≈
+    Poisson arrivals, >1 bursty, <1 regular).  Same bounded (type,
+    hour) count reduction as the other series diagnostics; variance is
+    sample variance exactly as SQL var_samp states."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hr": df["ts"].dt.floor("h")}).groupby(
+            ["event_type", "hr"], as_index=False).size()
+        g.columns = ["event_type", "hr", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "hr"], ["n"])
+    wide = counts.pivot_table(index="hr", columns="event_type",
+                              values="n", fill_value=0)
+    rows = []
+    for t in sorted(wide.columns):
+        v = wide[t].to_numpy(dtype=np.float64)
+        rows.append((t, len(v), float(v.mean()),
+                     float(v.var(ddof=1) / v.mean())))
+    out = pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                      "mean_rate", "fano"])
+    out["n_hours"] = out["n_hours"].astype("int64")
+    out["mean_rate"] = _round_half_away(out["mean_rate"], 6)
+    out["fano"] = _round_half_away(out["fano"], 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_hhi_by_segment — Herfindahl–Hirschman market concentration
+# ---------------------------------------------------------------------------
+
+def q_hhi_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration per market segment: HHI = Σ share² over
+    each segment's customers (1/n diffuse → 1 monopolized).  Two exact
+    stages, both combiner-shaped: per-(segment, customer) revenue in
+    int64 cents at custkey cardinality (hash-bucketed, never per-key),
+    then Σrev² and Σrev ride the same bucket task so no customer-level
+    table ever reaches the driver — HHI = Σrev²/(Σrev)² per segment."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.pool import broadcast_get
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].astype("int64"),
+                               cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    n_buckets = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["o_custkey"].map(broadcast_get(seg_ref))
+        d = pd.DataFrame({
+            "cust": df["o_custkey"].astype("int64"),
+            "seg": seg,
+            "cents": _round_half_away(df["o_totalprice"] * 100.0, 0)
+            .astype("int64")})
+        g = d.groupby(["seg", "cust"], as_index=False).agg(
+            cents=("cents", "sum"))
+        g["__b"] = (pd.util.hash_pandas_object(
+            g["cust"], index=False).to_numpy() % n_buckets).astype("int64")
+        return g
+
+    def bucket_hhi(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby(["seg", "cust"], as_index=False).agg(
+            cents=("cents", "sum"))
+        r = per_cust["cents"].to_numpy(dtype=np.float64)
+        per_cust["sq"] = r * r
+        out = per_cust.groupby("seg", as_index=False).agg(
+            n_customers=("cust", "size"), rev=("cents", "sum"),
+            sq=("sq", "sum"))
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out
+
+    agg = _final_agg(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b").map_groups(bucket_hhi, batch_format="pandas"),
+        ["seg"], ["n_customers", "rev", "sq"])
+    agg["n_customers"] = agg["n_customers"].astype("int64")
+    rev = agg["rev"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame({
+        "c_mktsegment": agg["seg"],
+        "n_customers": agg["n_customers"],
+        "revenue": _round_half_away(pd.Series(rev / 100.0), 2),
+        "hhi": _round_half_away(
+            pd.Series(agg["sq"].to_numpy(dtype=np.float64) / (rev * rev)),
+            6)})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8726,6 +8825,8 @@ QUERIES = {
     "knn_classify": q_knn_classify,
     "cross_type_corr": q_cross_type_corr,
     "zipf_fit": q_zipf_fit,
+    "fano_burstiness": q_fano_burstiness,
+    "hhi_by_segment": q_hhi_by_segment,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11096,6 +11197,35 @@ ORACLE_SQL["zipf_fit"] = r"""
            ROUND(slope, 6) AS zipf_slope,
            ROUND(icept, 6) AS zipf_intercept
     FROM s
+"""
+
+ORACLE_SQL["fano_burstiness"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    hrs AS (SELECT DISTINCT hr FROM h),
+    ty AS (SELECT DISTINCT event_type FROM h),
+    fl AS (SELECT ty.event_type, hrs.hr, COALESCE(h.n, 0) AS n
+           FROM ty CROSS JOIN hrs
+           LEFT JOIN h ON h.event_type = ty.event_type
+                      AND h.hr = hrs.hr)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           ROUND(avg(n), 6) AS mean_rate,
+           ROUND(var_samp(n) / avg(n), 6) AS fano
+    FROM fl GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["hhi_by_segment"] = """
+    WITH pc AS (SELECT c_mktsegment, o_custkey,
+                       sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(sum(cents) / 100.0, 2) AS revenue,
+           ROUND(sum(CAST(cents AS DOUBLE) * cents)
+                 / (CAST(sum(cents) AS DOUBLE) * sum(cents)), 6) AS hhi
+    FROM pc GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 ORACLE_SQL["cross_source_dups"] = ("WITH " + _NGRAM_PAIR_CTES + """,

@@ -244,6 +244,8 @@ class TestDataPipelineQueries:
         ("knn_classify", ["embeddings"]),
         ("cross_type_corr", ["events"]),
         ("zipf_fit", ["documents"]),
+        ("fano_burstiness", ["events"]),
+        ("hhi_by_segment", ["orders", "customer"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
