@@ -8638,6 +8638,34 @@ def q_hhi_by_segment(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_clustering_coefficient — global transitivity of the similarity graph
+# ---------------------------------------------------------------------------
+
+def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
+    """Global clustering coefficient (transitivity) of the exact-
+    Jaccard similarity graph: 3·triangles / wedges, wedges =
+    Σ deg·(deg−1)/2 — how much of the graph's branching closes into
+    triangles (near-dup clusters close; chains don't).  Triangles come
+    from the distributed wedge-check (functions/graph.triangle_count)
+    over the session-memoized pair view; degrees reduce on the bounded
+    edge table."""
+    from ..functions.graph import triangle_count
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6)
+    r = triangle_count(pairs, a_col="doc_a", b_col="doc_b")
+    pdf = pairs.to_pandas()
+    deg = pd.concat([pdf["doc_a"], pdf["doc_b"]]).value_counts() \
+        .to_numpy(dtype=np.float64)
+    wedges = float((deg * (deg - 1) / 2.0).sum())
+    coef = 3.0 * r["n_triangles"] / wedges if wedges else float("nan")
+    return pd.DataFrame({
+        "n_nodes": pd.Series([r["n_nodes"]], dtype="int64"),
+        "n_edges": pd.Series([r["n_edges"]], dtype="int64"),
+        "n_wedges": pd.Series([int(wedges)], dtype="int64"),
+        "n_triangles": pd.Series([r["n_triangles"]], dtype="int64"),
+        "clustering": _round_half_away(pd.Series([coef]), 6)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8827,6 +8855,7 @@ QUERIES = {
     "zipf_fit": q_zipf_fit,
     "fano_burstiness": q_fano_burstiness,
     "hhi_by_segment": q_hhi_by_segment,
+    "clustering_coefficient": q_clustering_coefficient,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11198,6 +11227,23 @@ ORACLE_SQL["zipf_fit"] = r"""
            ROUND(icept, 6) AS zipf_intercept
     FROM s
 """
+
+ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
+    , e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs),
+    deg AS (SELECT node, count(*) AS d FROM
+            (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    w AS (SELECT sum(d * (d - 1) / 2) AS wedges FROM deg),
+    t AS (SELECT count(*) AS tri FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(w.wedges AS BIGINT) AS n_wedges,
+           CAST(t.tri AS BIGINT) AS n_triangles,
+           ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
+    FROM w CROSS JOIN t
+""")
 
 ORACLE_SQL["fano_burstiness"] = """
     WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,

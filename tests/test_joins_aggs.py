@@ -246,6 +246,7 @@ class TestDataPipelineQueries:
         ("zipf_fit", ["documents"]),
         ("fano_burstiness", ["events"]),
         ("hhi_by_segment", ["orders", "customer"]),
+        ("clustering_coefficient", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
