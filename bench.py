@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "revenue_cube", "order_to_ship_days", "hourly_ma3", "welch_ttest",
     "centroid_distances", "type_user_jaccard", "knn_classify",
     "cross_type_corr", "zipf_fit", "fano_burstiness", "hhi_by_segment",
-    "clustering_coefficient",
+    "clustering_coefficient", "spearman_corr", "mann_whitney",
     "validate_corpus",
 ]
 

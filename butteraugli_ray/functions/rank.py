@@ -112,6 +112,51 @@ def range_partition_rank(ds, col: str, tiebreak: str,
     return ranked, n_rows
 
 
+def range_partition_avg_rank(ds, col: str, n_buckets: int | None = None,
+                             out_col: str = "avg_rank",
+                             tie_col: str = "__tie_part"):
+    """Attach the EXACT tie-averaged global rank of ``col`` to every
+    row → (Dataset, total row count).  This is the rank Spearman /
+    Mann-Whitney need: rows with equal values share the MEAN of the
+    ordinal positions they'd occupy (SQL's
+    ``RANK() + (COUNT(*) OVER (PARTITION BY col) - 1) / 2.0``).
+
+    Exactness argument: ``_range_bucketize`` applies unique t-digest
+    boundaries with ``side='right'``, so equal values never straddle
+    range buckets — an in-bucket tie group IS the global tie group and
+    avg rank = bucket offset + mean in-bucket position.  ``tie_col``
+    carries each bucket's Σ(t³−t) tie-correction partial on its first
+    row (0 elsewhere) so rank-test variances reduce in the same
+    downstream pass instead of a second shuffle."""
+    tagged, n_rows = _range_bucketize(ds, col, n_buckets)
+    if n_rows == 0:
+        return tagged, 0
+
+    counts = tagged.groupby("__rb").count().to_pandas()
+    counts = counts.sort_values("__rb")
+    offsets = dict(zip(
+        counts["__rb"].to_numpy(dtype=np.int64),
+        np.concatenate([[0], np.cumsum(
+            counts["count()"].to_numpy(dtype=np.int64))[:-1]])))
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["__rb"].iloc[0])
+        df = df.sort_values(col).drop(columns="__rb")
+        pos = pd.Series(
+            offsets[b] + np.arange(1, len(df) + 1, dtype=np.float64),
+            index=df.index)
+        df[out_col] = pos.groupby(df[col]).transform("mean")
+        t = df[col].value_counts().to_numpy(dtype=np.float64)
+        tp = np.zeros(len(df), dtype=np.float64)
+        tp[0] = float((t ** 3 - t).sum())
+        df[tie_col] = tp
+        return df
+
+    ranked = tagged.groupby("__rb").map_groups(rank_bucket,
+                                               batch_format="pandas")
+    return ranked, n_rows
+
+
 def grouped_quantile_exact(ds, key: str, col: str, q: float = 0.5,
                            n_bins: int = 512,
                            collect_cap: int = 65536,

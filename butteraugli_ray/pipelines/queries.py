@@ -8666,6 +8666,106 @@ def q_clustering_coefficient(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_spearman_corr — exact tie-averaged Spearman via range-partition ranks
+# ---------------------------------------------------------------------------
+
+def q_spearman_corr(sf_dir: str) -> pd.DataFrame:
+    """Exact Spearman rank correlation between l_quantity and
+    l_extendedprice — the monotone-association sibling of
+    ``q_grouped_corr`` (Pearson), robust to the price scale.
+
+    Distributed shape, no global sort: quantity's domain is tiny
+    (integral 1..50) so its tie-averaged rank is a broadcastable
+    value→rank table from one count aggregate; price gets the exact
+    tie-averaged global rank from ``range_partition_avg_rank`` (ties
+    never straddle range buckets).  Pearson-over-ranks reduces via
+    CENTERED sufficient statistics (center (n+1)/2 is known a priori —
+    both rank means are exactly (n+1)/2) so the Σr² terms stay ~n³/12
+    instead of cancelling at ~n³/4."""
+    from ..functions.rank import range_partition_avg_rank
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def qpart(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_quantity", as_index=False).size()
+        g.columns = ["l_quantity", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    qf = _final_agg(ds.map_batches(qpart, batch_format="pandas"),
+                    ["l_quantity"], ["n"]).sort_values("l_quantity")
+    cnt = qf["n"].to_numpy(dtype=np.float64)
+    less = np.concatenate([[0.0], np.cumsum(cnt)[:-1]])
+    qvals = qf["l_quantity"].to_numpy(dtype=np.float64)
+    qranks = less + (cnt + 1.0) / 2.0
+
+    ranked, n_rows = range_partition_avg_rank(
+        ds, "l_extendedprice", out_col="rb")
+    center = (n_rows + 1) / 2.0
+
+    def pearson_partial(df: pd.DataFrame,
+                        _qv=qvals, _qr=qranks, _c=center) -> pd.DataFrame:
+        ra = _qr[np.searchsorted(
+            _qv, df["l_quantity"].to_numpy(dtype=np.float64))] - _c
+        rb = df["rb"].to_numpy(dtype=np.float64) - _c
+        return pd.DataFrame({
+            "k": [0], "saa": [float((ra * ra).sum())],
+            "sbb": [float((rb * rb).sum())],
+            "sab": [float((ra * rb).sum())]})
+
+    p = _final_agg(ranked.map_batches(pearson_partial,
+                                      batch_format="pandas"),
+                   ["k"], ["saa", "sbb", "sab"]).iloc[0]
+    rho = float(p["sab"]) / np.sqrt(float(p["saa"]) * float(p["sbb"]))
+    return pd.DataFrame({
+        "n": pd.Series([int(n_rows)], dtype="int64"),
+        "spearman": _round_half_away(pd.Series([rho]), 6)})
+
+
+# ---------------------------------------------------------------------------
+# q_mann_whitney — rank-sum test, weekend vs weekday event values
+# ---------------------------------------------------------------------------
+
+def q_mann_whitney(sf_dir: str) -> pd.DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of event value, weekend
+    vs weekday — the nonparametric sibling of ``q_welch_ttest`` (no
+    normality assumption), with the exact tie-corrected normal
+    approximation.
+
+    Distributed shape: one ``range_partition_avg_rank`` pass attaches
+    exact tie-averaged ranks and per-bucket Σ(t³−t) tie partials; a
+    single combiner pass then reduces the weekend rank-sum, group
+    sizes and the tie correction — no global sort, no driver
+    materialization."""
+    from ..functions.rank import range_partition_avg_rank
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    ranked, n_rows = range_partition_avg_rank(ds, "value", out_col="ar")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (df["ts"].dt.dayofweek >= 5).to_numpy()
+        ar = df["ar"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "k": [0], "n1": [float(wk.sum())],
+            "r1": [float(ar[wk].sum())],
+            "ties": [float(df["__tie_part"].sum())]})
+
+    p = _final_agg(ranked.map_batches(partial, batch_format="pandas"),
+                   ["k"], ["n1", "r1", "ties"]).iloc[0]
+    n1, r1, ties = float(p["n1"]), float(p["r1"]), float(p["ties"])
+    n = float(n_rows)
+    n2 = n - n1
+    u = r1 - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    var = n1 * n2 / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+    z = (u - mu) / np.sqrt(var)
+    return pd.DataFrame({
+        "n_weekend": pd.Series([int(n1)], dtype="int64"),
+        "n_weekday": pd.Series([int(n2)], dtype="int64"),
+        "u_stat": _round_half_away(pd.Series([u]), 2),
+        "z_stat": _round_half_away(pd.Series([z]), 4)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8856,6 +8956,8 @@ QUERIES = {
     "fano_burstiness": q_fano_burstiness,
     "hhi_by_segment": q_hhi_by_segment,
     "clustering_coefficient": q_clustering_coefficient,
+    "spearman_corr": q_spearman_corr,
+    "mann_whitney": q_mann_whitney,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11244,6 +11346,40 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["spearman_corr"] = """
+    WITH r AS (SELECT
+        RANK() OVER (ORDER BY l_quantity)
+            + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+        RANK() OVER (ORDER BY l_extendedprice)
+            + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+        FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           ROUND(corr(ra, rb), 6) AS spearman
+    FROM r
+"""
+
+ORACLE_SQL["mann_whitney"] = """
+    WITH e AS (SELECT value,
+                      CASE WHEN dayofweek(ts) IN (0, 6)
+                           THEN 1.0 ELSE 0.0 END AS wk
+               FROM events),
+    r AS (SELECT wk,
+                 RANK() OVER (ORDER BY value)
+                     + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar
+          FROM e),
+    tt AS (SELECT sum(c * c * c - c) AS ties FROM
+           (SELECT CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY value)),
+    g AS (SELECT sum(wk) AS n1, sum(wk * ar) AS r1,
+                 CAST(count(*) AS DOUBLE) AS n FROM r)
+    SELECT CAST(n1 AS BIGINT) AS n_weekend,
+           CAST(n - n1 AS BIGINT) AS n_weekday,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+                 / sqrt(n1 * (n - n1) / 12.0
+                        * ((n + 1) - ties / (n * (n - 1)))), 4) AS z_stat
+    FROM g CROSS JOIN tt
+"""
 
 ORACLE_SQL["fano_burstiness"] = """
     WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -247,6 +247,8 @@ class TestDataPipelineQueries:
         ("fano_burstiness", ["events"]),
         ("hhi_by_segment", ["orders", "customer"]),
         ("clustering_coefficient", ["documents"]),
+        ("spearman_corr", ["lineitem"]),
+        ("mann_whitney", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
