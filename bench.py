@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "centroid_distances", "type_user_jaccard", "knn_classify",
     "cross_type_corr", "zipf_fit", "fano_burstiness", "hhi_by_segment",
     "clustering_coefficient", "spearman_corr", "mann_whitney",
+    "inequality_indices", "cramers_v", "mutual_info",
     "validate_corpus",
 ]
 

@@ -8766,6 +8766,130 @@ def q_mann_whitney(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_inequality_indices — Theil T/L + Atkinson(ε=1) over order totals
+# ---------------------------------------------------------------------------
+
+def q_inequality_indices(sf_dir: str) -> pd.DataFrame:
+    """Entropy-based inequality of o_totalprice: Theil T
+    (Σ x·ln x /(n·μ) − ln μ), Theil L / mean-log-deviation
+    (ln μ − Σ ln x / n) and Atkinson ε=1 (1 − geomean/μ) — the
+    decomposable siblings of the exact Gini (``q_gini``).
+
+    Distributed shape: everything reduces from ONE pass of the
+    sufficient statistics (n, Σx, Σln x, Σ x·ln x) through the
+    combiner; no sort, no pairwise term (unlike Gini's rank trick)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(dtype=np.float64)
+        lx = np.log(x)
+        return pd.DataFrame({
+            "k": [0], "n": [float(len(x))], "s": [float(x.sum())],
+            "sl": [float(lx.sum())], "sxl": [float((x * lx).sum())]})
+
+    p = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["k"], ["n", "s", "sl", "sxl"]).iloc[0]
+    n, s, sl, sxl = (float(p[c]) for c in ("n", "s", "sl", "sxl"))
+    mu = s / n
+    theil_t = sxl / (n * mu) - np.log(mu)
+    theil_l = np.log(mu) - sl / n
+    atkinson = 1.0 - np.exp(sl / n) / mu
+    return pd.DataFrame({
+        "n": pd.Series([int(n)], dtype="int64"),
+        "theil_t": _round_half_away(pd.Series([theil_t]), 6),
+        "theil_l": _round_half_away(pd.Series([theil_l]), 6),
+        "atkinson1": _round_half_away(pd.Series([atkinson]), 6)})
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v — effect size of the event_type × weekday association
+# ---------------------------------------------------------------------------
+
+def q_cramers_v(sf_dir: str) -> pd.DataFrame:
+    """Cramér's V for event_type × day-of-week — the bounded [0,1]
+    effect size the raw χ² (``q_chi_square``) lacks, on fresh
+    variables (events, not documents).  Zero cells are handled exactly
+    via the identity χ² = Σ O²/E − n (a zero observed cell contributes
+    nothing to Σ O²/E and its E is absorbed by the −n term).
+
+    Distributed shape: one streaming pass of (event_type, dow) count
+    partials through the bucketed combiner; the ≤ types×7 matrix does
+    margins and the statistic on the driver."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "dow": df["ts"].dt.dayofweek.astype("int64")})
+        out = g.groupby(["event_type", "dow"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    obs = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type", "dow"], ["n"])
+    tot = float(obs["n"].sum())
+    rm = obs.groupby("event_type")["n"].sum()
+    cm = obs.groupby("dow")["n"].sum()
+    o = obs["n"].to_numpy(dtype=np.float64)
+    e = (obs["event_type"].map(rm).to_numpy(dtype=np.float64)
+         * obs["dow"].map(cm).to_numpy(dtype=np.float64) / tot)
+    chi2 = float((o * o / e).sum()) - tot
+    kmin = min(len(rm) - 1, len(cm) - 1)
+    v = np.sqrt(chi2 / (tot * kmin))
+    return pd.DataFrame({
+        "chi2": _round_half_away(pd.Series([chi2]), 4),
+        "dof": pd.Series([(len(rm) - 1) * (len(cm) - 1)], dtype="int64"),
+        "n": pd.Series([int(tot)], dtype="int64"),
+        "cramers_v": _round_half_away(pd.Series([v]), 6)})
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_info — event_type × hour-of-day mutual information
+# ---------------------------------------------------------------------------
+
+def q_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Mutual information (nats) between event_type and hour-of-day,
+    plus the marginal entropies and the NMI = MI/√(H_type·H_hour)
+    normalization — "how much does the clock tell you about what users
+    do", the information-theoretic sibling of Cramér's V.  Zero cells
+    contribute 0 and drop out naturally.
+
+    Distributed shape: identical to ``q_cramers_v`` — one count-partial
+    pass, driver algebra on the ≤ types×24 matrix."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hr": df["ts"].dt.hour.astype("int64")})
+        out = g.groupby(["event_type", "hr"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    obs = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type", "hr"], ["n"])
+    tot = float(obs["n"].sum())
+    pxy = obs["n"].to_numpy(dtype=np.float64) / tot
+    px = obs["event_type"].map(
+        obs.groupby("event_type")["n"].sum()).to_numpy(np.float64) / tot
+    py = obs["hr"].map(
+        obs.groupby("hr")["n"].sum()).to_numpy(np.float64) / tot
+    mi = float((pxy * np.log(pxy / (px * py))).sum())
+    pmx = obs.groupby("event_type")["n"].sum().to_numpy(np.float64) / tot
+    pmy = obs.groupby("hr")["n"].sum().to_numpy(np.float64) / tot
+    hx = float(-(pmx * np.log(pmx)).sum())
+    hy = float(-(pmy * np.log(pmy)).sum())
+    return pd.DataFrame({
+        "n": pd.Series([int(tot)], dtype="int64"),
+        "mi": _round_half_away(pd.Series([mi]), 6),
+        "h_type": _round_half_away(pd.Series([hx]), 6),
+        "h_hour": _round_half_away(pd.Series([hy]), 6),
+        "nmi": _round_half_away(pd.Series([mi / np.sqrt(hx * hy)]), 6)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -8958,6 +9082,9 @@ QUERIES = {
     "clustering_coefficient": q_clustering_coefficient,
     "spearman_corr": q_spearman_corr,
     "mann_whitney": q_mann_whitney,
+    "inequality_indices": q_inequality_indices,
+    "cramers_v": q_cramers_v,
+    "mutual_info": q_mutual_info,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11346,6 +11473,64 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["inequality_indices"] = """
+    WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      sum(o_totalprice) AS s,
+                      sum(ln(o_totalprice)) AS sl,
+                      sum(o_totalprice * ln(o_totalprice)) AS sxl
+               FROM orders)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(sxl / (n * (s / n)) - ln(s / n), 6) AS theil_t,
+           ROUND(ln(s / n) - sl / n, 6) AS theil_l,
+           ROUND(1 - exp(sl / n) / (s / n), 6) AS atkinson1
+    FROM s
+"""
+
+ORACLE_SQL["cramers_v"] = """
+    WITH o AS (SELECT event_type, isodow(ts) - 1 AS dow,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT sum(n) AS tot FROM o),
+    rm AS (SELECT event_type, sum(n) AS rn FROM o GROUP BY 1),
+    cm AS (SELECT dow, sum(n) AS cn FROM o GROUP BY 1),
+    x AS (SELECT sum(o.n * o.n / (rm.rn * cm.cn / m.tot)) - any_value(m.tot)
+                 AS chi2
+          FROM o JOIN rm ON o.event_type = rm.event_type
+                 JOIN cm ON o.dow = cm.dow CROSS JOIN m)
+    SELECT ROUND(x.chi2, 4) AS chi2,
+           CAST(((SELECT count(*) FROM rm) - 1)
+                * ((SELECT count(*) FROM cm) - 1) AS BIGINT) AS dof,
+           CAST(m.tot AS BIGINT) AS n,
+           ROUND(sqrt(x.chi2 / (m.tot
+                 * least((SELECT count(*) FROM rm) - 1,
+                         (SELECT count(*) FROM cm) - 1))), 6) AS cramers_v
+    FROM x CROSS JOIN m
+"""
+
+ORACLE_SQL["mutual_info"] = """
+    WITH o AS (SELECT event_type, hour(ts) AS hr,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT sum(n) AS tot FROM o),
+    rm AS (SELECT event_type, sum(n) AS rn FROM o GROUP BY 1),
+    cm AS (SELECT hr, sum(n) AS cn FROM o GROUP BY 1),
+    mi AS (SELECT sum((o.n / m.tot)
+                      * ln((o.n / m.tot) / ((rm.rn / m.tot)
+                                            * (cm.cn / m.tot)))) AS mi
+           FROM o JOIN rm ON o.event_type = rm.event_type
+                  JOIN cm ON o.hr = cm.hr CROSS JOIN m),
+    hx AS (SELECT -sum((rn / m.tot) * ln(rn / m.tot)) AS h
+           FROM rm CROSS JOIN m),
+    hy AS (SELECT -sum((cn / m.tot) * ln(cn / m.tot)) AS h
+           FROM cm CROSS JOIN m)
+    SELECT CAST(m.tot AS BIGINT) AS n,
+           ROUND(mi.mi, 6) AS mi,
+           ROUND(hx.h, 6) AS h_type,
+           ROUND(hy.h, 6) AS h_hour,
+           ROUND(mi.mi / sqrt(hx.h * hy.h), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN m
+"""
 
 ORACLE_SQL["spearman_corr"] = """
     WITH r AS (SELECT

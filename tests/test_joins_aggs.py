@@ -249,6 +249,9 @@ class TestDataPipelineQueries:
         ("clustering_coefficient", ["documents"]),
         ("spearman_corr", ["lineitem"]),
         ("mann_whitney", ["events"]),
+        ("inequality_indices", ["orders"]),
+        ("cramers_v", ["events"]),
+        ("mutual_info", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
