@@ -8890,6 +8890,175 @@ def q_mutual_info(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_k_anonymity — privacy audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+def q_k_anonymity(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-anonymity audit of the documents table under the
+    quasi-identifier (lang, source, n_chars÷1000 length band): group
+    sizes, the smallest equivalence class, how many classes fall below
+    k=5 and what share of rows would need suppression — the
+    data-governance gate a release pipeline runs before publishing.
+
+    Distributed shape: one count-partial pass through the bucketed
+    combiner; the quasi-identifier domain (langs × sources × bands) is
+    bounded, so the audit math is driver-trivial."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "lang": df["lang"], "source": df["source"],
+            "band": (df["n_chars"] // 1000).astype("int64")})
+        out = g.groupby(["lang", "source", "band"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    grp = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["lang", "source", "band"], ["n"])
+    sizes = grp["n"].to_numpy(dtype=np.int64)
+    below = sizes < k
+    tot = int(sizes.sum())
+    return pd.DataFrame({
+        "n_rows": pd.Series([tot], dtype="int64"),
+        "n_groups": pd.Series([len(sizes)], dtype="int64"),
+        "min_k": pd.Series([int(sizes.min())], dtype="int64"),
+        "groups_below_k": pd.Series([int(below.sum())], dtype="int64"),
+        "rows_suppressed": pd.Series([int(sizes[below].sum())],
+                                     dtype="int64"),
+        "suppressed_share": _round_half_away(
+            pd.Series([sizes[below].sum() / tot]), 6)})
+
+
+# ---------------------------------------------------------------------------
+# q_kendall_tau — tau-b between daily order count and daily revenue
+# ---------------------------------------------------------------------------
+
+def q_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b between daily order volume and daily revenue —
+    the concordance sibling of Spearman, exact under ties.  Revenue
+    compares in EXACT integer cents (per-item ROUND(x·100) before the
+    sum) so sign/tie decisions are bit-identical to the oracle's.
+
+    Distributed shape: the heavy pass is a bucketed (day → count,
+    cent-sum) aggregate; the tau pairwise step runs on the driver over
+    the CALENDAR-bounded daily series (O(days²) on ~2.4k days — bounded
+    by time span, not data volume)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(np.abs(df["o_totalprice"].to_numpy(np.float64))
+                         * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"day": df["o_orderdate"].dt.normalize(),
+                          "x": 1, "cents": cents})
+        return g.groupby("day", as_index=False).sum()
+
+    d = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["day"], ["x", "cents"])
+    x = d["x"].to_numpy(dtype=np.int64)
+    y = d["cents"].to_numpy(dtype=np.int64)
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(len(x), k=1)
+    s = float((sx[iu] * sy[iu]).sum())
+    n_pairs = len(iu[0])
+    tx = int((sx[iu] == 0).sum())
+    ty = int((sy[iu] == 0).sum())
+    tau = s / np.sqrt(float(n_pairs - tx) * float(n_pairs - ty))
+    return pd.DataFrame({
+        "n_days": pd.Series([len(x)], dtype="int64"),
+        "kendall_tau": _round_half_away(pd.Series([tau]), 6)})
+
+
+# ---------------------------------------------------------------------------
+# q_kaplan_meier — click→purchase survival curve with right censoring
+# ---------------------------------------------------------------------------
+
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier estimate of time-to-first-purchase after a user's
+    first click, right-censored at the observation window's end — the
+    survival-analysis operator (churn/conversion lifetimes).  Emits the
+    survival probability at whole-day probe points.
+
+    Distributed shape: per-user (first click, first purchase ≥ click)
+    reduce via min-partials through the bucketed combiner (no per-user
+    map_groups); the day-granular event table is bounded by the
+    window's span, so the product-limit recursion is driver-trivial.
+    The censoring horizon (global max ts) rides the same partial pass
+    as a max aggregate."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        clk = df[df["event_type"] == "click"]
+        pur = df[df["event_type"] == "purchase"]
+        c = clk.groupby("user_id", as_index=False)["ts"].min()
+        c.columns = ["user_id", "first_click"]
+        p = pur.groupby("user_id", as_index=False)["ts"].min()
+        p.columns = ["user_id", "first_purchase"]
+        out = c.merge(p, on="user_id", how="outer")
+        out["obs_end"] = df["ts"].max()
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            first_click=("first_click", "min"),
+            first_purchase=("first_purchase", "min"),
+            obs_end=("obs_end", "max"))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["user_id"].to_numpy(np.int64) % 64)
+        return df
+
+    per_user = (parts.map_batches(tag, batch_format="pandas")
+                .groupby("__b").map_groups(
+                    lambda g: combine(g.drop(columns="__b")),
+                    batch_format="pandas").to_pandas())
+    obs_end = per_user["obs_end"].max()
+    u = per_user.dropna(subset=["first_click"]).copy()
+    # purchases BEFORE the first click don't count as conversion-after
+    bad = u["first_purchase"].notna() & (u["first_purchase"]
+                                         < u["first_click"])
+    u.loc[bad, "first_purchase"] = pd.NaT
+    ev = u["first_purchase"].notna().to_numpy()
+    # exact integer-microsecond day buckets (floor): DuckDB's
+    # date_diff counts BOUNDARIES crossed, so the oracle and this code
+    # both difference epoch_us and integer-divide instead
+    us = np.int64(86400) * 1000000
+    fc_us = (u["first_click"].to_numpy()
+             .astype("datetime64[us]").view("int64"))
+    fp_us = (u["first_purchase"].to_numpy()
+             .astype("datetime64[us]").view("int64"))
+    fp_us = np.where(ev, fp_us, 0)
+    obs_us = np.int64(np.datetime64(obs_end)
+                      .astype("datetime64[us]").view("int64"))
+    day = np.where(ev, fp_us - fc_us, obs_us - fc_us) // us
+    # KM over the day-granular table: n_at_risk includes same-day
+    # censors (standard convention: deaths precede censors at t)
+    tbl = pd.DataFrame({"day": day, "d": ev.astype(np.int64),
+                        "c": (~ev).astype(np.int64)})
+    km = tbl.groupby("day", as_index=False).sum().sort_values("day")
+    n_total = len(u)
+    removed = (km["d"] + km["c"]).cumsum().shift(fill_value=0)
+    at_risk = n_total - removed.to_numpy(np.int64)
+    surv = np.cumprod(1.0 - km["d"].to_numpy(np.float64) / at_risk)
+    probes = [1, 3, 7, 14, 21]
+    days = km["day"].to_numpy(np.int64)
+    rows = []
+    for t in probes:
+        idx = np.searchsorted(days, t, side="right") - 1
+        s = float(surv[idx]) if idx >= 0 else 1.0
+        rows.append((t, s))
+    return pd.DataFrame({
+        "day": pd.Series([r[0] for r in rows], dtype="int64"),
+        "n_users": pd.Series([n_total] * len(rows), dtype="int64"),
+        "survival": _round_half_away(
+            pd.Series([r[1] for r in rows]), 6)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9085,6 +9254,9 @@ QUERIES = {
     "inequality_indices": q_inequality_indices,
     "cramers_v": q_cramers_v,
     "mutual_info": q_mutual_info,
+    "k_anonymity": q_k_anonymity,
+    "kendall_tau": q_kendall_tau,
+    "kaplan_meier": q_kaplan_meier,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11473,6 +11645,77 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["k_anonymity"] = """
+    WITH g AS (SELECT lang, source, n_chars // 1000 AS band,
+                      count(*) AS n
+               FROM documents GROUP BY 1, 2, 3)
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n) AS BIGINT) AS min_k,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_suppressed,
+           ROUND(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+               AS suppressed_share
+    FROM g
+"""
+
+ORACLE_SQL["kendall_tau"] = """
+    WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                      count(*) AS x,
+                      sum(CAST(floor(abs(o_totalprice) * 100 + 0.5)
+                               AS BIGINT)) AS y
+               FROM orders GROUP BY 1),
+    p AS (SELECT sum(sign(a.x - b.x) * sign(a.y - b.y)) AS s,
+                 sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+                 sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty,
+                 CAST(count(*) AS DOUBLE) AS np
+          FROM d a JOIN d b ON a.day < b.day)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           ROUND(s / sqrt((np - tx) * (np - ty)), 6) AS kendall_tau
+    FROM p
+"""
+
+ORACLE_SQL["kaplan_meier"] = """
+    WITH ue AS (SELECT user_id,
+                       min(CASE WHEN event_type = 'click'
+                                THEN ts END) AS fc,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS fp
+                FROM events GROUP BY user_id),
+    mx AS (SELECT max(ts) AS obs_end FROM events),
+    u AS (SELECT fc, CASE WHEN fp IS NOT NULL AND fp >= fc
+                          THEN fp END AS fp
+          FROM ue WHERE fc IS NOT NULL),
+    d AS (SELECT CASE WHEN fp IS NOT NULL
+                      THEN (epoch_us(fp) - epoch_us(fc)) // 86400000000
+                      ELSE (epoch_us((SELECT obs_end FROM mx))
+                            - epoch_us(fc)) // 86400000000 END AS day,
+                 CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM u),
+    km AS (SELECT day, sum(ev) AS dd, sum(1 - ev) AS cc
+           FROM d GROUP BY day),
+    r AS (SELECT day, dd,
+                 (SELECT count(*) FROM d)
+                 - COALESCE(sum(dd + cc) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS at_risk
+          FROM km),
+    s AS (SELECT day,
+                 product(1 - dd * 1.0 / at_risk)
+                     OVER (ORDER BY day) AS surv
+          FROM r),
+    probes AS (SELECT * FROM (VALUES (1), (3), (7), (14), (21))
+               AS t(day))
+    SELECT CAST(probes.day AS BIGINT) AS day,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS n_users,
+           ROUND(COALESCE((SELECT s.surv FROM s WHERE s.day <= probes.day
+                           ORDER BY s.day DESC LIMIT 1), 1.0), 6)
+               AS survival
+    FROM probes ORDER BY probes.day
+"""
 
 ORACLE_SQL["inequality_indices"] = """
     WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,

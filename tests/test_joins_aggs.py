@@ -252,6 +252,9 @@ class TestDataPipelineQueries:
         ("inequality_indices", ["orders"]),
         ("cramers_v", ["events"]),
         ("mutual_info", ["events"]),
+        ("k_anonymity", ["documents"]),
+        ("kendall_tau", ["orders"]),
+        ("kaplan_meier", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
