@@ -96,7 +96,7 @@ BENCH_QUERIES = [
     "cross_type_corr", "zipf_fit", "fano_burstiness", "hhi_by_segment",
     "clustering_coefficient", "spearman_corr", "mann_whitney",
     "inequality_indices", "cramers_v", "mutual_info",
-    "k_anonymity", "kendall_tau", "kaplan_meier",
+    "k_anonymity", "kendall_tau", "kaplan_meier", "graph_modularity",
     "validate_corpus",
 ]
 

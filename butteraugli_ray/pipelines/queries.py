@@ -9059,6 +9059,66 @@ def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_graph_modularity — does near-duplication concentrate within sources?
+# ---------------------------------------------------------------------------
+
+def q_graph_modularity(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the SOURCE partition over the exact-Jaccard
+    similarity graph: Q = Σ_s [e_s/m − (D_s/2m)²] — "do near-dup edges
+    stay inside a source or cross sources?"  (Components would be
+    degenerately intra by construction; the metadata partition is the
+    informative one for contamination triage.)
+
+    Distributed shape: edges come from the session-memoized pair view
+    (computed once per session, reused by 5 graph operators); node →
+    source labels are a bounded semi-join — only the edge-endpoint id
+    set (broadcast) pulls its source rows out of the documents scan.
+    The per-source reduction is driver-trivial on the bounded matrix."""
+    import ray
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6).to_pandas()
+    node_ids = np.unique(np.concatenate(
+        [pairs["doc_a"].to_numpy(np.int64),
+         pairs["doc_b"].to_numpy(np.int64)]))
+    # augmented near-dup ids (doc_id + 2_000_000) inherit their
+    # original's source — normalize before the lookup
+    orig_ids = np.where(node_ids >= 2_000_000, node_ids - 2_000_000,
+                        node_ids)
+    need = ray.put(set(orig_ids.tolist()))
+
+    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.pool import broadcast_get
+        want = broadcast_get(need)
+        m = df["doc_id"].isin(want)
+        out = df.loc[m, ["doc_id", "source"]].copy()
+        out["source"] = out["source"].fillna("")
+        return out
+
+    src = (_read(sf_dir, "documents", columns=["doc_id", "source"])
+           .map_batches(lookup, batch_format="pandas").to_pandas())
+    lut = dict(zip(src["doc_id"].to_numpy(np.int64), src["source"]))
+    sa = pd.Series([lut[i] for i in np.where(
+        pairs["doc_a"].to_numpy(np.int64) >= 2_000_000,
+        pairs["doc_a"].to_numpy(np.int64) - 2_000_000,
+        pairs["doc_a"].to_numpy(np.int64))])
+    sb = pd.Series([lut[i] for i in np.where(
+        pairs["doc_b"].to_numpy(np.int64) >= 2_000_000,
+        pairs["doc_b"].to_numpy(np.int64) - 2_000_000,
+        pairs["doc_b"].to_numpy(np.int64))])
+    m = float(len(pairs))
+    ds_ = pd.concat([sa, sb]).value_counts()
+    es = sa[sa.to_numpy() == sb.to_numpy()].value_counts()
+    es = es.reindex(ds_.index, fill_value=0)
+    q = float((es.to_numpy(np.float64) / m
+               - (ds_.to_numpy(np.float64) / (2 * m)) ** 2).sum())
+    return pd.DataFrame({
+        "n_edges": pd.Series([int(m)], dtype="int64"),
+        "n_communities": pd.Series([len(ds_)], dtype="int64"),
+        "intra_share": _round_half_away(
+            pd.Series([float(es.sum()) / m]), 6),
+        "modularity": _round_half_away(pd.Series([q]), 6)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9257,6 +9317,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "kendall_tau": q_kendall_tau,
     "kaplan_meier": q_kaplan_meier,
+    "graph_modularity": q_graph_modularity,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11644,6 +11705,32 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            CAST(t.tri AS BIGINT) AS n_triangles,
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
+""")
+
+ORACLE_SQL["graph_modularity"] = ("WITH " + _NGRAM_PAIR_CTES + """,
+    srcmap AS (SELECT doc_id, COALESCE(source, '') AS s FROM documents
+               UNION ALL
+               SELECT doc_id + 2000000, COALESCE(source, '')
+               FROM documents WHERE doc_id % 7 = 0),
+    lab AS (SELECT sa.s AS s_a, sb.s AS s_b
+            FROM jpairs e JOIN srcmap sa ON e.doc_a = sa.doc_id
+                          JOIN srcmap sb ON e.doc_b = sb.doc_id),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM lab),
+    ds AS (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM
+           (SELECT s_a AS s FROM lab UNION ALL SELECT s_b FROM lab)
+           GROUP BY s),
+    es AS (SELECT s_a AS s, CAST(count(*) AS DOUBLE) AS e FROM lab
+           WHERE s_a = s_b GROUP BY 1),
+    q AS (SELECT sum(COALESCE(es.e, 0) / m.m
+                     - (ds.d / (2 * m.m)) * (ds.d / (2 * m.m))) AS q,
+                 sum(COALESCE(es.e, 0)) / any_value(m.m) AS intra,
+                 count(*) AS nc
+          FROM ds LEFT JOIN es USING (s) CROSS JOIN m)
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(q.nc AS BIGINT) AS n_communities,
+           ROUND(q.intra, 6) AS intra_share,
+           ROUND(q.q, 6) AS modularity
+    FROM q CROSS JOIN m
 """)
 
 ORACLE_SQL["k_anonymity"] = """

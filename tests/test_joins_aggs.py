@@ -255,6 +255,7 @@ class TestDataPipelineQueries:
         ("k_anonymity", ["documents"]),
         ("kendall_tau", ["orders"]),
         ("kaplan_meier", ["events"]),
+        ("graph_modularity", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
