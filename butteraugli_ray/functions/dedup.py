@@ -995,7 +995,18 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, concurrency: int = 4,
     up to 4×2¹⁶ distinct chunk buckets otherwise)."""
     hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
                             batch_format="pandas", concurrency=actor_pool(concurrency))
+    return fingerprint_candidate_pairs(hashed, max_hamming=max_hamming,
+                                       id_col=id_col, n_parts=n_parts)
 
+
+def fingerprint_candidate_pairs(hashed, max_hamming: int = 3,
+                                id_col: str = "doc_id",
+                                n_parts: int = 64):
+    """Pigeonhole pairing over PRE-COMPUTED exploded fingerprint rows
+    (id, simhash, chunk_key) — the SimHash back half, reusable by any
+    64-bit fingerprint source (text SimHash, image pHash): one shuffle
+    on ``chunk_key mod n_parts``, vectorized in-partition pair emission,
+    one batched Hamming pass, then the bucketed cross-chunk dedup."""
     mask = np.int64((1 << max(n_parts - 1, 1).bit_length()) - 1)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:

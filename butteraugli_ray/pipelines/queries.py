@@ -9119,6 +9119,54 @@ def q_graph_modularity(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_phash_near_dup — perceptual-hash near-dup over the media corpus
+# ---------------------------------------------------------------------------
+
+def _phash_media_source() -> pa.Table:
+    """Ref + distorted generator images as separate rows (ids i and
+    1000+i) — small distortions plant real perceptual near-dup pairs."""
+    from ..corpus.synth import build_media_table
+    media = build_media_table()
+    n = len(media)
+    return pa.table({
+        "media_id": pa.array(
+            list(range(n)) + [1000 + i for i in range(n)], pa.int64()),
+        "payload": pa.concat_arrays(
+            [media["ref_rgb"].combine_chunks(),
+             media["dist_rgb"].combine_chunks()]),
+        "codec": pa.array(["raw"] * (2 * n)),
+        "width": pa.concat_arrays(
+            [media["width"].combine_chunks()] * 2),
+        "height": pa.concat_arrays(
+            [media["height"].combine_chunks()] * 2)})
+
+
+def q_phash_near_dup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
+    """Perceptual near-duplicate IMAGE detection: 64-bit pHash per
+    payload (stages/media.PHasher actor pool — DCT basis built once
+    per actor) feeding the SAME pigeonhole + batched-Hamming pairing
+    text SimHash uses (functions/dedup.fingerprint_candidate_pairs) —
+    the multimodal×dedup crossover a training-data pipeline runs on
+    scraped images.  Dynamic oracle: the engine's fingerprints embed
+    losslessly as four 16-bit chunks and DuckDB independently
+    re-derives the pigeonhole pairing, Hamming distances, threshold
+    and cross-bucket dedup.  ``sf_dir`` is unused — the media pool is
+    the deterministic generator table, same as q_media_features."""
+    import ray.data as rd
+    from ..functions.dedup import fingerprint_candidate_pairs
+    from ..stages.media import PHasher
+    ds = rd.from_arrow(_phash_media_source())
+    hashed = ds.map_batches(PHasher, batch_format="pyarrow",
+                            concurrency=actor_pool(2))
+    pairs = fingerprint_candidate_pairs(
+        hashed, max_hamming=max_hamming, id_col="media_id").to_pandas()
+    return (pairs[["id_a", "id_b", "hamming"]]
+            .astype({"id_a": "int64", "id_b": "int64",
+                     "hamming": "int64"})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9318,6 +9366,7 @@ QUERIES = {
     "kendall_tau": q_kendall_tau,
     "kaplan_meier": q_kaplan_meier,
     "graph_modularity": q_graph_modularity,
+    "phash_near_dup": q_phash_near_dup,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12241,6 +12290,40 @@ def dynamic_oracles() -> dict:
                                 AND a.doc_id < b.doc_id)
         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         FROM p WHERE hamming <= 5 ORDER BY id_a, id_b
+    """
+
+    # phash_near_dup: the DCT hashing is engine-side (numpy), but
+    # given the per-image fingerprints (recomputed deterministically
+    # by the same PHasher math, embedded losslessly as four 16-bit
+    # chunks) DuckDB independently re-derives the pigeonhole pairing,
+    # Hamming distances, the <= 8 filter, and the cross-bucket dedup —
+    # the same contract as the simhash oracle above, over media.
+    from ..stages.media import PHasher
+    src = _phash_media_source()
+    ph = PHasher()
+    fps = np.array([
+        ph.phash(p.as_py(), "raw", int(w.as_py()), int(h.as_py()))
+        for p, w, h in zip(src["payload"], src["width"],
+                           src["height"])], dtype=np.uint64)
+    mids = src["media_id"].to_pylist()
+    pch = [((fps >> np.uint64(16 * k)) & np.uint64(0xFFFF))
+           .astype(np.int64) for k in range(4)]
+    pvals = ", ".join(
+        f"({int(d)},{a},{b},{c},{e})" for d, a, b, c, e in
+        zip(mids, pch[0], pch[1], pch[2], pch[3]))
+    out["phash_near_dup"] = f"""
+        WITH f(media_id, c0, c1, c2, c3) AS (VALUES {pvals}),
+        e AS (SELECT media_id, unnest([c0, c1, c2, c3]) AS chunk,
+                     unnest([0, 1, 2, 3]) AS ci, c0, c1, c2, c3 FROM f),
+        p AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                     bit_count(xor(a.c0, b.c0))
+                   + bit_count(xor(a.c1, b.c1))
+                   + bit_count(xor(a.c2, b.c2))
+                   + bit_count(xor(a.c3, b.c3)) AS hamming
+              FROM e a JOIN e b ON a.ci = b.ci AND a.chunk = b.chunk
+                                AND a.media_id < b.media_id)
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM p WHERE hamming <= 8 ORDER BY id_a, id_b
     """
 
     out["kmeans_clusters"] = _kmeans_dynamic_oracle(sf_dir)

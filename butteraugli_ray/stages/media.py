@@ -118,6 +118,68 @@ class MediaFeaturizer:
         })
 
 
+class PHasher:
+    """Actor stage: perceptual 64-bit image hash (pHash shape — luma →
+    32×32 nearest resize → orthonormal 2D DCT-II → top-left 8×8 minus
+    DC → sign-vs-median bits).  Emits the exploded
+    (id, simhash, chunk_key) fingerprint rows
+    ``functions/dedup.fingerprint_candidate_pairs`` expects, so media
+    near-dup rides the SAME pigeonhole machinery as text SimHash.
+    The DCT basis builds once per actor (__init__), not per batch.
+
+    Input columns: ``id_col``(int64), payload(binary), codec, width,
+    height.  Undecodable payloads are dropped (they can't near-dup)."""
+
+    def __init__(self, id_col: str = "media_id", n: int = 32,
+                 keep: int = 8):
+        self.id_col, self.n, self.keep = id_col, n, keep
+        k = np.arange(n, dtype=np.float64)
+        basis = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        basis[0] = np.sqrt(1.0 / n)
+        self.basis = basis
+
+    def phash(self, payload, codec: str, w: int, h: int) -> int:
+        img = decode_media(payload, codec, w, h)
+        luma = img.astype(np.float64) @ np.array(
+            [0.299, 0.587, 0.114], np.float64)
+        t = resize_nearest(luma, self.n, self.n)
+        d = self.basis @ t @ self.basis.T
+        block = d[:self.keep, :self.keep].ravel()[1:]  # drop DC
+        med = float(np.median(block))
+        bits = (block > med).astype(np.uint64)
+        return int((bits << np.arange(len(bits),
+                                      dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table):
+        import pandas as pd
+        pay_col = batch["payload"].combine_chunks()
+        payloads = [None if not v.is_valid else v.as_buffer()
+                    for v in pay_col]
+        ids, hashes = [], []
+        for mid, pl, codec, w, h in zip(batch[self.id_col].to_pylist(),
+                                        payloads,
+                                        batch["codec"].to_pylist(),
+                                        batch["width"].to_pylist(),
+                                        batch["height"].to_pylist()):
+            try:
+                hashes.append(self.phash(pl, codec, w, h))
+                ids.append(mid)
+            except (ValueError, NotImplementedError):
+                continue
+        sh = np.array(hashes, dtype=np.uint64)
+        n = len(sh)
+        chunk_id = np.repeat(np.arange(4, dtype=np.int64), n)
+        chunk_val = np.concatenate([
+            ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            .astype(np.int64) for c in range(4)]) if n else \
+            np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            self.id_col: np.tile(np.array(ids, dtype=np.int64), 4),
+            "simhash": np.tile(sh.astype(np.int64), 4),
+            "chunk_key": (chunk_id << 16) | chunk_val})
+
+
 class FrameSampler:
     """Actor stage for video-shaped payloads: sample frames, emit one
     feature row per sampled frame (flat_map shape: 1 row → k rows)."""

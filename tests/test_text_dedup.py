@@ -606,3 +606,47 @@ def test_json_scalar_int64_fast_path_and_fallback():
     assert got.dtype.name == "Int64"
     assert got.tolist() == [69, -3, 7, pd.NA, pd.NA, pd.NA, pd.NA,
                             pd.NA, pd.NA, pd.NA, pd.NA, 0]
+
+
+def test_phash_brute_force_parity(ray_session):
+    """Distributed pHash pigeonhole pairing == driver brute-force
+    all-pairs Hamming at max_hamming=3 (pigeonhole GUARANTEES one of
+    four 16-bit chunks collides at <=3 bit flips), and the hash is
+    deterministic with hamming(self)=0."""
+    import ray.data as rd
+    from butteraugli_ray.functions.dedup import (
+        fingerprint_candidate_pairs, hamming64)
+    from butteraugli_ray.pipelines.queries import _phash_media_source
+    from butteraugli_ray.stages.media import PHasher
+
+    src = _phash_media_source()
+    ph = PHasher()
+    fps = {int(m.as_py()): ph.phash(p.as_py(), "raw", int(w.as_py()),
+                                    int(h.as_py()))
+           for m, p, w, h in zip(src["media_id"], src["payload"],
+                                 src["width"], src["height"])}
+    # determinism + self-identity
+    m0 = int(src["media_id"][0].as_py())
+    p0 = src["payload"][0].as_py()
+    w0, h0 = int(src["width"][0].as_py()), int(src["height"][0].as_py())
+    assert ph.phash(p0, "raw", w0, h0) == fps[m0]
+
+    ids = sorted(fps)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = int(hamming64(np.array([fps[a]], dtype=np.uint64),
+                              np.array([fps[b]], dtype=np.uint64))[0])
+            if d <= 3:
+                want.append((a, b, d))
+    want = (pd.DataFrame(want, columns=["id_a", "id_b", "hamming"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    hashed = rd.from_arrow(src).map_batches(
+        PHasher, batch_format="pyarrow", concurrency=(1, 2))
+    got = (fingerprint_candidate_pairs(hashed, max_hamming=3,
+                                       id_col="media_id")
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
