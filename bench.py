@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "clustering_coefficient", "spearman_corr", "mann_whitney",
     "inequality_indices", "cramers_v", "mutual_info",
     "k_anonymity", "kendall_tau", "kaplan_meier", "graph_modularity",
-    "phash_near_dup",
+    "phash_near_dup", "multivar_ols",
     "validate_corpus",
 ]
 

@@ -9167,6 +9167,66 @@ def q_phash_near_dup(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_multivar_ols — per-group 2-feature regression via normal equations
+# ---------------------------------------------------------------------------
+
+def q_multivar_ols(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type MULTIVARIATE OLS value ~ 1 + hour + weekend —
+    the d>1 step past ``q_grouped_ols``'s regr_* family (SQL has no
+    multi-feature regression aggregate, so the oracle states the 3×3
+    normal equations by Cramer's rule explicitly, and the engine
+    computes the IDENTICAL determinant algebra so the two sides agree
+    to float noise).
+
+    Distributed shape: each batch emits the 10 per-group sufficient
+    statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²) —
+    the d²-sized-partials pattern from the PCA/logreg family; the
+    solve is driver-trivial on the types-bounded table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x1 = df["ts"].dt.hour.to_numpy(np.float64)
+        x2 = (df["ts"].dt.dayofweek >= 5).to_numpy(np.float64)
+        y = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"], "n": 1.0,
+            "s1": x1, "s2": x2, "sy": y, "s11": x1 * x1,
+            "s22": x2 * x2, "s12": x1 * x2, "s1y": x1 * y,
+            "s2y": x2 * y, "syy": y * y})
+        return g.groupby("event_type", as_index=False).sum()
+
+    cols = ["n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y",
+            "s2y", "syy"]
+    a = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["event_type"], cols)
+    n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy = (
+        a[c].to_numpy(np.float64) for c in cols)
+    det = (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    d0 = (sy * (s11 * s22 - s12 * s12)
+          - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y))
+    d1 = (n * (s1y * s22 - s12 * s2y)
+          - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2))
+    d2 = (n * (s11 * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2))
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = syy - sy * sy / n
+    out = pd.DataFrame({
+        "event_type": a["event_type"],
+        "n": n.astype("int64"),
+        "intercept": _round_half_away(pd.Series(b0), 6),
+        "beta_hour": _round_half_away(pd.Series(b1), 6),
+        "beta_weekend": _round_half_away(pd.Series(b2), 6),
+        "r2": _round_half_away(pd.Series(1.0 - sse / sst), 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9367,6 +9427,7 @@ QUERIES = {
     "kaplan_meier": q_kaplan_meier,
     "graph_modularity": q_graph_modularity,
     "phash_near_dup": q_phash_near_dup,
+    "multivar_ols": q_multivar_ols,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11755,6 +11816,43 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["multivar_ols"] = """
+    WITH f AS (SELECT event_type,
+                      CAST(hour(ts) AS DOUBLE) AS x1,
+                      CASE WHEN dayofweek(ts) IN (0, 6)
+                           THEN 1.0 ELSE 0.0 END AS x2,
+                      value AS y
+               FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                 sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                 sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+                 sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+                 sum(x2 * y) AS s2y, sum(y * y) AS syy
+          FROM f GROUP BY event_type),
+    c AS (SELECT *,
+                 n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS det,
+                 sy * (s11 * s22 - s12 * s12)
+                 - s1 * (s1y * s22 - s12 * s2y)
+                 + s2 * (s1y * s12 - s11 * s2y) AS d0,
+                 n * (s1y * s22 - s12 * s2y)
+                 - sy * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s2y - s1y * s2) AS d1,
+                 n * (s11 * s2y - s1y * s12)
+                 - s1 * (s1 * s2y - s1y * s2)
+                 + sy * (s1 * s12 - s11 * s2) AS d2
+          FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(d0 / det, 6) AS intercept,
+           ROUND(d1 / det, 6) AS beta_hour,
+           ROUND(d2 / det, 6) AS beta_weekend,
+           ROUND(1 - (syy - ((d0 / det) * sy + (d1 / det) * s1y
+                             + (d2 / det) * s2y))
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM c ORDER BY event_type
+"""
 
 ORACLE_SQL["graph_modularity"] = ("WITH " + _NGRAM_PAIR_CTES + """,
     srcmap AS (SELECT doc_id, COALESCE(source, '') AS s FROM documents

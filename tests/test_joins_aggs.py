@@ -256,6 +256,7 @@ class TestDataPipelineQueries:
         ("kendall_tau", ["orders"]),
         ("kaplan_meier", ["events"]),
         ("graph_modularity", ["documents"]),
+        ("multivar_ols", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
