@@ -97,7 +97,8 @@ BENCH_QUERIES = [
     "clustering_coefficient", "spearman_corr", "mann_whitney",
     "inequality_indices", "cramers_v", "mutual_info",
     "k_anonymity", "kendall_tau", "kaplan_meier", "graph_modularity",
-    "phash_near_dup", "multivar_ols",
+    "phash_near_dup", "multivar_ols", "holt_forecast",
+    "sorted_compaction",
     "validate_corpus",
 ]
 

@@ -9227,6 +9227,134 @@ def q_multivar_ols(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_holt_forecast — double exponential smoothing over daily revenue
+# ---------------------------------------------------------------------------
+
+def q_holt_forecast(sf_dir: str) -> pd.DataFrame:
+    """Holt linear-trend (double exponential smoothing, α=0.3, β=0.1)
+    forecast of daily revenue, h = 1..3 days out — the trend-aware step
+    past the EWMA scan.  Daily revenue reduces in EXACT integer cents;
+    the level/trend recursion runs over the CALENDAR-bounded daily
+    series (≤ one row per day regardless of data volume) with the
+    identical update expressions the oracle's recursive CTE states, so
+    both sides agree to float noise."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(np.abs(df["o_totalprice"].to_numpy(np.float64))
+                         * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"day": df["o_orderdate"].dt.normalize(),
+                          "cents": cents})
+        return g.groupby("day", as_index=False).sum()
+
+    d = (_final_agg(ds.map_batches(partial, batch_format="pandas"),
+                    ["day"], ["cents"]).sort_values("day"))
+    y = d["cents"].to_numpy(np.float64) / 100.0
+    lvl, tr = y[0], y[1] - y[0]
+    for t in range(1, len(y)):
+        nl = 0.3 * y[t] + 0.7 * (lvl + tr)
+        tr = 0.1 * (nl - lvl) + 0.9 * tr
+        lvl = nl
+    hs = np.arange(1, 4, dtype=np.int64)
+    return pd.DataFrame({
+        "n_days": pd.Series([len(y)] * 3, dtype="int64"),
+        "h": hs,
+        "forecast": _round_half_away(pd.Series(lvl + hs * tr), 2)})
+
+
+# ---------------------------------------------------------------------------
+# q_sorted_compaction — small-file compaction into sorted key ranges
+# ---------------------------------------------------------------------------
+
+def q_sorted_compaction(sf_dir: str, n_ranges: int = 16,
+                        n_small: int = 24) -> pd.DataFrame:
+    """Small-file COMPACTION sink: simulate a fragmented ingest (many
+    small unsorted parquet files), then compact into a globally sorted
+    run set — deterministic equal-width time ranges from the global
+    (min, max), sort within range, ONE atomically-renamed file per
+    non-empty range (the resumable layout: a re-run skips finished
+    ranges).  Equal-width keeps the boundaries order-independent so a
+    STATIC SQL oracle can recompute every range's (rows, min, max)
+    from the raw table; production compaction of a skewed key would
+    swap in the t-digest boundaries of functions/rank (same shape,
+    boundaries then ride a dynamic oracle).
+
+    The result manifest comes from RE-READING the written files'
+    parquet footers (rows + ts statistics per file), so a pass proves
+    the sink wrote exactly the claimed partitioning — and the engine
+    asserts global sortedness across file boundaries."""
+    import hashlib
+    import os
+    import shutil
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    small_dir = f"/tmp/butteraugli_ray_small_{tag}"
+    out_dir = f"/tmp/butteraugli_ray_compact_{tag}"
+    shutil.rmtree(small_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    _read(sf_dir, "events").repartition(n_small).write_parquet(small_dir)
+
+    ds = rd.read_parquet(small_dir)
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pd.DataFrame({"k": [0], "mn": [int(us.min())],
+                             "mx": [int(us.max())]})
+
+    mm = _final_agg(ds.map_batches(mm_partial, batch_format="pandas"),
+                    ["k"], [], extra_aggs={"mn": "min", "mx": "max"})
+    mn, mx = int(mm["mn"].iloc[0]), int(mm["mx"].iloc[0])
+    span = mx - mn + 1
+
+    def tag_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        df["__rb"] = (us - mn) * n_ranges // span
+        return df
+
+    def write_range(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__rb"].iloc[0])
+        g = g.drop(columns="__rb").sort_values("ts")
+        path = f"{out_dir}/part-{b:05d}.parquet"
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"file_idx": pd.Series([b], dtype="int64")})
+
+    written = (ds.map_batches(tag_range, batch_format="pandas")
+               .groupby("__rb").map_groups(write_range,
+                                           batch_format="pandas")
+               .to_pandas())
+    assert written["file_idx"].is_unique
+
+    rows = []
+    for f in sorted(os.listdir(out_dir)):
+        md = pq.read_metadata(f"{out_dir}/{f}")
+        ti = md.schema.to_arrow_schema().get_field_index("ts")
+        lo, hi, n = None, None, 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ti).statistics
+            a = np.datetime64(st.min).astype("datetime64[us]")
+            z = np.datetime64(st.max).astype("datetime64[us]")
+            lo = a if lo is None or a < lo else lo
+            hi = z if hi is None or z > hi else hi
+            n += md.row_group(rg).num_rows
+        rows.append((int(f[5:10]), n, int(lo.view("int64")),
+                     int(hi.view("int64"))))
+    out = pd.DataFrame(rows, columns=["file_idx", "n_rows",
+                                      "min_ts_us", "max_ts_us"])
+    out = out.sort_values("file_idx").reset_index(drop=True)
+    # global sortedness across file boundaries
+    assert (out["max_ts_us"].to_numpy()[:-1]
+            <= out["min_ts_us"].to_numpy()[1:]).all()
+    return out.astype("int64")
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9428,6 +9556,8 @@ QUERIES = {
     "graph_modularity": q_graph_modularity,
     "phash_near_dup": q_phash_near_dup,
     "multivar_ols": q_multivar_ols,
+    "holt_forecast": q_holt_forecast,
+    "sorted_compaction": q_sorted_compaction,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11816,6 +11946,44 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["sorted_compaction"] = """
+    WITH m AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+               FROM events),
+    b AS (SELECT (epoch_us(ts) - m.mn) * 16 // (m.mx - m.mn + 1)
+              AS file_idx,
+              epoch_us(ts) AS us
+          FROM events CROSS JOIN m)
+    SELECT CAST(file_idx AS BIGINT) AS file_idx,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(us) AS BIGINT) AS min_ts_us,
+           CAST(max(us) AS BIGINT) AS max_ts_us
+    FROM b GROUP BY file_idx ORDER BY file_idx
+"""
+
+ORACLE_SQL["holt_forecast"] = """
+    WITH RECURSIVE d AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(CAST(floor(abs(o_totalprice) * 100 + 0.5)
+                        AS BIGINT)) / 100.0 AS y
+        FROM orders GROUP BY 1),
+    o AS (SELECT y, row_number() OVER (ORDER BY day) AS rn FROM d),
+    hw(rn, l, b) AS (
+        SELECT 1, (SELECT y FROM o WHERE rn = 1),
+               (SELECT y FROM o WHERE rn = 2)
+               - (SELECT y FROM o WHERE rn = 1)
+        UNION ALL
+        SELECT o.rn,
+               0.3 * o.y + 0.7 * (hw.l + hw.b),
+               0.1 * ((0.3 * o.y + 0.7 * (hw.l + hw.b)) - hw.l)
+               + 0.9 * hw.b
+        FROM hw JOIN o ON o.rn = hw.rn + 1),
+    f AS (SELECT l, b FROM hw ORDER BY rn DESC LIMIT 1)
+    SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS n_days,
+           CAST(t.h AS BIGINT) AS h,
+           ROUND(f.l + t.h * f.b, 2) AS forecast
+    FROM f CROSS JOIN (VALUES (1), (2), (3)) t(h) ORDER BY h
+"""
 
 ORACLE_SQL["multivar_ols"] = """
     WITH f AS (SELECT event_type,

@@ -257,6 +257,8 @@ class TestDataPipelineQueries:
         ("kaplan_meier", ["events"]),
         ("graph_modularity", ["documents"]),
         ("multivar_ols", ["events"]),
+        ("holt_forecast", ["orders"]),
+        ("sorted_compaction", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
