@@ -9355,6 +9355,44 @@ def q_sorted_compaction(sf_dir: str, n_ranges: int = 16,
 
 
 # ---------------------------------------------------------------------------
+# q_replica_checksum — order-independent per-partition content checksum
+# ---------------------------------------------------------------------------
+
+def q_replica_checksum(sf_dir: str) -> pd.DataFrame:
+    """Anti-entropy checksum: Σ (md5_number_lower(key) mod 2³²) per
+    event_type, plus row counts — the order-INDEPENDENT content
+    fingerprint two replicas compare to verify a copied/replicated
+    table without moving rows (commutative sum ⇒ block order, batch
+    order and shuffle layout never matter).  The per-row md5 matches
+    DuckDB's ``md5_number_lower`` bit-exactly (low 8 digest bytes,
+    little-endian — the functions/text.md5_bucket contract); the mod
+    2³² term keeps the int64 sum exact to ~10⁹ rows per partition —
+    at larger partitions, checksum per file/key-range (the
+    sorted_compaction layout) and compare manifests instead."""
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        c = np.fromiter(
+            (int.from_bytes(
+                _h.md5(str(i).encode("utf-8")).digest()[8:16],
+                "little") % 4294967296
+             for i in df["event_id"].to_numpy()),
+            dtype=np.int64, count=len(df))
+        g = pd.DataFrame({"event_type": df["event_type"], "cks": c,
+                          "n_rows": np.int64(1)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type"], ["cks", "n_rows"])
+    out = out.rename(columns={"cks": "checksum"})
+    out["checksum"] = out["checksum"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (out[["event_type", "n_rows", "checksum"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9558,6 +9596,7 @@ QUERIES = {
     "multivar_ols": q_multivar_ols,
     "holt_forecast": q_holt_forecast,
     "sorted_compaction": q_sorted_compaction,
+    "replica_checksum": q_replica_checksum,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11946,6 +11985,14 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["replica_checksum"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(md5_number_lower(CAST(event_id AS VARCHAR))
+                    % 4294967296) AS BIGINT) AS checksum
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 ORACLE_SQL["sorted_compaction"] = """
     WITH m AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx

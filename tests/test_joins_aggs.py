@@ -259,6 +259,7 @@ class TestDataPipelineQueries:
         ("multivar_ols", ["events"]),
         ("holt_forecast", ["orders"]),
         ("sorted_compaction", ["events"]),
+        ("replica_checksum", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
