@@ -98,7 +98,7 @@ BENCH_QUERIES = [
     "inequality_indices", "cramers_v", "mutual_info",
     "k_anonymity", "kendall_tau", "kaplan_meier", "graph_modularity",
     "phash_near_dup", "multivar_ols", "holt_forecast",
-    "sorted_compaction", "replica_checksum",
+    "sorted_compaction", "replica_checksum", "join_skew_profile",
     "validate_corpus",
 ]
 

@@ -9393,6 +9393,68 @@ def q_replica_checksum(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_join_skew_profile — key-skew diagnostic for shuffle planning
+# ---------------------------------------------------------------------------
+
+def q_join_skew_profile(sf_dir: str) -> pd.DataFrame:
+    """Key-skew profile of lineitem's join key (l_suppkey): distinct
+    keys, max/mean per-key load, skew ratio, and exact p50/p99 of the
+    per-key load distribution — the diagnostic that decides whether a
+    partitioned hash join needs salting (functions/joins' skew-salt
+    path) before the shuffle runs.
+
+    Distributed shape: per-key counts reduce through the bucketed
+    combiner; the load DISTRIBUTION then reduces again as a
+    count-of-counts histogram (bounded by the max per-key load, not by
+    key cardinality), so no driver step ever holds the key table."""
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", as_index=False).size()
+        g.columns = ["l_suppkey", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg_ds(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_suppkey"], ["n"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("n", as_index=False).size()
+        h.columns = ["load", "k"]
+        h["k"] = h["k"].astype("int64")
+        h["rows"] = h["load"] * h["k"]
+        return h
+
+    hist = _final_agg(counts.map_batches(hist_partial,
+                                         batch_format="pandas"),
+                      ["load"], ["k", "rows"]).sort_values("load")
+    loads = hist["load"].to_numpy(np.int64)
+    ks = hist["k"].to_numpy(np.int64)
+    n_keys = int(ks.sum())
+    n_rows = int(hist["rows"].sum())
+    cum = np.cumsum(ks)
+
+    def pctl(p: float) -> int:
+        # inverse-CDF percentile over the count-of-counts histogram
+        # (SQL quantile_disc semantics: smallest load with
+        # cum >= ceil(p * n_keys))
+        need = int(np.ceil(p * n_keys))
+        return int(loads[np.searchsorted(cum, need, side="left")])
+
+    mx = int(loads.max())
+    mean = n_rows / n_keys
+    return pd.DataFrame({
+        "n_keys": pd.Series([n_keys], dtype="int64"),
+        "n_rows": pd.Series([n_rows], dtype="int64"),
+        "max_load": pd.Series([mx], dtype="int64"),
+        "mean_load": _round_half_away(pd.Series([mean]), 4),
+        "p50_load": pd.Series([pctl(0.50)], dtype="int64"),
+        "p99_load": pd.Series([pctl(0.99)], dtype="int64"),
+        "skew_ratio": _round_half_away(pd.Series([mx / mean]), 4)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9597,6 +9659,7 @@ QUERIES = {
     "holt_forecast": q_holt_forecast,
     "sorted_compaction": q_sorted_compaction,
     "replica_checksum": q_replica_checksum,
+    "join_skew_profile": q_join_skew_profile,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -11985,6 +12048,26 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["join_skew_profile"] = """
+    WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
+               GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(max(n) AS BIGINT) AS max_load FROM c),
+    r AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM c)
+    SELECT s.n_keys, s.n_rows, s.max_load,
+           ROUND(s.n_rows * 1.0 / s.n_keys, 4) AS mean_load,
+           CAST((SELECT min(n) FROM r
+                 WHERE rn >= CAST(ceil(0.50 * s.n_keys) AS BIGINT))
+                AS BIGINT) AS p50_load,
+           CAST((SELECT min(n) FROM r
+                 WHERE rn >= CAST(ceil(0.99 * s.n_keys) AS BIGINT))
+                AS BIGINT) AS p99_load,
+           ROUND(s.max_load / (s.n_rows * 1.0 / s.n_keys), 4)
+               AS skew_ratio
+    FROM s
+"""
 
 ORACLE_SQL["replica_checksum"] = """
     SELECT event_type,

@@ -260,6 +260,7 @@ class TestDataPipelineQueries:
         ("holt_forecast", ["orders"]),
         ("sorted_compaction", ["events"]),
         ("replica_checksum", ["events"]),
+        ("join_skew_profile", ["lineitem"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
