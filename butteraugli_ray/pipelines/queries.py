@@ -9455,6 +9455,95 @@ def q_join_skew_profile(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_readability — Flesch reading-ease per language
+# ---------------------------------------------------------------------------
+
+def q_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading ease per language (206.835 − 1.015·words/sentences
+    − 84.6·syllables/words, syllables ≈ vowel-group count) — the
+    classic text-quality prior a curation cascade thresholds on.
+    All three counts are single regex scans (pandas C regex == DuckDB
+    RE2 on these patterns), so the oracle recomputes the identical
+    formula; one combiner pass reduces per-lang sums."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        w = t.str.count(r"\S+").to_numpy(np.float64)
+        s = np.maximum(
+            t.str.count(r"[.!?]+").to_numpy(np.float64), 1.0)
+        y = t.str.lower().str.count(r"[aeiouy]+").to_numpy(np.float64)
+        keep = w > 0
+        fl = (206.835 - 1.015 * (w[keep] / s[keep])
+              - 84.6 * (y[keep] / w[keep]))
+        g = pd.DataFrame({"lang": df["lang"].to_numpy()[keep],
+                          "n_docs": np.int64(1), "fl": fl,
+                          "w": w[keep]})
+        return g.groupby("lang", as_index=False).sum()
+
+    out = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["lang"], ["n_docs", "fl", "w"])
+    res = pd.DataFrame({
+        "lang": out["lang"],
+        "n_docs": out["n_docs"].astype("int64"),
+        "avg_flesch": _round_half_away(out["fl"] / out["n_docs"], 4),
+        "avg_words": _round_half_away(out["w"] / out["n_docs"], 4)})
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_agg — delta-merge view maintenance == full recompute
+# ---------------------------------------------------------------------------
+
+def q_incremental_agg(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance: per-type aggregate STATE built
+    from the history (ts < 2024-01-15), then the new day's DELTA
+    partials merge into it (counts add, micro-unit sums add exactly,
+    min/max fold) — and the merged view must equal the oracle's full
+    recompute.  Sums ride exact integer micro-units so the two-phase
+    merge is bit-identical to the one-shot sum regardless of order."""
+    cutoff = np.datetime64("2024-01-15")
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame, lo, hi) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]")
+        m = (ts >= lo) & (ts < hi) if lo is not None else (ts < hi)
+        d = df[m]
+        v = d["value"].to_numpy(np.float64)
+        micro = (np.floor(np.abs(v) * 1e6 + 0.5)
+                 * np.sign(v)).astype(np.int64)
+        g = pd.DataFrame({"event_type": d["event_type"],
+                          "n_events": np.int64(1), "micro": micro,
+                          "mn": v, "mx": v})
+        return g.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), micro=("micro", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"))
+
+    far = np.datetime64("2100-01-01")
+    state = _final_agg(
+        ds.map_batches(lambda df: partial(df, None, cutoff),
+                       batch_format="pandas"),
+        ["event_type"], ["n_events", "micro"],
+        extra_aggs={"mn": "min", "mx": "max"})
+    delta = _final_agg(
+        ds.map_batches(lambda df: partial(df, cutoff, far),
+                       batch_format="pandas"),
+        ["event_type"], ["n_events", "micro"],
+        extra_aggs={"mn": "min", "mx": "max"})
+    both = pd.concat([state, delta], ignore_index=True)
+    merged = both.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), micro=("micro", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+    return pd.DataFrame({
+        "event_type": merged["event_type"],
+        "n_events": merged["n_events"].astype("int64"),
+        "sum_value": _round_half_away(merged["micro"] / 1e6, 6),
+        "min_value": _round_half_away(merged["mn"], 6),
+        "max_value": _round_half_away(merged["mx"], 6)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9660,6 +9749,8 @@ QUERIES = {
     "sorted_compaction": q_sorted_compaction,
     "replica_checksum": q_replica_checksum,
     "join_skew_profile": q_join_skew_profile,
+    "readability": q_readability,
+    "incremental_agg": q_incremental_agg,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12048,6 +12139,35 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["readability"] = r"""
+    WITH f AS (SELECT lang,
+                      CAST(len(regexp_extract_all(text, '\S+'))
+                           AS DOUBLE) AS w,
+                      greatest(CAST(len(regexp_extract_all(
+                          text, '[.!?]+')) AS DOUBLE), 1.0) AS s,
+                      CAST(len(regexp_extract_all(lower(text),
+                          '[aeiouy]+')) AS DOUBLE) AS y
+               FROM documents WHERE text IS NOT NULL),
+    k AS (SELECT lang, w,
+                 206.835 - 1.015 * (w / s) - 84.6 * (y / w) AS fl
+          FROM f WHERE w > 0)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(sum(fl) / count(*), 4) AS avg_flesch,
+           ROUND(sum(w) / count(*), 4) AS avg_words
+    FROM k GROUP BY lang ORDER BY lang
+"""
+
+ORACLE_SQL["incremental_agg"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(CAST(floor(abs(value) * 1000000 + 0.5) AS BIGINT)
+                     * CAST(sign(value) AS BIGINT)) / 1000000.0, 6)
+               AS sum_value,
+           ROUND(min(value), 6) AS min_value,
+           ROUND(max(value), 6) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 ORACLE_SQL["join_skew_profile"] = """
     WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem

@@ -261,6 +261,8 @@ class TestDataPipelineQueries:
         ("sorted_compaction", ["events"]),
         ("replica_checksum", ["events"]),
         ("join_skew_profile", ["lineitem"]),
+        ("readability", ["documents"]),
+        ("incremental_agg", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
