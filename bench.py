@@ -99,7 +99,7 @@ BENCH_QUERIES = [
     "k_anonymity", "kendall_tau", "kaplan_meier", "graph_modularity",
     "phash_near_dup", "multivar_ols", "holt_forecast",
     "sorted_compaction", "replica_checksum", "join_skew_profile",
-    "readability", "incremental_agg",
+    "readability", "incremental_agg", "systematic_sample",
     "validate_corpus",
 ]
 

@@ -8676,13 +8676,14 @@ def q_spearman_corr(sf_dir: str) -> pd.DataFrame:
 
     Distributed shape, no global sort: quantity's domain is tiny
     (integral 1..50) so its tie-averaged rank is a broadcastable
-    value→rank table from one count aggregate; price gets the exact
-    tie-averaged global rank from ``range_partition_avg_rank`` (ties
-    never straddle range buckets).  Pearson-over-ranks reduces via
-    CENTERED sufficient statistics (center (n+1)/2 is known a priori —
-    both rank means are exactly (n+1)/2) so the Σr² terms stay ~n³/12
-    instead of cancelling at ~n³/4."""
-    from ..functions.rank import range_partition_avg_rank
+    value→rank table from one count aggregate; price ranks come from
+    the FUSED ``range_partition_rank_reduce`` (ties never straddle
+    range buckets), which reduces the Pearson sufficient statistics
+    inside the rank map_groups — one shuffle total instead of
+    rank-attach + second combiner pass (14.0 s → ~half at sf0.1).
+    Statistics are CENTERED at (n+1)/2 (both rank means exactly) so
+    the Σr² terms stay ~n³/12 instead of cancelling at ~n³/4."""
+    from ..functions.rank import range_partition_rank_reduce
     ds = _read(sf_dir, "lineitem",
                columns=["l_quantity", "l_extendedprice"])
 
@@ -8699,23 +8700,19 @@ def q_spearman_corr(sf_dir: str) -> pd.DataFrame:
     qvals = qf["l_quantity"].to_numpy(dtype=np.float64)
     qranks = less + (cnt + 1.0) / 2.0
 
-    ranked, n_rows = range_partition_avg_rank(
-        ds, "l_extendedprice", out_col="rb")
-    center = (n_rows + 1) / 2.0
-
-    def pearson_partial(df: pd.DataFrame,
-                        _qv=qvals, _qr=qranks, _c=center) -> pd.DataFrame:
+    def pearson_reduce(df, rb, _tie, n_rows, _qv=qvals, _qr=qranks):
+        c = (n_rows + 1) / 2.0
         ra = _qr[np.searchsorted(
-            _qv, df["l_quantity"].to_numpy(dtype=np.float64))] - _c
-        rb = df["rb"].to_numpy(dtype=np.float64) - _c
+            _qv, df["l_quantity"].to_numpy(dtype=np.float64))] - c
+        rb = rb - c
         return pd.DataFrame({
-            "k": [0], "saa": [float((ra * ra).sum())],
+            "saa": [float((ra * ra).sum())],
             "sbb": [float((rb * rb).sum())],
             "sab": [float((ra * rb).sum())]})
 
-    p = _final_agg(ranked.map_batches(pearson_partial,
-                                      batch_format="pandas"),
-                   ["k"], ["saa", "sbb", "sab"]).iloc[0]
+    parts, n_rows = range_partition_rank_reduce(
+        ds, "l_extendedprice", pearson_reduce)
+    p = parts.sum()
     rho = float(p["sab"]) / np.sqrt(float(p["saa"]) * float(p["sbb"]))
     return pd.DataFrame({
         "n": pd.Series([int(n_rows)], dtype="int64"),
@@ -8732,25 +8729,23 @@ def q_mann_whitney(sf_dir: str) -> pd.DataFrame:
     normality assumption), with the exact tie-corrected normal
     approximation.
 
-    Distributed shape: one ``range_partition_avg_rank`` pass attaches
-    exact tie-averaged ranks and per-bucket Σ(t³−t) tie partials; a
-    single combiner pass then reduces the weekend rank-sum, group
-    sizes and the tie correction — no global sort, no driver
-    materialization."""
-    from ..functions.rank import range_partition_avg_rank
+    Distributed shape: the FUSED ``range_partition_rank_reduce`` pass
+    computes exact tie-averaged ranks per bucket and reduces the
+    weekend rank-sum, group size and Σ(t³−t) tie correction inside the
+    same map_groups — one shuffle, no per-row rank dataset, no second
+    combiner pass."""
+    from ..functions.rank import range_partition_rank_reduce
     ds = _read(sf_dir, "events", columns=["ts", "value"])
-    ranked, n_rows = range_partition_avg_rank(ds, "value", out_col="ar")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def mw_reduce(df, ar, tie, _n):
         wk = (df["ts"].dt.dayofweek >= 5).to_numpy()
-        ar = df["ar"].to_numpy(dtype=np.float64)
         return pd.DataFrame({
-            "k": [0], "n1": [float(wk.sum())],
+            "n1": [float(wk.sum())],
             "r1": [float(ar[wk].sum())],
-            "ties": [float(df["__tie_part"].sum())]})
+            "ties": [tie]})
 
-    p = _final_agg(ranked.map_batches(partial, batch_format="pandas"),
-                   ["k"], ["n1", "r1", "ties"]).iloc[0]
+    parts, n_rows = range_partition_rank_reduce(ds, "value", mw_reduce)
+    p = parts.sum()
     n1, r1, ties = float(p["n1"]), float(p["r1"]), float(p["ties"])
     n = float(n_rows)
     n2 = n - n1
@@ -9544,6 +9539,59 @@ def q_incremental_agg(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_systematic_sample — every k-th row by exact global event-time rank
+# ---------------------------------------------------------------------------
+
+def q_systematic_sample(sf_dir: str, k: int = 97) -> pd.DataFrame:
+    """Systematic (every k-th) sample by EXACT global (ts, event_id)
+    rank — the deterministic audit-sample design (uniform coverage of
+    the time axis, reproducible row set, unlike hash or reservoir
+    draws).  Rank comes from the range-partition machinery (no global
+    sort); the sample is then PROVEN identical to the oracle's
+    row_number() sample via an order-independent md5 id-checksum, not
+    just counts."""
+    from ..functions.rank import range_partition_rank
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "value"])
+
+    def us_col(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts_us"] = (df["ts"].to_numpy()
+                       .astype("datetime64[us]").view("int64"))
+        return df.drop(columns="ts")
+
+    ranked, n_rows = range_partition_rank(
+        ds.map_batches(us_col, batch_format="pandas"),
+        "ts_us", tiebreak="event_id")
+
+    def sample_partial(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        d = df[(df["rank"].to_numpy(np.int64) % k) == 1]
+        v = d["value"].to_numpy(np.float64)
+        micro = (np.floor(np.abs(v) * 1e6 + 0.5)
+                 * np.sign(v)).astype(np.int64)
+        cks = np.fromiter(
+            (int.from_bytes(
+                _h.md5(str(i).encode("utf-8")).digest()[8:16],
+                "little") % 4294967296
+             for i in d["event_id"].to_numpy()),
+            dtype=np.int64, count=len(d))
+        return pd.DataFrame({"g": [0],
+                             "n_sample": [np.int64(len(d))],
+                             "micro": [int(micro.sum())],
+                             "checksum": [int(cks.sum())]})
+
+    p = _final_agg(ranked.map_batches(sample_partial,
+                                      batch_format="pandas"),
+                   ["g"], ["n_sample", "micro", "checksum"]).iloc[0]
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(n_rows)], dtype="int64"),
+        "n_sample": pd.Series([int(p["n_sample"])], dtype="int64"),
+        "sum_value": _round_half_away(
+            pd.Series([p["micro"] / 1e6]), 6),
+        "checksum": pd.Series([int(p["checksum"])], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9751,6 +9799,7 @@ QUERIES = {
     "join_skew_profile": q_join_skew_profile,
     "readability": q_readability,
     "incremental_agg": q_incremental_agg,
+    "systematic_sample": q_systematic_sample,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12139,6 +12188,21 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["systematic_sample"] = """
+    WITH r AS (SELECT event_id, value,
+                      row_number() OVER (ORDER BY ts, event_id) AS rn
+               FROM events),
+    s AS (SELECT * FROM r WHERE rn % 97 = 1)
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           ROUND(sum(CAST(floor(abs(value) * 1000000 + 0.5) AS BIGINT)
+                     * CAST(sign(value) AS BIGINT)) / 1000000.0, 6)
+               AS sum_value,
+           CAST(sum(md5_number_lower(CAST(event_id AS VARCHAR))
+                    % 4294967296) AS BIGINT) AS checksum
+    FROM s
+"""
 
 ORACLE_SQL["readability"] = r"""
     WITH f AS (SELECT lang,

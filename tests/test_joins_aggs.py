@@ -263,6 +263,7 @@ class TestDataPipelineQueries:
         ("join_skew_profile", ["lineitem"]),
         ("readability", ["documents"]),
         ("incremental_agg", ["events"]),
+        ("systematic_sample", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb

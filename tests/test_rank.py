@@ -330,3 +330,48 @@ def test_kcore_peels_pendants_keeps_clique(ray_session):
     tree = pd.DataFrame([(1, 2), (2, 3), (2, 4)], columns=["id_a", "id_b"])
     empty, _ = kcore(rd.from_pandas(tree), k=2)
     assert len(empty) == 0
+
+
+def test_avg_rank_matches_pandas_average_rank(ray_session):
+    """range_partition_avg_rank == pandas rank(method='average') —
+    heavy planted ties straddling bucket boundaries exercise the
+    equal-values-share-a-bucket invariant; the tie partials sum to
+    the global Σ(t³−t)."""
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import range_partition_avg_rank
+    rng = np.random.default_rng(7)
+    v = np.round(rng.normal(0, 1, 5000), 1)          # many ties
+    df = pd.DataFrame({"rid": np.arange(5000), "v": v})
+    ranked, n = range_partition_avg_rank(
+        rd.from_pandas(df).repartition(8), "v", n_buckets=16)
+    got = ranked.to_pandas().sort_values("rid").reset_index(drop=True)
+    assert n == 5000
+    exp = df["v"].rank(method="average").to_numpy()
+    np.testing.assert_allclose(
+        got.sort_values("rid")["avg_rank"].to_numpy(), exp)
+    t = pd.Series(v).value_counts().to_numpy(np.float64)
+    assert got["__tie_part"].sum() == (t ** 3 - t).sum()
+
+
+def test_rank_reduce_one_shuffle_parity(ray_session):
+    """range_partition_rank_reduce partials reduce to the same
+    rank-sum a full avg-rank attach produces."""
+    import ray.data as rd
+    from butteraugli_ray.functions.rank import range_partition_rank_reduce
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"v": np.round(rng.uniform(0, 10, 3000), 1),
+                       "flag": rng.integers(0, 2, 3000)})
+
+    def red(d, ar, tie, n):
+        m = d["flag"].to_numpy() == 1
+        return pd.DataFrame({"r1": [float(ar[m].sum())],
+                             "ties": [tie]})
+
+    parts, n = range_partition_rank_reduce(
+        rd.from_pandas(df).repartition(6), "v", red, n_buckets=8)
+    assert n == 3000
+    exp_rank = df["v"].rank(method="average").to_numpy()
+    exp_r1 = float(exp_rank[df["flag"].to_numpy() == 1].sum())
+    assert abs(parts["r1"].sum() - exp_r1) <= 1e-9 * abs(exp_r1)
+    t = df["v"].value_counts().to_numpy(np.float64)
+    assert parts["ties"].sum() == (t ** 3 - t).sum()
