@@ -9592,6 +9592,52 @@ def q_systematic_sample(sf_dir: str, k: int = 97) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_theil_sen_trend — robust per-type trend of daily event value
+# ---------------------------------------------------------------------------
+
+def q_theil_sen_trend(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen slope (median of pairwise slopes) of daily mean event
+    value per event_type — the outlier-robust sibling of the OLS
+    trend: one wild day moves OLS, not the pairwise-slope median.
+
+    Distributed shape: daily (type, Σmicro, n) reduce through the
+    bucketed combiner in exact integer micro-units; the O(days²)
+    pairwise-median step is bounded by the CALENDAR (30 days here,
+    never by data volume) and runs vectorized on the driver.  The
+    oracle re-derives the same medians from a self-join."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        micro = (np.floor(np.abs(v) * 1e6 + 0.5)
+                 * np.sign(v)).astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": df["ts"].dt.normalize(), "micro": micro,
+            "n": np.int64(1)})
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    d = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["event_type", "day"], ["micro", "n"])
+    rows = []
+    for et, sub in d.groupby("event_type"):
+        sub = sub.sort_values("day")
+        t = (sub["day"].to_numpy().astype("datetime64[D]")
+             .view("int64").astype(np.float64))
+        y = (sub["micro"].to_numpy(np.float64)
+             / sub["n"].to_numpy(np.float64) / 1e6)
+        iu = np.triu_indices(len(t), k=1)
+        slopes = (y[iu[1]] - y[iu[0]]) / (t[iu[1]] - t[iu[0]])
+        rows.append((et, len(t), float(np.median(slopes))))
+    return pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "n_days": pd.Series([r[1] for r in rows], dtype="int64"),
+        "ts_slope": _round_half_away(
+            pd.Series([r[2] for r in rows]), 6)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9800,6 +9846,7 @@ QUERIES = {
     "readability": q_readability,
     "incremental_agg": q_incremental_agg,
     "systematic_sample": q_systematic_sample,
+    "theil_sen_trend": q_theil_sen_trend,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12188,6 +12235,28 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["theil_sen_trend"] = """
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      sum(CAST(floor(abs(value) * 1000000 + 0.5)
+                               AS BIGINT)
+                          * CAST(sign(value) AS BIGINT)) AS micro,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 epoch_us(day) / 86400000000.0 AS t,
+                 micro * 1.0 / n / 1000000.0 AS y
+          FROM d),
+    nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM m GROUP BY 1),
+    p AS (SELECT a.event_type, (b.y - a.y) / (b.t - a.t) AS slope
+          FROM m a JOIN m b ON a.event_type = b.event_type
+                           AND a.t < b.t)
+    SELECT p.event_type, nd.n_days,
+           ROUND(median(slope), 6) AS ts_slope
+    FROM p JOIN nd ON p.event_type = nd.event_type
+    GROUP BY p.event_type, nd.n_days ORDER BY p.event_type
+"""
 
 ORACLE_SQL["systematic_sample"] = """
     WITH r AS (SELECT event_id, value,

@@ -264,6 +264,7 @@ class TestDataPipelineQueries:
         ("readability", ["documents"]),
         ("incremental_agg", ["events"]),
         ("systematic_sample", ["events"]),
+        ("theil_sen_trend", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
