@@ -100,7 +100,7 @@ BENCH_QUERIES = [
     "phash_near_dup", "multivar_ols", "holt_forecast",
     "sorted_compaction", "replica_checksum", "join_skew_profile",
     "readability", "incremental_agg", "systematic_sample",
-    "theil_sen_trend",
+    "theil_sen_trend", "huber_mean", "fully_shipped_orders",
     "validate_corpus",
 ]
 

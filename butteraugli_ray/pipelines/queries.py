@@ -123,10 +123,12 @@ def _final_agg(partials, keys, sum_cols, n_buckets: int = 64,
     return out
 
 
-def _final_agg_ds(partials, keys, sum_cols, n_buckets: int = 64):
+def _final_agg_ds(partials, keys, sum_cols, n_buckets: int = 64,
+                  extra_aggs: dict | None = None):
     """``_final_agg`` that stays a Dataset — for aggregates that feed a
     further distributed stage (e.g. a hash_join side) instead of the
-    driver.  Same hash-bucket + vectorized-combine shuffle."""
+    driver.  Same hash-bucket + vectorized-combine shuffle.
+    ``extra_aggs``: {column: "max"|"min"} riding the same shuffle."""
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -139,8 +141,10 @@ def _final_agg_ds(partials, keys, sum_cols, n_buckets: int = 64):
         return df
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, as_index=False).agg(
-            **{c: (c, "sum") for c in sum_cols})
+        spec = {c: (c, "sum") for c in sum_cols}
+        for c, how in (extra_aggs or {}).items():
+            spec[c] = (c, how)
+        return g.groupby(keys, as_index=False).agg(**spec)
 
     return (partials.map_batches(tag, batch_format="pandas")
             .groupby("__b").map_groups(combine, batch_format="pandas"))
@@ -9262,7 +9266,8 @@ def q_holt_forecast(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_sorted_compaction(sf_dir: str, n_ranges: int = 16,
-                        n_small: int = 24) -> pd.DataFrame:
+                        n_small: int = 24,
+                        fresh: bool = True) -> pd.DataFrame:
     """Small-file COMPACTION sink: simulate a fragmented ingest (many
     small unsorted parquet files), then compact into a globally sorted
     run set — deterministic equal-width time ranges from the global
@@ -9287,10 +9292,13 @@ def q_sorted_compaction(sf_dir: str, n_ranges: int = 16,
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     small_dir = f"/tmp/butteraugli_ray_small_{tag}"
     out_dir = f"/tmp/butteraugli_ray_compact_{tag}"
-    shutil.rmtree(small_dir, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
-    _read(sf_dir, "events").repartition(n_small).write_parquet(small_dir)
+    if fresh:
+        shutil.rmtree(small_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    if not os.path.isdir(small_dir):
+        (_read(sf_dir, "events").repartition(n_small)
+         .write_parquet(small_dir))
 
     ds = rd.read_parquet(small_dir)
 
@@ -9312,8 +9320,14 @@ def q_sorted_compaction(sf_dir: str, n_ranges: int = 16,
 
     def write_range(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["__rb"].iloc[0])
-        g = g.drop(columns="__rb").sort_values("ts")
         path = f"{out_dir}/part-{b:05d}.parquet"
+        if os.path.exists(path):
+            # resume: a finished range (atomically renamed, so never
+            # a torn file) is skipped — a re-run after a crash only
+            # rewrites missing ranges
+            return pd.DataFrame({"file_idx": pd.Series([b],
+                                                       dtype="int64")})
+        g = g.drop(columns="__rb").sort_values("ts")
         tmp = path + ".tmp"
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
                        tmp)
@@ -9638,6 +9652,122 @@ def q_theil_sen_trend(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_huber_mean — one-step Huber robust mean per event type
+# ---------------------------------------------------------------------------
+
+def q_huber_mean(sf_dir: str, c_mult: float = 1.5) -> pd.DataFrame:
+    """One-step Huber M-estimate of event value per type: plain mean →
+    clip width c = 1.5·σ → downweight outliers w = min(1, c/|x−m|) →
+    reweighted mean.  The fixed two-pass unrolling (not iterate-to-
+    convergence) keeps the estimator a CLOSED-FORM expression both
+    engines state identically — the robust-location sibling of the
+    winsorized/MAD family.
+
+    Distributed shape: pass 1 reduces (n, Σx, Σx²); pass 2 reduces
+    (Σw, Σwx, n_clipped) with the broadcast (m, c) constants — two
+    combiner passes, nothing per-key."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({"event_type": df["event_type"], "n": 1.0,
+                          "s": v, "s2": v * v})
+        return g.groupby("event_type", as_index=False).sum()
+
+    a = _final_agg(ds.map_batches(p1, batch_format="pandas"),
+                   ["event_type"], ["n", "s", "s2"])
+    a["m"] = a["s"] / a["n"]
+    a["c"] = c_mult * np.sqrt(
+        (a["s2"] - a["s"] * a["s"] / a["n"]) / (a["n"] - 1.0))
+    mc = dict(zip(a["event_type"],
+                  zip(a["m"].to_numpy(), a["c"].to_numpy())))
+
+    def p2(df: pd.DataFrame, _mc=mc) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        m = df["event_type"].map({k: x[0] for k, x in _mc.items()}) \
+            .to_numpy(np.float64)
+        c = df["event_type"].map({k: x[1] for k, x in _mc.items()}) \
+            .to_numpy(np.float64)
+        r = np.abs(v - m)
+        w = np.minimum(1.0, np.where(r > 0, c / np.maximum(r, 1e-300),
+                                     1.0))
+        g = pd.DataFrame({"event_type": df["event_type"], "sw": w,
+                          "swx": w * v,
+                          "ncl": (w < 1.0).astype(np.float64)})
+        return g.groupby("event_type", as_index=False).sum()
+
+    b = _final_agg(ds.map_batches(p2, batch_format="pandas"),
+                   ["event_type"], ["sw", "swx", "ncl"])
+    out = a.merge(b, on="event_type")
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "plain_mean": _round_half_away(out["m"], 6),
+        "huber_mean": _round_half_away(out["swx"] / out["sw"], 6),
+        "n_clipped": out["ncl"].astype("int64")}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_fully_shipped_orders — universally-quantified (ALL items on time)
+# ---------------------------------------------------------------------------
+
+def q_fully_shipped_orders(sf_dir: str) -> pd.DataFrame:
+    """Service-level audit: per priority, how many orders had ALL
+    lineitems shipped within 60 days of the order date — the
+    universally-quantified complement of ``q_late_orders``'s EXISTS
+    shape (an order fails on its WORST item, so the reduce is a
+    per-order max, not an any-match).
+
+    Distributed shape: per-order max(shipdate) reduces at orderkey
+    cardinality through the bucketed combiner (never a driver table),
+    then one bucketed hash join against the date-projected orders side
+    and a 5-row priority count."""
+    from ..functions.joins import hash_join
+    lag = np.timedelta64(60, "D")
+
+    def item_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"),
+                          "max_ship": df["l_shipdate"]})
+        return g.groupby("o_orderkey", as_index=False).max()
+
+    items = _final_agg_ds(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(item_partial, batch_format="pandas"),
+        ["o_orderkey"], [], extra_aggs={"max_ship": "max"})
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderdate": df["o_orderdate"],
+            "o_orderpriority": df["o_orderpriority"].astype(str)})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(order_side, batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=32)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (df["max_ship"].to_numpy("datetime64[us]")
+              <= df["o_orderdate"].to_numpy("datetime64[us]") + lag)
+        g = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "n_orders": np.int64(1),
+                          "n_fully_shipped": ok.astype(np.int64)})
+        return g.groupby("o_orderpriority", as_index=False).sum()
+
+    out = _final_agg(joined.map_batches(count_partial,
+                                        batch_format="pandas"),
+                     ["o_orderpriority"], ["n_orders",
+                                           "n_fully_shipped"])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_fully_shipped"] = out["n_fully_shipped"].astype("int64")
+    out["fill_rate"] = _round_half_away(
+        out["n_fully_shipped"] / out["n_orders"], 6)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9847,6 +9977,8 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "systematic_sample": q_systematic_sample,
     "theil_sen_trend": q_theil_sen_trend,
+    "huber_mean": q_huber_mean,
+    "fully_shipped_orders": q_fully_shipped_orders,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12235,6 +12367,43 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["huber_mean"] = """
+    WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                      sum(value) AS sx, sum(value * value) AS sx2
+               FROM events GROUP BY 1),
+    mc AS (SELECT event_type, n, sx / n AS m,
+                  1.5 * sqrt((sx2 - sx * sx / n) / (n - 1)) AS c
+           FROM s),
+    w AS (SELECT e.event_type, mc.n, mc.m,
+                 CASE WHEN abs(e.value - mc.m) > 0
+                      THEN least(1.0, mc.c / abs(e.value - mc.m))
+                      ELSE 1.0 END AS w,
+                 e.value AS v
+          FROM events e JOIN mc ON e.event_type = mc.event_type)
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+           ROUND(any_value(m), 6) AS plain_mean,
+           ROUND(sum(w * v) / sum(w), 6) AS huber_mean,
+           CAST(count(*) FILTER (WHERE w < 1.0) AS BIGINT)
+               AS n_clipped
+    FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["fully_shipped_orders"] = """
+    WITH ms AS (SELECT l_orderkey AS o_orderkey,
+                       max(l_shipdate) AS max_ship
+                FROM lineitem GROUP BY 1)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (
+               WHERE max_ship <= o_orderdate + INTERVAL 60 DAY)
+               AS BIGINT) AS n_fully_shipped,
+           ROUND(count(*) FILTER (
+               WHERE max_ship <= o_orderdate + INTERVAL 60 DAY)
+               * 1.0 / count(*), 6) AS fill_rate
+    FROM orders JOIN ms USING (o_orderkey)
+    GROUP BY 1 ORDER BY 1
+"""
 
 ORACLE_SQL["theil_sen_trend"] = """
     WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,

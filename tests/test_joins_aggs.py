@@ -265,6 +265,8 @@ class TestDataPipelineQueries:
         ("incremental_agg", ["events"]),
         ("systematic_sample", ["events"]),
         ("theil_sen_trend", ["events"]),
+        ("huber_mean", ["events"]),
+        ("fully_shipped_orders", ["orders", "lineitem"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
@@ -422,3 +424,29 @@ def test_grouped_ols_matches_polyfit(ray_session):
         assert abs(row["corr_xy"] - r) < 1e-6
         assert abs(row["r2"] - r * r) < 1e-6
         assert int(row["n"]) == len(g)
+
+
+def test_sorted_compaction_resume_skips_finished_ranges(ray_session):
+    """Compaction resume: delete 3 of the 16 range files, re-run with
+    fresh=False — surviving files keep their mtimes (skipped, not
+    rewritten), the missing ranges are rebuilt, and the footer
+    manifest is identical to the fresh run."""
+    import os
+    import time
+    from butteraugli_ray.pipelines.queries import q_sorted_compaction
+    sf = "/root/testdata/sf0.001"
+    first = q_sorted_compaction(sf)
+    import hashlib
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/butteraugli_ray_compact_{tag}"
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == len(first)
+    for f in files[3:6]:
+        os.remove(f"{out_dir}/{f}")
+    kept = {f: os.path.getmtime(f"{out_dir}/{f}")
+            for f in files if f not in files[3:6]}
+    time.sleep(1.05)          # mtime resolution guard
+    second = q_sorted_compaction(sf, fresh=False)
+    pd.testing.assert_frame_equal(first, second)
+    for f, m in kept.items():
+        assert os.path.getmtime(f"{out_dir}/{f}") == m
