@@ -9768,6 +9768,55 @@ def q_fully_shipped_orders(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_kth_event_latency — time from 1st to 3rd purchase per user
+# ---------------------------------------------------------------------------
+
+def q_kth_event_latency(sf_dir: str, kth: int = 3) -> pd.DataFrame:
+    """Median time from a user's FIRST to their ``kth`` (3rd) purchase
+    — the habit-formation latency metric (k-th repeat behavior, not
+    first conversion).
+
+    Distributed shape: purchases shuffle once on a user-hash bucket;
+    inside each bucket one vectorized sort + cumcount picks every
+    user's 1st and kth rows (no per-user Python); the median over the
+    user-bounded latency set comes from the exact distributed
+    histogram-refinement quantile (never a driver collect)."""
+    from ..functions.rank import grouped_median_exact
+    ds = _read(sf_dir, "events", columns=["user_id", "ts",
+                                          "event_type"])
+
+    def bucket_tag(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"][["user_id", "ts"]].copy()
+        d["__b"] = d["user_id"].to_numpy(np.int64) % 64
+        return d
+
+    def lat_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        pos = g.groupby("user_id").cumcount()
+        first = g[pos == 0][["user_id", "ts"]] \
+            .rename(columns={"ts": "t1"})
+        kthr = g[pos == kth - 1][["user_id", "ts"]] \
+            .rename(columns={"ts": "tk"})
+        m = first.merge(kthr, on="user_id")
+        lat = (m["tk"].to_numpy().astype("datetime64[us]").view("int64")
+               - m["t1"].to_numpy().astype("datetime64[us]")
+               .view("int64"))
+        return pd.DataFrame({"g": np.zeros(len(m), dtype=np.int64),
+                             "lat_us": lat.astype(np.float64)})
+
+    lats = (ds.map_batches(bucket_tag, batch_format="pandas")
+            .groupby("__b").map_groups(lat_bucket,
+                                       batch_format="pandas")
+            .materialize())
+    n_users = lats.count()
+    med = grouped_median_exact(lats, "g", "lat_us")
+    return pd.DataFrame({
+        "n_users": pd.Series([int(n_users)], dtype="int64"),
+        "median_hours": _round_half_away(
+            pd.Series([float(med["median"].iloc[0]) / 3.6e9]), 4)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -9979,6 +10028,7 @@ QUERIES = {
     "theil_sen_trend": q_theil_sen_trend,
     "huber_mean": q_huber_mean,
     "fully_shipped_orders": q_fully_shipped_orders,
+    "kth_event_latency": q_kth_event_latency,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12367,6 +12417,20 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["kth_event_latency"] = """
+    WITH p AS (SELECT user_id, ts,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts) AS rn
+               FROM events WHERE event_type = 'purchase'),
+    l AS (SELECT CAST(epoch_us(b.ts) - epoch_us(a.ts) AS DOUBLE)
+              AS lat_us
+          FROM p a JOIN p b ON a.user_id = b.user_id
+                           AND a.rn = 1 AND b.rn = 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(median(lat_us) / 3600000000.0, 4) AS median_hours
+    FROM l
+"""
 
 ORACLE_SQL["huber_mean"] = """
     WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,

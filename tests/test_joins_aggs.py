@@ -267,6 +267,7 @@ class TestDataPipelineQueries:
         ("theil_sen_trend", ["events"]),
         ("huber_mean", ["events"]),
         ("fully_shipped_orders", ["orders", "lineitem"]),
+        ("kth_event_latency", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
