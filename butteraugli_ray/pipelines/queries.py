@@ -9817,6 +9817,85 @@ def q_kth_event_latency(sf_dir: str, kth: int = 3) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_int8_ann_recall — scalar-quantization distortion audit for ANN
+# ---------------------------------------------------------------------------
+
+def q_int8_ann_recall(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Int8 scalar-quantization audit: per-dimension symmetric scale
+    (127/max|x|), then top-k by EXACT float cosine vs top-k by int8
+    dot product — recall@k tells you whether the 4× memory/bandwidth
+    saving of int8 embeddings is safe for this corpus (the
+    deployment question behind every quantized vector index).
+
+    Distributed shape: per-dim max-abs reduces as d-sized partials;
+    queries broadcast once; ONE fused scan emits both metrics'
+    per-batch top-k partials (float cosine + integer dot on the
+    batch-quantized matrix); the driver merges k×batches rows."""
+    import pyarrow.parquet as pq
+    import ray
+    from ..functions.pool import broadcast_get
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dim_partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.abs(np.stack(df["embedding"].to_numpy())).max(axis=0)
+        out = pd.DataFrame({"dim": np.arange(len(x), dtype=np.int64),
+                            "s": x})
+        return out
+
+    dims = _final_agg(ds.map_batches(dim_partial,
+                                     batch_format="pandas"),
+                      ["dim"], [], extra_aggs={"s": "max"}) \
+        .sort_values("dim")
+    s = np.maximum(dims["s"].to_numpy(np.float64), 1e-30)
+
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", [0, 1, 2])]) \
+        .to_pandas().sort_values("vec_id")
+    qf = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qi = np.floor(qf / s * 127.0 + 0.5)
+    bref = ray.put((qf, qi, s))
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _qf, _qi, _s = broadcast_get(bref)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                            1e-30)
+        qn = _qf / np.maximum(
+            np.linalg.norm(_qf, axis=1, keepdims=True), 1e-30)
+        cos = xn @ qn.T
+        xi = np.floor(x / _s * 127.0 + 0.5)
+        dot = xi @ _qi.T
+        rows = []
+        for m, sc in (("float", cos), ("int8", dot)):
+            for q in range(sc.shape[1]):
+                o = np.lexsort((ids, -sc[:, q]))[:k]
+                rows.append(pd.DataFrame({
+                    "metric": m, "query_id": np.int64(q),
+                    "vec_id": ids[o], "score": sc[o, q]}))
+        return pd.concat(rows, ignore_index=True)
+
+    pdf = ds.map_batches(topk_partial,
+                         batch_format="pandas").to_pandas()
+    out = []
+    for q in range(3):
+        tops = {}
+        for m in ("float", "int8"):
+            g = pdf[(pdf["metric"] == m) & (pdf["query_id"] == q)]
+            g = g.sort_values(["score", "vec_id"],
+                              ascending=[False, True]).head(k)
+            tops[m] = set(g["vec_id"])
+        n_ov = len(tops["float"] & tops["int8"])
+        out.append((q, n_ov))
+    return pd.DataFrame({
+        "query_id": pd.Series([r[0] for r in out], dtype="int64"),
+        "n_overlap": pd.Series([r[1] for r in out], dtype="int64"),
+        "recall": _round_half_away(
+            pd.Series([r[1] / k for r in out]), 2)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10029,6 +10108,7 @@ QUERIES = {
     "huber_mean": q_huber_mean,
     "fully_shipped_orders": q_fully_shipped_orders,
     "kth_event_latency": q_kth_event_latency,
+    "int8_ann_recall": q_int8_ann_recall,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12417,6 +12497,40 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["int8_ann_recall"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    x AS (SELECT vec_id, i, v[i] AS val
+          FROM e CROSS JOIN generate_series(1, 64) t(i)),
+    dims AS (SELECT i, greatest(max(abs(val)), 1e-30) AS s
+             FROM x GROUP BY i),
+    qz AS (SELECT vec_id,
+                  list(CAST(floor(val / s * 127 + 0.5) AS DOUBLE)
+                       ORDER BY i) AS qv
+           FROM x JOIN dims USING (i) GROUP BY vec_id),
+    qq AS (SELECT vec_id AS query_id, v FROM e
+           WHERE vec_id IN (0, 1, 2)),
+    qqz AS (SELECT vec_id AS query_id, qv FROM qz
+            WHERE vec_id IN (0, 1, 2)),
+    tf AS (SELECT q.query_id, e.vec_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_cosine_similarity(e.v, q.v) DESC,
+                               e.vec_id) AS rn
+           FROM e CROSS JOIN qq q),
+    ti AS (SELECT q.query_id, z.vec_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY list_inner_product(z.qv, q.qv) DESC,
+                               z.vec_id) AS rn
+           FROM qz z CROSS JOIN qqz q),
+    ov AS (SELECT tf.query_id, count(*) AS n_overlap
+           FROM tf JOIN ti USING (query_id, vec_id)
+           WHERE tf.rn <= 5 AND ti.rn <= 5 GROUP BY 1)
+    SELECT qq.query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(ov.n_overlap, 0) / 5.0, 2) AS recall
+    FROM qq LEFT JOIN ov USING (query_id) ORDER BY qq.query_id
+"""
 
 ORACLE_SQL["kth_event_latency"] = """
     WITH p AS (SELECT user_id, ts,

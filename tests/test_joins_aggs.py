@@ -268,6 +268,7 @@ class TestDataPipelineQueries:
         ("huber_mean", ["events"]),
         ("fully_shipped_orders", ["orders", "lineitem"]),
         ("kth_event_latency", ["events"]),
+        ("int8_ann_recall", ["embeddings"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
