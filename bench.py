@@ -101,7 +101,7 @@ BENCH_QUERIES = [
     "sorted_compaction", "replica_checksum", "join_skew_profile",
     "readability", "incremental_agg", "systematic_sample",
     "theil_sen_trend", "huber_mean", "fully_shipped_orders",
-    "kth_event_latency", "int8_ann_recall",
+    "kth_event_latency", "int8_ann_recall", "seasonality_index",
     "validate_corpus",
 ]
 

@@ -9896,6 +9896,53 @@ def q_int8_ann_recall(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_seasonality_index — peak/trough hour-of-day multiplicative index
+# ---------------------------------------------------------------------------
+
+def q_seasonality_index(sf_dir: str) -> pd.DataFrame:
+    """Multiplicative hour-of-day seasonality per event type: index_h =
+    mean value in hour h ÷ overall type mean; reports each type's peak
+    and trough hours with their indices — the capacity-planning /
+    anomaly-baseline profile.
+
+    Distributed shape: one (type, hour) sufficient-statistic pass
+    through the bucketed combiner; the ≤ types×24 matrix does the
+    argmax/argmin on the driver (ties break to the earlier hour, as
+    the oracle's row_number states)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "hr": df["ts"].dt.hour.astype("int64"),
+                          "n": np.int64(1),
+                          "s": df["value"].to_numpy(np.float64)})
+        return g.groupby(["event_type", "hr"], as_index=False).sum()
+
+    m = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["event_type", "hr"], ["n", "s"])
+    tot = m.groupby("event_type").agg(tn=("n", "sum"), ts=("s", "sum"))
+    m = m.merge(tot, on="event_type")
+    m["idx"] = (m["s"] / m["n"]) / (m["ts"] / m["tn"])
+    rows = []
+    for et, g in m.groupby("event_type"):
+        g = g.sort_values(["idx", "hr"], ascending=[False, True])
+        pk = g.iloc[0]
+        g2 = g.sort_values(["idx", "hr"], ascending=[True, True])
+        tr = g2.iloc[0]
+        rows.append((et, int(pk["hr"]), float(pk["idx"]),
+                     int(tr["hr"]), float(tr["idx"])))
+    return pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "peak_hour": pd.Series([r[1] for r in rows], dtype="int64"),
+        "peak_index": _round_half_away(
+            pd.Series([r[2] for r in rows]), 4),
+        "trough_hour": pd.Series([r[3] for r in rows], dtype="int64"),
+        "trough_index": _round_half_away(
+            pd.Series([r[4] for r in rows]), 4)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10109,6 +10156,7 @@ QUERIES = {
     "fully_shipped_orders": q_fully_shipped_orders,
     "kth_event_latency": q_kth_event_latency,
     "int8_ann_recall": q_int8_ann_recall,
+    "seasonality_index": q_seasonality_index,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12497,6 +12545,31 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["seasonality_index"] = """
+    WITH m AS (SELECT event_type, hour(ts) AS hr,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      sum(value) AS s
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, sum(n) AS tn, sum(s) AS ts
+          FROM m GROUP BY 1),
+    ix AS (SELECT m.event_type, m.hr,
+                  (m.s / m.n) / (t.ts / t.tn) AS idx
+           FROM m JOIN t USING (event_type)),
+    pk AS (SELECT event_type, hr, idx,
+                  row_number() OVER (PARTITION BY event_type
+                      ORDER BY idx DESC, hr) AS rp,
+                  row_number() OVER (PARTITION BY event_type
+                      ORDER BY idx ASC, hr) AS rt
+           FROM ix)
+    SELECT p.event_type,
+           CAST(p.hr AS BIGINT) AS peak_hour,
+           ROUND(p.idx, 4) AS peak_index,
+           CAST(q.hr AS BIGINT) AS trough_hour,
+           ROUND(q.idx, 4) AS trough_index
+    FROM pk p JOIN pk q ON p.event_type = q.event_type
+    WHERE p.rp = 1 AND q.rt = 1 ORDER BY p.event_type
+"""
 
 ORACLE_SQL["int8_ann_recall"] = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -269,6 +269,7 @@ class TestDataPipelineQueries:
         ("fully_shipped_orders", ["orders", "lineitem"]),
         ("kth_event_latency", ["events"]),
         ("int8_ann_recall", ["embeddings"]),
+        ("seasonality_index", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
