@@ -392,6 +392,56 @@ def range_partition_scan(ds, order_col: str, val_col: str,
     return scanned, total
 
 
+def range_partition_running_max(ds, order_col: str, val_col: str,
+                                n_buckets: int | None = None,
+                                out_col: str = "prior_max",
+                                tiebreak: str | None = None):
+    """Add the EXCLUSIVE global prefix max of ``val_col`` in
+    ``order_col`` order (each row sees the max of strictly-PRIOR rows;
+    the first row gets sentinel −1) → (Dataset, n_rows).  This is the
+    event-time WATERMARK primitive: in arrival order, the watermark a
+    row observes is the max event time among earlier arrivals.
+
+    Same one-shuffle shape as the prefix sum; bucket maxima reduce via
+    per-batch partials (never the native sort-count path — the
+    _bucket_offsets lesson), prefix-max offsets are driver metadata,
+    and one in-bucket shifted cummax finishes.  ``val_col`` must be
+    int64 and nonnegative (epoch-µs timestamps)."""
+    tagged, n_rows = _range_bucketize(ds, order_col, n_buckets)
+    if n_rows == 0:
+        return tagged, 0
+
+    def mpart(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("__rb", as_index=False)[val_col].max()
+        g.columns = ["__rb", "m"]
+        return g
+
+    parts = (tagged.map_batches(mpart, batch_format="pandas")
+             .to_pandas())
+    bm = (parts.groupby("__rb", as_index=False)["m"].max()
+          .sort_values("__rb"))
+    pmax = np.maximum.accumulate(bm["m"].to_numpy(dtype=np.int64))
+    off = dict(zip(bm["__rb"].to_numpy(np.int64),
+                   np.concatenate([[-1], pmax[:-1]])))
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["__rb"].iloc[0])
+        order = [order_col, tiebreak] if tiebreak else [order_col]
+        df = df.sort_values(order).drop(columns="__rb")
+        v = df[val_col].to_numpy(np.int64)
+        excl = np.empty(len(v), dtype=np.int64)
+        excl[0] = off[b]
+        if len(v) > 1:
+            np.maximum.accumulate(v[:-1], out=excl[1:])
+            excl[1:] = np.maximum(excl[1:], off[b])
+        df[out_col] = excl
+        return df
+
+    scanned = tagged.groupby("__rb").map_groups(scan_bucket,
+                                                batch_format="pandas")
+    return scanned, n_rows
+
+
 def auc_exact(ds, score_col: str, label_col: str,
               n_buckets: int | None = None) -> dict:
     """EXACT ROC AUC of ``score_col`` against binary ``label_col``

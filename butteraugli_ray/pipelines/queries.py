@@ -9943,6 +9943,67 @@ def q_seasonality_index(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_late_event_audit — watermark lateness accounting in arrival order
+# ---------------------------------------------------------------------------
+
+def q_late_event_audit(sf_dir: str,
+                       delay_us: int = 300_000_000) -> pd.DataFrame:
+    """Watermark audit: how many events arrive with event time below
+    the watermark (max event time among PRIOR arrivals − 5 min allowed
+    lateness), and how disordered is the worst straggler — the number
+    that sizes a streaming pipeline's allowed-lateness budget before
+    real data gets dropped.  The testdata stream is perfectly ordered,
+    so arrival time simulates per-event network jitter of ±5 min,
+    deterministically from md5(event_id) — the identical expression
+    the oracle states via ``md5_number_lower``.
+
+    Distributed shape: the exclusive prefix max in arrival order comes
+    from the new ``range_partition_running_max`` scan (one shuffle;
+    bucket maxima reduce as per-batch partials, prefix-max offsets are
+    driver metadata); the audit then reduces in one combiner pass."""
+    from ..functions.rank import range_partition_running_max
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def us_col(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        us = (df["ts"].to_numpy().astype("datetime64[us]")
+              .view("int64"))
+        jit = np.fromiter(
+            (int.from_bytes(
+                _h.md5(str(i).encode("utf-8")).digest()[8:16],
+                "little") % 600000001
+             for i in df["event_id"].to_numpy()),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "arrival_us": us + jit - 300000000,
+            "us": us})
+
+    scanned, n_rows = range_partition_running_max(
+        ds.map_batches(us_col, batch_format="pandas"),
+        "arrival_us", "us", out_col="wm", tiebreak="event_id")
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["us"].to_numpy(np.int64)
+        wm = df["wm"].to_numpy(np.int64)
+        seen = wm >= 0
+        late = seen & (us < wm - delay_us)
+        dis = np.where(seen, np.maximum(0, wm - us), 0)
+        return pd.DataFrame({"k": [0],
+                             "n_late": [int(late.sum())],
+                             "mx": [int(dis.max()) if len(dis) else 0]})
+
+    p = _final_agg(scanned.map_batches(audit, batch_format="pandas"),
+                   ["k"], ["n_late"], extra_aggs={"mx": "max"}).iloc[0]
+    return pd.DataFrame({
+        "n_events": pd.Series([int(n_rows)], dtype="int64"),
+        "n_late": pd.Series([int(p["n_late"])], dtype="int64"),
+        "late_share": _round_half_away(
+            pd.Series([p["n_late"] / n_rows]), 6),
+        "max_disorder_us": pd.Series([int(p["mx"])], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10157,6 +10218,7 @@ QUERIES = {
     "kth_event_latency": q_kth_event_latency,
     "int8_ann_recall": q_int8_ann_recall,
     "seasonality_index": q_seasonality_index,
+    "late_event_audit": q_late_event_audit,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12545,6 +12607,30 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["late_event_audit"] = """
+    WITH a AS (SELECT event_id, epoch_us(ts) AS us,
+                      epoch_us(ts)
+                      + CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+                             % 600000001 AS BIGINT)
+                      - 300000000 AS arrival_us
+               FROM events),
+    w AS (SELECT us,
+                 max(us) OVER (ORDER BY arrival_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS wm
+          FROM a)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE wm IS NOT NULL
+                AND us < wm - 300000000) AS BIGINT) AS n_late,
+           ROUND(count(*) FILTER (WHERE wm IS NOT NULL
+                AND us < wm - 300000000) * 1.0 / count(*), 6)
+               AS late_share,
+           CAST(max(CASE WHEN wm IS NULL THEN 0
+                    ELSE greatest(0, wm - us) END) AS BIGINT)
+               AS max_disorder_us
+    FROM w
+"""
 
 ORACLE_SQL["seasonality_index"] = """
     WITH m AS (SELECT event_type, hour(ts) AS hr,

@@ -270,6 +270,7 @@ class TestDataPipelineQueries:
         ("kth_event_latency", ["events"]),
         ("int8_ann_recall", ["embeddings"]),
         ("seasonality_index", ["events"]),
+        ("late_event_audit", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
