@@ -102,7 +102,7 @@ BENCH_QUERIES = [
     "readability", "incremental_agg", "systematic_sample",
     "theil_sen_trend", "huber_mean", "fully_shipped_orders",
     "kth_event_latency", "int8_ann_recall", "seasonality_index",
-    "late_event_audit",
+    "late_event_audit", "dup_threshold_sensitivity",
     "validate_corpus",
 ]
 

@@ -10004,6 +10004,37 @@ def q_late_event_audit(sf_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# q_dup_threshold_sensitivity — how the dup set responds to the knob
+# ---------------------------------------------------------------------------
+
+def q_dup_threshold_sensitivity(sf_dir: str,
+                                strict: float = 0.8) -> pd.DataFrame:
+    """Threshold-sensitivity audit of near-dup flagging: edge and
+    member counts of the similarity graph at the operating threshold
+    (0.6) vs a strict one (0.8), plus member retention — the tuning
+    curve a curation owner reads before committing a dedup pass (how
+    much flagged volume is borderline).
+
+    Distributed shape: the session-memoized pair view carries each
+    edge's exact Jaccard, so BOTH thresholds come from one filter over
+    the same bounded edge table — no recompute, no second join."""
+    pairs = _jaccard_pairs_cached(sf_dir, threshold=0.6).to_pandas()
+    j = pairs["jaccard"].to_numpy(np.float64)
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    m06 = np.unique(np.concatenate([a, b]))
+    keep = j >= strict
+    m08 = np.unique(np.concatenate([a[keep], b[keep]]))
+    return pd.DataFrame({
+        "n_edges_06": pd.Series([len(j)], dtype="int64"),
+        "n_edges_08": pd.Series([int(keep.sum())], dtype="int64"),
+        "n_members_06": pd.Series([len(m06)], dtype="int64"),
+        "n_members_08": pd.Series([len(m08)], dtype="int64"),
+        "member_retention": _round_half_away(
+            pd.Series([len(m08) / len(m06)]), 6)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10219,6 +10250,7 @@ QUERIES = {
     "int8_ann_recall": q_int8_ann_recall,
     "seasonality_index": q_seasonality_index,
     "late_event_audit": q_late_event_audit,
+    "dup_threshold_sensitivity": q_dup_threshold_sensitivity,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12606,6 +12638,23 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            CAST(t.tri AS BIGINT) AS n_triangles,
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
+""")
+
+ORACLE_SQL["dup_threshold_sensitivity"] = ("WITH "
+                                           + _NGRAM_PAIR_CTES + """
+    , m06 AS (SELECT DISTINCT node FROM
+              (SELECT doc_a AS node FROM jpairs
+               UNION ALL SELECT doc_b FROM jpairs)),
+    e08 AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= 0.8),
+    m08 AS (SELECT DISTINCT node FROM
+            (SELECT doc_a AS node FROM e08
+             UNION ALL SELECT doc_b FROM e08))
+    SELECT CAST((SELECT count(*) FROM jpairs) AS BIGINT) AS n_edges_06,
+           CAST((SELECT count(*) FROM e08) AS BIGINT) AS n_edges_08,
+           CAST((SELECT count(*) FROM m06) AS BIGINT) AS n_members_06,
+           CAST((SELECT count(*) FROM m08) AS BIGINT) AS n_members_08,
+           ROUND((SELECT count(*) FROM m08) * 1.0
+                 / (SELECT count(*) FROM m06), 6) AS member_retention
 """)
 
 ORACLE_SQL["late_event_audit"] = """

@@ -271,6 +271,7 @@ class TestDataPipelineQueries:
         ("int8_ann_recall", ["embeddings"]),
         ("seasonality_index", ["events"]),
         ("late_event_audit", ["events"]),
+        ("dup_threshold_sensitivity", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
