@@ -102,7 +102,8 @@ BENCH_QUERIES = [
     "readability", "incremental_agg", "systematic_sample",
     "theil_sen_trend", "huber_mean", "fully_shipped_orders",
     "kth_event_latency", "int8_ann_recall", "seasonality_index",
-    "late_event_audit", "dup_threshold_sensitivity",
+    "late_event_audit", "dup_threshold_sensitivity", "lead_lag_corr",
+    "dup_group_size_dist", "user_type_coverage",
     "validate_corpus",
 ]
 

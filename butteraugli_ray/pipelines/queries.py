@@ -10035,6 +10035,117 @@ def q_dup_threshold_sensitivity(sf_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# q_lead_lag_corr — which series leads: clicks vs purchases by hour
+# ---------------------------------------------------------------------------
+
+def q_lead_lag_corr(sf_dir: str, max_lag: int = 6) -> pd.DataFrame:
+    """Lead-lag analysis between hourly click and purchase volumes:
+    corr(clicks_t, purchases_{t+lag}) for lag ∈ [−6, +6] on the
+    zero-filled hour spine; reports the best lag — "do purchases trail
+    clicks, and by how many hours" (the demand-forecast input lag-0
+    correlation can't see).
+
+    Distributed shape: one (hour, type) count pass through the
+    bucketed combiner; the lag sweep runs on the CALENDAR-bounded
+    spine driver-side, exactly as the oracle's shifted self-joins
+    state.  Best lag breaks ties toward the smallest lag."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(["click", "purchase"])]
+        h = (d["ts"].to_numpy().astype("datetime64[us]").view("int64")
+             // 3600000000)
+        g = pd.DataFrame({"h": h, "event_type": d["event_type"],
+                          "n": np.int64(1)})
+        return g.groupby(["h", "event_type"], as_index=False).sum()
+
+    m = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["h", "event_type"], ["n"])
+    lo, hi = int(m["h"].min()), int(m["h"].max())
+    n_hours = hi - lo + 1
+    x = np.zeros(n_hours)
+    y = np.zeros(n_hours)
+    for et, arr in (("click", x), ("purchase", y)):
+        sub = m[m["event_type"] == et]
+        arr[sub["h"].to_numpy(np.int64) - lo] = \
+            sub["n"].to_numpy(np.float64)
+    best = None
+    corr0 = None
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            a, b = x[:n_hours - lag], y[lag:]
+        else:
+            a, b = x[-lag:], y[:n_hours + lag]
+        c = float(np.corrcoef(a, b)[0, 1])
+        if lag == 0:
+            corr0 = c
+        if best is None or c > best[1] + 0.0:
+            best = (lag, c)
+    return pd.DataFrame({
+        "n_hours": pd.Series([n_hours], dtype="int64"),
+        "best_lag": pd.Series([best[0]], dtype="int64"),
+        "best_corr": _round_half_away(pd.Series([best[1]]), 6),
+        "corr_lag0": _round_half_away(pd.Series([corr0]), 6)})
+
+
+# ---------------------------------------------------------------------------
+# q_dup_group_size_dist — duplicate-group size histogram
+# ---------------------------------------------------------------------------
+
+def q_dup_group_size_dist(sf_dir: str) -> pd.DataFrame:
+    """Size distribution of near-duplicate groups (how much of the dup
+    mass is pairs vs large clusters — the shape that decides whether
+    keep-one dedup or cluster-level curation is the right move).
+    Reuses the connected-components labeling over the memoized pair
+    view; the histogram is one groupby over the bounded group table,
+    and the oracle re-derives the same components via its recursive
+    CTE and histograms them independently."""
+    labels = q_dup_groups_exact(sf_dir)
+    g = labels.groupby("n_members", as_index=False).size()
+    g.columns = ["n_members", "n_groups"]
+    return pd.DataFrame({
+        "n_members": g["n_members"].astype("int64"),
+        "n_groups": g["n_groups"].astype("int64")}) \
+        .sort_values("n_members").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_user_type_coverage — breadth of engagement per user
+# ---------------------------------------------------------------------------
+
+def q_user_type_coverage(sf_dir: str) -> pd.DataFrame:
+    """How many distinct event types each user touches → user counts
+    per coverage level (the engagement-breadth funnel: how many users
+    do everything vs one thing).
+
+    Distributed shape: per-batch (user, type) dedup partials → one
+    user-hash bucket shuffle → vectorized per-bucket nunique → the
+    level histogram reduces through a second tiny combiner (bounded by
+    the 5-type domain)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    # distinct (user, type) partials scatter across hash buckets, so a
+    # user's per-bucket counts are PARTIALS — sum them per user in a
+    # second bucketed combine that stays a Dataset (user cardinality
+    # never lands on the driver)
+    per_user = _final_agg_ds(
+        _bucketed_distinct_count(ds, ["user_id", "event_type"],
+                                 "user_id", "n_types"),
+        ["user_id"], ["n_types"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_types", as_index=False).size()
+        g.columns = ["n_types", "n_users"]
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    out = _final_agg(per_user.map_batches(hist, batch_format="pandas"),
+                     ["n_types"], ["n_users"])
+    out["n_types"] = out["n_types"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("n_types").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10251,6 +10362,9 @@ QUERIES = {
     "seasonality_index": q_seasonality_index,
     "late_event_audit": q_late_event_audit,
     "dup_threshold_sensitivity": q_dup_threshold_sensitivity,
+    "lead_lag_corr": q_lead_lag_corr,
+    "dup_group_size_dist": q_dup_group_size_dist,
+    "user_type_coverage": q_user_type_coverage,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12639,6 +12753,46 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["dup_group_size_dist"] = (
+    "SELECT CAST(n_members AS BIGINT) AS n_members, "
+    "CAST(count(*) AS BIGINT) AS n_groups FROM ("
+    + ORACLE_SQL["dup_groups_exact"]
+    + ") q GROUP BY 1 ORDER BY 1")
+
+ORACLE_SQL["lead_lag_corr"] = """
+    WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type
+               FROM events
+               WHERE event_type IN ('click', 'purchase')),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+    x AS (SELECT s.h, COALESCE(c.n, 0) * 1.0 AS x FROM spine s
+          LEFT JOIN (SELECT h, count(*) AS n FROM e
+                     WHERE event_type = 'click' GROUP BY h) c
+          USING (h)),
+    y AS (SELECT s.h, COALESCE(p.n, 0) * 1.0 AS y FROM spine s
+          LEFT JOIN (SELECT h, count(*) AS n FROM e
+                     WHERE event_type = 'purchase' GROUP BY h) p
+          USING (h)),
+    lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+    c AS (SELECT l.lag, corr(x.x, y.y) AS c
+          FROM lags l JOIN x ON TRUE JOIN y ON y.h = x.h + l.lag
+          GROUP BY l.lag),
+    best AS (SELECT lag, c FROM c ORDER BY c DESC, lag LIMIT 1)
+    SELECT CAST((SELECT count(*) FROM spine) AS BIGINT) AS n_hours,
+           CAST(best.lag AS BIGINT) AS best_lag,
+           ROUND(best.c, 6) AS best_corr,
+           ROUND((SELECT c FROM c WHERE lag = 0), 6) AS corr_lag0
+    FROM best
+"""
+
+ORACLE_SQL["user_type_coverage"] = """
+    WITH u AS (SELECT user_id, count(DISTINCT event_type) AS n_types
+               FROM events GROUP BY 1)
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM u GROUP BY 1 ORDER BY 1
+"""
 
 ORACLE_SQL["dup_threshold_sensitivity"] = ("WITH "
                                            + _NGRAM_PAIR_CTES + """

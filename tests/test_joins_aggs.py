@@ -272,6 +272,9 @@ class TestDataPipelineQueries:
         ("seasonality_index", ["events"]),
         ("late_event_audit", ["events"]),
         ("dup_threshold_sensitivity", ["documents"]),
+        ("lead_lag_corr", ["events"]),
+        ("dup_group_size_dist", ["documents"]),
+        ("user_type_coverage", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
