@@ -10146,6 +10146,67 @@ def q_user_type_coverage(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_supplier_reliability — worst late-shipment shares with a volume floor
+# ---------------------------------------------------------------------------
+
+def q_supplier_reliability(sf_dir: str, lag_days: int = 60,
+                           min_items: int = 30,
+                           k: int = 10) -> pd.DataFrame:
+    """Ten least reliable suppliers: share of lineitems shipped more
+    than 60 days after the order date, among suppliers with ≥30 items
+    (the volume floor keeps one-bad-item suppliers out) — the vendor
+    scorecard behind the Q21 waiting-suppliers shape.
+
+    Distributed shape: the orderkey→orderdate side joins via the
+    bucketed fact-fact hash join (a fact-sized broadcast is exactly
+    what the rules forbid); per-supplier (n, n_late) then reduces
+    through the combiner and the top-k is driver-trivial on the
+    supplier-bounded table."""
+    from ..functions.joins import hash_join
+    lag = np.timedelta64(lag_days, "D")
+
+    def item_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "l_suppkey": df["l_suppkey"].astype("int64"),
+            "l_shipdate": df["l_shipdate"]})
+
+    def order_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderdate": df["o_orderdate"]})
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(item_side, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pandas")
+    joined = hash_join(items, orders, key="o_orderkey", n_buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["l_shipdate"].to_numpy("datetime64[us]")
+                > df["o_orderdate"].to_numpy("datetime64[us]") + lag)
+        g = pd.DataFrame({"l_suppkey": df["l_suppkey"],
+                          "n_items": np.int64(1),
+                          "n_late": late.astype(np.int64)})
+        return g.groupby("l_suppkey", as_index=False).sum()
+
+    a = _final_agg(joined.map_batches(partial, batch_format="pandas"),
+                   ["l_suppkey"], ["n_items", "n_late"])
+    a = a[a["n_items"] >= min_items].copy()
+    a["late_share"] = a["n_late"] / a["n_items"]
+    a = a.sort_values(["late_share", "l_suppkey"],
+                      ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "l_suppkey": a["l_suppkey"].astype("int64"),
+        "n_items": a["n_items"].astype("int64"),
+        "n_late": a["n_late"].astype("int64"),
+        "late_share": _round_half_away(a["late_share"], 6)}) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10365,6 +10426,7 @@ QUERIES = {
     "lead_lag_corr": q_lead_lag_corr,
     "dup_group_size_dist": q_dup_group_size_dist,
     "user_type_coverage": q_user_type_coverage,
+    "supplier_reliability": q_supplier_reliability,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12753,6 +12815,22 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["supplier_reliability"] = """
+    WITH j AS (SELECT l_suppkey,
+                      CASE WHEN l_shipdate > o_orderdate
+                           + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+               FROM lineitem JOIN orders
+                 ON l_orderkey = o_orderkey),
+    s AS (SELECT l_suppkey, count(*) AS n_items,
+                 sum(late) AS n_late
+          FROM j GROUP BY 1 HAVING count(*) >= 30)
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_late AS BIGINT) AS n_late,
+           ROUND(n_late * 1.0 / n_items, 6) AS late_share
+    FROM s ORDER BY n_late * 1.0 / n_items DESC, l_suppkey LIMIT 10
+"""
 
 ORACLE_SQL["dup_group_size_dist"] = (
     "SELECT CAST(n_members AS BIGINT) AS n_members, "

@@ -275,6 +275,7 @@ class TestDataPipelineQueries:
         ("lead_lag_corr", ["events"]),
         ("dup_group_size_dist", ["documents"]),
         ("user_type_coverage", ["events"]),
+        ("supplier_reliability", ["lineitem", "orders"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
