@@ -10207,6 +10207,58 @@ def q_supplier_reliability(sf_dir: str, lag_days: int = 60,
 
 
 # ---------------------------------------------------------------------------
+# q_hapax_ratio — lexical diversity per language
+# ---------------------------------------------------------------------------
+
+def q_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Lexical diversity per language: vocabulary size, hapax
+    legomena (once-occurring tokens) share, and type-token ratio — the
+    gibberish/boilerplate discriminators a curation pass reads next to
+    the compression-ratio signal (templated text has few hapaxes;
+    generated noise has nothing but).
+
+    Distributed shape: per-batch (lang, token) count partials → the
+    bucketed combiner keeps the VOCAB-cardinality count table a
+    Dataset; the per-lang rollup (vocab, hapax, token mass) reduces
+    through a second tiny combiner — the driver never holds the
+    vocabulary."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower() \
+            .str.findall(r"\S+")
+        g = pd.DataFrame({
+            "lang": df["lang"].to_numpy().repeat(
+                toks.str.len().to_numpy()),
+            "tok": np.concatenate(toks.to_numpy())
+            if len(df) else np.array([], dtype=object)})
+        g["n"] = np.int64(1)
+        return g.groupby(["lang", "tok"], as_index=False).sum()
+
+    counts = _final_agg_ds(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        ["lang", "tok"], ["n"])
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            vocab=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum())),
+            n_tokens=("n", "sum"))
+        return g
+
+    out = _final_agg(counts.map_batches(roll, batch_format="pandas"),
+                     ["lang"], ["vocab", "n_hapax", "n_tokens"])
+    res = pd.DataFrame({
+        "lang": out["lang"],
+        "vocab": out["vocab"].astype("int64"),
+        "n_hapax": out["n_hapax"].astype("int64"),
+        "hapax_share": _round_half_away(
+            out["n_hapax"] / out["vocab"], 6),
+        "ttr": _round_half_away(out["vocab"] / out["n_tokens"], 6)})
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10427,6 +10479,7 @@ QUERIES = {
     "dup_group_size_dist": q_dup_group_size_dist,
     "user_type_coverage": q_user_type_coverage,
     "supplier_reliability": q_supplier_reliability,
+    "hapax_ratio": q_hapax_ratio,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12815,6 +12868,21 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["hapax_ratio"] = r"""
+    WITH t AS (SELECT lang,
+                      unnest(regexp_extract_all(lower(text), '\S+'))
+                          AS tok
+               FROM documents WHERE text IS NOT NULL),
+    c AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+           ROUND(count(*) FILTER (WHERE n = 1) * 1.0 / count(*), 6)
+               AS hapax_share,
+           ROUND(count(*) * 1.0 / sum(n), 6) AS ttr
+    FROM c GROUP BY lang ORDER BY lang
+"""
 
 ORACLE_SQL["supplier_reliability"] = """
     WITH j AS (SELECT l_suppkey,

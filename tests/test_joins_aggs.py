@@ -276,6 +276,7 @@ class TestDataPipelineQueries:
         ("dup_group_size_dist", ["documents"]),
         ("user_type_coverage", ["events"]),
         ("supplier_reliability", ["lineitem", "orders"]),
+        ("hapax_ratio", ["documents"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
