@@ -104,7 +104,8 @@ BENCH_QUERIES = [
     "kth_event_latency", "int8_ann_recall", "seasonality_index",
     "late_event_audit", "dup_threshold_sensitivity", "lead_lag_corr",
     "dup_group_size_dist", "user_type_coverage",
-    "supplier_reliability", "hapax_ratio",
+    "supplier_reliability", "hapax_ratio", "trimmed_mean",
+    "brand_price_premium",
     "validate_corpus",
 ]
 

@@ -10259,6 +10259,111 @@ def q_hapax_ratio(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_trimmed_mean — 5%-tail-trimmed event value per type
+# ---------------------------------------------------------------------------
+
+def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """5/95-trimmed mean of event value per type — the robust-location
+    estimate that, unlike winsorizing, DROPS the tails instead of
+    clamping them.  Both trim edges are EXACT per-group quantiles from
+    the distributed histogram-refinement machinery (quantile_cont
+    interpolation, the DuckDB contract), so the keep-filter's
+    boundaries are the identical doubles on both engines; the kept
+    mass then sums in exact integer micro-units."""
+    from ..functions.rank import grouped_quantile_exact
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    lo = grouped_quantile_exact(ds, "event_type", "value", q=0.05) \
+        .rename(columns={"quantile": "lo"})
+    hi = grouped_quantile_exact(ds, "event_type", "value", q=0.95) \
+        .rename(columns={"quantile": "hi"})
+    edges = lo.merge(hi, on="event_type")
+    lod = dict(zip(edges["event_type"], edges["lo"]))
+    hid = dict(zip(edges["event_type"], edges["hi"]))
+
+    def partial(df: pd.DataFrame, _lo=lod, _hi=hid) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        l = df["event_type"].map(_lo).to_numpy(np.float64)
+        h = df["event_type"].map(_hi).to_numpy(np.float64)
+        keep = (v >= l) & (v <= h)
+        d = df[keep]
+        vv = v[keep]
+        micro = (np.floor(np.abs(vv) * 1e6 + 0.5)
+                 * np.sign(vv)).astype(np.int64)
+        g = pd.DataFrame({"event_type": d["event_type"],
+                          "n": np.int64(1), "micro": micro})
+        return g.groupby("event_type", as_index=False).sum()
+
+    a = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["event_type"], ["n", "micro"])
+    return pd.DataFrame({
+        "event_type": a["event_type"],
+        "n_kept": a["n"].astype("int64"),
+        "trimmed_mean": _round_half_away(
+            a["micro"] / 1e6 / a["n"], 6)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# q_brand_price_premium — sold unit price vs catalog retail per brand
+# ---------------------------------------------------------------------------
+
+def q_brand_price_premium(sf_dir: str) -> pd.DataFrame:
+    """Realized unit price (Σ extendedprice / Σ quantity over lineitem)
+    vs catalog retail (avg p_retailprice) per brand — where discounting
+    actually lands by brand.
+
+    Distributed shape: the small part dimension broadcasts its sorted
+    (partkey → brand) lookup once (ray.put + per-worker cache); each
+    lineitem batch maps parts to brands with one searchsorted and
+    emits per-brand cent/qty partials — no fact-sized shuffle, brand
+    cardinality bounds everything downstream."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.pool import broadcast_get
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_retailprice"])
+    key = part["p_partkey"].to_numpy()
+    order = np.argsort(key)
+    brand_np = part["p_brand"].to_numpy(zero_copy_only=False)
+    pref = ray.put({"key": key[order], "brand": brand_np[order]})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = broadcast_get(pref)
+        idx = np.searchsorted(p["key"],
+                              df["l_partkey"].to_numpy(np.int64))
+        ep = df["l_extendedprice"].to_numpy(np.float64)
+        cents = np.floor(np.abs(ep) * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"p_brand": p["brand"][idx],
+                          "cents": cents,
+                          "qty": df["l_quantity"].to_numpy(np.float64)})
+        return g.groupby("p_brand", as_index=False).sum()
+
+    sold = _final_agg(
+        _read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_quantity"])
+        .map_batches(partial, batch_format="pandas"),
+        ["p_brand"], ["cents", "qty"])
+    rp = part["p_retailprice"].to_numpy()
+    # retail avg in exact integer cents too — a float sum landed on a
+    # .xxxx5 rounding knife edge at sf0.01 (the recurring class)
+    rc = np.floor(np.abs(rp) * 100.0 + 0.5).astype(np.int64)
+    cat = (pd.DataFrame({"p_brand": brand_np, "rc": rc})
+           .groupby("p_brand", as_index=False)
+           .agg(n_parts=("rc", "size"), src=("rc", "sum")))
+    out = sold.merge(cat, on="p_brand")
+    unit = out["cents"] / 100.0 / out["qty"]
+    retail = out["src"] / 100.0 / out["n_parts"]
+    return pd.DataFrame({
+        "p_brand": out["p_brand"],
+        "n_parts": out["n_parts"].astype("int64"),
+        "avg_unit_price": _round_half_away(unit, 4),
+        "avg_retail": _round_half_away(retail, 4),
+        "premium_ratio": _round_half_away(unit / retail, 6)}) \
+        .sort_values("p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10480,6 +10585,8 @@ QUERIES = {
     "user_type_coverage": q_user_type_coverage,
     "supplier_reliability": q_supplier_reliability,
     "hapax_ratio": q_hapax_ratio,
+    "trimmed_mean": q_trimmed_mean,
+    "brand_price_premium": q_brand_price_premium,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12868,6 +12975,41 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["trimmed_mean"] = """
+    WITH q AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS lo,
+                      quantile_cont(value, 0.95) AS hi
+               FROM events GROUP BY 1)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           ROUND(sum(CAST(floor(abs(e.value) * 1000000 + 0.5)
+                          AS BIGINT)
+                     * CAST(sign(e.value) AS BIGINT)) / 1000000.0
+                 / count(*), 6) AS trimmed_mean
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value >= q.lo AND e.value <= q.hi
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["brand_price_premium"] = """
+    WITH s AS (SELECT p_brand,
+                      sum(CAST(floor(abs(l_extendedprice) * 100 + 0.5)
+                               AS BIGINT)) AS cents,
+                      sum(l_quantity) AS qty
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY 1),
+    c AS (SELECT p_brand, count(*) AS n_parts,
+                 sum(CAST(floor(abs(p_retailprice) * 100 + 0.5)
+                          AS BIGINT)) AS src
+          FROM part GROUP BY 1)
+    SELECT s.p_brand, CAST(c.n_parts AS BIGINT) AS n_parts,
+           ROUND(s.cents / 100.0 / s.qty, 4) AS avg_unit_price,
+           ROUND(c.src / 100.0 / c.n_parts, 4) AS avg_retail,
+           ROUND((s.cents / 100.0 / s.qty)
+                 / (c.src / 100.0 / c.n_parts), 6) AS premium_ratio
+    FROM s JOIN c USING (p_brand) ORDER BY 1
+"""
 
 ORACLE_SQL["hapax_ratio"] = r"""
     WITH t AS (SELECT lang,

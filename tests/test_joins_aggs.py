@@ -277,6 +277,8 @@ class TestDataPipelineQueries:
         ("user_type_coverage", ["events"]),
         ("supplier_reliability", ["lineitem", "orders"]),
         ("hapax_ratio", ["documents"]),
+        ("trimmed_mean", ["events"]),
+        ("brand_price_premium", ["lineitem", "part"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
