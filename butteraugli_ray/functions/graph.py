@@ -78,14 +78,19 @@ def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
     (``a < b`` per row, no duplicates) — the canonical two-round
     wedge-check shape (node-iterator with id orientation):
 
-      1. wedge generation — edges shuffle ONCE by ``hash(a)``; each
-         partition emits, per pivot ``a``, every neighbor pair
-         ``(b, c), b < c`` in a single vectorized pass
-         (``dedup.pairs_within_groups`` — no per-pivot Python).  A
-         triangle ``x < y < z`` is generated exactly once, at pivot
-         ``x``.  Cost is Σ_a deg⁺(a)², bounded by the ORIENTED
-         out-degree; at true scale orient by ``(degree, id)`` instead
-         of raw id to cap the worst pivot at O(sqrt(m)).
+      0. degree orientation — node degrees (bounded by the node count,
+         the CC/pagerank bound) rank every node by ``(degree, id)``;
+         edges re-orient from lower to higher RANK and nodes are
+         replaced by their rank ints.  This caps every pivot's
+         out-degree at O(√m) (the classic node-iterator bound), so the
+         wedge term Σ deg⁺² survives skewed similarity graphs — a raw
+         id orientation lets one hub node pay deg² alone.
+      1. wedge generation — oriented edges shuffle ONCE by
+         ``hash(pivot)``; each partition emits, per pivot, every
+         out-neighbor pair ``(b, c), rank(b) < rank(c)`` in a single
+         vectorized pass (``dedup.pairs_within_groups`` over rank ints
+         — no per-pivot Python).  A triangle is generated exactly
+         once, at its lowest-rank vertex.
       2. closure check — wedges and edges co-locate with ONE more
          shuffle on a shared ``(b, c)`` bucket key; each partition
          counts wedge rows whose ``(b, c)`` also appears as an edge
@@ -108,6 +113,35 @@ def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
     # bounded by the graph's node count (the CC/pagerank bound)
     nodes = np.unique(edges.map_batches(
         node_partial, batch_format="pandas").to_pandas()["node"].to_numpy())
+
+    # degrees on the same node-bounded table → (degree, id) ranks
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        ends = np.concatenate([df[a_col].to_numpy(np.int64),
+                               df[b_col].to_numpy(np.int64)])
+        u, c = np.unique(ends, return_counts=True)
+        return pd.DataFrame({"node": u, "d": c.astype(np.int64)})
+
+    dp = (edges.map_batches(deg_part, batch_format="pandas")
+          .to_pandas().groupby("node", as_index=False)["d"].sum())
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    deg[np.searchsorted(nodes, dp["node"].to_numpy(np.int64))] = \
+        dp["d"].to_numpy(np.int64)
+    rank_of = np.empty(len(nodes), dtype=np.int64)
+    rank_of[np.lexsort((nodes, deg))] = np.arange(len(nodes),
+                                                  dtype=np.int64)
+    import ray
+    lut_ref = ray.put((nodes, rank_of))
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        from .pool import broadcast_get
+        nv, rk = broadcast_get(lut_ref)
+        ra = rk[np.searchsorted(nv, df[a_col].to_numpy(np.int64))]
+        rb = rk[np.searchsorted(nv, df[b_col].to_numpy(np.int64))]
+        return pd.DataFrame({a_col: np.minimum(ra, rb),
+                             b_col: np.maximum(ra, rb)})
+
+    edges = edges.map_batches(orient,
+                              batch_format="pandas").materialize()
 
     def tag_pivot(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[a_col, b_col]].copy()
