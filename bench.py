@@ -105,7 +105,7 @@ BENCH_QUERIES = [
     "late_event_audit", "dup_threshold_sensitivity", "lead_lag_corr",
     "dup_group_size_dist", "user_type_coverage",
     "supplier_reliability", "hapax_ratio", "trimmed_mean",
-    "brand_price_premium",
+    "brand_price_premium", "activity_gini",
     "validate_corpus",
 ]
 

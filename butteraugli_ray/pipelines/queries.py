@@ -10364,6 +10364,55 @@ def q_brand_price_premium(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_activity_gini — inequality of per-user activity, exact from histogram
+# ---------------------------------------------------------------------------
+
+def q_activity_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini coefficient over per-user event counts — "is usage
+    broad or do a few power users generate everything" (the engagement
+    sibling of the revenue Gini).
+
+    Distributed shape: per-user counts reduce through the bucketed
+    combiner; the Gini then computes EXACTLY from the count-of-counts
+    histogram (bounded by the max per-user load, not user cardinality)
+    — tied values contribute the same rank-weighted mass regardless of
+    tie order, so Σ i·xᵢ folds per load level as
+    l·(cum_before·k + k(k+1)/2) in exact integers."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        g.columns = ["user_id", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = _final_agg_ds(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], ["n"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("n", as_index=False).size()
+        h.columns = ["load", "k"]
+        h["k"] = h["k"].astype("int64")
+        return h
+
+    hh = _final_agg(counts.map_batches(hist, batch_format="pandas"),
+                    ["load"], ["k"]).sort_values("load")
+    loads = hh["load"].to_numpy(np.int64)
+    ks = hh["k"].to_numpy(np.int64)
+    n = int(ks.sum())
+    total = int((loads * ks).sum())
+    cum_before = np.concatenate([[0], np.cumsum(ks)[:-1]])
+    s_iw = int((loads * (cum_before * ks
+                         + ks * (ks + 1) // 2)).sum())
+    gini = (2.0 * s_iw) / (n * total) - (n + 1.0) / n
+    return pd.DataFrame({
+        "n_users": pd.Series([n], dtype="int64"),
+        "n_events": pd.Series([total], dtype="int64"),
+        "gini": _round_half_away(pd.Series([gini]), 6)})
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -10587,6 +10636,7 @@ QUERIES = {
     "hapax_ratio": q_hapax_ratio,
     "trimmed_mean": q_trimmed_mean,
     "brand_price_premium": q_brand_price_premium,
+    "activity_gini": q_activity_gini,
     "trending_terms": q_trending_terms,
     "rank_with_ties": q_rank_with_ties,
     "adaptive_join": q_adaptive_join,
@@ -12975,6 +13025,17 @@ ORACLE_SQL["clustering_coefficient"] = ("WITH " + _NGRAM_PAIR_CTES + """
            ROUND(3.0 * t.tri / w.wedges, 6) AS clustering
     FROM w CROSS JOIN t
 """)
+
+ORACLE_SQL["activity_gini"] = """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    r AS (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM c),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS nu, sum(n) AS tot,
+                 sum(rn * n) AS siw
+          FROM r)
+    SELECT nu AS n_users, CAST(tot AS BIGINT) AS n_events,
+           ROUND(2.0 * siw / (nu * tot) - (nu + 1.0) / nu, 6) AS gini
+    FROM s
+"""
 
 ORACLE_SQL["trimmed_mean"] = """
     WITH q AS (SELECT event_type,

@@ -279,6 +279,7 @@ class TestDataPipelineQueries:
         ("hapax_ratio", ["documents"]),
         ("trimmed_mean", ["events"]),
         ("brand_price_premium", ["lineitem", "part"]),
+        ("activity_gini", ["events"]),
     ])
     def test_matches_duckdb(self, ray_session, name, tables):
         import duckdb
