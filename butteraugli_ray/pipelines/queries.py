@@ -10412,6 +10412,27 @@ def q_activity_gini(sf_dir: str) -> pd.DataFrame:
         "gini": _round_half_away(pd.Series([gini]), 6)})
 
 
+def q_constraint_audit(sf_dir: str) -> pd.DataFrame:
+    """Declarative constraint-suite audit (engine/constraints.py): the
+    validation engine's data-quality DSL run over the whole testdata
+    star — not-null / unique / range / in-set / regex / foreign-key /
+    row-count checks compiled from ONE spec list into one vectorized
+    scan per table plus bucketed distinct counts, with the DuckDB
+    oracle GENERATED from the same specs (suite_oracle_sql), so engine
+    and oracle can never drift apart.
+
+    Distributed shape: row-local checks share each table's pruned
+    scan and reduce to one row per (constraint × block); unique runs
+    the hash-bucketed distinct combiner (never Ray's native groupby at
+    value cardinality); foreign keys broadcast the dim table's
+    distinct key set via ray.put (the 100 TB fact→fact path is
+    functions/bloom + the partitioned semi-join instead)."""
+    from ..engine.constraints import DEFAULT_SUITE, audit_constraints
+    return audit_constraints(
+        lambda table, columns: _read(sf_dir, table, columns=columns),
+        DEFAULT_SUITE)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -10647,6 +10668,7 @@ QUERIES = {
     "auc_eval": q_auc_eval,
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
+    "constraint_audit": q_constraint_audit,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -13739,6 +13761,15 @@ ORACLE_SQL["near_dup_keep_best"] = ("WITH RECURSIVE " + _NGRAM_PAIR_CTES
     """)
 
 ORACLE_SQL["kcore"] = _kcore_unrolled_sql()
+
+# constraint_audit: the SQL is GENERATED from the same DEFAULT_SUITE
+# spec list the engine runs (engine/constraints.suite_oracle_sql) —
+# one UNION ALL SELECT per constraint, FK checks as distinct-key LEFT
+# JOINs, identical violation semantics by construction.
+from ..engine.constraints import (DEFAULT_SUITE as _CONSTRAINT_SUITE,
+                                  suite_oracle_sql as _suite_oracle_sql)
+
+ORACLE_SQL["constraint_audit"] = _suite_oracle_sql(_CONSTRAINT_SUITE)
 
 # bfs_levels: bounded recursive min-level CTE over the same jpairs edge
 # set the engine's BFS runs on (seeds = every 8th doc id in the graph)

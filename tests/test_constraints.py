@@ -1,0 +1,119 @@
+"""Declarative constraint suite (engine/constraints.py): spec
+validation, engine-vs-DuckDB parity on planted violations, and the
+generated-oracle contract (engine and SQL compiled from one spec list).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from butteraugli_ray.engine.constraints import (DEFAULT_SUITE,
+                                                audit_constraints,
+                                                suite_oracle_sql)
+
+
+def _tables():
+    """Small deterministic tables with planted violations of every kind."""
+    rng = np.random.default_rng(7)
+    n = 400
+    users = pd.DataFrame({
+        "uid": np.arange(n, dtype="int64"),
+        "name": [f"User#{i}" for i in range(n)],
+        "age": rng.integers(10, 90, n).astype("float64"),
+        "tier": rng.choice(["gold", "silver", "bronze"], n),
+    })
+    # plant: 3 nulls in age, 5 out-of-range ages, 4 bad names, 2 bad tiers
+    users.loc[[5, 50, 500 % n], "age"] = np.nan
+    users.loc[[7, 70, 170, 270, 370], "age"] = 999.0
+    users.loc[[11, 111, 211, 311], "name"] = "user-bad"
+    users.loc[[13, 113], "tier"] = "plutonium"
+    orders = pd.DataFrame({
+        "oid": np.arange(600, dtype="int64"),
+        "uid": rng.integers(0, n + 20, 600).astype("int64"),  # some dangling
+        "amount": rng.uniform(1, 100, 600),
+    })
+    # plant: duplicate oid values (non-null dupes)
+    orders.loc[10, "oid"] = orders.loc[11, "oid"]
+    orders.loc[20, "oid"] = orders.loc[21, "oid"]
+    return {"users": users, "orders": orders}
+
+
+SUITE = [
+    {"table": "users", "column": "age", "kind": "not_null"},
+    {"table": "users", "column": "age", "kind": "range",
+     "min": 0.0, "max": 120.0},
+    {"table": "users", "column": "name", "kind": "regex",
+     "pattern": "^User#[0-9]+$"},
+    {"table": "users", "column": "tier", "kind": "in_set",
+     "values": ["gold", "silver", "bronze"]},
+    {"table": "users", "column": "uid", "kind": "unique"},
+    {"table": "users", "kind": "row_count_min", "min_rows": 1000},
+    {"table": "orders", "column": "oid", "kind": "unique"},
+    {"table": "orders", "column": "uid", "kind": "foreign_key",
+     "ref_table": "users", "ref_column": "uid"},
+]
+
+
+def test_engine_matches_generated_oracle(ray_session):
+    import ray
+    tabs = _tables()
+
+    def read(table, columns):
+        df = tabs[table]
+        return ray.data.from_pandas(
+            df[list(columns)] if columns else df).repartition(4)
+
+    got = audit_constraints(read, SUITE)
+
+    con = duckdb.connect()
+    for name, df in tabs.items():
+        con.register(name, df)
+    want = con.execute(suite_oracle_sql(SUITE)).df()
+
+    got = got.reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_rows": "int64", "n_violations": "int64",
+                    "passed": "int64"}),
+        want.astype({"n_rows": "int64", "n_violations": "int64",
+                     "passed": "int64"}))
+    # the planted violations are actually detected
+    by = got.set_index(["table_name", "column_name", "check"])
+    assert by.loc[("users", "age", "not_null"), "n_violations"] == 3
+    assert by.loc[("users", "age", "range"), "n_violations"] == 5
+    assert by.loc[("users", "name", "regex"), "n_violations"] == 4
+    assert by.loc[("users", "tier", "in_set"), "n_violations"] == 2
+    assert by.loc[("users", "uid", "unique"), "n_violations"] == 0
+    assert by.loc[("users", "*", "row_count_min"), "n_violations"] == 600
+    assert by.loc[("orders", "oid", "unique"), "n_violations"] == 2
+    assert by.loc[("orders", "uid", "foreign_key"), "n_violations"] > 0
+    assert (got["passed"] == (got["n_violations"] == 0)
+            .astype("int64")).all()
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ({"table": "t", "column": "c", "kind": "frobnicate"}, "unknown"),
+    ({"table": "t", "kind": "not_null"}, "needs a column"),
+    ({"table": "t", "column": "c", "kind": "range"}, "min and/or max"),
+    ({"table": "t", "column": "c", "kind": "in_set"}, "values"),
+    ({"table": "t", "column": "c", "kind": "regex"}, "pattern"),
+    ({"table": "t", "column": "c", "kind": "foreign_key"}, "ref_table"),
+    ({"table": "t", "kind": "row_count_min"}, "min_rows"),
+])
+def test_suite_validation_rejects(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        audit_constraints(lambda *a: None, [bad])
+
+
+def test_duplicate_constraint_rejected():
+    s = {"table": "t", "column": "c", "kind": "not_null"}
+    with pytest.raises(ValueError, match="duplicate"):
+        audit_constraints(lambda *a: None, [s, dict(s)])
+
+
+def test_default_suite_is_valid_sql():
+    # the shipped suite must always compile to parseable SQL
+    sql = suite_oracle_sql(DEFAULT_SUITE)
+    assert sql.count("UNION ALL") == len(DEFAULT_SUITE) - 1
+    assert "ORDER BY" in sql
