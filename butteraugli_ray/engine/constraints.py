@@ -44,6 +44,34 @@ Violation semantics (identical on both sides):
                      column's distinct set.
 - ``row_count_min``— table-level: total rows below the floor (the
                      violation count is the shortfall).
+- ``monotonic``    — grouped order check (the north-star span
+                     offset-monotonicity shape): within each
+                     ``group_by`` group, ``column`` must be
+                     non-decreasing along ``order_by`` (ties broken by
+                     the value itself, so the count is deterministic);
+                     nulls in ``column`` are ignored and n_rows is the
+                     non-null count.  Engine: one group-hash bucket
+                     shuffle + sort-within-bucket + vectorized diff
+                     (the q_user_gap_stats shape); oracle:
+                     ``lag() OVER (PARTITION BY g ORDER BY o, c)``.
+- ``null_ratio_max``  — threshold check: if nulls/rows > max_ratio the
+                     violation count is the null count, else 0.
+- ``distinct_count_min`` — shortfall of COUNT(DISTINCT col) below
+                     min_distinct (bucketed exact distinct).
+- ``mean_between`` / ``stddev_between`` — statistical gate: violation
+                     count 1 if AVG(col) / STDDEV_SAMP(col) falls
+                     outside [min, max], else 0.  Engine computes from
+                     (n, Σx, Σx²) sufficient-stat partials — pick
+                     bounds away from float round-off of the true
+                     statistic.
+
+``violation_rows`` / ``violations_oracle_sql`` are the row-level
+companion (the north rule's "pass/fail AND violation rows"): for the
+row-local kinds + unique + monotonic they emit one row per violating
+record — (table_name, column_name, check, key) with ``key`` the
+table's configured key column cast to string (unique emits each
+duplicated VALUE instead) — again compiled from the same specs on
+both sides.
 """
 
 from __future__ import annotations
@@ -55,7 +83,12 @@ import numpy as np
 import pandas as pd
 
 KINDS = ("not_null", "unique", "range", "in_set", "regex",
-         "foreign_key", "row_count_min")
+         "foreign_key", "row_count_min", "monotonic", "null_ratio_max",
+         "distinct_count_min", "mean_between", "stddev_between")
+
+# kinds whose violations are identifiable rows (violation_rows support)
+ROW_KINDS = ("not_null", "range", "in_set", "regex", "foreign_key",
+             "unique", "monotonic")
 
 
 def _cid(spec: dict) -> str:
@@ -82,6 +115,16 @@ def _validate_suite(suite: List[dict]) -> None:
             raise ValueError(f"foreign_key needs ref_table/ref_column: {s}")
         if s["kind"] == "row_count_min" and "min_rows" not in s:
             raise ValueError(f"row_count_min needs min_rows: {s}")
+        if s["kind"] == "monotonic" and (
+                "group_by" not in s or "order_by" not in s):
+            raise ValueError(f"monotonic needs group_by/order_by: {s}")
+        if s["kind"] == "null_ratio_max" and "max_ratio" not in s:
+            raise ValueError(f"null_ratio_max needs max_ratio: {s}")
+        if s["kind"] == "distinct_count_min" and "min_distinct" not in s:
+            raise ValueError(f"distinct_count_min needs min_distinct: {s}")
+        if s["kind"] in ("mean_between", "stddev_between") and (
+                "min" not in s and "max" not in s):
+            raise ValueError(f"{s['kind']} needs min and/or max: {s}")
         k = _cid(s)
         if k in seen:
             raise ValueError(f"duplicate constraint {k}")
@@ -116,6 +159,57 @@ def _distinct_nonnull_count(ds, column: str, n_buckets: int = 64) -> int:
     return int(parts["nd"].sum()) if len(parts) else 0
 
 
+def _monotonic_check(ds, spec: dict, key: str | None = None,
+                     n_buckets: int = 64):
+    """Grouped non-decreasing check.  One group-hash bucket shuffle,
+    sort-within-bucket by (group, order, value), vectorized adjacent
+    diff (the repo's q_user_gap_stats window shape — never per-key
+    Python).  Returns (n_nonnull, n_violations) when ``key`` is None,
+    else the list of key values (as strings) of violating rows.
+    ``n_buckets`` bounds per-task group fan-in; raise it with data
+    volume (buckets, not groups, are the unit of shuffle)."""
+    import pyarrow as pa
+
+    col, g, o = spec["column"], spec["group_by"], spec["order_by"]
+    # dedupe: key/order/group may coincide (e.g. order_by == key)
+    want = list(dict.fromkeys([g, o, col] + ([key] if key else [])))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[want].dropna(subset=[col])
+        b = (pd.util.hash_pandas_object(sub[g], index=False).to_numpy()
+             % n_buckets).astype("int64") if len(sub) else \
+            np.array([], dtype="int64")
+        sub = sub.reset_index(drop=True)
+        sub["__b"] = b
+        return sub
+
+    def check(gr: pd.DataFrame) -> "pa.Table":
+        # key as final tie-break in rows mode: which ROW flags under a
+        # full (o, value) tie depends on tie order, so pin it on both
+        # sides (the violation COUNT is tie-invariant — audit mode
+        # needs no key)
+        gr = gr.sort_values([g, o, col] + ([key] if key else []),
+                            kind="mergesort")
+        v = gr[col].to_numpy()
+        grp = gr[g].to_numpy()
+        bad = np.zeros(len(gr), dtype=bool)
+        if len(gr) > 1:
+            bad[1:] = (v[1:] < v[:-1]) & (grp[1:] == grp[:-1])
+        if key is None:
+            return pa.table({"n": pa.array([len(gr)], pa.int64()),
+                             "viol": pa.array([int(bad.sum())], pa.int64())})
+        return pa.table({"key": pa.array(
+            gr[key].to_numpy()[bad].astype(str))})
+
+    out = (ds.map_batches(bucket, batch_format="pandas")
+           .groupby("__b").map_groups(check, batch_format="pandas")
+           .to_pandas())
+    if key is None:
+        return ((int(out["n"].sum()), int(out["viol"].sum()))
+                if len(out) else (0, 0))
+    return out["key"].tolist()
+
+
 def _ref_key_set(read, spec: dict):
     """Distinct reference keys for a foreign_key spec, as a driver-side
     numpy array ready for ray.put (dim-table path; see module doc for
@@ -147,9 +241,15 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
     for table, specs in sorted(by_table.items()):
         row_local = [s for s in specs if s["kind"] in
                      ("not_null", "range", "in_set", "regex",
-                      "foreign_key", "row_count_min")]
+                      "foreign_key", "row_count_min", "null_ratio_max",
+                      "mean_between", "stddev_between")]
         uniques = [s for s in specs if s["kind"] == "unique"]
-        cols = sorted({s["column"] for s in specs if "column" in s})
+        monotonics = [s for s in specs if s["kind"] == "monotonic"]
+        distincts = [s for s in specs
+                     if s["kind"] == "distinct_count_min"]
+        cols = sorted({s["column"] for s in specs if "column" in s}
+                      | {s[k] for s in monotonics
+                         for k in ("group_by", "order_by")})
         ds = read(table, cols or None)
 
         # one broadcast ref-set per fk spec (dim-bounded)
@@ -196,31 +296,90 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                 compiled.append((cid, f))
             elif kind == "row_count_min":
                 compiled.append((cid, lambda df: 0))  # resolved below
+            elif kind == "null_ratio_max":
+                # s0 = null count; thresholded on the driver
+                col = s["column"]
+                compiled.append((cid, lambda df, c=col:
+                                 (0, float(df[c].isna().sum()), 0.0, 0.0)))
+            elif kind in ("mean_between", "stddev_between"):
+                # sufficient stats (n, Σx, Σx²); gated on the driver
+                col = s["column"]
+
+                def f(df, c=col):
+                    v = df[c].dropna().to_numpy(dtype="float64")
+                    return (0, float(len(v)), float(v.sum()),
+                            float((v * v).sum()))
+                compiled.append((cid, f))
 
         def partial(df: pd.DataFrame, _c=tuple(compiled)) -> pd.DataFrame:
+            res = [fn(df) for _, fn in _c]
+            res = [r if isinstance(r, tuple) else (r, 0.0, 0.0, 0.0)
+                   for r in res]
             return pd.DataFrame({
                 "cid": [cid for cid, _ in _c],
                 "n_rows": np.int64(len(df)),
-                "n_viol": np.array([fn(df) for _, fn in _c],
-                                   dtype="int64")})
+                "n_viol": np.array([r[0] for r in res], dtype="int64"),
+                "s0": np.array([r[1] for r in res], dtype="float64"),
+                "s1": np.array([r[2] for r in res], dtype="float64"),
+                "s2": np.array([r[3] for r in res], dtype="float64")})
 
         from ray.data.aggregate import Sum
         agg = (ds.map_batches(partial, batch_format="pandas")
                .groupby("cid")
                .aggregate(Sum("n_rows", alias_name="n_rows"),
-                          Sum("n_viol", alias_name="n_viol"))
-               .to_pandas())
-        agg_map = {r["cid"]: (int(r["n_rows"]), int(r["n_viol"]))
+                          Sum("n_viol", alias_name="n_viol"),
+                          Sum("s0", alias_name="s0"),
+                          Sum("s1", alias_name="s1"),
+                          Sum("s2", alias_name="s2"))
+               .to_pandas()) if compiled else pd.DataFrame(
+                   columns=["cid", "n_rows", "n_viol", "s0", "s1", "s2"])
+        agg_map = {r["cid"]: (int(r["n_rows"]), int(r["n_viol"]),
+                              float(r["s0"]), float(r["s1"]),
+                              float(r["s2"]))
                    for _, r in agg.iterrows()}
-        n_table = next(iter(agg_map.values()))[0] if agg_map else 0
+        n_table = next(iter(agg_map.values()))[0] if agg_map else (
+            int(ds.count()) if (uniques or monotonics or distincts)
+            else 0)
 
         for s in row_local:
             cid = _cid(s)
-            n_rows, n_viol = agg_map.get(cid, (0, 0))
+            n_rows, n_viol, s0, s1, s2 = agg_map.get(
+                cid, (0, 0, 0.0, 0.0, 0.0))
             if s["kind"] == "row_count_min":
                 n_viol = max(0, int(s["min_rows"]) - n_rows)
+            elif s["kind"] == "null_ratio_max":
+                # same inequality shape as the generated SQL:
+                # nulls > max_ratio * rows
+                n_viol = int(s0) if s0 > float(s["max_ratio"]) * n_rows \
+                    else 0
+            elif s["kind"] == "mean_between":
+                mean = s1 / s0 if s0 else None
+                lo, hi = s.get("min"), s.get("max")
+                n_viol = int(mean is not None and (
+                    (lo is not None and mean < lo)
+                    or (hi is not None and mean > hi)))
+            elif s["kind"] == "stddev_between":
+                if s0 > 1:
+                    var = max(0.0, (s2 - s1 * s1 / s0) / (s0 - 1.0))
+                    sd = float(np.sqrt(var))
+                else:
+                    sd = None
+                lo, hi = s.get("min"), s.get("max")
+                n_viol = int(sd is not None and (
+                    (lo is not None and sd < lo)
+                    or (hi is not None and sd > hi)))
             rows.append((s["table"], s.get("column", "*"), s["kind"],
                          n_rows, n_viol))
+
+        for s in monotonics:
+            nn, n_viol = _monotonic_check(ds, s)
+            rows.append((s["table"], s["column"], "monotonic",
+                         nn, n_viol))
+
+        for s in distincts:
+            nd = _distinct_nonnull_count(ds, s["column"])
+            rows.append((s["table"], s["column"], "distinct_count_min",
+                         n_table, max(0, int(s["min_distinct"]) - nd)))
 
         for s in uniques:
             # reuse the same pruned Dataset: the scan re-executes but
@@ -278,7 +437,36 @@ def _viol_expr(s: dict) -> str:
     if kind == "row_count_min":
         return (f"CASE WHEN count(*) < {int(s['min_rows'])} "
                 f"THEN {int(s['min_rows'])} - count(*) ELSE 0 END")
+    if kind == "null_ratio_max":
+        r = _sql_quote(float(s["max_ratio"]))
+        return (f"CASE WHEN (count(*) - count({c})) > {r} * count(*) "
+                f"THEN count(*) - count({c}) ELSE 0 END")
+    if kind == "distinct_count_min":
+        m = int(s["min_distinct"])
+        return (f"CASE WHEN count(DISTINCT {c}) < {m} "
+                f"THEN {m} - count(DISTINCT {c}) ELSE 0 END")
+    if kind in ("mean_between", "stddev_between"):
+        expr = f"avg({c})" if kind == "mean_between" \
+            else f"stddev_samp({c})"
+        conds = []
+        if s.get("min") is not None:
+            conds.append(f"{expr} < {_sql_quote(s['min'])}")
+        if s.get("max") is not None:
+            conds.append(f"{expr} > {_sql_quote(s['max'])}")
+        return ("CASE WHEN " + " OR ".join(conds) + " THEN 1 ELSE 0 END")
     raise ValueError(kind)
+
+
+def _monotonic_subquery(s: dict, key: str | None = None) -> str:
+    """FROM-clause subquery shared by the audit and rows oracles:
+    non-null values with their lagged predecessor within (group,
+    order, value[, key]) — the same deterministic tie-break the
+    engine sorts by (key only in rows mode; see _monotonic_check)."""
+    t, c, g, o = s["table"], s["column"], s["group_by"], s["order_by"]
+    tie = f", {key}" if key else ""
+    return (f"(SELECT *, lag({c}) OVER (PARTITION BY {g} "
+            f"ORDER BY {o}, {c}{tie}) AS __prev FROM {t} "
+            f"WHERE {c} IS NOT NULL) __m")
 
 
 def suite_oracle_sql(suite: List[dict]) -> str:
@@ -299,6 +487,12 @@ def suite_oracle_sql(suite: List[dict]) -> str:
                 f"AND r.__k IS NULL) AS BIGINT) AS n_violations "
                 f"FROM {t} LEFT JOIN (SELECT DISTINCT {rc} AS __k "
                 f"FROM {rt}) r ON {t}.{s['column']} = r.__k")
+        elif kind == "monotonic":
+            selects.append(
+                head
+                + f"CAST(count(*) FILTER (WHERE {s['column']} < __prev) "
+                f"AS BIGINT) AS n_violations "
+                f"FROM {_monotonic_subquery(s)}")
         else:
             selects.append(head
                            + f"CAST({_viol_expr(s)} AS BIGINT) "
@@ -308,6 +502,206 @@ def suite_oracle_sql(suite: List[dict]) -> str:
             "SELECT table_name, column_name, \"check\", n_rows, "
             "n_violations, CAST(n_violations = 0 AS BIGINT) AS passed "
             "FROM audit ORDER BY table_name, column_name, \"check\"")
+
+
+# ---------------------------------------------------------------------------
+# Violation rows — the row-level companion to the counts audit
+# ---------------------------------------------------------------------------
+
+def violation_rows(read, suite: List[dict],
+                   keys: Dict[str, str]) -> pd.DataFrame:
+    """Emit one row per violating record for every ROW_KINDS constraint
+    in ``suite`` (others are skipped): (table_name, column_name, check,
+    key), ``key`` = the table's key column (``keys[table]``) cast to
+    string — except ``unique``, which emits each duplicated VALUE once.
+
+    Shapes: row-local kinds share one pruned scan per table and filter
+    inside ``map_batches`` (output bounded by the violation count, the
+    input never leaves its task); unique routes through the bucketed
+    distinct combiner emitting values with count > 1; monotonic reuses
+    the bucketed window check in key-emitting mode."""
+    import ray as _ray
+
+    _validate_suite(suite)
+    suite = [s for s in suite if s["kind"] in ROW_KINDS]
+    by_table: Dict[str, List[dict]] = {}
+    for s in suite:
+        by_table.setdefault(s["table"], []).append(s)
+
+    frames = []
+    for table, specs in sorted(by_table.items()):
+        key = keys[table]
+        row_local = [s for s in specs if s["kind"] in
+                     ("not_null", "range", "in_set", "regex",
+                      "foreign_key")]
+        uniques = [s for s in specs if s["kind"] == "unique"]
+        monotonics = [s for s in specs if s["kind"] == "monotonic"]
+        cols = sorted({s["column"] for s in specs if "column" in s}
+                      | {s[k] for s in monotonics
+                         for k in ("group_by", "order_by")} | {key})
+        ds = read(table, cols)
+
+        fk_refs = {_cid(s): _ray.put(_ref_key_set(read, s))
+                   for s in row_local if s["kind"] == "foreign_key"}
+
+        compiled = []  # (column, kind, mask_fn) — mask over df rows
+        for s in row_local:
+            kind, col = s["kind"], s["column"]
+            if kind == "not_null":
+                compiled.append((col, kind,
+                                 lambda df, c=col: df[c].isna()))
+            elif kind == "range":
+                lo, hi = s.get("min"), s.get("max")
+
+                def mk(df, c=col, lo=lo, hi=hi):
+                    v = df[c]
+                    bad = pd.Series(False, index=df.index)
+                    if lo is not None:
+                        bad |= v < lo
+                    if hi is not None:
+                        bad |= v > hi
+                    return bad & v.notna()
+                compiled.append((col, kind, mk))
+            elif kind == "in_set":
+                allowed = frozenset(s["values"])
+                compiled.append((col, kind, lambda df, c=col, a=allowed:
+                                 df[c].notna() & ~df[c].isin(a)))
+            elif kind == "regex":
+                pat = re.compile(s["pattern"])
+                compiled.append((col, kind, lambda df, c=col, p=pat:
+                                 df[c].notna()
+                                 & ~df[c].str.contains(p).fillna(False)))
+            elif kind == "foreign_key":
+                ref = fk_refs[_cid(s)]
+
+                def mk(df, c=col, r=ref):
+                    return df[c].notna() & ~df[c].isin(_ray.get(r))
+                compiled.append((col, kind, mk))
+
+        if compiled:
+            import pyarrow as pa
+
+            def emit(df: pd.DataFrame, _c=tuple(compiled)) -> "pa.Table":
+                # typed Arrow output: empty object-dtype pandas columns
+                # break Ray's block size estimation
+                cols_, checks_, keys_ = [], [], []
+                for col, kind, mask_fn in _c:
+                    k = df.loc[mask_fn(df), key].astype(str).tolist()
+                    cols_ += [col] * len(k)
+                    checks_ += [kind] * len(k)
+                    keys_ += k
+                return pa.table({
+                    "column_name": pa.array(cols_, pa.string()),
+                    "check": pa.array(checks_, pa.string()),
+                    "key": pa.array(keys_, pa.string())})
+
+            part = ds.map_batches(emit, batch_format="pandas").to_pandas()
+            part.insert(0, "table_name", table)
+            frames.append(part)
+
+        for s in uniques:
+            vals = _duplicated_values(ds, s["column"])
+            frames.append(pd.DataFrame({
+                "table_name": table, "column_name": s["column"],
+                "check": "unique", "key": [str(v) for v in vals]}))
+
+        for s in monotonics:
+            ks = _monotonic_check(ds, s, key=key)
+            frames.append(pd.DataFrame({
+                "table_name": table, "column_name": s["column"],
+                "check": "monotonic", "key": ks}))
+
+    out = (pd.concat(frames, ignore_index=True) if frames
+           else pd.DataFrame(columns=["table_name", "column_name",
+                                      "check", "key"]))
+    for c in out.columns:
+        out[c] = out[c].astype(str)
+    return (out.sort_values(list(out.columns))
+            .reset_index(drop=True))
+
+
+def _duplicated_values(ds, column: str, n_buckets: int = 64) -> list:
+    """Distinct non-null values occurring more than once: per-batch
+    (value, count) partials → bucket shuffle → per-bucket sum, emit
+    count > 1.  Output bounded by the duplicated-value set."""
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[column].dropna().value_counts()
+        v = vc.index.to_numpy()
+        b = (pd.util.hash_pandas_object(pd.Series(v), index=False)
+             .to_numpy() % n_buckets).astype("int64") if len(v) else \
+            np.array([], dtype="int64")
+        return pd.DataFrame({"v": v, "n": vc.to_numpy(dtype="int64"),
+                             "__b": b})
+
+    def combine(g: pd.DataFrame) -> "pa.Table":
+        tot = g.groupby("v", sort=False)["n"].sum()
+        dup = tot[tot > 1].index.to_numpy()
+        return pa.table({"v": pa.array(dup.astype(str))})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    return parts["v"].tolist() if len(parts) else []
+
+
+def violations_oracle_sql(suite: List[dict],
+                          keys: Dict[str, str]) -> str:
+    """ANSI-SQL equivalent of ``violation_rows`` for the same suite —
+    one SELECT per ROW_KINDS constraint, UNION ALL, identical
+    (table_name, column_name, check, key) semantics."""
+    _validate_suite(suite)
+    selects = []
+    for s in suite:
+        if s["kind"] not in ROW_KINDS:
+            continue
+        t, c, kind = s["table"], s["column"], s["kind"]
+        k = keys[t]
+        head = (f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+                f"'{kind}' AS \"check\", ")
+        if kind == "not_null":
+            selects.append(head + f"CAST({k} AS VARCHAR) AS key "
+                           f"FROM {t} WHERE {c} IS NULL")
+        elif kind == "range":
+            conds = []
+            if s.get("min") is not None:
+                conds.append(f"{c} < {_sql_quote(s['min'])}")
+            if s.get("max") is not None:
+                conds.append(f"{c} > {_sql_quote(s['max'])}")
+            selects.append(head + f"CAST({k} AS VARCHAR) AS key FROM {t} "
+                           f"WHERE {c} IS NOT NULL AND "
+                           f"({' OR '.join(conds)})")
+        elif kind == "in_set":
+            vals = ", ".join(_sql_quote(v) for v in sorted(s["values"]))
+            selects.append(head + f"CAST({k} AS VARCHAR) AS key FROM {t} "
+                           f"WHERE {c} IS NOT NULL AND {c} NOT IN ({vals})")
+        elif kind == "regex":
+            selects.append(head + f"CAST({k} AS VARCHAR) AS key FROM {t} "
+                           f"WHERE {c} IS NOT NULL AND NOT "
+                           f"regexp_matches({c}, "
+                           f"{_sql_quote(s['pattern'])})")
+        elif kind == "foreign_key":
+            rt, rc = s["ref_table"], s["ref_column"]
+            selects.append(
+                head + f"CAST({t}.{k} AS VARCHAR) AS key FROM {t} "
+                f"LEFT JOIN (SELECT DISTINCT {rc} AS __k FROM {rt}) r "
+                f"ON {t}.{c} = r.__k "
+                f"WHERE {t}.{c} IS NOT NULL AND r.__k IS NULL")
+        elif kind == "unique":
+            selects.append(
+                head + f"CAST({c} AS VARCHAR) AS key FROM {t} "
+                f"WHERE {c} IS NOT NULL GROUP BY {c} "
+                f"HAVING count(*) > 1")
+        elif kind == "monotonic":
+            selects.append(
+                head + f"CAST({k} AS VARCHAR) AS key "
+                f"FROM {_monotonic_subquery(s, key=k)} "
+                f"WHERE {c} < __prev")
+    body = "\nUNION ALL\n".join(selects)
+    return (f"WITH viols AS (\n{body}\n)\n"
+            "SELECT * FROM viols "
+            "ORDER BY table_name, column_name, \"check\", key")
 
 
 # ---------------------------------------------------------------------------
@@ -350,4 +744,49 @@ DEFAULT_SUITE: List[dict] = [
      "pattern": "^Customer#[0-9]+$"},
     {"table": "customer", "column": "c_acctbal", "kind": "range",
      "min": -1000.0, "max": 10000.0},
+    # grouped window check (north-star span-offset shape): event values
+    # per user are NOT monotone in time — deliberate failing check
+    {"table": "events", "column": "value", "kind": "monotonic",
+     "group_by": "user_id", "order_by": "ts"},
+    {"table": "events", "column": "value", "kind": "null_ratio_max",
+     "max_ratio": 0.01},
+    # events.value mean is ~49.6: deliberate failing gate
+    {"table": "events", "column": "value", "kind": "mean_between",
+     "min": 60.0},
+    {"table": "lineitem", "column": "l_quantity", "kind": "mean_between",
+     "min": 20.0, "max": 30.0},
+    {"table": "lineitem", "column": "l_quantity",
+     "kind": "stddev_between", "min": 10.0, "max": 20.0},
+    # only 3 order statuses exist: deliberate shortfall of 1
+    {"table": "orders", "column": "o_orderstatus",
+     "kind": "distinct_count_min", "min_distinct": 4},
+    {"table": "documents", "column": "lang",
+     "kind": "distinct_count_min", "min_distinct": 5},
+]
+
+# key column per testdata table for violation_rows / its oracle
+VIOLATION_KEYS: Dict[str, str] = {
+    "orders": "o_orderkey", "lineitem": "l_orderkey",
+    "events": "event_id", "documents": "doc_id",
+    "customer": "c_custkey",
+}
+
+# the rows-level suite (q_constraint_violations): every ROW_KINDS kind
+# represented, violation volume bounded (the big l_discount tail from
+# DEFAULT_SUITE is counts-only — at 100 TB you gate row emission the
+# same way: audit everything, emit rows only for checks whose
+# violation set is actionably small)
+VIOLATION_SUITE: List[dict] = [
+    {"table": "documents", "column": "n_chars", "kind": "range",
+     "min": 100.0},
+    {"table": "documents", "column": "doc_id", "kind": "unique"},
+    {"table": "events", "column": "event_type", "kind": "in_set",
+     "values": ["click", "view", "purchase", "signup"]},
+    {"table": "events", "column": "value", "kind": "monotonic",
+     "group_by": "user_id", "order_by": "ts"},
+    {"table": "events", "column": "value", "kind": "not_null"},
+    {"table": "orders", "column": "o_custkey", "kind": "foreign_key",
+     "ref_table": "customer", "ref_column": "c_custkey"},
+    {"table": "customer", "column": "c_name", "kind": "regex",
+     "pattern": "^Customer#[0-9]+$"},
 ]

@@ -10433,6 +10433,27 @@ def q_constraint_audit(sf_dir: str) -> pd.DataFrame:
         DEFAULT_SUITE)
 
 
+def q_constraint_violations(sf_dir: str) -> pd.DataFrame:
+    """Row-level constraint violations (engine/constraints.py
+    VIOLATION_SUITE) — the north rule's "pass/fail AND violation rows"
+    surface: one output row per violating record, (table, column,
+    check, key), with the DuckDB oracle generated from the SAME specs
+    (violations_oracle_sql).
+
+    Distributed shape: row-local checks filter inside the shared
+    per-table map_batches pass (output bounded by the violation set,
+    rows never leave their task); unique emits duplicated values from
+    the bucketed count combiner; the grouped monotonic check (the
+    span-offset shape) is one user-hash bucket shuffle +
+    sort-within-bucket + vectorized adjacent diff, with the row key as
+    the deterministic final tie-break on both engine and oracle."""
+    from ..engine.constraints import (VIOLATION_KEYS, VIOLATION_SUITE,
+                                      violation_rows)
+    return violation_rows(
+        lambda table, columns: _read(sf_dir, table, columns=columns),
+        VIOLATION_SUITE, VIOLATION_KEYS)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -10669,6 +10690,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "kcore": q_kcore,
     "constraint_audit": q_constraint_audit,
+    "constraint_violations": q_constraint_violations,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -13767,9 +13789,15 @@ ORACLE_SQL["kcore"] = _kcore_unrolled_sql()
 # one UNION ALL SELECT per constraint, FK checks as distinct-key LEFT
 # JOINs, identical violation semantics by construction.
 from ..engine.constraints import (DEFAULT_SUITE as _CONSTRAINT_SUITE,
-                                  suite_oracle_sql as _suite_oracle_sql)
+                                  VIOLATION_KEYS as _VIOLATION_KEYS,
+                                  VIOLATION_SUITE as _VIOLATION_SUITE,
+                                  suite_oracle_sql as _suite_oracle_sql,
+                                  violations_oracle_sql
+                                  as _violations_oracle_sql)
 
 ORACLE_SQL["constraint_audit"] = _suite_oracle_sql(_CONSTRAINT_SUITE)
+ORACLE_SQL["constraint_violations"] = _violations_oracle_sql(
+    _VIOLATION_SUITE, _VIOLATION_KEYS)
 
 # bfs_levels: bounded recursive min-level CTE over the same jpairs edge
 # set the engine's BFS runs on (seeds = every 8th doc id in the graph)

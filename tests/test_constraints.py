@@ -9,8 +9,12 @@ import pandas as pd
 import pytest
 
 from butteraugli_ray.engine.constraints import (DEFAULT_SUITE,
+                                                VIOLATION_KEYS,
+                                                VIOLATION_SUITE,
                                                 audit_constraints,
-                                                suite_oracle_sql)
+                                                suite_oracle_sql,
+                                                violation_rows,
+                                                violations_oracle_sql)
 
 
 def _tables():
@@ -49,9 +53,19 @@ SUITE = [
      "values": ["gold", "silver", "bronze"]},
     {"table": "users", "column": "uid", "kind": "unique"},
     {"table": "users", "kind": "row_count_min", "min_rows": 1000},
+    {"table": "users", "column": "age", "kind": "null_ratio_max",
+     "max_ratio": 0.001},                     # 3/400 > 0.001 -> fails
+    {"table": "users", "column": "tier", "kind": "distinct_count_min",
+     "min_distinct": 6},                      # 4 distinct -> shortfall 2
     {"table": "orders", "column": "oid", "kind": "unique"},
     {"table": "orders", "column": "uid", "kind": "foreign_key",
      "ref_table": "users", "ref_column": "uid"},
+    {"table": "orders", "column": "amount", "kind": "mean_between",
+     "min": 10.0, "max": 90.0},               # mean ~50 -> passes
+    {"table": "orders", "column": "amount", "kind": "stddev_between",
+     "max": 5.0},                             # sd ~28 -> fails
+    {"table": "orders", "column": "amount", "kind": "monotonic",
+     "group_by": "uid", "order_by": "oid"},   # random -> violations
 ]
 
 
@@ -88,8 +102,72 @@ def test_engine_matches_generated_oracle(ray_session):
     assert by.loc[("users", "*", "row_count_min"), "n_violations"] == 600
     assert by.loc[("orders", "oid", "unique"), "n_violations"] == 2
     assert by.loc[("orders", "uid", "foreign_key"), "n_violations"] > 0
+    assert by.loc[("users", "age", "null_ratio_max"), "n_violations"] == 3
+    assert by.loc[("users", "tier", "distinct_count_min"),
+                  "n_violations"] == 2
+    assert by.loc[("orders", "amount", "mean_between"),
+                  "n_violations"] == 0
+    assert by.loc[("orders", "amount", "stddev_between"),
+                  "n_violations"] == 1
+    assert by.loc[("orders", "amount", "monotonic"), "n_violations"] > 0
     assert (got["passed"] == (got["n_violations"] == 0)
             .astype("int64")).all()
+
+
+def test_violation_rows_match_generated_oracle(ray_session):
+    import ray
+    tabs = _tables()
+
+    def read(table, columns):
+        df = tabs[table]
+        return ray.data.from_pandas(
+            df[list(columns)] if columns else df).repartition(4)
+
+    keys = {"users": "uid", "orders": "oid"}
+    got = violation_rows(read, SUITE, keys)
+
+    con = duckdb.connect()
+    for name, df in tabs.items():
+        con.register(name, df)
+    want = con.execute(violations_oracle_sql(SUITE, keys)).df()
+    for c in want.columns:
+        want[c] = want[c].astype(str)
+    want = (want.sort_values(list(want.columns))
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # the planted rows are the ones emitted
+    nn = got[(got["check"] == "not_null")]
+    assert set(nn["key"]) == {"5", "50", "100"}
+    rng_rows = got[(got["check"] == "range")]
+    assert set(rng_rows["key"]) == {"7", "70", "170", "270", "370"}
+    dup = got[got["check"] == "unique"]
+    assert len(dup) == 2  # two duplicated oid values
+    assert (got[got["check"] == "monotonic"]["column_name"]
+            == "amount").all()
+
+
+def test_violation_rows_monotonic_tie_break(ray_session):
+    """Full (order, value) ties: the flagged ROW must be pinned by the
+    key tie-break identically on engine and oracle."""
+    import ray
+    df = pd.DataFrame({
+        "k": np.arange(6, dtype="int64"),
+        "g": np.zeros(6, dtype="int64"),
+        "o": [0, 1, 1, 1, 2, 3],
+        "v": [5.0, 3.0, 3.0, 3.0, 4.0, 1.0],
+    })
+    suite = [{"table": "t", "column": "v", "kind": "monotonic",
+              "group_by": "g", "order_by": "o"}]
+    got = violation_rows(
+        lambda table, columns: ray.data.from_pandas(
+            df[list(columns)]).repartition(3),
+        suite, {"t": "k"})
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(violations_oracle_sql(suite, {"t": "k"})).df()
+    assert got["key"].tolist() == sorted(want["key"].astype(str))
+    # rows 1 (first of the tied trio, after 5.0) and 5 (1.0 after 4.0)
+    assert set(got["key"]) == {"1", "5"}
 
 
 @pytest.mark.parametrize("bad,msg", [
@@ -100,6 +178,16 @@ def test_engine_matches_generated_oracle(ray_session):
     ({"table": "t", "column": "c", "kind": "regex"}, "pattern"),
     ({"table": "t", "column": "c", "kind": "foreign_key"}, "ref_table"),
     ({"table": "t", "kind": "row_count_min"}, "min_rows"),
+    ({"table": "t", "column": "c", "kind": "monotonic"},
+     "group_by/order_by"),
+    ({"table": "t", "column": "c", "kind": "null_ratio_max"},
+     "max_ratio"),
+    ({"table": "t", "column": "c", "kind": "distinct_count_min"},
+     "min_distinct"),
+    ({"table": "t", "column": "c", "kind": "mean_between"},
+     "min and/or max"),
+    ({"table": "t", "column": "c", "kind": "stddev_between"},
+     "min and/or max"),
 ])
 def test_suite_validation_rejects(bad, msg):
     with pytest.raises(ValueError, match=msg):
