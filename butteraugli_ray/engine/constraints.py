@@ -84,7 +84,11 @@ import pandas as pd
 
 KINDS = ("not_null", "unique", "range", "in_set", "regex",
          "foreign_key", "row_count_min", "monotonic", "null_ratio_max",
-         "distinct_count_min", "mean_between", "stddev_between")
+         "distinct_count_min", "mean_between", "stddev_between",
+         "psi_max")
+
+# PSI smoothing epsilon — identical literal in engine and generated SQL
+PSI_EPS = 1e-6
 
 # kinds whose violations are identifiable rows (violation_rows support)
 ROW_KINDS = ("not_null", "range", "in_set", "regex", "foreign_key",
@@ -125,6 +129,13 @@ def _validate_suite(suite: List[dict]) -> None:
         if s["kind"] in ("mean_between", "stddev_between") and (
                 "min" not in s and "max" not in s):
             raise ValueError(f"{s['kind']} needs min and/or max: {s}")
+        if s["kind"] == "psi_max":
+            for f in ("split_column", "baseline_values",
+                      "current_values", "edges", "max_psi"):
+                if f not in s:
+                    raise ValueError(f"psi_max needs {f}: {s}")
+            if list(s["edges"]) != sorted(s["edges"]):
+                raise ValueError(f"psi_max edges must be sorted: {s}")
         k = _cid(s)
         if k in seen:
             raise ValueError(f"duplicate constraint {k}")
@@ -210,6 +221,54 @@ def _monotonic_check(ds, spec: dict, key: str | None = None,
     return out["key"].tolist()
 
 
+def _psi_check(ds, spec: dict):
+    """Population-stability-index drift gate between two value subsets
+    of one table (baseline vs current rows selected by split_column).
+    Per-batch fixed-edge histogram partials (two int64 vectors) → one
+    |bins|-sized groupby — the only thing that ever moves is bin
+    counts.  Returns (n_rows_considered, violation_0_or_1).  PSI uses
+    proportions smoothed by PSI_EPS; empty sides gate to 0 violations
+    (no drift evidence), matching the generated SQL's CASE order."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    col, sc = spec["column"], spec["split_column"]
+    edges = np.asarray(spec["edges"], dtype="float64")
+    base = frozenset(spec["baseline_values"])
+    curr = frozenset(spec["current_values"])
+    nb = len(edges) + 1
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[list(dict.fromkeys([sc, col]))].dropna(subset=[col])
+        v = sub[col].to_numpy(dtype="float64")
+        bins = np.searchsorted(edges, v, side="right")
+        mb = sub[sc].isin(base).to_numpy()
+        ma = sub[sc].isin(curr).to_numpy()
+        return pd.DataFrame({
+            "bin": np.arange(nb, dtype="int64"),
+            "ne": np.bincount(bins[mb], minlength=nb).astype("int64"),
+            "na": np.bincount(bins[ma], minlength=nb).astype("int64")})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("bin")
+           .aggregate(Sum("ne", alias_name="ne"),
+                      Sum("na", alias_name="na"))
+           .to_pandas())
+    ne = np.zeros(nb, dtype="int64")
+    na = np.zeros(nb, dtype="int64")
+    if len(agg):
+        ne[agg["bin"].to_numpy()] = agg["ne"].to_numpy()
+        na[agg["bin"].to_numpy()] = agg["na"].to_numpy()
+    te, ta = int(ne.sum()), int(na.sum())
+    n_rows = te + ta
+    if te == 0 or ta == 0:
+        return n_rows, 0
+    pe, pa_ = ne / te, na / ta
+    psi = float(((pa_ - pe)
+                 * np.log((pa_ + PSI_EPS) / (pe + PSI_EPS))).sum())
+    return n_rows, int(psi > float(spec["max_psi"]))
+
+
 def _ref_key_set(read, spec: dict):
     """Distinct reference keys for a foreign_key spec, as a driver-side
     numpy array ready for ray.put (dim-table path; see module doc for
@@ -247,9 +306,11 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         monotonics = [s for s in specs if s["kind"] == "monotonic"]
         distincts = [s for s in specs
                      if s["kind"] == "distinct_count_min"]
+        psis = [s for s in specs if s["kind"] == "psi_max"]
         cols = sorted({s["column"] for s in specs if "column" in s}
                       | {s[k] for s in monotonics
-                         for k in ("group_by", "order_by")})
+                         for k in ("group_by", "order_by")}
+                      | {s["split_column"] for s in psis})
         ds = read(table, cols or None)
 
         # one broadcast ref-set per fk spec (dim-bounded)
@@ -338,8 +399,8 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                               float(r["s2"]))
                    for _, r in agg.iterrows()}
         n_table = next(iter(agg_map.values()))[0] if agg_map else (
-            int(ds.count()) if (uniques or monotonics or distincts)
-            else 0)
+            int(ds.count()) if (uniques or monotonics or distincts
+                                or psis) else 0)
 
         for s in row_local:
             cid = _cid(s)
@@ -380,6 +441,11 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
             nd = _distinct_nonnull_count(ds, s["column"])
             rows.append((s["table"], s["column"], "distinct_count_min",
                          n_table, max(0, int(s["min_distinct"]) - nd)))
+
+        for s in psis:
+            nr, n_viol = _psi_check(ds, s)
+            rows.append((s["table"], s["column"], "psi_max",
+                         nr, n_viol))
 
         for s in uniques:
             # reuse the same pruned Dataset: the scan re-executes but
@@ -469,6 +535,39 @@ def _monotonic_subquery(s: dict, key: str | None = None) -> str:
             f"WHERE {c} IS NOT NULL) __m")
 
 
+def _psi_select(s: dict) -> str:
+    """One audit SELECT computing the PSI gate in SQL from the same
+    fixed-edge integer bin counts the engine aggregates: bin = number
+    of edges <= value (np.searchsorted side='right'), proportions
+    smoothed by PSI_EPS, empty sides short-circuit to 0 violations
+    (CASE order matches _psi_check)."""
+    t, c, sc = s["table"], s["column"], s["split_column"]
+    edges = list(s["edges"])
+    bvals = ", ".join(_sql_quote(v) for v in sorted(s["baseline_values"]))
+    cvals = ", ".join(_sql_quote(v) for v in sorted(s["current_values"]))
+    bin_expr = "CASE " + " ".join(
+        f"WHEN {c} < {_sql_quote(float(e))} THEN {i}"
+        for i, e in enumerate(edges)) + f" ELSE {len(edges)} END"
+    eps = repr(PSI_EPS)
+    thr = _sql_quote(float(s["max_psi"]))
+    return (
+        f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+        f"'psi_max' AS \"check\", "
+        f"CAST(sum(ne) + sum(na) AS BIGINT) AS n_rows, "
+        f"CAST(CASE WHEN sum(ne) = 0 OR sum(na) = 0 THEN 0 "
+        f"WHEN sum((pa - pe) * ln((pa + {eps}) / (pe + {eps}))) "
+        f"> {thr} THEN 1 ELSE 0 END AS BIGINT) AS n_violations "
+        f"FROM (SELECT ne, na, "
+        f"CAST(ne AS DOUBLE) / NULLIF(sum(ne) OVER (), 0) AS pe, "
+        f"CAST(na AS DOUBLE) / NULLIF(sum(na) OVER (), 0) AS pa "
+        f"FROM (SELECT {bin_expr} AS bin, "
+        f"count(*) FILTER (WHERE {sc} IN ({bvals})) AS ne, "
+        f"count(*) FILTER (WHERE {sc} IN ({cvals})) AS na "
+        f"FROM {t} WHERE {c} IS NOT NULL AND "
+        f"({sc} IN ({bvals}) OR {sc} IN ({cvals})) "
+        f"GROUP BY 1) __h) __p")
+
+
 def suite_oracle_sql(suite: List[dict]) -> str:
     """ANSI-SQL audit equivalent to ``audit_constraints`` for the same
     suite — one SELECT per constraint, UNION ALL, same column names and
@@ -493,6 +592,8 @@ def suite_oracle_sql(suite: List[dict]) -> str:
                 + f"CAST(count(*) FILTER (WHERE {s['column']} < __prev) "
                 f"AS BIGINT) AS n_violations "
                 f"FROM {_monotonic_subquery(s)}")
+        elif kind == "psi_max":
+            selects.append(_psi_select(s))
         else:
             selects.append(head
                            + f"CAST({_viol_expr(s)} AS BIGINT) "
@@ -762,6 +863,19 @@ DEFAULT_SUITE: List[dict] = [
      "kind": "distinct_count_min", "min_distinct": 4},
     {"table": "documents", "column": "lang",
      "kind": "distinct_count_min", "min_distinct": 5},
+    # drift gates (the north rule's distribution-drift category): view
+    # vs click event values are both ~uniform → PSI ≈ 0.003-0.005,
+    # comfortably under 0.1
+    {"table": "events", "column": "value", "kind": "psi_max",
+     "split_column": "event_type", "baseline_values": ["view"],
+     "current_values": ["click"],
+     "edges": [10.0, 25.0, 50.0, 75.0, 90.0], "max_psi": 0.1},
+    # en vs zh doc-length PSI ≈ 0.01-0.07 across sf: deliberate drift
+    # failure at 0.002
+    {"table": "documents", "column": "n_chars", "kind": "psi_max",
+     "split_column": "lang", "baseline_values": ["en"],
+     "current_values": ["zh"],
+     "edges": [200.0, 500.0, 1000.0, 2000.0], "max_psi": 0.002},
 ]
 
 # key column per testdata table for violation_rows / its oracle

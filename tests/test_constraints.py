@@ -66,6 +66,17 @@ SUITE = [
      "max": 5.0},                             # sd ~28 -> fails
     {"table": "orders", "column": "amount", "kind": "monotonic",
      "group_by": "uid", "order_by": "oid"},   # random -> violations
+    # users ages are iid across tiers -> tiny PSI, passes at 0.25
+    {"table": "users", "column": "age", "kind": "psi_max",
+     "split_column": "tier", "baseline_values": ["gold"],
+     "current_values": ["silver", "bronze"],
+     "edges": [25.0, 45.0, 65.0], "max_psi": 0.25},
+    # planted 999.0 ages all live in gold/silver? no — threshold at 0
+    # forces a failure whenever the two subsets differ at all
+    {"table": "orders", "column": "amount", "kind": "psi_max",
+     "split_column": "uid", "baseline_values": [0, 1, 2, 3, 4],
+     "current_values": [5, 6, 7, 8, 9],
+     "edges": [20.0, 50.0, 80.0], "max_psi": 0.0},
 ]
 
 
@@ -110,6 +121,7 @@ def test_engine_matches_generated_oracle(ray_session):
     assert by.loc[("orders", "amount", "stddev_between"),
                   "n_violations"] == 1
     assert by.loc[("orders", "amount", "monotonic"), "n_violations"] > 0
+    assert by.loc[("users", "age", "psi_max"), "n_violations"] == 0
     assert (got["passed"] == (got["n_violations"] == 0)
             .astype("int64")).all()
 
@@ -188,6 +200,13 @@ def test_violation_rows_monotonic_tie_break(ray_session):
      "min and/or max"),
     ({"table": "t", "column": "c", "kind": "stddev_between"},
      "min and/or max"),
+    ({"table": "t", "column": "c", "kind": "psi_max",
+      "split_column": "s", "baseline_values": ["a"],
+      "current_values": ["b"], "max_psi": 0.1}, "edges"),
+    ({"table": "t", "column": "c", "kind": "psi_max",
+      "split_column": "s", "baseline_values": ["a"],
+      "current_values": ["b"], "edges": [3.0, 1.0], "max_psi": 0.1},
+     "sorted"),
 ])
 def test_suite_validation_rejects(bad, msg):
     with pytest.raises(ValueError, match=msg):
