@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "dup_group_size_dist", "user_type_coverage",
     "supplier_reliability", "hapax_ratio", "trimmed_mean",
     "brand_price_premium", "activity_gini",
+    "constraint_audit", "constraint_violations", "schema_check",
     "validate_corpus",
 ]
 

@@ -806,6 +806,139 @@ def violations_oracle_sql(suite: List[dict],
 
 
 # ---------------------------------------------------------------------------
+# Schema checks — declarative expected-schema validation (footer-only)
+# ---------------------------------------------------------------------------
+
+def _arrow_to_sql(t) -> str:
+    """Map an Arrow type to the DuckDB type name information_schema
+    reports for a parquet-backed view — the shared vocabulary between
+    the engine's footer read and the generated oracle."""
+    import pyarrow as pa
+    if pa.types.is_int64(t):
+        return "BIGINT"
+    if pa.types.is_int32(t):
+        return "INTEGER"
+    if pa.types.is_int16(t):
+        return "SMALLINT"
+    if pa.types.is_int8(t):
+        return "TINYINT"
+    if pa.types.is_float64(t):
+        return "DOUBLE"
+    if pa.types.is_float32(t):
+        return "FLOAT"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "VARCHAR"
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    if pa.types.is_date(t):
+        return "DATE"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _arrow_to_sql(t.value_type) + "[]"
+    return str(t).upper()
+
+
+def check_schemas(read_schema, expected: Dict[str, List[tuple]]
+                  ) -> pd.DataFrame:
+    """Validate actual table schemas against a declarative expectation:
+    ``expected[table] = [(column_name, sql_type), ...]`` in ordinal
+    order.  ``read_schema(table)`` → pyarrow.Schema (a parquet FOOTER
+    read — schema validation never scans data, so at 100 TB this is
+    one metadata fetch per table, not a job).
+
+    One output row per column in the union of expected and actual:
+    (table_name, column_name, expected_pos, actual_pos, expected_type,
+    actual_type, status) with status priority
+    missing > unexpected > type_mismatch > position_mismatch > ok —
+    identical semantics to ``schema_oracle_sql``'s FULL OUTER JOIN."""
+    rows = []
+    for table in sorted(expected):
+        want = {c: (i + 1, ty)
+                for i, (c, ty) in enumerate(expected[table])}
+        sch = read_schema(table)
+        have = {f.name: (i + 1, _arrow_to_sql(f.type))
+                for i, f in enumerate(sch)}
+        for c in sorted(set(want) | set(have)):
+            ep, et = want.get(c, (-1, ""))
+            ap, at = have.get(c, (-1, ""))
+            if c not in have:
+                status = "missing"
+            elif c not in want:
+                status = "unexpected"
+            elif et != at:
+                status = "type_mismatch"
+            elif ep != ap:
+                status = "position_mismatch"
+            else:
+                status = "ok"
+            rows.append((table, c, ep, ap, et, at, status))
+    out = pd.DataFrame(rows, columns=[
+        "table_name", "column_name", "expected_pos", "actual_pos",
+        "expected_type", "actual_type", "status"])
+    out["expected_pos"] = out["expected_pos"].astype("int64")
+    out["actual_pos"] = out["actual_pos"].astype("int64")
+    return (out.sort_values(["table_name", "column_name"])
+            .reset_index(drop=True))
+
+
+def schema_oracle_sql(expected: Dict[str, List[tuple]]) -> str:
+    """ANSI-SQL equivalent of ``check_schemas`` over
+    information_schema.columns — the expectation list is embedded as a
+    VALUES table, the comparison is one FULL OUTER JOIN."""
+    vals = []
+    for table in sorted(expected):
+        for i, (c, ty) in enumerate(expected[table]):
+            vals.append(f"('{table}', '{c}', {i + 1}, '{ty}')")
+    tables = ", ".join(f"'{t}'" for t in sorted(expected))
+    return f"""
+WITH expected(table_name, column_name, ordinal, data_type) AS (
+  VALUES {', '.join(vals)}
+), actual AS (
+  SELECT table_name, column_name,
+         CAST(ordinal_position AS BIGINT) AS ordinal, data_type
+  FROM information_schema.columns
+  WHERE table_name IN ({tables})
+)
+SELECT coalesce(e.table_name, a.table_name) AS table_name,
+       coalesce(e.column_name, a.column_name) AS column_name,
+       coalesce(e.ordinal, -1) AS expected_pos,
+       coalesce(a.ordinal, -1) AS actual_pos,
+       coalesce(e.data_type, '') AS expected_type,
+       coalesce(a.data_type, '') AS actual_type,
+       CASE WHEN a.column_name IS NULL THEN 'missing'
+            WHEN e.column_name IS NULL THEN 'unexpected'
+            WHEN e.data_type <> a.data_type THEN 'type_mismatch'
+            WHEN e.ordinal <> a.ordinal THEN 'position_mismatch'
+            ELSE 'ok' END AS status
+FROM expected e FULL OUTER JOIN actual a
+  ON e.table_name = a.table_name AND e.column_name = a.column_name
+ORDER BY table_name, column_name"""
+
+
+# expected schemas for the schema_check query: documents/embeddings
+# exact, events expects value:VARCHAR (planted type_mismatch) and
+# omits props (unexpected) and adds quality_score (missing), orders
+# swaps the first two ordinals (position_mismatch)
+EXPECTED_SCHEMAS: Dict[str, List[tuple]] = {
+    "documents": [("doc_id", "BIGINT"), ("text", "VARCHAR"),
+                  ("lang", "VARCHAR"), ("source", "VARCHAR"),
+                  ("n_chars", "BIGINT")],
+    "embeddings": [("vec_id", "BIGINT"), ("embedding", "FLOAT[]"),
+                   ("label", "INTEGER")],
+    "events": [("event_id", "BIGINT"), ("ts", "TIMESTAMP"),
+               ("user_id", "BIGINT"), ("event_type", "VARCHAR"),
+               ("value", "VARCHAR"), ("quality_score", "DOUBLE")],
+    "orders": [("o_custkey", "BIGINT"), ("o_orderkey", "BIGINT"),
+               ("o_orderstatus", "VARCHAR"), ("o_totalprice", "DOUBLE"),
+               ("o_orderdate", "TIMESTAMP"),
+               ("o_orderpriority", "VARCHAR")],
+}
+
+
+# ---------------------------------------------------------------------------
 # The default suite over the testdata tables (q_constraint_audit)
 # ---------------------------------------------------------------------------
 

@@ -10454,6 +10454,22 @@ def q_constraint_violations(sf_dir: str) -> pd.DataFrame:
         VIOLATION_SUITE, VIOLATION_KEYS)
 
 
+def q_schema_check(sf_dir: str) -> pd.DataFrame:
+    """Declarative expected-schema validation
+    (engine/constraints.check_schemas): the north rule's "schema"
+    half.  Reads ONLY parquet footers — no Ray job, no data scan; at
+    100 TB schema validation is one metadata fetch per table.  Status
+    per column: ok / type_mismatch / position_mismatch / missing /
+    unexpected, with planted discrepancies in EXPECTED_SCHEMAS so every
+    status is exercised.  The DuckDB oracle is generated from the SAME
+    expectation dict over information_schema.columns."""
+    import pyarrow.parquet as pq
+    from ..engine.constraints import EXPECTED_SCHEMAS, check_schemas
+    return check_schemas(
+        lambda table: pq.read_schema(f"{sf_dir}/{table}.parquet"),
+        EXPECTED_SCHEMAS)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -10691,6 +10707,7 @@ QUERIES = {
     "kcore": q_kcore,
     "constraint_audit": q_constraint_audit,
     "constraint_violations": q_constraint_violations,
+    "schema_check": q_schema_check,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -13798,6 +13815,11 @@ from ..engine.constraints import (DEFAULT_SUITE as _CONSTRAINT_SUITE,
 ORACLE_SQL["constraint_audit"] = _suite_oracle_sql(_CONSTRAINT_SUITE)
 ORACLE_SQL["constraint_violations"] = _violations_oracle_sql(
     _VIOLATION_SUITE, _VIOLATION_KEYS)
+
+from ..engine.constraints import (EXPECTED_SCHEMAS as _EXPECTED_SCHEMAS,
+                                  schema_oracle_sql as _schema_oracle_sql)
+
+ORACLE_SQL["schema_check"] = _schema_oracle_sql(_EXPECTED_SCHEMAS)
 
 # bfs_levels: bounded recursive min-level CTE over the same jpairs edge
 # set the engine's BFS runs on (seeds = every 8th doc id in the graph)

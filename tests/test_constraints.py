@@ -219,6 +219,41 @@ def test_duplicate_constraint_rejected():
         audit_constraints(lambda *a: None, [s, dict(s)])
 
 
+def test_schema_check_statuses():
+    import pyarrow as pa
+    from butteraugli_ray.engine.constraints import (check_schemas,
+                                                    schema_oracle_sql)
+    actual = {
+        "t": pa.schema([("a", pa.int64()), ("b", pa.string()),
+                        ("c", pa.float64()),
+                        ("e", pa.list_(pa.float32())),
+                        ("f", pa.timestamp("us"))]),
+    }
+    expected = {"t": [("a", "BIGINT"),        # ok
+                      ("c", "DOUBLE"),        # position_mismatch (2 vs 3)
+                      ("b", "BIGINT"),        # type_mismatch
+                      ("d", "VARCHAR"),       # missing
+                      ("e", "FLOAT[]"),       # position_mismatch
+                      ("f", "TIMESTAMP")]}    # position_mismatch? 6 vs 5
+    got = check_schemas(lambda t: actual[t], expected)
+    st = got.set_index("column_name")["status"]
+    assert st["a"] == "ok"
+    assert st["b"] == "type_mismatch"
+    assert st["c"] == "position_mismatch"
+    assert st["d"] == "missing"
+    assert st["e"] == "position_mismatch"
+    assert st["f"] == "position_mismatch"
+    # engine matches the generated SQL over an equivalent actual table
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b VARCHAR, c DOUBLE, "
+                "e FLOAT[], f TIMESTAMP)")
+    want = con.execute(schema_oracle_sql(expected)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"expected_pos": "int64", "actual_pos": "int64"})
+        .reset_index(drop=True))
+
+
 def test_default_suite_is_valid_sql():
     # the shipped suite must always compile to parseable SQL
     sql = suite_oracle_sql(DEFAULT_SUITE)
