@@ -12,14 +12,20 @@ A suite is a list of plain-dict specs::
      "ref_table": "customer", "ref_column": "c_custkey"}
 
 ``audit_constraints`` compiles the suite into ONE vectorized
-``map_batches`` pass per table (all row-local checks of a table share
-the scan; the projection is pruned to exactly the referenced columns)
-plus, per ``unique`` constraint, one hash-bucketed distinct-count
-shuffle (the functions/dedup.py combiner shape — Ray's native groupby
-never runs at value cardinality).  ``foreign_key`` builds the distinct
-reference-key set with the same bucketed partial and broadcasts it via
-``ray.put`` (dimension-bounded; for fact→fact keys at 100 TB route
-through ``functions.bloom`` + the partitioned semi-join in
+``map_batches`` pass per table carrying ALL row-local checks,
+sufficient-stat gates, PSI histograms (cid|bin rows) and unique
+non-null counts through a single Sum-aggregate shuffle (the projection
+is pruned to exactly the referenced columns).  Extra passes exist only
+where the check's semantics force a different data movement: one
+hash-bucketed distinct-count shuffle per distinct column (shared
+between ``unique`` and ``distinct_count_min``; the functions/dedup.py
+combiner shape — Ray's native groupby never runs at value
+cardinality) and one group-hash bucket shuffle per ``monotonic``
+check.  ``row_count_ratio_between`` reads only parquet metadata.
+``foreign_key`` builds the distinct reference-key set with the same
+bucketed partial and broadcasts it via ``ray.put``
+(dimension-bounded; for fact→fact keys at 100 TB route through
+``functions.bloom`` + the partitioned semi-join in
 ``functions/joins.py`` instead — the broadcast here is the dim-table
 path).  Nothing materializes a table on the driver: row-local partials
 reduce to one row per (constraint × block), unique/fk partials to one
@@ -64,6 +70,22 @@ Violation semantics (identical on both sides):
                      (n, Σx, Σx²) sufficient-stat partials — pick
                      bounds away from float round-off of the true
                      statistic.
+- ``psi_max``      — distribution-drift gate: population stability
+                     index between the rows whose ``split_column`` is
+                     in ``baseline_values`` vs ``current_values``,
+                     over fixed ``edges`` bins (eps-smoothed
+                     proportions); violation count 1 if PSI >
+                     ``max_psi``.  Empty sides pass (no drift
+                     evidence).  n_rows = rows considered (both
+                     sides).
+- ``row_count_ratio_between`` — table-level cross-table volume gate:
+                     count(table)/count(ref_table) outside
+                     [min, max] → violation count 1.  Metadata-only.
+
+``check_schemas`` / ``schema_oracle_sql`` are the schema half:
+expected (column, type, ordinal) specs vs actual parquet footers, per
+column status ok / type_mismatch / position_mismatch / missing /
+unexpected — no data scan.
 
 ``violation_rows`` / ``violations_oracle_sql`` are the row-level
 companion (the north rule's "pass/fail AND violation rows"): for the
@@ -85,7 +107,7 @@ import pandas as pd
 KINDS = ("not_null", "unique", "range", "in_set", "regex",
          "foreign_key", "row_count_min", "monotonic", "null_ratio_max",
          "distinct_count_min", "mean_between", "stddev_between",
-         "psi_max")
+         "psi_max", "row_count_ratio_between")
 
 # PSI smoothing epsilon — identical literal in engine and generated SQL
 PSI_EPS = 1e-6
@@ -106,7 +128,8 @@ def _validate_suite(suite: List[dict]) -> None:
     for s in suite:
         if s["kind"] not in KINDS:
             raise ValueError(f"unknown constraint kind {s['kind']!r}")
-        if s["kind"] != "row_count_min" and "column" not in s:
+        if s["kind"] not in ("row_count_min", "row_count_ratio_between") \
+                and "column" not in s:
             raise ValueError(f"{s['kind']} needs a column: {s}")
         if s["kind"] == "range" and ("min" not in s and "max" not in s):
             raise ValueError(f"range needs min and/or max: {s}")
@@ -136,6 +159,12 @@ def _validate_suite(suite: List[dict]) -> None:
                     raise ValueError(f"psi_max needs {f}: {s}")
             if list(s["edges"]) != sorted(s["edges"]):
                 raise ValueError(f"psi_max edges must be sorted: {s}")
+        if s["kind"] == "row_count_ratio_between" and (
+                "ref_table" not in s
+                or ("min" not in s and "max" not in s)):
+            raise ValueError(
+                f"row_count_ratio_between needs ref_table and "
+                f"min and/or max: {s}")
         k = _cid(s)
         if k in seen:
             raise ValueError(f"duplicate constraint {k}")
@@ -221,54 +250,6 @@ def _monotonic_check(ds, spec: dict, key: str | None = None,
     return out["key"].tolist()
 
 
-def _psi_check(ds, spec: dict):
-    """Population-stability-index drift gate between two value subsets
-    of one table (baseline vs current rows selected by split_column).
-    Per-batch fixed-edge histogram partials (two int64 vectors) → one
-    |bins|-sized groupby — the only thing that ever moves is bin
-    counts.  Returns (n_rows_considered, violation_0_or_1).  PSI uses
-    proportions smoothed by PSI_EPS; empty sides gate to 0 violations
-    (no drift evidence), matching the generated SQL's CASE order."""
-    import pyarrow as pa
-    from ray.data.aggregate import Sum
-
-    col, sc = spec["column"], spec["split_column"]
-    edges = np.asarray(spec["edges"], dtype="float64")
-    base = frozenset(spec["baseline_values"])
-    curr = frozenset(spec["current_values"])
-    nb = len(edges) + 1
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[list(dict.fromkeys([sc, col]))].dropna(subset=[col])
-        v = sub[col].to_numpy(dtype="float64")
-        bins = np.searchsorted(edges, v, side="right")
-        mb = sub[sc].isin(base).to_numpy()
-        ma = sub[sc].isin(curr).to_numpy()
-        return pd.DataFrame({
-            "bin": np.arange(nb, dtype="int64"),
-            "ne": np.bincount(bins[mb], minlength=nb).astype("int64"),
-            "na": np.bincount(bins[ma], minlength=nb).astype("int64")})
-
-    agg = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("bin")
-           .aggregate(Sum("ne", alias_name="ne"),
-                      Sum("na", alias_name="na"))
-           .to_pandas())
-    ne = np.zeros(nb, dtype="int64")
-    na = np.zeros(nb, dtype="int64")
-    if len(agg):
-        ne[agg["bin"].to_numpy()] = agg["ne"].to_numpy()
-        na[agg["bin"].to_numpy()] = agg["na"].to_numpy()
-    te, ta = int(ne.sum()), int(na.sum())
-    n_rows = te + ta
-    if te == 0 or ta == 0:
-        return n_rows, 0
-    pe, pa_ = ne / te, na / ta
-    psi = float(((pa_ - pe)
-                 * np.log((pa_ + PSI_EPS) / (pe + PSI_EPS))).sum())
-    return n_rows, int(psi > float(spec["max_psi"]))
-
-
 def _ref_key_set(read, spec: dict):
     """Distinct reference keys for a foreign_key spec, as a driver-side
     numpy array ready for ray.put (dim-table path; see module doc for
@@ -307,6 +288,8 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         distincts = [s for s in specs
                      if s["kind"] == "distinct_count_min"]
         psis = [s for s in specs if s["kind"] == "psi_max"]
+        ratios = [s for s in specs
+                  if s["kind"] == "row_count_ratio_between"]
         cols = sorted({s["column"] for s in specs if "column" in s}
                       | {s[k] for s in monotonics
                          for k in ("group_by", "order_by")}
@@ -372,17 +355,54 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                             float((v * v).sum()))
                 compiled.append((cid, f))
 
-        def partial(df: pd.DataFrame, _c=tuple(compiled)) -> pd.DataFrame:
+        # unique's non-null count rides the same shared scan (s0)
+        for s in uniques:
+            compiled.append((_cid(s), lambda df, c=s["column"]:
+                             (0, float(df[c].notna().sum()), 0.0, 0.0)))
+
+        # psi histograms ride the shared scan too: one cid row per bin
+        # (cid|bin, s0=baseline count, s1=current count) through the
+        # SAME Sum-aggregate shuffle — no second pass over the table
+        psi_parts = []
+        for s in psis:
+            psi_parts.append((_cid(s), s["column"], s["split_column"],
+                              np.asarray(s["edges"], dtype="float64"),
+                              frozenset(s["baseline_values"]),
+                              frozenset(s["current_values"])))
+
+        def partial(df: pd.DataFrame, _c=tuple(compiled),
+                    _p=tuple(psi_parts)) -> pd.DataFrame:
             res = [fn(df) for _, fn in _c]
             res = [r if isinstance(r, tuple) else (r, 0.0, 0.0, 0.0)
                    for r in res]
+            cids = [cid for cid, _ in _c]
+            nv = [r[0] for r in res]
+            s0 = [r[1] for r in res]
+            s1 = [r[2] for r in res]
+            s2 = [r[3] for r in res]
+            for cid, col, sc, edges, base, curr in _p:
+                sub = df[list(dict.fromkeys([sc, col]))].dropna(
+                    subset=[col])
+                v = sub[col].to_numpy(dtype="float64")
+                bins = np.searchsorted(edges, v, side="right")
+                nb = len(edges) + 1
+                ne = np.bincount(bins[sub[sc].isin(base).to_numpy()],
+                                 minlength=nb)
+                na = np.bincount(bins[sub[sc].isin(curr).to_numpy()],
+                                 minlength=nb)
+                for i in range(nb):
+                    cids.append(f"{cid}|{i}")
+                    nv.append(0)
+                    s0.append(float(ne[i]))
+                    s1.append(float(na[i]))
+                    s2.append(0.0)
             return pd.DataFrame({
-                "cid": [cid for cid, _ in _c],
+                "cid": cids,
                 "n_rows": np.int64(len(df)),
-                "n_viol": np.array([r[0] for r in res], dtype="int64"),
-                "s0": np.array([r[1] for r in res], dtype="float64"),
-                "s1": np.array([r[2] for r in res], dtype="float64"),
-                "s2": np.array([r[3] for r in res], dtype="float64")})
+                "n_viol": np.array(nv, dtype="int64"),
+                "s0": np.array(s0, dtype="float64"),
+                "s1": np.array(s1, dtype="float64"),
+                "s2": np.array(s2, dtype="float64")})
 
         from ray.data.aggregate import Sum
         agg = (ds.map_batches(partial, batch_format="pandas")
@@ -392,7 +412,7 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                           Sum("s0", alias_name="s0"),
                           Sum("s1", alias_name="s1"),
                           Sum("s2", alias_name="s2"))
-               .to_pandas()) if compiled else pd.DataFrame(
+               .to_pandas()) if (compiled or psi_parts) else pd.DataFrame(
                    columns=["cid", "n_rows", "n_viol", "s0", "s1", "s2"])
         agg_map = {r["cid"]: (int(r["n_rows"]), int(r["n_viol"]),
                               float(r["s0"]), float(r["s1"]),
@@ -400,7 +420,7 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                    for _, r in agg.iterrows()}
         n_table = next(iter(agg_map.values()))[0] if agg_map else (
             int(ds.count()) if (uniques or monotonics or distincts
-                                or psis) else 0)
+                                or psis or ratios) else 0)
 
         for s in row_local:
             cid = _cid(s)
@@ -437,26 +457,62 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
             rows.append((s["table"], s["column"], "monotonic",
                          nn, n_viol))
 
+        # exact distinct counts, shared between unique and
+        # distinct_count_min specs on the same column
+        nd_cache: Dict[str, int] = {}
+
+        def nd_of(column: str) -> int:
+            if column not in nd_cache:
+                nd_cache[column] = _distinct_nonnull_count(ds, column)
+            return nd_cache[column]
+
         for s in distincts:
-            nd = _distinct_nonnull_count(ds, s["column"])
+            nd = nd_of(s["column"])
             rows.append((s["table"], s["column"], "distinct_count_min",
                          n_table, max(0, int(s["min_distinct"]) - nd)))
 
         for s in psis:
-            nr, n_viol = _psi_check(ds, s)
+            cid = _cid(s)
+            nb = len(s["edges"]) + 1
+            ne = np.array([agg_map.get(f"{cid}|{i}",
+                                       (0, 0, 0.0, 0.0, 0.0))[2]
+                           for i in range(nb)])
+            na = np.array([agg_map.get(f"{cid}|{i}",
+                                       (0, 0, 0.0, 0.0, 0.0))[3]
+                           for i in range(nb)])
+            te, ta = float(ne.sum()), float(na.sum())
+            if te == 0 or ta == 0:
+                n_viol = 0
+            else:
+                pe, pa_ = ne / te, na / ta
+                psi = float(((pa_ - pe) * np.log((pa_ + PSI_EPS)
+                                                 / (pe + PSI_EPS))).sum())
+                n_viol = int(psi > float(s["max_psi"]))
             rows.append((s["table"], s["column"], "psi_max",
-                         nr, n_viol))
+                         int(te + ta), n_viol))
+
+        for s in ratios:
+            # both counts come from parquet metadata (Dataset.count on
+            # an un-transformed read) — no data scan
+            n_ref = int(read(s["ref_table"], None).count())
+            lo, hi = s.get("min"), s.get("max")
+            if n_ref == 0:
+                n_viol = 0
+            else:
+                ratio = n_table / n_ref
+                n_viol = int((lo is not None and ratio < lo)
+                             or (hi is not None and ratio > hi))
+            rows.append((s["table"], "*", "row_count_ratio_between",
+                         n_table, n_viol))
 
         for s in uniques:
-            # reuse the same pruned Dataset: the scan re-executes but
-            # the distinct count itself is the bucketed combiner
-            nn = ds.map_batches(
-                lambda df, c=s["column"]: pd.DataFrame(
-                    {"n": [np.int64(df[c].notna().sum())]}),
-                batch_format="pandas").sum("n") or 0
-            nd = _distinct_nonnull_count(ds, s["column"])
+            # non-null count came through the shared scan (s0); the
+            # distinct count is the bucketed combiner (cached per
+            # column, shared with distinct_count_min)
+            nn = int(agg_map.get(_cid(s), (0, 0, 0.0, 0.0, 0.0))[2])
+            nd = nd_of(s["column"])
             rows.append((s["table"], s["column"], "unique",
-                         n_table, int(nn) - nd))
+                         n_table, nn - nd))
 
     out = pd.DataFrame(rows, columns=["table_name", "column_name",
                                       "check", "n_rows", "n_violations"])
@@ -511,6 +567,15 @@ def _viol_expr(s: dict) -> str:
         m = int(s["min_distinct"])
         return (f"CASE WHEN count(DISTINCT {c}) < {m} "
                 f"THEN {m} - count(DISTINCT {c}) ELSE 0 END")
+    if kind == "row_count_ratio_between":
+        ratio = (f"CAST(count(*) AS DOUBLE) / "
+                 f"NULLIF((SELECT count(*) FROM {s['ref_table']}), 0)")
+        conds = []
+        if s.get("min") is not None:
+            conds.append(f"{ratio} < {_sql_quote(s['min'])}")
+        if s.get("max") is not None:
+            conds.append(f"{ratio} > {_sql_quote(s['max'])}")
+        return ("CASE WHEN " + " OR ".join(conds) + " THEN 1 ELSE 0 END")
     if kind in ("mean_between", "stddev_between"):
         expr = f"avg({c})" if kind == "mean_between" \
             else f"stddev_samp({c})"
@@ -1009,6 +1074,12 @@ DEFAULT_SUITE: List[dict] = [
      "split_column": "lang", "baseline_values": ["en"],
      "current_values": ["zh"],
      "edges": [200.0, 500.0, 1000.0, 2000.0], "max_psi": 0.002},
+    # cross-table volume sanity: ~4 lineitems per order
+    {"table": "lineitem", "kind": "row_count_ratio_between",
+     "ref_table": "orders", "min": 2.0, "max": 8.0},
+    # events per document is ~20: deliberate failure at max 5
+    {"table": "events", "kind": "row_count_ratio_between",
+     "ref_table": "documents", "max": 5.0},
 ]
 
 # key column per testdata table for violation_rows / its oracle

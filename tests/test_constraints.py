@@ -77,6 +77,12 @@ SUITE = [
      "split_column": "uid", "baseline_values": [0, 1, 2, 3, 4],
      "current_values": [5, 6, 7, 8, 9],
      "edges": [20.0, 50.0, 80.0], "max_psi": 0.0},
+    # 600 orders / 400 users = 1.5 -> passes
+    {"table": "orders", "kind": "row_count_ratio_between",
+     "ref_table": "users", "min": 1.0, "max": 2.0},
+    # 400 users / 600 orders = 0.667 -> fails below 0.9
+    {"table": "users", "kind": "row_count_ratio_between",
+     "ref_table": "orders", "min": 0.9},
 ]
 
 
@@ -122,6 +128,10 @@ def test_engine_matches_generated_oracle(ray_session):
                   "n_violations"] == 1
     assert by.loc[("orders", "amount", "monotonic"), "n_violations"] > 0
     assert by.loc[("users", "age", "psi_max"), "n_violations"] == 0
+    assert by.loc[("orders", "*", "row_count_ratio_between"),
+                  "n_violations"] == 0
+    assert by.loc[("users", "*", "row_count_ratio_between"),
+                  "n_violations"] == 1
     assert (got["passed"] == (got["n_violations"] == 0)
             .astype("int64")).all()
 
@@ -207,6 +217,8 @@ def test_violation_rows_monotonic_tie_break(ray_session):
       "split_column": "s", "baseline_values": ["a"],
       "current_values": ["b"], "edges": [3.0, 1.0], "max_psi": 0.1},
      "sorted"),
+    ({"table": "t", "kind": "row_count_ratio_between"},
+     "ref_table"),
 ])
 def test_suite_validation_rejects(bad, msg):
     with pytest.raises(ValueError, match=msg):
