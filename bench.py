@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "supplier_reliability", "hapax_ratio", "trimmed_mean",
     "brand_price_premium", "activity_gini",
     "constraint_audit", "constraint_violations", "schema_check",
+    "local_supplier_volume", "important_parts", "supplier_part_counts",
     "validate_corpus",
 ]
 

@@ -10412,6 +10412,167 @@ def q_activity_gini(sf_dir: str) -> pd.DataFrame:
         "gini": _round_half_away(pd.Series([gini]), 6)})
 
 
+def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 analog: revenue from lineitems where the ordering
+    customer and the shipping supplier sit in the SAME nation, per
+    nation.  Shape: ONE fact-fact bucket-partitioned hash join
+    (lineitem ⋈ orders on orderkey); the customer→nation and
+    supplier→nation maps are dimension-bounded broadcasts read once
+    per actor.  Revenue sums in exact 10⁻⁴-dollar int64 units
+    (extprice and discount both carry 2 decimals), so the hash can
+    never drift on float association order."""
+    import ray
+    import pyarrow.parquet as pq
+    from ..functions.joins import hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"])
+    items = items.map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    joined = hash_join(orders, items, key="o_orderkey", n_buckets=64)
+
+    class Partial:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+            self.supp = ray.get(supp_ref)
+            self.name = ray.get(name_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.dropna(subset=["l_extendedprice"])
+            c_nat = df["o_custkey"].map(self.cust)
+            s_nat = df["l_suppkey"].map(self.supp)
+            m = (c_nat == s_nat).to_numpy()
+            if not m.any():
+                return pd.DataFrame({"n_name": pd.Series(dtype=str),
+                                     "rev_u": pd.Series(dtype="int64"),
+                                     "n_items": pd.Series(dtype="int64")})
+            sub = df.loc[m]
+            price_c = np.round(sub["l_extendedprice"].to_numpy("float64")
+                               * 100).astype("int64")
+            keep_c = np.round((1.0 - sub["l_discount"].to_numpy("float64"))
+                              * 100).astype("int64")
+            g = pd.DataFrame({"n_name": c_nat[m].map(self.name),
+                              "rev_u": price_c * keep_c})
+            return g.groupby("n_name", as_index=False).agg(
+                rev_u=("rev_u", "sum"), n_items=("rev_u", "size"))
+
+    out = _final_agg(joined.map_batches(Partial, batch_format="pandas",
+                                        concurrency=actor_pool(2)),
+                     ["n_name"], ["rev_u", "n_items"])
+    out["revenue"] = _round_half_away(out["rev_u"] / 1e4, 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return (out[["n_name", "revenue", "n_items"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+def q_important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 analog: parts whose lineitem revenue exceeds 1/2000 of
+    total revenue.  Per-batch partkey partials → the hash-bucketed
+    combiner (|part|-bounded result); the global-total gate compares in
+    PURE int64 (2000·v > total in exact 10⁻⁴ units — no float
+    threshold to straddle; overflow-safe below ~9·10¹⁴ dollars total,
+    i.e. any benchable sf)."""
+    import pyarrow.parquet as pq
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(df["l_extendedprice"].to_numpy("float64")
+                           * 100).astype("int64")
+        keep_c = np.round((1.0 - df["l_discount"].to_numpy("float64"))
+                          * 100).astype("int64")
+        g = pd.DataFrame({"l_partkey": df["l_partkey"],
+                          "rev_u": price_c * keep_c})
+        return g.groupby("l_partkey", as_index=False).agg(
+            rev_u=("rev_u", "sum"))
+
+    per_part = _final_agg(items.map_batches(partial, batch_format="pandas"),
+                          ["l_partkey"], ["rev_u"])
+    total = int(per_part["rev_u"].sum())
+    keep = per_part[2000 * per_part["rev_u"] > total].copy()
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    keep = keep.merge(part, left_on="l_partkey", right_on="p_partkey")
+    keep["value"] = _round_half_away(keep["rev_u"] / 1e4, 2)
+    return (keep[["p_partkey", "p_brand", "value"]]
+            .sort_values("p_partkey").reset_index(drop=True)
+            .astype({"p_partkey": "int64"}))
+
+
+def q_supplier_part_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 analog: distinct suppliers per (brand, size).  Shape:
+    per-batch distinct (partkey, suppkey) pairs → broadcast part-attr
+    map → ONE bucket shuffle hashed on the full (brand, size, suppkey)
+    triple, so each bucket counts its triples independently and the
+    per-group counts just sum — never a global count-distinct sort."""
+    import ray
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+    size_ref = ray.put(dict(zip(part["p_partkey"],
+                                part["p_size"].astype("int64"))))
+
+    items = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    class Triples:
+        def __init__(self):
+            self.brand = ray.get(brand_ref)
+            self.size = ray.get(size_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pairs = df[["l_partkey", "l_suppkey"]].drop_duplicates()
+            out = pd.DataFrame({
+                "p_brand": pairs["l_partkey"].map(self.brand),
+                "p_size": pairs["l_partkey"].map(self.size)
+                .astype("int64"),
+                "l_suppkey": pairs["l_suppkey"]})
+            return out.drop_duplicates()
+
+    triples = items.map_batches(Triples, batch_format="pandas",
+                                concurrency=actor_pool(2))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (pd.util.hash_pandas_object(
+            df["p_brand"].astype(str) + "|" + df["p_size"].astype(str)
+            + "|" + df["l_suppkey"].astype(str), index=False)
+            .to_numpy() % 64).astype("int64") if len(df) else \
+            pd.Series([], dtype="int64")
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+        return (u.groupby(["p_brand", "p_size"], as_index=False)
+                .agg(supplier_cnt=("l_suppkey", "size")))
+
+    out = _final_agg(
+        triples.map_batches(tag, batch_format="pandas")
+        .groupby("__b").map_groups(combine, batch_format="pandas"),
+        ["p_brand", "p_size"], ["supplier_cnt"])
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return (out.sort_values(["p_brand", "p_size"])
+            .reset_index(drop=True))
+
+
 def q_constraint_audit(sf_dir: str) -> pd.DataFrame:
     """Declarative constraint-suite audit (engine/constraints.py): the
     validation engine's data-quality DSL run over the whole testdata
@@ -10708,6 +10869,9 @@ QUERIES = {
     "constraint_audit": q_constraint_audit,
     "constraint_violations": q_constraint_violations,
     "schema_check": q_schema_check,
+    "local_supplier_volume": q_local_supplier_volume,
+    "important_parts": q_important_parts,
+    "supplier_part_counts": q_supplier_part_counts,
 }
 
 _TOKS = r"regexp_extract_all(text, '\S+')"
@@ -13820,6 +13984,44 @@ from ..engine.constraints import (EXPECTED_SCHEMAS as _EXPECTED_SCHEMAS,
                                   schema_oracle_sql as _schema_oracle_sql)
 
 ORACLE_SQL["schema_check"] = _schema_oracle_sql(_EXPECTED_SCHEMAS)
+
+# TPC-H Q5 analog — exact 1e-4-dollar integer revenue units on both
+# sides (see q_local_supplier_volume)
+ORACLE_SQL["local_supplier_volume"] = """
+SELECT n_name,
+       ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT))
+             / 10000.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY n_name"""
+
+# TPC-H Q11 analog — pure-int64 threshold: 2000*v > total
+ORACLE_SQL["important_parts"] = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_u
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, p_brand, ROUND(rev_u / 10000.0, 2) AS value
+FROM pv JOIN part ON l_partkey = p_partkey
+WHERE 2000 * rev_u > (SELECT SUM(rev_u) FROM pv)
+ORDER BY p_partkey"""
+
+# TPC-H Q16 analog
+ORACLE_SQL["supplier_part_counts"] = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_size
+ORDER BY p_brand, p_size"""
 
 # bfs_levels: bounded recursive min-level CTE over the same jpairs edge
 # set the engine's BFS runs on (seeds = every 8th doc id in the graph)
