@@ -150,6 +150,42 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Run a declarative constraint suite (JSON file of spec dicts, or
+    the built-in DEFAULT_SUITE) over a table directory.  Exit code
+    follows the validate contract: 0 all passed / 1 violations found /
+    2 error."""
+    from .engine.constraints import (DEFAULT_SUITE, VIOLATION_KEYS,
+                                     audit_constraints, violation_rows)
+    from .pipelines.queries import _read
+
+    if args.suite:
+        with open(args.suite) as f:
+            suite = json.load(f)
+    else:
+        suite = DEFAULT_SUITE
+    _ray_init(args.num_cpus)
+    read = lambda table, columns: _read(args.sf_dir, table,
+                                        columns=columns)
+    try:
+        out = audit_constraints(read, suite)
+    except (ValueError, KeyError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(out.to_string(index=False))
+    if args.rows and not bool((out["passed"] == 1).all()):
+        keys = (json.loads(open(args.keys).read()) if args.keys
+                else VIOLATION_KEYS)
+        rows = violation_rows(read, suite, keys)
+        if args.rows_out:
+            rows.to_parquet(args.rows_out)
+            print(json.dumps({"violation_rows": len(rows),
+                              "out": args.rows_out}))
+        else:
+            print(rows.head(args.rows_cap).to_string(index=False))
+    return 0 if bool((out["passed"] == 1).all()) else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="butteraugli-ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -189,6 +225,22 @@ def main(argv=None) -> int:
     q.add_argument("--list", action="store_true", help="list query names")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    a = sub.add_parser("audit", help="run a declarative constraint suite")
+    a.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    a.add_argument("--suite", default=None,
+                   help="JSON file of constraint specs (default: "
+                        "built-in DEFAULT_SUITE)")
+    a.add_argument("--rows", action="store_true",
+                   help="also emit violation rows for failed checks")
+    a.add_argument("--rows-out", default=None,
+                   help="write violation rows parquet here")
+    a.add_argument("--rows-cap", type=int, default=50)
+    a.add_argument("--keys", default=None,
+                   help="JSON file mapping table -> key column "
+                        "(default: built-in VIOLATION_KEYS)")
+    a.add_argument("--num-cpus", type=int, default=None)
+    a.set_defaults(fn=cmd_audit)
 
     args = ap.parse_args(argv)
     return args.fn(args)

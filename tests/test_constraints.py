@@ -266,6 +266,37 @@ def test_schema_check_statuses():
         .reset_index(drop=True))
 
 
+def test_cli_audit_exit_codes(tmp_path):
+    """`butteraugli-ray audit` exit contract: 1 when the suite has
+    violations (DEFAULT_SUITE plants failures), 0 on an all-green
+    suite, 2 on an invalid spec."""
+    import json as _json
+    import subprocess
+    import sys
+    base = [sys.executable, "-m", "butteraugli_ray.cli", "audit",
+            "--sf-dir", "/root/testdata/sf0.001", "--num-cpus", "4"]
+    # default suite has deliberate failures -> exit 1
+    r = subprocess.run(base, capture_output=True, text=True)
+    assert r.returncode == 1, r.stderr
+    assert "n_violations" in r.stdout
+    # an all-green suite -> exit 0
+    ok = [{"table": "orders", "column": "o_orderkey",
+           "kind": "not_null"}]
+    p = tmp_path / "ok.json"
+    p.write_text(_json.dumps(ok))
+    r = subprocess.run(base + ["--suite", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    # invalid spec -> exit 2
+    bad = [{"table": "orders", "column": "o_orderkey",
+            "kind": "frobnicate"}]
+    p2 = tmp_path / "bad.json"
+    p2.write_text(_json.dumps(bad))
+    r = subprocess.run(base + ["--suite", str(p2)],
+                       capture_output=True, text=True)
+    assert r.returncode == 2
+
+
 def test_default_suite_is_valid_sql():
     # the shipped suite must always compile to parseable SQL
     sql = suite_oracle_sql(DEFAULT_SUITE)
