@@ -107,20 +107,42 @@ import pandas as pd
 KINDS = ("not_null", "unique", "range", "in_set", "regex",
          "foreign_key", "row_count_min", "monotonic", "null_ratio_max",
          "distinct_count_min", "mean_between", "stddev_between",
-         "psi_max", "row_count_ratio_between")
+         "psi_max", "row_count_ratio_between", "satisfies",
+         "functional_dependency")
 
 # PSI smoothing epsilon — identical literal in engine and generated SQL
 PSI_EPS = 1e-6
 
 # kinds whose violations are identifiable rows (violation_rows support)
 ROW_KINDS = ("not_null", "range", "in_set", "regex", "foreign_key",
-             "unique", "monotonic")
+             "unique", "monotonic", "satisfies",
+             "functional_dependency")
+
+# satisfies operators: one vocabulary shared by the vectorized engine
+# mask and the generated SQL predicate (both sides require non-null
+# operands, so pandas NaN-compares-False and SQL NULL-propagation
+# never diverge)
+SAT_OPS = ("<", "<=", ">", ">=", "=", "<>")
+
+
+def _disp_col(spec: dict) -> str:
+    """Display column for output rows / cids.  Cross-column kinds
+    encode the whole predicate so two checks on the same table never
+    collide (and the audit row names what was actually checked)."""
+    kind = spec["kind"]
+    if kind == "satisfies":
+        rhs = (spec["right_column"] if "right_column" in spec
+               else str(spec["right_value"]))
+        return f"{spec['left']}{spec['op']}{rhs}"
+    if kind == "functional_dependency":
+        return f"{spec['column']}->{spec['determines']}"
+    return spec.get("column", "*")
 
 
 def _cid(spec: dict) -> str:
     """Stable display key: table/column/kind (column '*' for
     table-level checks)."""
-    return f"{spec['table']}.{spec.get('column', '*')}.{spec['kind']}"
+    return f"{spec['table']}.{_disp_col(spec)}.{spec['kind']}"
 
 
 def _validate_suite(suite: List[dict]) -> None:
@@ -128,8 +150,8 @@ def _validate_suite(suite: List[dict]) -> None:
     for s in suite:
         if s["kind"] not in KINDS:
             raise ValueError(f"unknown constraint kind {s['kind']!r}")
-        if s["kind"] not in ("row_count_min", "row_count_ratio_between") \
-                and "column" not in s:
+        if s["kind"] not in ("row_count_min", "row_count_ratio_between",
+                             "satisfies") and "column" not in s:
             raise ValueError(f"{s['kind']} needs a column: {s}")
         if s["kind"] == "range" and ("min" not in s and "max" not in s):
             raise ValueError(f"range needs min and/or max: {s}")
@@ -165,6 +187,19 @@ def _validate_suite(suite: List[dict]) -> None:
             raise ValueError(
                 f"row_count_ratio_between needs ref_table and "
                 f"min and/or max: {s}")
+        if s["kind"] == "satisfies":
+            if "left" not in s or "op" not in s:
+                raise ValueError(f"satisfies needs left/op: {s}")
+            if s["op"] not in SAT_OPS:
+                raise ValueError(
+                    f"satisfies op must be one of {SAT_OPS}: {s}")
+            if ("right_column" in s) == ("right_value" in s):
+                raise ValueError(
+                    f"satisfies needs exactly one of right_column/"
+                    f"right_value: {s}")
+        if s["kind"] == "functional_dependency" and "determines" not in s:
+            raise ValueError(
+                f"functional_dependency needs determines: {s}")
         k = _cid(s)
         if k in seen:
             raise ValueError(f"duplicate constraint {k}")
@@ -250,6 +285,52 @@ def _monotonic_check(ds, spec: dict, key: str | None = None,
     return out["key"].tolist()
 
 
+import operator as _operator
+
+# engine-side callables for SAT_OPS ("=" / "<>" are pandas eq/ne)
+_SAT_OP_FN = {"<": _operator.lt, "<=": _operator.le,
+              ">": _operator.gt, ">=": _operator.ge,
+              "=": _operator.eq, "<>": _operator.ne}
+
+
+def _fd_violating_keys(ds, a: str, b: str, n_buckets: int = 64,
+                       as_keys: bool = False):
+    """Determinant values of a functional dependency a → b with more
+    than one distinct non-null dependent.  Per-batch distinct (a, b)
+    pair partials → determinant-hash bucket shuffle → ONE vectorized
+    nunique per bucket (functions/dedup.py combiner shape): shuffle
+    volume is bounded by the distinct-pair set and no per-key Python
+    ever runs.  Returns the violating-key COUNT, or the keys as
+    strings when ``as_keys``."""
+    import pyarrow as pa
+
+    cols = list(dict.fromkeys([a, b]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[cols].dropna().drop_duplicates()
+        bkt = (pd.util.hash_pandas_object(sub[a], index=False)
+               .to_numpy() % n_buckets).astype("int64") if len(sub) \
+            else np.array([], dtype="int64")
+        sub = sub.reset_index(drop=True)
+        sub["__b"] = bkt
+        return sub
+
+    def combine(g: pd.DataFrame) -> "pa.Table":
+        nd = g.drop_duplicates(cols).groupby(a, sort=False)[b].nunique()
+        bad = nd[nd > 1]
+        if as_keys:
+            return pa.table({"k": pa.array(
+                bad.index.to_numpy().astype(str))})
+        return pa.table({"n": pa.array([int(len(bad))], pa.int64())})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    if as_keys:
+        return parts["k"].tolist() if len(parts) else []
+    return int(parts["n"].sum()) if len(parts) else 0
+
+
 def _ref_key_set(read, spec: dict):
     """Distinct reference keys for a foreign_key spec, as a driver-side
     numpy array ready for ray.put (dim-table path; see module doc for
@@ -282,7 +363,7 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         row_local = [s for s in specs if s["kind"] in
                      ("not_null", "range", "in_set", "regex",
                       "foreign_key", "row_count_min", "null_ratio_max",
-                      "mean_between", "stddev_between")]
+                      "mean_between", "stddev_between", "satisfies")]
         uniques = [s for s in specs if s["kind"] == "unique"]
         monotonics = [s for s in specs if s["kind"] == "monotonic"]
         distincts = [s for s in specs
@@ -290,10 +371,17 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         psis = [s for s in specs if s["kind"] == "psi_max"]
         ratios = [s for s in specs
                   if s["kind"] == "row_count_ratio_between"]
+        fds = [s for s in specs
+               if s["kind"] == "functional_dependency"]
+        sats = [s for s in specs if s["kind"] == "satisfies"]
         cols = sorted({s["column"] for s in specs if "column" in s}
                       | {s[k] for s in monotonics
                          for k in ("group_by", "order_by")}
-                      | {s["split_column"] for s in psis})
+                      | {s["split_column"] for s in psis}
+                      | {s["determines"] for s in fds}
+                      | {s["left"] for s in sats}
+                      | {s["right_column"] for s in sats
+                         if "right_column" in s})
         ds = read(table, cols or None)
 
         # one broadcast ref-set per fk spec (dim-bounded)
@@ -353,6 +441,22 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                     v = df[c].dropna().to_numpy(dtype="float64")
                     return (0, float(len(v)), float(v.sum()),
                             float((v * v).sum()))
+                compiled.append((cid, f))
+            elif kind == "satisfies":
+                op = _SAT_OP_FN[s["op"]]
+                left = s["left"]
+                if "right_column" in s:
+                    rc = s["right_column"]
+
+                    def f(df, l=left, r=rc, o=op):
+                        m = df[l].notna() & df[r].notna()
+                        return int((~o(df[l], df[r]) & m).sum())
+                else:
+                    rv = s["right_value"]
+
+                    def f(df, l=left, rv=rv, o=op):
+                        return int((~o(df[l], rv)
+                                    & df[l].notna()).sum())
                 compiled.append((cid, f))
 
         # unique's non-null count rides the same shared scan (s0)
@@ -420,7 +524,7 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                    for _, r in agg.iterrows()}
         n_table = next(iter(agg_map.values()))[0] if agg_map else (
             int(ds.count()) if (uniques or monotonics or distincts
-                                or psis or ratios) else 0)
+                                or psis or ratios or fds) else 0)
 
         for s in row_local:
             cid = _cid(s)
@@ -449,7 +553,7 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                 n_viol = int(sd is not None and (
                     (lo is not None and sd < lo)
                     or (hi is not None and sd > hi)))
-            rows.append((s["table"], s.get("column", "*"), s["kind"],
+            rows.append((s["table"], _disp_col(s), s["kind"],
                          n_rows, n_viol))
 
         for s in monotonics:
@@ -470,6 +574,11 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
             nd = nd_of(s["column"])
             rows.append((s["table"], s["column"], "distinct_count_min",
                          n_table, max(0, int(s["min_distinct"]) - nd)))
+
+        for s in fds:
+            nbad = _fd_violating_keys(ds, s["column"], s["determines"])
+            rows.append((s["table"], _disp_col(s),
+                         "functional_dependency", n_table, nbad))
 
         for s in psis:
             cid = _cid(s)
@@ -585,6 +694,22 @@ def _viol_expr(s: dict) -> str:
         if s.get("max") is not None:
             conds.append(f"{expr} > {_sql_quote(s['max'])}")
         return ("CASE WHEN " + " OR ".join(conds) + " THEN 1 ELSE 0 END")
+    if kind == "satisfies":
+        left, op = s["left"], s["op"]
+        if "right_column" in s:
+            r = s["right_column"]
+            return (f"count(*) FILTER (WHERE {left} IS NOT NULL AND "
+                    f"{r} IS NOT NULL AND NOT ({left} {op} {r}))")
+        return (f"count(*) FILTER (WHERE {left} IS NOT NULL AND NOT "
+                f"({left} {op} {_sql_quote(s['right_value'])}))")
+    if kind == "functional_dependency":
+        t, a, b = s["table"], s["column"], s["determines"]
+        # uncorrelated scalar subquery: distinct determinants mapping
+        # to >1 distinct dependent (same null semantics as the engine
+        # pass — rows with a null on either side are out of scope)
+        return (f"(SELECT count(*) FROM (SELECT {a} FROM {t} "
+                f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL "
+                f"GROUP BY {a} HAVING count(DISTINCT {b}) > 1) __fd)")
     raise ValueError(kind)
 
 
@@ -640,7 +765,7 @@ def suite_oracle_sql(suite: List[dict]) -> str:
     _validate_suite(suite)
     selects = []
     for s in suite:
-        t, c, kind = s["table"], s.get("column", "*"), s["kind"]
+        t, c, kind = s["table"], _disp_col(s), s["kind"]
         head = (f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
                 f"'{kind}' AS \"check\", count(*) AS n_rows, ")
         if kind == "foreign_key":
@@ -699,12 +824,19 @@ def violation_rows(read, suite: List[dict],
         key = keys[table]
         row_local = [s for s in specs if s["kind"] in
                      ("not_null", "range", "in_set", "regex",
-                      "foreign_key")]
+                      "foreign_key", "satisfies")]
         uniques = [s for s in specs if s["kind"] == "unique"]
         monotonics = [s for s in specs if s["kind"] == "monotonic"]
+        fds = [s for s in specs
+               if s["kind"] == "functional_dependency"]
+        sats = [s for s in specs if s["kind"] == "satisfies"]
         cols = sorted({s["column"] for s in specs if "column" in s}
                       | {s[k] for s in monotonics
-                         for k in ("group_by", "order_by")} | {key})
+                         for k in ("group_by", "order_by")}
+                      | {s["determines"] for s in fds}
+                      | {s["left"] for s in sats}
+                      | {s["right_column"] for s in sats
+                         if "right_column" in s} | {key})
         ds = read(table, cols)
 
         fk_refs = {_cid(s): _ray.put(_ref_key_set(read, s))
@@ -712,8 +844,22 @@ def violation_rows(read, suite: List[dict],
 
         compiled = []  # (column, kind, mask_fn) — mask over df rows
         for s in row_local:
-            kind, col = s["kind"], s["column"]
-            if kind == "not_null":
+            kind, col = s["kind"], s.get("column")
+            if kind == "satisfies":
+                op = _SAT_OP_FN[s["op"]]
+                left = s["left"]
+                if "right_column" in s:
+                    rc = s["right_column"]
+                    compiled.append((_disp_col(s), kind,
+                                     lambda df, l=left, r=rc, o=op:
+                                     df[l].notna() & df[r].notna()
+                                     & ~o(df[l], df[r])))
+                else:
+                    rv = s["right_value"]
+                    compiled.append((_disp_col(s), kind,
+                                     lambda df, l=left, rv=rv, o=op:
+                                     df[l].notna() & ~o(df[l], rv)))
+            elif kind == "not_null":
                 compiled.append((col, kind,
                                  lambda df, c=col: df[c].isna()))
             elif kind == "range":
@@ -771,6 +917,14 @@ def violation_rows(read, suite: List[dict],
                 "table_name": table, "column_name": s["column"],
                 "check": "unique", "key": [str(v) for v in vals]}))
 
+        for s in fds:
+            ks = _fd_violating_keys(ds, s["column"], s["determines"],
+                                    as_keys=True)
+            frames.append(pd.DataFrame({
+                "table_name": table, "column_name": _disp_col(s),
+                "check": "functional_dependency",
+                "key": [str(v) for v in ks]}))
+
         for s in monotonics:
             ks = _monotonic_check(ds, s, key=key)
             frames.append(pd.DataFrame({
@@ -822,7 +976,7 @@ def violations_oracle_sql(suite: List[dict],
     for s in suite:
         if s["kind"] not in ROW_KINDS:
             continue
-        t, c, kind = s["table"], s["column"], s["kind"]
+        t, c, kind = s["table"], _disp_col(s), s["kind"]
         k = keys[t]
         head = (f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
                 f"'{kind}' AS \"check\", ")
@@ -864,6 +1018,23 @@ def violations_oracle_sql(suite: List[dict],
                 head + f"CAST({k} AS VARCHAR) AS key "
                 f"FROM {_monotonic_subquery(s, key=k)} "
                 f"WHERE {c} < __prev")
+        elif kind == "satisfies":
+            left, op = s["left"], s["op"]
+            if "right_column" in s:
+                r = s["right_column"]
+                cond = (f"{left} IS NOT NULL AND {r} IS NOT NULL "
+                        f"AND NOT ({left} {op} {r})")
+            else:
+                cond = (f"{left} IS NOT NULL AND NOT ({left} {op} "
+                        f"{_sql_quote(s['right_value'])})")
+            selects.append(head + f"CAST({k} AS VARCHAR) AS key "
+                           f"FROM {t} WHERE {cond}")
+        elif kind == "functional_dependency":
+            a, b = s["column"], s["determines"]
+            selects.append(
+                head + f"CAST({a} AS VARCHAR) AS key FROM {t} "
+                f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL "
+                f"GROUP BY {a} HAVING count(DISTINCT {b}) > 1")
     body = "\nUNION ALL\n".join(selects)
     return (f"WITH viols AS (\n{body}\n)\n"
             "SELECT * FROM viols "
@@ -1080,6 +1251,22 @@ DEFAULT_SUITE: List[dict] = [
     # events per document is ~20: deliberate failure at max 5
     {"table": "events", "kind": "row_count_ratio_between",
      "ref_table": "documents", "max": 5.0},
+    # cross-column row predicates (Deequ-style 'satisfies'):
+    # extendedprice strictly dominates quantity (passes); tax covering
+    # discount is FALSE for roughly half the rows (planted failure —
+    # counts-only here; the bounded rows-mode twin lives in
+    # VIOLATION_SUITE)
+    {"table": "lineitem", "kind": "satisfies",
+     "left": "l_extendedprice", "op": ">",
+     "right_column": "l_quantity"},
+    {"table": "lineitem", "kind": "satisfies",
+     "left": "l_tax", "op": ">=", "right_column": "l_discount"},
+    # functional dependencies: every order has exactly one customer
+    # (passes); lang does NOT determine source (all 5 langs violate)
+    {"table": "orders", "column": "o_orderkey",
+     "kind": "functional_dependency", "determines": "o_custkey"},
+    {"table": "documents", "column": "lang",
+     "kind": "functional_dependency", "determines": "source"},
 ]
 
 # key column per testdata table for violation_rows / its oracle
@@ -1107,4 +1294,12 @@ VIOLATION_SUITE: List[dict] = [
      "ref_table": "customer", "ref_column": "c_custkey"},
     {"table": "customer", "column": "c_name", "kind": "regex",
      "pattern": "^Customer#[0-9]+$"},
+    # cross-column predicate in rows mode — the right-tail of value
+    # (~1.3% of events) is the bounded planted violation set
+    {"table": "events", "kind": "satisfies", "left": "value",
+     "op": "<=", "right_value": 99.5},
+    # fd rows mode: keys are the violating DETERMINANT values (≤5
+    # langs), never per-row output
+    {"table": "documents", "column": "lang",
+     "kind": "functional_dependency", "determines": "source"},
 ]

@@ -83,6 +83,20 @@ SUITE = [
     # 400 users / 600 orders = 0.667 -> fails below 0.9
     {"table": "users", "kind": "row_count_ratio_between",
      "ref_table": "orders", "min": 0.9},
+    # cross-column satisfies: amounts are 1-100, oids 0-599 — rows
+    # with oid < amount violate (the oracle computes the exact count)
+    {"table": "orders", "kind": "satisfies", "left": "amount",
+     "op": "<=", "right_column": "oid"},
+    # right-value satisfies: exactly the five planted 999.0 ages
+    # violate (the three NaN ages are out of scope on both sides)
+    {"table": "users", "kind": "satisfies", "left": "age",
+     "op": "<", "right_value": 500.0},
+    # fd uid -> name holds (uid unique); uid -> amount is violated by
+    # every uid with >= 2 orders of different amounts
+    {"table": "users", "column": "uid",
+     "kind": "functional_dependency", "determines": "name"},
+    {"table": "orders", "column": "uid",
+     "kind": "functional_dependency", "determines": "amount"},
 ]
 
 
@@ -132,6 +146,14 @@ def test_engine_matches_generated_oracle(ray_session):
                   "n_violations"] == 0
     assert by.loc[("users", "*", "row_count_ratio_between"),
                   "n_violations"] == 1
+    assert by.loc[("users", "age<500.0", "satisfies"),
+                  "n_violations"] == 5
+    assert by.loc[("orders", "amount<=oid", "satisfies"),
+                  "n_violations"] > 0
+    assert by.loc[("users", "uid->name", "functional_dependency"),
+                  "n_violations"] == 0
+    assert by.loc[("orders", "uid->amount", "functional_dependency"),
+                  "n_violations"] > 0
     assert (got["passed"] == (got["n_violations"] == 0)
             .astype("int64")).all()
 
@@ -219,6 +241,15 @@ def test_violation_rows_monotonic_tie_break(ray_session):
      "sorted"),
     ({"table": "t", "kind": "row_count_ratio_between"},
      "ref_table"),
+    ({"table": "t", "kind": "satisfies", "left": "a"}, "left/op"),
+    ({"table": "t", "kind": "satisfies", "left": "a", "op": "~"},
+     "op must be"),
+    ({"table": "t", "kind": "satisfies", "left": "a", "op": "<"},
+     "exactly one"),
+    ({"table": "t", "kind": "satisfies", "left": "a", "op": "<",
+      "right_column": "b", "right_value": 1.0}, "exactly one"),
+    ({"table": "t", "column": "a", "kind": "functional_dependency"},
+     "determines"),
 ])
 def test_suite_validation_rejects(bad, msg):
     with pytest.raises(ValueError, match=msg):
