@@ -81,6 +81,50 @@ Violation semantics (identical on both sides):
 - ``row_count_ratio_between`` — table-level cross-table volume gate:
                      count(table)/count(ref_table) outside
                      [min, max] → violation count 1.  Metadata-only.
+- ``min_between`` / ``max_between`` — statistic gates on the column's
+                     global MIN / MAX; the extrema ride the shared
+                     scan through dedicated Max/Min aggregate slots.
+- ``freshness``    — recency gate on a timestamp column:
+                     max(column) must be within ``max_lag_seconds``
+                     of ``as_of`` (an explicit ISO timestamp — never
+                     wall-clock, so runs are reproducible).  Rides
+                     the shared scan (epoch-µs through the max slot,
+                     exact in float64 to ~year 2255); an all-null
+                     column passes (no evidence), matching SQL NULL
+                     CASE propagation.
+- ``corr_between`` — sample Pearson correlation of ``column`` vs
+                     ``with_column`` outside [min, max] → 1.  Rides
+                     the shared scan via (n, Σx, Σy, Σxx, Σyy, Σxy)
+                     sufficient stats; n < 2 or zero variance → NULL
+                     → passes (DuckDB ``corr`` semantics).
+- ``entropy_between`` — Shannon entropy (nats) of a categorical
+                     column outside [min, max] → 1.  One bucketed
+                     value-count shuffle bounded by the distinct set;
+                     H = ln N − Σ n·ln n / N finished on the driver.
+- ``unique_together`` — composite-key uniqueness over ``columns``:
+                     all-non-null rows beyond the first occurrence of
+                     their tuple (count FILTER − count DISTINCT tuple).
+                     The non-null count rides the shared scan; the
+                     distinct count is one tuple-hash bucket shuffle.
+- ``quantile_between`` — EXACT global quantile gate
+                     (``quantile_cont`` interpolation at rank
+                     (n−1)·q): the distributed histogram-refinement
+                     selection from functions/rank.py with a constant
+                     group, never a global sort.
+- ``ks_max``       — exact two-sample Kolmogorov-Smirnov drift gate
+                     between ``baseline_values`` / ``current_values``
+                     rows of ``split_column`` (q_ks_drift_exact
+                     machinery: bin-count partials → one bin-key
+                     shuffle → per-bin tie-collapsed sup |F0−F1|).
+                     Rows matching both value sets count as baseline;
+                     an empty side passes.
+
+Row-local kinds (not_null/range/in_set/regex/foreign_key/satisfies)
+accept an optional ``mostly`` (0, 1] tolerance — Great-Expectations
+semantics: the check passes when n_violations ≤ (1 − mostly) ·
+n_rows, the identical float64 product on both engines.  A ``mostly``
+spec's display column is suffixed ``~{mostly}`` so it never collides
+with a strict twin on the same column.
 
 ``check_schemas`` / ``schema_oracle_sql`` are the schema half:
 expected (column, type, ordinal) specs vs actual parquet footers, per
@@ -108,15 +152,29 @@ KINDS = ("not_null", "unique", "range", "in_set", "regex",
          "foreign_key", "row_count_min", "monotonic", "null_ratio_max",
          "distinct_count_min", "mean_between", "stddev_between",
          "psi_max", "row_count_ratio_between", "satisfies",
-         "functional_dependency")
+         "functional_dependency", "min_between", "max_between",
+         "freshness", "corr_between", "entropy_between",
+         "unique_together", "quantile_between", "ks_max")
+
+# kinds accepting the optional ``mostly`` tolerance (Great-Expectations
+# semantics): the check passes when
+# n_violations <= (1 - mostly) * n_rows — the threshold is the SAME
+# float64 product on both engines ((1.0 - mostly) * count(*)), so the
+# comparison can only knife-edge when the true violation ratio sits
+# exactly on the tolerance; pick ``mostly`` away from the data's ratio.
+MOSTLY_KINDS = ("not_null", "range", "in_set", "regex", "foreign_key",
+                "satisfies")
 
 # PSI smoothing epsilon — identical literal in engine and generated SQL
 PSI_EPS = 1e-6
 
 # kinds whose violations are identifiable rows (violation_rows support)
+# (unique_together emits each duplicated composite VALUE as a
+# '|'-joined string — use int/string key columns so the Python str()
+# and SQL VARCHAR casts render identically)
 ROW_KINDS = ("not_null", "range", "in_set", "regex", "foreign_key",
              "unique", "monotonic", "satisfies",
-             "functional_dependency")
+             "functional_dependency", "unique_together")
 
 # satisfies operators: one vocabulary shared by the vectorized engine
 # mask and the generated SQL predicate (both sides require non-null
@@ -130,13 +188,28 @@ def _disp_col(spec: dict) -> str:
     encode the whole predicate so two checks on the same table never
     collide (and the audit row names what was actually checked)."""
     kind = spec["kind"]
-    if kind == "satisfies":
+    if "name" in spec:
+        # explicit display override — the escape hatch when two specs
+        # of the same kind target the same column (e.g. two ks_max
+        # splits over one measure)
+        base = spec["name"]
+    elif kind == "satisfies":
         rhs = (spec["right_column"] if "right_column" in spec
                else str(spec["right_value"]))
-        return f"{spec['left']}{spec['op']}{rhs}"
-    if kind == "functional_dependency":
-        return f"{spec['column']}->{spec['determines']}"
-    return spec.get("column", "*")
+        base = f"{spec['left']}{spec['op']}{rhs}"
+    elif kind == "functional_dependency":
+        base = f"{spec['column']}->{spec['determines']}"
+    elif kind == "unique_together":
+        base = "+".join(spec["columns"])
+    elif kind == "corr_between":
+        base = f"{spec['column']}~{spec['with_column']}"
+    elif kind == "quantile_between":
+        base = f"{spec['column']}@{spec['q']}"
+    else:
+        base = spec.get("column", "*")
+    if "mostly" in spec:
+        base = f"{base}~{spec['mostly']}"
+    return base
 
 
 def _cid(spec: dict) -> str:
@@ -151,10 +224,39 @@ def _validate_suite(suite: List[dict]) -> None:
         if s["kind"] not in KINDS:
             raise ValueError(f"unknown constraint kind {s['kind']!r}")
         if s["kind"] not in ("row_count_min", "row_count_ratio_between",
-                             "satisfies") and "column" not in s:
+                             "satisfies", "unique_together") \
+                and "column" not in s:
             raise ValueError(f"{s['kind']} needs a column: {s}")
         if s["kind"] == "range" and ("min" not in s and "max" not in s):
             raise ValueError(f"range needs min and/or max: {s}")
+        if "mostly" in s:
+            if s["kind"] not in MOSTLY_KINDS:
+                raise ValueError(
+                    f"mostly only applies to {MOSTLY_KINDS}: {s}")
+            if not (0.0 < float(s["mostly"]) <= 1.0):
+                raise ValueError(f"mostly must be in (0, 1]: {s}")
+        if s["kind"] in ("min_between", "max_between", "corr_between",
+                         "entropy_between", "quantile_between") and (
+                "min" not in s and "max" not in s):
+            raise ValueError(f"{s['kind']} needs min and/or max: {s}")
+        if s["kind"] == "freshness" and (
+                "as_of" not in s or "max_lag_seconds" not in s):
+            raise ValueError(
+                f"freshness needs as_of/max_lag_seconds: {s}")
+        if s["kind"] == "corr_between" and "with_column" not in s:
+            raise ValueError(f"corr_between needs with_column: {s}")
+        if s["kind"] == "unique_together" and (
+                len(s.get("columns", [])) < 2):
+            raise ValueError(
+                f"unique_together needs >= 2 columns: {s}")
+        if s["kind"] == "quantile_between" and not (
+                "q" in s and 0.0 <= float(s["q"]) <= 1.0):
+            raise ValueError(f"quantile_between needs q in [0, 1]: {s}")
+        if s["kind"] == "ks_max":
+            for f in ("split_column", "baseline_values",
+                      "current_values", "max_ks"):
+                if f not in s:
+                    raise ValueError(f"ks_max needs {f}: {s}")
         if s["kind"] == "in_set" and not s.get("values"):
             raise ValueError(f"in_set needs values: {s}")
         if s["kind"] == "regex" and not s.get("pattern"):
@@ -232,6 +334,210 @@ def _distinct_nonnull_count(ds, column: str, n_buckets: int = 64) -> int:
              .groupby("__b").map_groups(combine, batch_format="pandas")
              .to_pandas())
     return int(parts["nd"].sum()) if len(parts) else 0
+
+
+def _distinct_tuple_count(ds, columns: List[str],
+                          n_buckets: int = 64) -> int:
+    """Exact COUNT(DISTINCT (c1, .., ck)) over rows with ALL columns
+    non-null — the composite-key twin of _distinct_nonnull_count (same
+    per-batch-distinct partial → tuple-hash bucket shuffle → one
+    vectorized drop_duplicates per bucket)."""
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[columns].dropna().drop_duplicates()
+        b = (pd.util.hash_pandas_object(sub, index=False).to_numpy()
+             % n_buckets).astype("int64") if len(sub) else \
+            np.array([], dtype="int64")
+        sub = sub.reset_index(drop=True)
+        sub["__b"] = b
+        return sub
+
+    def combine(g: pd.DataFrame) -> "pa.Table":
+        return pa.table({"nd": pa.array(
+            [int(len(g[columns].drop_duplicates()))], pa.int64())})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    return int(parts["nd"].sum()) if len(parts) else 0
+
+
+def _duplicated_tuples(ds, columns: List[str],
+                       n_buckets: int = 64) -> list:
+    """Distinct all-non-null column TUPLES occurring more than once,
+    rendered as '|'-joined strings (rows mode of unique_together).
+    Same bucketed (tuple, count) combiner as _duplicated_values."""
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[columns].dropna()
+        vc = sub.groupby(columns, sort=False).size().reset_index(
+            name="n")
+        b = (pd.util.hash_pandas_object(vc[columns], index=False)
+             .to_numpy() % n_buckets).astype("int64") if len(vc) else \
+            np.array([], dtype="int64")
+        vc["__b"] = b
+        return vc
+
+    def combine(g: pd.DataFrame) -> "pa.Table":
+        tot = g.groupby(columns, sort=False)["n"].sum().reset_index()
+        dup = tot[tot["n"] > 1]
+        keys = ["|".join(str(v) for v in row)
+                for row in dup[columns].itertuples(index=False)]
+        return pa.table({"v": pa.array(keys, pa.string())})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    return parts["v"].tolist() if len(parts) else []
+
+
+def _entropy_stats(ds, column: str, n_buckets: int = 64):
+    """(N, Σ n_v·ln n_v) for Shannon entropy of a categorical column:
+    per-batch value-count partials → value-hash bucket shuffle →
+    per-bucket global counts → the two scalars.  Shuffle volume is
+    bounded by the distinct-value set; entropy = ln N − Σ n ln n / N
+    is finished on the driver from n_buckets partial pairs."""
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[column].dropna().value_counts()
+        v = vc.index.to_numpy()
+        b = (pd.util.hash_pandas_object(pd.Series(v), index=False)
+             .to_numpy() % n_buckets).astype("int64") if len(v) else \
+            np.array([], dtype="int64")
+        return pd.DataFrame({"v": v, "n": vc.to_numpy(dtype="int64"),
+                             "__b": b})
+
+    def combine(g: pd.DataFrame) -> "pa.Table":
+        tot = g.groupby("v", sort=False)["n"].sum().to_numpy(
+            dtype="float64")
+        return pa.table({
+            "n": pa.array([float(tot.sum())], pa.float64()),
+            "nlogn": pa.array([float((tot * np.log(tot)).sum())],
+                              pa.float64())})
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("__b").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    if not len(parts):
+        return 0.0, 0.0
+    return float(parts["n"].sum()), float(parts["nlogn"].sum())
+
+
+def _exact_ks(ds, spec: dict, n_bins: int = 64):
+    """Exact two-sample KS statistic between the rows whose
+    ``split_column`` is in ``baseline_values`` vs ``current_values``
+    (the q_ks_drift_exact shape: fixed-bin (bin, side) count partials
+    → driver cumulative offsets → one bin-key shuffle; each bin task
+    sorts only its value range and emits its local tie-collapsed
+    sup |F0−F1|).  Returns (ks, n0, n1); ks is 0.0 when a side is
+    empty."""
+    col, sc = spec["column"], spec["split_column"]
+    base = frozenset(spec["baseline_values"])
+    curr = frozenset(spec["current_values"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[[sc, col]].dropna(subset=[col])
+        in_b = sub[sc].isin(base).to_numpy()
+        in_c = sub[sc].isin(curr).to_numpy()
+        keep = in_b | in_c
+        return pd.DataFrame({
+            "value": sub[col].to_numpy(dtype="float64")[keep],
+            # baseline wins rows in both sides (SQL mirrors: s0 checked
+            # first) — sides must partition the pool exactly once
+            "side": np.where(in_b[keep], 0, 1).astype("int64")})
+
+    pool = ds.map_batches(prep, batch_format="pandas").materialize()
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        s = df["side"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lo": [float(v.min()) if len(v) else np.inf],
+            "hi": [float(v.max()) if len(v) else -np.inf],
+            "n0": [int((s == 0).sum())], "n1": [int((s == 1).sum())]})
+
+    st = pool.map_batches(stats, batch_format="pandas").to_pandas()
+    if not len(st):
+        return 0.0, 0, 0
+    n0, n1 = int(st["n0"].sum()), int(st["n1"].sum())
+    if n0 == 0 or n1 == 0:
+        return 0.0, n0, n1
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+    inner = np.linspace(lo, hi, n_bins + 1)[1:-1]
+
+    def binof(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(inner, v, side="right").astype(np.int64)
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"b": binof(df["value"].to_numpy(np.float64)),
+                          "side": df["side"].to_numpy(np.int64)})
+        out = g.groupby(["b", "side"], as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    bc = (pool.map_batches(bin_counts, batch_format="pandas")
+          .to_pandas().groupby(["b", "side"], as_index=False)["n"].sum())
+    off = np.zeros((2, n_bins), dtype=np.int64)
+    for side in (0, 1):
+        per = np.zeros(n_bins, dtype=np.int64)
+        sel = bc[bc["side"] == side]
+        per[sel["b"].to_numpy(np.int64)] = sel["n"].to_numpy(np.int64)
+        off[side] = np.concatenate([[0], np.cumsum(per)[:-1]])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["value", "side"]].copy()
+        out["__bin"] = binof(df["value"].to_numpy(np.float64))
+        return out
+
+    import pyarrow as pa
+
+    def bin_ks(g: pd.DataFrame) -> "pa.Table":
+        b = int(g["__bin"].iloc[0])
+        v = g["value"].to_numpy(np.float64)
+        s = g["side"].to_numpy(np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, s = v[order], s[order]
+        c0 = np.cumsum(s == 0)
+        c1 = np.cumsum(s == 1)
+        last = np.nonzero(np.r_[v[1:] != v[:-1], True])[0]
+        f0 = (off[0][b] + c0[last]) / np.float64(n0)
+        f1 = (off[1][b] + c1[last]) / np.float64(n1)
+        return pa.table({"dmax": pa.array(
+            [float(np.abs(f0 - f1).max())], pa.float64())})
+
+    out = (pool.map_batches(tag, batch_format="pandas")
+           .groupby("__bin").map_groups(bin_ks, batch_format="pandas")
+           .to_pandas())
+    return (float(out["dmax"].max()) if len(out) else 0.0), n0, n1
+
+
+def _quantile_exact(ds, column: str, q: float):
+    """Exact global quantile_cont of one column — the
+    grouped_quantile_exact machinery with a constant group key (the
+    projection is already pruned to the one column)."""
+    from butteraugli_ray.functions.rank import grouped_quantile_exact
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[column]].copy()
+        out["__g"] = np.int64(0)
+        return out
+
+    tagged = ds.map_batches(add_key, batch_format="pandas")
+    res = grouped_quantile_exact(tagged, "__g", column, q=q)
+    if not len(res):
+        return None
+    return float(res["quantile"].iloc[0])
+
+
+def _ts_to_micros(v: pd.Series) -> np.ndarray:
+    """Timestamp series → int64 epoch microseconds (exact in float64
+    to year ~2255; parquet timestamps are µs so ns truncation is
+    lossless)."""
+    return v.to_numpy(dtype="datetime64[us]").astype("int64")
 
 
 def _monotonic_check(ds, spec: dict, key: str | None = None,
@@ -363,7 +669,9 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         row_local = [s for s in specs if s["kind"] in
                      ("not_null", "range", "in_set", "regex",
                       "foreign_key", "row_count_min", "null_ratio_max",
-                      "mean_between", "stddev_between", "satisfies")]
+                      "mean_between", "stddev_between", "satisfies",
+                      "min_between", "max_between", "freshness",
+                      "corr_between")]
         uniques = [s for s in specs if s["kind"] == "unique"]
         monotonics = [s for s in specs if s["kind"] == "monotonic"]
         distincts = [s for s in specs
@@ -374,14 +682,21 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         fds = [s for s in specs
                if s["kind"] == "functional_dependency"]
         sats = [s for s in specs if s["kind"] == "satisfies"]
+        togethers = [s for s in specs if s["kind"] == "unique_together"]
+        entropies = [s for s in specs if s["kind"] == "entropy_between"]
+        quantiles = [s for s in specs if s["kind"] == "quantile_between"]
+        kss = [s for s in specs if s["kind"] == "ks_max"]
+        corrs = [s for s in specs if s["kind"] == "corr_between"]
         cols = sorted({s["column"] for s in specs if "column" in s}
                       | {s[k] for s in monotonics
                          for k in ("group_by", "order_by")}
-                      | {s["split_column"] for s in psis}
+                      | {s["split_column"] for s in psis + kss}
                       | {s["determines"] for s in fds}
                       | {s["left"] for s in sats}
                       | {s["right_column"] for s in sats
-                         if "right_column" in s})
+                         if "right_column" in s}
+                      | {c for s in togethers for c in s["columns"]}
+                      | {s["with_column"] for s in corrs})
         ds = read(table, cols or None)
 
         # one broadcast ref-set per fk spec (dim-bounded)
@@ -458,11 +773,51 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                         return int((~o(df[l], rv)
                                     & df[l].notna()).sum())
                 compiled.append((cid, f))
+            elif kind in ("min_between", "max_between"):
+                # per-batch extrema ride the m0 (max) / m1 (min) slots
+                col = s["column"]
+
+                def f(df, c=col):
+                    v = df[c].dropna().to_numpy(dtype="float64")
+                    return (0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                            float(v.max()) if len(v) else -np.inf,
+                            float(v.min()) if len(v) else np.inf)
+                compiled.append((cid, f))
+            elif kind == "freshness":
+                # max epoch-µs through the m0 slot (exact in float64)
+                col = s["column"]
+
+                def f(df, c=col):
+                    v = df[c].dropna()
+                    mx = float(_ts_to_micros(v).max()) if len(v) \
+                        else -np.inf
+                    return (0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                            mx, np.inf)
+                compiled.append((cid, f))
+            elif kind == "corr_between":
+                # Pearson sufficient stats over rows with BOTH columns
+                # non-null: (n, Σx, Σy, Σxx, Σyy, Σxy) in s0..s5
+                cx, cy = s["column"], s["with_column"]
+
+                def f(df, cx=cx, cy=cy):
+                    sub = df[list(dict.fromkeys([cx, cy]))].dropna()
+                    x = sub[cx].to_numpy(dtype="float64")
+                    y = sub[cy].to_numpy(dtype="float64")
+                    return (0, float(len(x)), float(x.sum()),
+                            float(y.sum()), float((x * x).sum()),
+                            float((y * y).sum()), float((x * y).sum()))
+                compiled.append((cid, f))
 
         # unique's non-null count rides the same shared scan (s0)
         for s in uniques:
             compiled.append((_cid(s), lambda df, c=s["column"]:
                              (0, float(df[c].notna().sum()), 0.0, 0.0)))
+
+        # unique_together's all-non-null row count rides it too
+        for s in togethers:
+            compiled.append((_cid(s), lambda df, cc=tuple(s["columns"]):
+                             (0, float(df[list(cc)].notna().all(axis=1)
+                                       .sum()), 0.0, 0.0)))
 
         # psi histograms ride the shared scan too: one cid row per bin
         # (cid|bin, s0=baseline count, s1=current count) through the
@@ -476,14 +831,19 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
 
         def partial(df: pd.DataFrame, _c=tuple(compiled),
                     _p=tuple(psi_parts)) -> pd.DataFrame:
-            res = [fn(df) for _, fn in _c]
-            res = [r if isinstance(r, tuple) else (r, 0.0, 0.0, 0.0)
-                   for r in res]
+            res = []
+            for _, fn in _c:
+                r = fn(df)
+                if not isinstance(r, tuple):
+                    r = (r,)
+                # pad to (nv, s0..s5, m0, m1): sums default 0, the
+                # max slot -inf, the min slot +inf
+                r = r + (0.0,) * (7 - len(r)) if len(r) < 7 else r
+                if len(r) < 9:
+                    r = r + (-np.inf, np.inf)
+                res.append(r)
             cids = [cid for cid, _ in _c]
-            nv = [r[0] for r in res]
-            s0 = [r[1] for r in res]
-            s1 = [r[2] for r in res]
-            s2 = [r[3] for r in res]
+            slots = [[r[i] for r in res] for i in range(9)]
             for cid, col, sc, edges, base, curr in _p:
                 sub = df[list(dict.fromkeys([sc, col]))].dropna(
                     subset=[col])
@@ -496,40 +856,68 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                                  minlength=nb)
                 for i in range(nb):
                     cids.append(f"{cid}|{i}")
-                    nv.append(0)
-                    s0.append(float(ne[i]))
-                    s1.append(float(na[i]))
-                    s2.append(0.0)
+                    slots[0].append(0)
+                    slots[1].append(float(ne[i]))
+                    slots[2].append(float(na[i]))
+                    for j in range(3, 7):
+                        slots[j].append(0.0)
+                    slots[7].append(-np.inf)
+                    slots[8].append(np.inf)
             return pd.DataFrame({
                 "cid": cids,
                 "n_rows": np.int64(len(df)),
-                "n_viol": np.array(nv, dtype="int64"),
-                "s0": np.array(s0, dtype="float64"),
-                "s1": np.array(s1, dtype="float64"),
-                "s2": np.array(s2, dtype="float64")})
+                "n_viol": np.array(slots[0], dtype="int64"),
+                "s0": np.array(slots[1], dtype="float64"),
+                "s1": np.array(slots[2], dtype="float64"),
+                "s2": np.array(slots[3], dtype="float64"),
+                "s3": np.array(slots[4], dtype="float64"),
+                "s4": np.array(slots[5], dtype="float64"),
+                "s5": np.array(slots[6], dtype="float64"),
+                "m0": np.array(slots[7], dtype="float64"),
+                "m1": np.array(slots[8], dtype="float64")})
 
-        from ray.data.aggregate import Sum
+        from ray.data.aggregate import Max, Min, Sum
+        _agg_cols = ["n_rows", "n_viol", "s0", "s1", "s2", "s3", "s4",
+                     "s5", "m0", "m1"]
         agg = (ds.map_batches(partial, batch_format="pandas")
                .groupby("cid")
                .aggregate(Sum("n_rows", alias_name="n_rows"),
                           Sum("n_viol", alias_name="n_viol"),
                           Sum("s0", alias_name="s0"),
                           Sum("s1", alias_name="s1"),
-                          Sum("s2", alias_name="s2"))
+                          Sum("s2", alias_name="s2"),
+                          Sum("s3", alias_name="s3"),
+                          Sum("s4", alias_name="s4"),
+                          Sum("s5", alias_name="s5"),
+                          Max("m0", alias_name="m0"),
+                          Min("m1", alias_name="m1"))
                .to_pandas()) if (compiled or psi_parts) else pd.DataFrame(
-                   columns=["cid", "n_rows", "n_viol", "s0", "s1", "s2"])
+                   columns=["cid"] + _agg_cols)
         agg_map = {r["cid"]: (int(r["n_rows"]), int(r["n_viol"]),
                               float(r["s0"]), float(r["s1"]),
-                              float(r["s2"]))
+                              float(r["s2"]), float(r["s3"]),
+                              float(r["s4"]), float(r["s5"]),
+                              float(r["m0"]), float(r["m1"]))
                    for _, r in agg.iterrows()}
+        _Z = (0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -np.inf, np.inf)
         n_table = next(iter(agg_map.values()))[0] if agg_map else (
             int(ds.count()) if (uniques or monotonics or distincts
-                                or psis or ratios or fds) else 0)
+                                or psis or ratios or fds or togethers
+                                or entropies or quantiles or kss)
+            else 0)
+
+        def _gate(stat, lo, hi) -> int:
+            """1 when a non-null statistic falls outside [lo, hi] —
+            the shared CASE shape (NULL statistics pass, matching SQL
+            NULL propagation into CASE → ELSE 0)."""
+            return int(stat is not None and (
+                (lo is not None and stat < lo)
+                or (hi is not None and stat > hi)))
 
         for s in row_local:
             cid = _cid(s)
-            n_rows, n_viol, s0, s1, s2 = agg_map.get(
-                cid, (0, 0, 0.0, 0.0, 0.0))
+            (n_rows, n_viol, s0, s1, s2, s3, s4, s5,
+             m0, m1) = agg_map.get(cid, _Z)
             if s["kind"] == "row_count_min":
                 n_viol = max(0, int(s["min_rows"]) - n_rows)
             elif s["kind"] == "null_ratio_max":
@@ -539,27 +927,47 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                     else 0
             elif s["kind"] == "mean_between":
                 mean = s1 / s0 if s0 else None
-                lo, hi = s.get("min"), s.get("max")
-                n_viol = int(mean is not None and (
-                    (lo is not None and mean < lo)
-                    or (hi is not None and mean > hi)))
+                n_viol = _gate(mean, s.get("min"), s.get("max"))
             elif s["kind"] == "stddev_between":
                 if s0 > 1:
                     var = max(0.0, (s2 - s1 * s1 / s0) / (s0 - 1.0))
                     sd = float(np.sqrt(var))
                 else:
                     sd = None
-                lo, hi = s.get("min"), s.get("max")
-                n_viol = int(sd is not None and (
-                    (lo is not None and sd < lo)
-                    or (hi is not None and sd > hi)))
+                n_viol = _gate(sd, s.get("min"), s.get("max"))
+            elif s["kind"] == "min_between":
+                stat = m1 if np.isfinite(m1) else None
+                n_viol = _gate(stat, s.get("min"), s.get("max"))
+            elif s["kind"] == "max_between":
+                stat = m0 if np.isfinite(m0) else None
+                n_viol = _gate(stat, s.get("min"), s.get("max"))
+            elif s["kind"] == "freshness":
+                cutoff = (pd.Timestamp(s["as_of"])
+                          - pd.Timedelta(seconds=float(
+                              s["max_lag_seconds"])))
+                cut_us = float(cutoff.value // 1000)
+                n_viol = int(np.isfinite(m0) and m0 < cut_us)
+            elif s["kind"] == "corr_between":
+                # sample Pearson from (n, Σx, Σy, Σxx, Σyy, Σxy) —
+                # DuckDB corr() semantics: NULL (→ pass) when n < 2 or
+                # either variance is 0
+                n, sx, sy, sxx, syy, sxy = s0, s1, s2, s3, s4, s5
+                stat = None
+                if n >= 2:
+                    vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+                    if vx > 0 and vy > 0:
+                        stat = (sxy - sx * sy / n) / float(
+                            np.sqrt(vx * vy))
+                n_viol = _gate(stat, s.get("min"), s.get("max"))
+            allowed = ((1.0 - float(s["mostly"])) * n_rows
+                       if "mostly" in s else 0.0)
             rows.append((s["table"], _disp_col(s), s["kind"],
-                         n_rows, n_viol))
+                         n_rows, n_viol, allowed))
 
         for s in monotonics:
             nn, n_viol = _monotonic_check(ds, s)
-            rows.append((s["table"], s["column"], "monotonic",
-                         nn, n_viol))
+            rows.append((s["table"], _disp_col(s), "monotonic",
+                         nn, n_viol, 0.0))
 
         # exact distinct counts, shared between unique and
         # distinct_count_min specs on the same column
@@ -572,22 +980,21 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
 
         for s in distincts:
             nd = nd_of(s["column"])
-            rows.append((s["table"], s["column"], "distinct_count_min",
-                         n_table, max(0, int(s["min_distinct"]) - nd)))
+            rows.append((s["table"], _disp_col(s), "distinct_count_min",
+                         n_table, max(0, int(s["min_distinct"]) - nd),
+                         0.0))
 
         for s in fds:
             nbad = _fd_violating_keys(ds, s["column"], s["determines"])
             rows.append((s["table"], _disp_col(s),
-                         "functional_dependency", n_table, nbad))
+                         "functional_dependency", n_table, nbad, 0.0))
 
         for s in psis:
             cid = _cid(s)
             nb = len(s["edges"]) + 1
-            ne = np.array([agg_map.get(f"{cid}|{i}",
-                                       (0, 0, 0.0, 0.0, 0.0))[2]
+            ne = np.array([agg_map.get(f"{cid}|{i}", _Z)[2]
                            for i in range(nb)])
-            na = np.array([agg_map.get(f"{cid}|{i}",
-                                       (0, 0, 0.0, 0.0, 0.0))[3]
+            na = np.array([agg_map.get(f"{cid}|{i}", _Z)[3]
                            for i in range(nb)])
             te, ta = float(ne.sum()), float(na.sum())
             if te == 0 or ta == 0:
@@ -597,8 +1004,8 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                 psi = float(((pa_ - pe) * np.log((pa_ + PSI_EPS)
                                                  / (pe + PSI_EPS))).sum())
                 n_viol = int(psi > float(s["max_psi"]))
-            rows.append((s["table"], s["column"], "psi_max",
-                         int(te + ta), n_viol))
+            rows.append((s["table"], _disp_col(s), "psi_max",
+                         int(te + ta), n_viol, 0.0))
 
         for s in ratios:
             # both counts come from parquet metadata (Dataset.count on
@@ -612,24 +1019,57 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                 n_viol = int((lo is not None and ratio < lo)
                              or (hi is not None and ratio > hi))
             rows.append((s["table"], "*", "row_count_ratio_between",
-                         n_table, n_viol))
+                         n_table, n_viol, 0.0))
 
         for s in uniques:
             # non-null count came through the shared scan (s0); the
             # distinct count is the bucketed combiner (cached per
             # column, shared with distinct_count_min)
-            nn = int(agg_map.get(_cid(s), (0, 0, 0.0, 0.0, 0.0))[2])
+            nn = int(agg_map.get(_cid(s), _Z)[2])
             nd = nd_of(s["column"])
-            rows.append((s["table"], s["column"], "unique",
-                         n_table, nn - nd))
+            rows.append((s["table"], _disp_col(s), "unique",
+                         n_table, nn - nd, 0.0))
+
+        for s in togethers:
+            # all-non-null row count rode the shared scan (s0); the
+            # composite distinct is its own bucketed tuple combiner
+            nn = int(agg_map.get(_cid(s), _Z)[2])
+            nd = _distinct_tuple_count(ds, list(s["columns"]))
+            rows.append((s["table"], _disp_col(s), "unique_together",
+                         n_table, nn - nd, 0.0))
+
+        for s in entropies:
+            n, nlogn = _entropy_stats(ds, s["column"])
+            stat = float(np.log(n) - nlogn / n) if n > 0 else None
+            rows.append((s["table"], _disp_col(s), "entropy_between",
+                         n_table, _gate(stat, s.get("min"),
+                                        s.get("max")), 0.0))
+
+        for s in quantiles:
+            stat = _quantile_exact(ds, s["column"], float(s["q"]))
+            rows.append((s["table"], _disp_col(s), "quantile_between",
+                         n_table, _gate(stat, s.get("min"),
+                                        s.get("max")), 0.0))
+
+        for s in kss:
+            ks, n0, n1 = _exact_ks(ds, s)
+            n_viol = int(n0 > 0 and n1 > 0 and ks > float(s["max_ks"]))
+            rows.append((s["table"], _disp_col(s), "ks_max",
+                         n0 + n1, n_viol, 0.0))
 
     out = pd.DataFrame(rows, columns=["table_name", "column_name",
-                                      "check", "n_rows", "n_violations"])
+                                      "check", "n_rows", "n_violations",
+                                      "__allowed"])
     out["n_rows"] = out["n_rows"].astype("int64")
     out["n_violations"] = out["n_violations"].astype("int64")
     # int64 0/1, not bool: the driver value-hash and DuckDB agree on
-    # integers unambiguously
-    out["passed"] = (out["n_violations"] == 0).astype("int64")
+    # integers unambiguously.  The tolerance threshold defaults to 0.0
+    # (passed ⇔ no violations) and is (1 - mostly) · n_rows for specs
+    # carrying ``mostly`` — the identical float64 product the generated
+    # SQL compares against.
+    out["passed"] = (out["n_violations"]
+                     <= out["__allowed"]).astype("int64")
+    out = out.drop(columns="__allowed")
     return (out.sort_values(["table_name", "column_name", "check"])
             .reset_index(drop=True))
 
@@ -685,15 +1125,48 @@ def _viol_expr(s: dict) -> str:
         if s.get("max") is not None:
             conds.append(f"{ratio} > {_sql_quote(s['max'])}")
         return ("CASE WHEN " + " OR ".join(conds) + " THEN 1 ELSE 0 END")
-    if kind in ("mean_between", "stddev_between"):
-        expr = f"avg({c})" if kind == "mean_between" \
-            else f"stddev_samp({c})"
+    if kind in ("mean_between", "stddev_between", "min_between",
+                "max_between", "corr_between", "quantile_between"):
+        expr = {"mean_between": f"avg({c})",
+                "stddev_between": f"stddev_samp({c})",
+                "min_between": f"min({c})",
+                "max_between": f"max({c})",
+                "corr_between": f"corr({c}, {s.get('with_column')})",
+                "quantile_between":
+                    f"quantile_cont({c}, {s.get('q')})"}[kind]
         conds = []
         if s.get("min") is not None:
             conds.append(f"{expr} < {_sql_quote(s['min'])}")
         if s.get("max") is not None:
             conds.append(f"{expr} > {_sql_quote(s['max'])}")
         return ("CASE WHEN " + " OR ".join(conds) + " THEN 1 ELSE 0 END")
+    if kind == "freshness":
+        cutoff = (pd.Timestamp(s["as_of"])
+                  - pd.Timedelta(seconds=float(s["max_lag_seconds"])))
+        lit = cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return (f"CASE WHEN max({c}) < TIMESTAMP '{lit}' "
+                f"THEN 1 ELSE 0 END")
+    if kind == "entropy_between":
+        # Shannon entropy (nats) via a scalar subquery over the global
+        # value counts: H = ln N − Σ n·ln n / N (COALESCE: an empty
+        # column has no entropy evidence → 0 violations, matching the
+        # engine's None-passes gate)
+        t = s["table"]
+        h = "ln(sum(n)) - sum(n * ln(n)) / sum(n)"
+        conds = []
+        if s.get("min") is not None:
+            conds.append(f"{h} < {_sql_quote(s['min'])}")
+        if s.get("max") is not None:
+            conds.append(f"{h} > {_sql_quote(s['max'])}")
+        return (f"coalesce((SELECT CASE WHEN {' OR '.join(conds)} "
+                f"THEN 1 ELSE 0 END FROM (SELECT count(*) AS n "
+                f"FROM {t} WHERE {c} IS NOT NULL GROUP BY {c}) __e), 0)")
+    if kind == "unique_together":
+        cc = list(s["columns"])
+        nn = " AND ".join(f"{x} IS NOT NULL" for x in cc)
+        tup = ", ".join(cc)
+        return (f"count(*) FILTER (WHERE {nn}) - count(DISTINCT "
+                f"CASE WHEN {nn} THEN ({tup}) END)")
     if kind == "satisfies":
         left, op = s["left"], s["op"]
         if "right_column" in s:
@@ -732,6 +1205,7 @@ def _psi_select(s: dict) -> str:
     smoothed by PSI_EPS, empty sides short-circuit to 0 violations
     (CASE order matches _psi_check)."""
     t, c, sc = s["table"], s["column"], s["split_column"]
+    disp = _disp_col(s)
     edges = list(s["edges"])
     bvals = ", ".join(_sql_quote(v) for v in sorted(s["baseline_values"]))
     cvals = ", ".join(_sql_quote(v) for v in sorted(s["current_values"]))
@@ -741,12 +1215,13 @@ def _psi_select(s: dict) -> str:
     eps = repr(PSI_EPS)
     thr = _sql_quote(float(s["max_psi"]))
     return (
-        f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+        f"SELECT '{t}' AS table_name, '{disp}' AS column_name, "
         f"'psi_max' AS \"check\", "
         f"CAST(sum(ne) + sum(na) AS BIGINT) AS n_rows, "
         f"CAST(CASE WHEN sum(ne) = 0 OR sum(na) = 0 THEN 0 "
         f"WHEN sum((pa - pe) * ln((pa + {eps}) / (pe + {eps}))) "
-        f"> {thr} THEN 1 ELSE 0 END AS BIGINT) AS n_violations "
+        f"> {thr} THEN 1 ELSE 0 END AS BIGINT) AS n_violations, "
+        f"CAST(0.0 AS DOUBLE) AS max_viol "
         f"FROM (SELECT ne, na, "
         f"CAST(ne AS DOUBLE) / NULLIF(sum(ne) OVER (), 0) AS pe, "
         f"CAST(na AS DOUBLE) / NULLIF(sum(na) OVER (), 0) AS pa "
@@ -758,14 +1233,54 @@ def _psi_select(s: dict) -> str:
         f"GROUP BY 1) __h) __p")
 
 
+def _ks_select(s: dict) -> str:
+    """One audit SELECT computing the exact two-sample KS gate in SQL
+    from the same pool the engine builds: window ECDFs over the value
+    order (RANGE frames tie-collapse exactly like the engine's
+    last-index-per-value), counts divided as doubles — bit-identical
+    c/n terms on both sides.  Rows in both value sets count as
+    baseline (the engine's side-0-wins rule)."""
+    t, c, sc = s["table"], s["column"], s["split_column"]
+    disp = _disp_col(s)
+    bvals = ", ".join(_sql_quote(v) for v in sorted(s["baseline_values"]))
+    cvals = ", ".join(_sql_quote(v) for v in sorted(s["current_values"]))
+    thr = _sql_quote(float(s["max_ks"]))
+    return (
+        f"SELECT '{t}' AS table_name, '{disp}' AS column_name, "
+        f"'ks_max' AS \"check\", "
+        f"CAST(coalesce(max(n0t + n1t), 0) AS BIGINT) AS n_rows, "
+        f"CAST(CASE WHEN coalesce(max(n0t), 0) = 0 "
+        f"OR coalesce(max(n1t), 0) = 0 THEN 0 "
+        f"WHEN max(abs(c0 / n0t - c1 / n1t)) > {thr} "
+        f"THEN 1 ELSE 0 END AS BIGINT) AS n_violations, "
+        f"CAST(0.0 AS DOUBLE) AS max_viol "
+        f"FROM (SELECT "
+        f"CAST(sum(s0) OVER (ORDER BY v) AS DOUBLE) AS c0, "
+        f"CAST(sum(s1) OVER (ORDER BY v) AS DOUBLE) AS c1, "
+        f"CAST(sum(s0) OVER () AS DOUBLE) AS n0t, "
+        f"CAST(sum(s1) OVER () AS DOUBLE) AS n1t "
+        f"FROM (SELECT {c} AS v, "
+        f"CASE WHEN {sc} IN ({bvals}) THEN 1 ELSE 0 END AS s0, "
+        f"CASE WHEN {sc} IN ({bvals}) THEN 0 "
+        f"WHEN {sc} IN ({cvals}) THEN 1 ELSE 0 END AS s1 "
+        f"FROM {t} WHERE {c} IS NOT NULL AND "
+        f"({sc} IN ({bvals}) OR {sc} IN ({cvals}))) __p) __e")
+
+
 def suite_oracle_sql(suite: List[dict]) -> str:
     """ANSI-SQL audit equivalent to ``audit_constraints`` for the same
     suite — one SELECT per constraint, UNION ALL, same column names and
-    ordering as the engine output."""
+    ordering as the engine output.  Each SELECT also emits its
+    tolerance threshold (max_viol: 0.0, or (1 − mostly) · count(*) for
+    ``mostly`` specs); the outer query folds it into ``passed`` and
+    drops it."""
     _validate_suite(suite)
     selects = []
     for s in suite:
         t, c, kind = s["table"], _disp_col(s), s["kind"]
+        mv = (f"(1.0 - {_sql_quote(float(s['mostly']))}) * count(*)"
+              if "mostly" in s else "0.0")
+        tail = f", CAST({mv} AS DOUBLE) AS max_viol"
         head = (f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
                 f"'{kind}' AS \"check\", count(*) AS n_rows, ")
         if kind == "foreign_key":
@@ -773,25 +1288,28 @@ def suite_oracle_sql(suite: List[dict]) -> str:
             selects.append(
                 head
                 + f"CAST(count(*) FILTER (WHERE {s['column']} IS NOT NULL "
-                f"AND r.__k IS NULL) AS BIGINT) AS n_violations "
+                f"AND r.__k IS NULL) AS BIGINT) AS n_violations{tail} "
                 f"FROM {t} LEFT JOIN (SELECT DISTINCT {rc} AS __k "
                 f"FROM {rt}) r ON {t}.{s['column']} = r.__k")
         elif kind == "monotonic":
             selects.append(
                 head
                 + f"CAST(count(*) FILTER (WHERE {s['column']} < __prev) "
-                f"AS BIGINT) AS n_violations "
+                f"AS BIGINT) AS n_violations{tail} "
                 f"FROM {_monotonic_subquery(s)}")
         elif kind == "psi_max":
             selects.append(_psi_select(s))
+        elif kind == "ks_max":
+            selects.append(_ks_select(s))
         else:
             selects.append(head
                            + f"CAST({_viol_expr(s)} AS BIGINT) "
-                           f"AS n_violations FROM {t}")
+                           f"AS n_violations{tail} FROM {t}")
     body = "\nUNION ALL\n".join(selects)
     return (f"WITH audit AS (\n{body}\n)\n"
             "SELECT table_name, column_name, \"check\", n_rows, "
-            "n_violations, CAST(n_violations = 0 AS BIGINT) AS passed "
+            "n_violations, "
+            "CAST(n_violations <= max_viol AS BIGINT) AS passed "
             "FROM audit ORDER BY table_name, column_name, \"check\"")
 
 
@@ -830,13 +1348,16 @@ def violation_rows(read, suite: List[dict],
         fds = [s for s in specs
                if s["kind"] == "functional_dependency"]
         sats = [s for s in specs if s["kind"] == "satisfies"]
+        togethers = [s for s in specs if s["kind"] == "unique_together"]
         cols = sorted({s["column"] for s in specs if "column" in s}
                       | {s[k] for s in monotonics
                          for k in ("group_by", "order_by")}
                       | {s["determines"] for s in fds}
                       | {s["left"] for s in sats}
                       | {s["right_column"] for s in sats
-                         if "right_column" in s} | {key})
+                         if "right_column" in s}
+                      | {c for s in togethers for c in s["columns"]}
+                      | {key})
         ds = read(table, cols)
 
         fk_refs = {_cid(s): _ray.put(_ref_key_set(read, s))
@@ -860,7 +1381,7 @@ def violation_rows(read, suite: List[dict],
                                      lambda df, l=left, rv=rv, o=op:
                                      df[l].notna() & ~o(df[l], rv)))
             elif kind == "not_null":
-                compiled.append((col, kind,
+                compiled.append((_disp_col(s), kind,
                                  lambda df, c=col: df[c].isna()))
             elif kind == "range":
                 lo, hi = s.get("min"), s.get("max")
@@ -873,14 +1394,16 @@ def violation_rows(read, suite: List[dict],
                     if hi is not None:
                         bad |= v > hi
                     return bad & v.notna()
-                compiled.append((col, kind, mk))
+                compiled.append((_disp_col(s), kind, mk))
             elif kind == "in_set":
                 allowed = frozenset(s["values"])
-                compiled.append((col, kind, lambda df, c=col, a=allowed:
+                compiled.append((_disp_col(s), kind,
+                                 lambda df, c=col, a=allowed:
                                  df[c].notna() & ~df[c].isin(a)))
             elif kind == "regex":
                 pat = re.compile(s["pattern"])
-                compiled.append((col, kind, lambda df, c=col, p=pat:
+                compiled.append((_disp_col(s), kind,
+                                 lambda df, c=col, p=pat:
                                  df[c].notna()
                                  & ~df[c].str.contains(p).fillna(False)))
             elif kind == "foreign_key":
@@ -888,7 +1411,7 @@ def violation_rows(read, suite: List[dict],
 
                 def mk(df, c=col, r=ref):
                     return df[c].notna() & ~df[c].isin(_ray.get(r))
-                compiled.append((col, kind, mk))
+                compiled.append((_disp_col(s), kind, mk))
 
         if compiled:
             import pyarrow as pa
@@ -916,6 +1439,12 @@ def violation_rows(read, suite: List[dict],
             frames.append(pd.DataFrame({
                 "table_name": table, "column_name": s["column"],
                 "check": "unique", "key": [str(v) for v in vals]}))
+
+        for s in togethers:
+            vals = _duplicated_tuples(ds, list(s["columns"]))
+            frames.append(pd.DataFrame({
+                "table_name": table, "column_name": _disp_col(s),
+                "check": "unique_together", "key": vals}))
 
         for s in fds:
             ks = _fd_violating_keys(ds, s["column"], s["determines"],
@@ -976,9 +1505,13 @@ def violations_oracle_sql(suite: List[dict],
     for s in suite:
         if s["kind"] not in ROW_KINDS:
             continue
-        t, c, kind = s["table"], _disp_col(s), s["kind"]
+        t, disp, kind = s["table"], _disp_col(s), s["kind"]
+        # the DISPLAY label goes in the column_name literal; SQL
+        # expressions always use the raw column (a mostly/name suffix
+        # in the display would otherwise parse as an operator)
+        c = s.get("column")
         k = keys[t]
-        head = (f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+        head = (f"SELECT '{t}' AS table_name, '{disp}' AS column_name, "
                 f"'{kind}' AS \"check\", ")
         if kind == "not_null":
             selects.append(head + f"CAST({k} AS VARCHAR) AS key "
@@ -1035,6 +1568,15 @@ def violations_oracle_sql(suite: List[dict],
                 head + f"CAST({a} AS VARCHAR) AS key FROM {t} "
                 f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL "
                 f"GROUP BY {a} HAVING count(DISTINCT {b}) > 1")
+        elif kind == "unique_together":
+            cc = list(s["columns"])
+            nn = " AND ".join(f"{x} IS NOT NULL" for x in cc)
+            keyexpr = " || '|' || ".join(
+                f"CAST({x} AS VARCHAR)" for x in cc)
+            selects.append(
+                head + f"{keyexpr} AS key FROM {t} "
+                f"WHERE {nn} GROUP BY {', '.join(cc)} "
+                f"HAVING count(*) > 1")
     body = "\nUNION ALL\n".join(selects)
     return (f"WITH viols AS (\n{body}\n)\n"
             "SELECT * FROM viols "
@@ -1267,6 +1809,63 @@ DEFAULT_SUITE: List[dict] = [
      "kind": "functional_dependency", "determines": "o_custkey"},
     {"table": "documents", "column": "lang",
      "kind": "functional_dependency", "determines": "source"},
+    # ---- statistic gates on extrema (ride the shared scan's Max/Min
+    # slots): quantity min is exactly 1.0 (passes); event values start
+    # near 0 so a floor of 5 fails; top order price is always ≥ 1000
+    {"table": "lineitem", "column": "l_quantity", "kind": "min_between",
+     "min": 0.5, "max": 1.5},
+    {"table": "events", "column": "value", "kind": "min_between",
+     "min": 5.0},
+    {"table": "orders", "column": "o_totalprice", "kind": "max_between",
+     "min": 1000.0},
+    # freshness: events end 2024-01-30 → a 30-day lag from Feb 10
+    # passes; orders end 2001-08-01 → any 2002 as_of fails
+    {"table": "events", "column": "ts", "kind": "freshness",
+     "as_of": "2024-02-10T00:00:00", "max_lag_seconds": 30 * 86400},
+    {"table": "orders", "column": "o_orderdate", "kind": "freshness",
+     "as_of": "2002-06-01T00:00:00", "max_lag_seconds": 30 * 86400},
+    # correlation gates: value⊥user_id (|r| ≈ 0.01 → within ±0.1);
+    # price is NOT correlated with quantity in this synthetic data so
+    # a 0.5 floor is the planted failure
+    {"table": "events", "column": "value", "kind": "corr_between",
+     "with_column": "user_id", "min": -0.1, "max": 0.1},
+    {"table": "lineitem", "column": "l_extendedprice",
+     "kind": "corr_between", "with_column": "l_quantity", "min": 0.5},
+    # categorical entropy gates: lang entropy ≈ 1.47-1.52 nats (in
+    # [1.2, 1.7]); 3 near-uniform order statuses ≈ ln 3 ≈ 1.0986 → a
+    # 1.15 floor fails
+    {"table": "documents", "column": "lang", "kind": "entropy_between",
+     "min": 1.2, "max": 1.7},
+    {"table": "orders", "column": "o_orderstatus",
+     "kind": "entropy_between", "min": 1.15},
+    # composite uniqueness: event_id alone is unique (passes);
+    # (l_orderkey, l_linenumber) collides in this synthetic lineitem
+    {"table": "events", "kind": "unique_together",
+     "columns": ["event_id", "user_id"]},
+    {"table": "lineitem", "kind": "unique_together",
+     "columns": ["l_orderkey", "l_linenumber"]},
+    # exact-quantile gates (quantile_cont contract): median event
+    # value ≈ 34.6-35.7; doc-length p90 ≈ 480-500 → a 300 cap fails
+    {"table": "events", "column": "value", "kind": "quantile_between",
+     "q": 0.5, "min": 20.0, "max": 60.0},
+    {"table": "documents", "column": "n_chars",
+     "kind": "quantile_between", "q": 0.9, "max": 300.0},
+    # exact two-sample KS drift gates: view-vs-click event values are
+    # near-identical (KS ≈ 0.03-0.07 < 0.15); en-vs-zh doc lengths
+    # differ (KS ≈ 0.08-0.09 > 0.01 — planted drift failure)
+    {"table": "events", "column": "value", "kind": "ks_max",
+     "split_column": "event_type", "baseline_values": ["view"],
+     "current_values": ["click"], "max_ks": 0.15},
+    {"table": "documents", "column": "n_chars", "kind": "ks_max",
+     "split_column": "lang", "baseline_values": ["en"],
+     "current_values": ["zh"], "max_ks": 0.01},
+    # 'mostly' tolerance: ~1/3 of orders are status P → 50% tolerance
+    # passes where the strict twin above fails; only half the doc
+    # sources are allowed → 90% tolerance still fails
+    {"table": "orders", "column": "o_orderstatus", "kind": "in_set",
+     "values": ["O", "F"], "mostly": 0.5},
+    {"table": "documents", "column": "source", "kind": "in_set",
+     "values": [f"src{i}" for i in range(10)], "mostly": 0.9},
 ]
 
 # key column per testdata table for violation_rows / its oracle
@@ -1302,4 +1901,9 @@ VIOLATION_SUITE: List[dict] = [
     # langs), never per-row output
     {"table": "documents", "column": "lang",
      "kind": "functional_dependency", "determines": "source"},
+    # composite-uniqueness rows mode: keys are the duplicated (lang,
+    # source) VALUE pairs — bounded by 5 langs × 20 sources, never the
+    # underlying row count
+    {"table": "documents", "kind": "unique_together",
+     "columns": ["lang", "source"]},
 ]

@@ -36,6 +36,8 @@ def _tables():
         "oid": np.arange(600, dtype="int64"),
         "uid": rng.integers(0, n + 20, 600).astype("int64"),  # some dangling
         "amount": rng.uniform(1, 100, 600),
+        "ts": pd.Timestamp("2025-06-01")
+        + pd.to_timedelta(rng.integers(0, 86400 * 30, 600), unit="s"),
     })
     # plant: duplicate oid values (non-null dupes)
     orders.loc[10, "oid"] = orders.loc[11, "oid"]
@@ -97,6 +99,57 @@ SUITE = [
      "kind": "functional_dependency", "determines": "name"},
     {"table": "orders", "column": "uid",
      "kind": "functional_dependency", "determines": "amount"},
+    # ---- continuation kinds ----
+    # ages are 10-89 with five planted 999s: a max cap of 120 fails,
+    # the min floor passes
+    {"table": "users", "column": "age", "kind": "min_between",
+     "min": 5.0, "max": 15.0},
+    {"table": "users", "column": "age", "kind": "max_between",
+     "max": 120.0},
+    # order ts span June 2025: fresh within 60 days of Aug 1 (the
+    # failing twin lives in DEFAULT_SUITE on orders.o_orderdate)
+    {"table": "orders", "column": "ts", "kind": "freshness",
+     "as_of": "2025-08-01T00:00:00", "max_lag_seconds": 60 * 86400},
+    # iid amount vs oid: |corr| tiny — the ±0.1 window passes, a 0.5
+    # floor fails
+    {"table": "orders", "column": "amount", "kind": "corr_between",
+     "with_column": "oid", "min": -0.1, "max": 0.1},
+    {"table": "orders", "column": "amount", "kind": "corr_between",
+     "with_column": "uid", "min": 0.5},
+    # 4 tiers incl. 2 planted 'plutonium' rows: H ≈ ln 3 ≈ 1.09 nats
+    {"table": "users", "column": "tier", "kind": "entropy_between",
+     "min": 0.8, "max": 1.3},
+    {"table": "users", "column": "tier", "kind": "entropy_between",
+     "name": "tier_hi", "min": 2.0},          # fails
+    # (oid, uid) collides exactly on the two planted duplicate oids
+    # (rows 10/11 and 20/21 got identical oids but different uids —
+    # so (oid, uid) stays unique and this passes)
+    {"table": "orders", "kind": "unique_together",
+     "columns": ["oid", "uid"]},
+    # (uid, tier) over 400 users with 420 possible uids must collide
+    {"table": "users", "kind": "unique_together",
+     "columns": ["name", "tier"]},
+    # exact median of uniform(1, 100) ≈ 50
+    {"table": "orders", "column": "amount", "kind": "quantile_between",
+     "q": 0.5, "min": 30.0, "max": 70.0},
+    {"table": "orders", "column": "amount", "kind": "quantile_between",
+     "q": 0.9, "max": 20.0},                  # p90 ≈ 90 → fails
+    # ages iid across tiers → tiny exact KS; 0.0 threshold fails on
+    # any difference at all
+    {"table": "users", "column": "age", "kind": "ks_max",
+     "split_column": "tier", "baseline_values": ["gold"],
+     "current_values": ["silver", "bronze"], "max_ks": 0.5},
+    # second split on the same measure needs the 'name' display
+    # override to keep cids unique
+    {"table": "users", "column": "age", "kind": "ks_max", "name": "age_rev",
+     "split_column": "tier", "baseline_values": ["bronze"],
+     "current_values": ["gold"], "max_ks": 0.0},
+    # mostly: 4 bad names / 400 = 1% ≤ 2% tolerance → passes where
+    # the strict regex above fails; 5 bad ages / 400 > 0.1% → fails
+    {"table": "users", "column": "name", "kind": "regex",
+     "pattern": "^User#[0-9]+$", "mostly": 0.98},
+    {"table": "users", "column": "age", "kind": "range",
+     "min": 0.0, "max": 120.0, "mostly": 0.999},
 ]
 
 
@@ -154,7 +207,36 @@ def test_engine_matches_generated_oracle(ray_session):
                   "n_violations"] == 0
     assert by.loc[("orders", "uid->amount", "functional_dependency"),
                   "n_violations"] > 0
-    assert (got["passed"] == (got["n_violations"] == 0)
+    # continuation kinds: gates land on the planted data as designed
+    assert by.loc[("users", "age", "min_between"), "n_violations"] == 0
+    assert by.loc[("users", "age", "max_between"), "n_violations"] == 1
+    assert by.loc[("orders", "ts", "freshness"), "n_violations"] == 0
+    assert by.loc[("orders", "amount~oid", "corr_between"),
+                  "n_violations"] == 0
+    assert by.loc[("orders", "amount~uid", "corr_between"),
+                  "n_violations"] == 1
+    assert by.loc[("users", "tier", "entropy_between"),
+                  "n_violations"] == 0
+    assert by.loc[("orders", "oid+uid", "unique_together"),
+                  "n_violations"] == 0
+    assert by.loc[("users", "name+tier", "unique_together"),
+                  "n_violations"] > 0
+    assert by.loc[("orders", "amount@0.5", "quantile_between"),
+                  "n_violations"] == 0
+    assert by.loc[("orders", "amount@0.9", "quantile_between"),
+                  "n_violations"] == 1
+    assert by.loc[("users", "age", "ks_max"), "n_violations"] == 0
+    assert by.loc[("users", "age_rev", "ks_max"), "n_violations"] == 1
+    # mostly: 1% bad names pass at 0.98 tolerance; bad ages fail 0.999
+    mrow = by.loc[("users", "name~0.98", "regex")]
+    assert mrow["n_violations"] == 4 and mrow["passed"] == 1
+    arow = by.loc[("users", "age~0.999", "range")]
+    assert arow["n_violations"] == 5 and arow["passed"] == 0
+    # passed reflects the tolerance, not bare zero-violations, for
+    # exactly the mostly rows
+    strict = ~got["column_name"].str.contains("~0.9")
+    assert (got.loc[strict, "passed"]
+            == (got.loc[strict, "n_violations"] == 0)
             .astype("int64")).all()
 
 
@@ -250,6 +332,25 @@ def test_violation_rows_monotonic_tie_break(ray_session):
       "right_column": "b", "right_value": 1.0}, "exactly one"),
     ({"table": "t", "column": "a", "kind": "functional_dependency"},
      "determines"),
+    ({"table": "t", "column": "a", "kind": "min_between"},
+     "min and/or max"),
+    ({"table": "t", "column": "a", "kind": "freshness"},
+     "as_of"),
+    ({"table": "t", "column": "a", "kind": "corr_between", "min": 0.0},
+     "with_column"),
+    ({"table": "t", "kind": "unique_together", "columns": ["a"]},
+     ">= 2 columns"),
+    ({"table": "t", "column": "a", "kind": "quantile_between",
+      "min": 0.0}, "q in"),
+    ({"table": "t", "column": "a", "kind": "quantile_between",
+      "q": 1.5, "min": 0.0}, "q in"),
+    ({"table": "t", "column": "a", "kind": "ks_max",
+      "split_column": "s", "baseline_values": ["x"],
+      "current_values": ["y"]}, "max_ks"),
+    ({"table": "t", "column": "a", "kind": "unique", "mostly": 0.9},
+     "mostly only applies"),
+    ({"table": "t", "column": "a", "kind": "not_null", "mostly": 0.0},
+     "mostly must be"),
 ])
 def test_suite_validation_rejects(bad, msg):
     with pytest.raises(ValueError, match=msg):
