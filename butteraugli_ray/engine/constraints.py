@@ -111,6 +111,15 @@ Violation semantics (identical on both sides):
                      (n−1)·q): the distributed histogram-refinement
                      selection from functions/rank.py with a constant
                      group, never a global sort.
+- ``psi_snapshot`` — drift gate against a BASELINE SNAPSHOT: the
+                     spec embeds the baseline histogram
+                     (``edges`` + ``baseline_counts``, e.g. from
+                     ``profile_snapshot`` of a previous run) and the
+                     audit compares the current run's distribution to
+                     it (eps-smoothed PSI over the fixed bins, same
+                     formula as psi_max).  ``profile_snapshot`` /
+                     ``drift_suite_from_snapshot`` compile the
+                     profile→audit round trip.
 - ``ks_max``       — exact two-sample Kolmogorov-Smirnov drift gate
                      between ``baseline_values`` / ``current_values``
                      rows of ``split_column`` (q_ks_drift_exact
@@ -154,7 +163,8 @@ KINDS = ("not_null", "unique", "range", "in_set", "regex",
          "psi_max", "row_count_ratio_between", "satisfies",
          "functional_dependency", "min_between", "max_between",
          "freshness", "corr_between", "entropy_between",
-         "unique_together", "quantile_between", "ks_max")
+         "unique_together", "quantile_between", "ks_max",
+         "psi_snapshot")
 
 # kinds accepting the optional ``mostly`` tolerance (Great-Expectations
 # semantics): the check passes when
@@ -257,6 +267,15 @@ def _validate_suite(suite: List[dict]) -> None:
                       "current_values", "max_ks"):
                 if f not in s:
                     raise ValueError(f"ks_max needs {f}: {s}")
+        if s["kind"] == "psi_snapshot":
+            for f in ("edges", "baseline_counts", "max_psi"):
+                if f not in s:
+                    raise ValueError(f"psi_snapshot needs {f}: {s}")
+            if list(s["edges"]) != sorted(s["edges"]):
+                raise ValueError(f"psi_snapshot edges must be sorted: {s}")
+            if len(s["baseline_counts"]) != len(s["edges"]) + 1:
+                raise ValueError(
+                    f"psi_snapshot needs len(edges)+1 baseline_counts: {s}")
         if s["kind"] == "in_set" and not s.get("values"):
             raise ValueError(f"in_set needs values: {s}")
         if s["kind"] == "regex" and not s.get("pattern"):
@@ -677,6 +696,7 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         distincts = [s for s in specs
                      if s["kind"] == "distinct_count_min"]
         psis = [s for s in specs if s["kind"] == "psi_max"]
+        snaps = [s for s in specs if s["kind"] == "psi_snapshot"]
         ratios = [s for s in specs
                   if s["kind"] == "row_count_ratio_between"]
         fds = [s for s in specs
@@ -691,6 +711,7 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                       | {s[k] for s in monotonics
                          for k in ("group_by", "order_by")}
                       | {s["split_column"] for s in psis + kss}
+                      | {s["column"] for s in snaps}
                       | {s["determines"] for s in fds}
                       | {s["left"] for s in sats}
                       | {s["right_column"] for s in sats
@@ -829,8 +850,13 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                               frozenset(s["baseline_values"]),
                               frozenset(s["current_values"])))
 
+        snap_parts = [(_cid(s), s["column"],
+                       np.asarray(s["edges"], dtype="float64"))
+                      for s in snaps]
+
         def partial(df: pd.DataFrame, _c=tuple(compiled),
-                    _p=tuple(psi_parts)) -> pd.DataFrame:
+                    _p=tuple(psi_parts),
+                    _sn=tuple(snap_parts)) -> pd.DataFrame:
             res = []
             for _, fn in _c:
                 r = fn(df)
@@ -863,6 +889,18 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                         slots[j].append(0.0)
                     slots[7].append(-np.inf)
                     slots[8].append(np.inf)
+            for cid, col, edges in _sn:
+                v = df[col].dropna().to_numpy(dtype="float64")
+                bins = np.searchsorted(edges, v, side="right")
+                na = np.bincount(bins, minlength=len(edges) + 1)
+                for i in range(len(edges) + 1):
+                    cids.append(f"{cid}|{i}")
+                    slots[0].append(0)
+                    slots[1].append(float(na[i]))
+                    for j in range(2, 7):
+                        slots[j].append(0.0)
+                    slots[7].append(-np.inf)
+                    slots[8].append(np.inf)
             return pd.DataFrame({
                 "cid": cids,
                 "n_rows": np.int64(len(df)),
@@ -891,7 +929,8 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                           Sum("s5", alias_name="s5"),
                           Max("m0", alias_name="m0"),
                           Min("m1", alias_name="m1"))
-               .to_pandas()) if (compiled or psi_parts) else pd.DataFrame(
+               .to_pandas()) if (compiled or psi_parts or snap_parts) \
+            else pd.DataFrame(
                    columns=["cid"] + _agg_cols)
         agg_map = {r["cid"]: (int(r["n_rows"]), int(r["n_viol"]),
                               float(r["s0"]), float(r["s1"]),
@@ -903,7 +942,8 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         n_table = next(iter(agg_map.values()))[0] if agg_map else (
             int(ds.count()) if (uniques or monotonics or distincts
                                 or psis or ratios or fds or togethers
-                                or entropies or quantiles or kss)
+                                or entropies or quantiles or kss
+                                or snaps)
             else 0)
 
         def _gate(stat, lo, hi) -> int:
@@ -1006,6 +1046,23 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                 n_viol = int(psi > float(s["max_psi"]))
             rows.append((s["table"], _disp_col(s), "psi_max",
                          int(te + ta), n_viol, 0.0))
+
+        for s in snaps:
+            cid = _cid(s)
+            nb = len(s["edges"]) + 1
+            ne = np.asarray(s["baseline_counts"], dtype="float64")
+            na = np.array([agg_map.get(f"{cid}|{i}", _Z)[2]
+                           for i in range(nb)])
+            te, ta = float(ne.sum()), float(na.sum())
+            if te == 0 or ta == 0:
+                n_viol = 0
+            else:
+                pe, pa_ = ne / te, na / ta
+                psi = float(((pa_ - pe) * np.log((pa_ + PSI_EPS)
+                                                 / (pe + PSI_EPS))).sum())
+                n_viol = int(psi > float(s["max_psi"]))
+            rows.append((s["table"], _disp_col(s), "psi_snapshot",
+                         int(ta), n_viol, 0.0))
 
         for s in ratios:
             # both counts come from parquet metadata (Dataset.count on
@@ -1233,6 +1290,40 @@ def _psi_select(s: dict) -> str:
         f"GROUP BY 1) __h) __p")
 
 
+def _psi_snapshot_select(s: dict) -> str:
+    """One audit SELECT computing the snapshot-PSI gate in SQL: the
+    baseline histogram is embedded as a VALUES table (the same
+    literals the engine spec carries), the current histogram comes
+    from the same fixed-edge bin CASE as the engine's searchsorted,
+    missing bins COALESCE to 0 through the LEFT JOIN."""
+    t, c = s["table"], s["column"]
+    disp = _disp_col(s)
+    edges = list(s["edges"])
+    ne = [float(v) for v in s["baseline_counts"]]
+    vals = ", ".join(f"({i}, {_sql_quote(v)})" for i, v in enumerate(ne))
+    bin_expr = "CASE " + " ".join(
+        f"WHEN {c} < {_sql_quote(float(e))} THEN {i}"
+        for i, e in enumerate(edges)) + f" ELSE {len(edges)} END"
+    eps = repr(PSI_EPS)
+    thr = _sql_quote(float(s["max_psi"]))
+    return (
+        f"SELECT '{t}' AS table_name, '{disp}' AS column_name, "
+        f"'psi_snapshot' AS \"check\", "
+        f"CAST(coalesce(sum(na), 0) AS BIGINT) AS n_rows, "
+        f"CAST(CASE WHEN coalesce(sum(na), 0) = 0 OR sum(ne) = 0 THEN 0 "
+        f"WHEN sum((pa - pe) * ln((pa + {eps}) / (pe + {eps}))) "
+        f"> {thr} THEN 1 ELSE 0 END AS BIGINT) AS n_violations, "
+        f"CAST(0.0 AS DOUBLE) AS max_viol "
+        f"FROM (SELECT ne, na, "
+        f"ne / NULLIF(sum(ne) OVER (), 0) AS pe, "
+        f"CAST(na AS DOUBLE) / NULLIF(sum(na) OVER (), 0) AS pa "
+        f"FROM (SELECT b.ne AS ne, coalesce(cur.na, 0) AS na "
+        f"FROM (VALUES {vals}) b(bin, ne) "
+        f"LEFT JOIN (SELECT {bin_expr} AS bin, count(*) AS na "
+        f"FROM {t} WHERE {c} IS NOT NULL GROUP BY 1) cur "
+        f"ON b.bin = cur.bin) __j) __p")
+
+
 def _ks_select(s: dict) -> str:
     """One audit SELECT computing the exact two-sample KS gate in SQL
     from the same pool the engine builds: window ECDFs over the value
@@ -1299,6 +1390,8 @@ def suite_oracle_sql(suite: List[dict]) -> str:
                 f"FROM {_monotonic_subquery(s)}")
         elif kind == "psi_max":
             selects.append(_psi_select(s))
+        elif kind == "psi_snapshot":
+            selects.append(_psi_snapshot_select(s))
         elif kind == "ks_max":
             selects.append(_ks_select(s))
         else:
@@ -1584,6 +1677,96 @@ def violations_oracle_sql(suite: List[dict],
 
 
 # ---------------------------------------------------------------------------
+# Baseline snapshots — profile a run, audit the next run against it
+# ---------------------------------------------------------------------------
+
+def profile_snapshot(read, tables: Dict[str, List[str]],
+                     n_bins: int = 16) -> dict:
+    """Distribution snapshot of numeric columns for drift auditing:
+    ``tables[table] = [column, ...]`` → one JSON-serializable dict
+    per column with (n, nulls, mean, edges, counts).  Two pruned
+    passes per table (min/max extrema, then fixed-bin counts), both
+    one-row-per-batch sufficient-stat partials — at 100 TB this is
+    two streaming scans, never a collect.  Feed the result to
+    ``drift_suite_from_snapshot`` on the NEXT run of the pipeline."""
+    snap: dict = {}
+    for table in sorted(tables):
+        cols = list(tables[table])
+        ds = read(table, cols)
+
+        def extrema(df: pd.DataFrame, _cols=tuple(cols)) -> pd.DataFrame:
+            rec = {}
+            for c in _cols:
+                v = df[c].dropna().to_numpy(dtype="float64")
+                rec[f"{c}__lo"] = [float(v.min()) if len(v) else np.inf]
+                rec[f"{c}__hi"] = [float(v.max()) if len(v) else -np.inf]
+                rec[f"{c}__n"] = [int(len(v))]
+                rec[f"{c}__nulls"] = [int(df[c].isna().sum())]
+                rec[f"{c}__sum"] = [float(v.sum())]
+            return pd.DataFrame(rec)
+
+        ext = ds.map_batches(extrema, batch_format="pandas").to_pandas()
+        meta = {}
+        for c in cols:
+            lo, hi = float(ext[f"{c}__lo"].min()), \
+                float(ext[f"{c}__hi"].max())
+            n = int(ext[f"{c}__n"].sum())
+            meta[c] = {"n": n, "nulls": int(ext[f"{c}__nulls"].sum()),
+                       "mean": float(ext[f"{c}__sum"].sum()) / n
+                       if n else None,
+                       "lo": lo, "hi": hi}
+
+        # inner edges only (first/last bins are open, so the audit run
+        # can never fall off the histogram)
+        edge_map = {c: np.linspace(meta[c]["lo"], meta[c]["hi"],
+                                   n_bins + 1)[1:-1]
+                    for c in cols if meta[c]["n"]
+                    and meta[c]["lo"] < meta[c]["hi"]}
+
+        def counts(df: pd.DataFrame,
+                   _e=dict(edge_map)) -> pd.DataFrame:
+            rec = {}
+            for c, edges in _e.items():
+                v = df[c].dropna().to_numpy(dtype="float64")
+                bins = np.searchsorted(edges, v, side="right")
+                rec[c] = [np.bincount(
+                    bins, minlength=len(edges) + 1).tolist()]
+            return pd.DataFrame(rec)
+
+        cts = ds.map_batches(counts, batch_format="pandas").to_pandas() \
+            if edge_map else pd.DataFrame()
+        snap[table] = {}
+        for c in cols:
+            rec = dict(meta[c])
+            if c in edge_map:
+                rec["edges"] = [float(e) for e in edge_map[c]]
+                rec["counts"] = np.sum(
+                    [np.asarray(x) for x in cts[c]], axis=0
+                ).astype(int).tolist()
+            snap[table][c] = rec
+    return snap
+
+
+def drift_suite_from_snapshot(snap: dict, max_psi: float = 0.1
+                              ) -> List[dict]:
+    """Compile a profile snapshot into a psi_snapshot constraint suite
+    — the baseline-vs-next-run drift audit the north rule asks for.
+    Columns without a histogram (all-null or constant) are skipped."""
+    suite = []
+    for table in sorted(snap):
+        for c in sorted(snap[table]):
+            rec = snap[table][c]
+            if "edges" not in rec:
+                continue
+            suite.append({"table": table, "column": c,
+                          "kind": "psi_snapshot",
+                          "edges": list(rec["edges"]),
+                          "baseline_counts": list(rec["counts"]),
+                          "max_psi": max_psi})
+    return suite
+
+
+# ---------------------------------------------------------------------------
 # Schema checks — declarative expected-schema validation (footer-only)
 # ---------------------------------------------------------------------------
 
@@ -1859,6 +2042,16 @@ DEFAULT_SUITE: List[dict] = [
     {"table": "documents", "column": "n_chars", "kind": "ks_max",
      "split_column": "lang", "baseline_values": ["en"],
      "current_values": ["zh"], "max_ks": 0.01},
+    # snapshot drift: the embedded baseline histogram matches the
+    # stable event-value shape (~[0.33, 0.22, 0.15, 0.10, 0.20] across
+    # sf → PSI ≲ 1e-3); the uniform doc-length baseline is the planted
+    # drift failure (two empty tails → PSI ≫ 0.25)
+    {"table": "events", "column": "value", "kind": "psi_snapshot",
+     "edges": [20.0, 40.0, 60.0, 80.0],
+     "baseline_counts": [326, 224, 148, 101, 199], "max_psi": 0.05},
+    {"table": "documents", "column": "n_chars", "kind": "psi_snapshot",
+     "edges": [200.0, 500.0, 1000.0, 2000.0],
+     "baseline_counts": [200, 200, 200, 200, 200], "max_psi": 0.25},
     # 'mostly' tolerance: ~1/3 of orders are status P → 50% tolerance
     # passes where the strict twin above fails; only half the doc
     # sources are allowed → 90% tolerance still fails

@@ -351,10 +351,56 @@ def test_violation_rows_monotonic_tie_break(ray_session):
      "mostly only applies"),
     ({"table": "t", "column": "a", "kind": "not_null", "mostly": 0.0},
      "mostly must be"),
+    ({"table": "t", "column": "a", "kind": "psi_snapshot",
+      "edges": [1.0], "max_psi": 0.1}, "baseline_counts"),
+    ({"table": "t", "column": "a", "kind": "psi_snapshot",
+      "edges": [1.0, 2.0], "baseline_counts": [1, 2], "max_psi": 0.1},
+     "len.edges..1"),
 ])
 def test_suite_validation_rejects(bad, msg):
     with pytest.raises(ValueError, match=msg):
         audit_constraints(lambda *a: None, [bad])
+
+
+def test_snapshot_drift_round_trip(ray_session):
+    """profile_snapshot → drift_suite_from_snapshot → audit: the run
+    that produced the snapshot drifts nowhere (PSI ≈ 0 → all pass);
+    a location-shifted rerun trips every gate; the generated SQL
+    agrees with the engine on both."""
+    import ray
+    from butteraugli_ray.engine.constraints import (
+        drift_suite_from_snapshot, profile_snapshot)
+
+    rng = np.random.default_rng(11)
+    base = pd.DataFrame({"x": rng.normal(50, 10, 4000),
+                         "y": rng.uniform(0, 1, 4000)})
+    shifted = pd.DataFrame({"x": base["x"] + 25.0,
+                            "y": base["y"] ** 3})
+
+    def mkread(df):
+        return lambda table, columns: ray.data.from_pandas(
+            df[list(columns)] if columns else df).repartition(4)
+
+    snap = profile_snapshot(mkread(base), {"t": ["x", "y"]})
+    assert snap["t"]["x"]["n"] == 4000
+    assert len(snap["t"]["x"]["counts"]) == len(snap["t"]["x"]["edges"]) + 1
+    assert sum(snap["t"]["x"]["counts"]) == 4000
+
+    suite = drift_suite_from_snapshot(snap, max_psi=0.05)
+    assert [s["column"] for s in suite] == ["x", "y"]
+
+    same = audit_constraints(mkread(base), suite)
+    assert (same["n_violations"] == 0).all()
+    drift = audit_constraints(mkread(shifted), suite)
+    assert (drift["n_violations"] == 1).all()
+
+    con = duckdb.connect()
+    con.register("t", shifted)
+    want = con.execute(suite_oracle_sql(suite)).df()
+    pd.testing.assert_frame_equal(
+        drift.reset_index(drop=True),
+        want.astype({"n_rows": "int64", "n_violations": "int64",
+                     "passed": "int64"}).reset_index(drop=True))
 
 
 def test_duplicate_constraint_rejected():
