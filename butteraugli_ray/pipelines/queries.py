@@ -3518,6 +3518,114 @@ def q_span_stats(sf_dir: str) -> pd.DataFrame:
             [["kind", "n_spans", "sum_text_chars", "n_distinct_refs"]])
 
 
+def _read_interleaved_spans(sf_dir: str):
+    """Shared reader for span-sequence queries: the derived
+    interleaved corpus' (doc_id, spans) projection as a Dataset."""
+    import hashlib as _hl
+    import ray.data as rd
+    from ..sources.tables import (parquet_schema_no_metadata,
+                                  small_file_num_blocks,
+                                  strip_schema_metadata)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    corpus_dir = f"/tmp/butteraugli_ray_corpus_{tag}"
+    paths = build_interleaved_corpus(sf_dir, corpus_dir)
+    path = paths["documents"]
+    return strip_schema_metadata(rd.read_parquet(
+        path, columns=["doc_id", "spans"],
+        schema=parquet_schema_no_metadata(path, ["doc_id", "spans"]),
+        override_num_blocks=small_file_num_blocks(path)))
+
+
+def _span_list_layout(t: "pa.Table"):
+    """(offsets, flat struct) of a batch's spans column, zero-copy:
+    offsets rebased to 0 so they index the flattened values directly
+    (chunk slicing keeps raw offsets unrebased)."""
+    spans = t["spans"].combine_chunks()
+    o = np.asarray(spans.offsets).astype(np.int64)
+    return o - o[0], spans.flatten()
+
+
+def q_span_kind_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Adjacent span-KIND transitions within each interleaved document
+    — the span-SEQUENCE contract surface (the north rule's per-row
+    invariant is (kind, text, media_ref, order) equality, so the
+    transition profile is exactly what a reordering bug would corrupt).
+
+    Engine shape: zero-copy list flatten per batch; the pair mask is
+    pure offset arithmetic (pairs whose second element starts a new
+    document are knocked out via the interior list boundaries), then
+    one vectorized groupby-size partial per batch → combiner Sum.  No
+    per-document Python, no pandas explode.  SQL-checked by a DYNAMIC
+    UNNEST oracle (lag() OVER (PARTITION BY row ORDER BY span index)
+    over the same materialized corpus parquet)."""
+    ds = _read_interleaved_spans(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        o, flat = _span_list_layout(t)
+        kind = flat.field("kind").to_pandas()
+        k = kind.to_numpy(dtype=object)
+        n = len(k)
+        if n < 2:
+            return pd.DataFrame({"prev_kind": pd.Series([], dtype=str),
+                                 "kind": pd.Series([], dtype=str),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        prev, curr = k[:-1], k[1:]
+        valid = np.ones(n - 1, dtype=bool)
+        b = o[1:-1]                       # interior document boundaries
+        b = b[(b > 0) & (b <= n - 1)]
+        valid[b - 1] = False              # pair (b-1, b) spans two docs
+        m = valid & pd.notna(prev) & pd.notna(curr)
+        df = pd.DataFrame({"prev_kind": prev[m], "kind": curr[m]})
+        out = (df.groupby(["prev_kind", "kind"], as_index=False)
+               .size().rename(columns={"size": "n_pairs"}))
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = _final_agg(parts, ["prev_kind", "kind"], ["n_pairs"])
+    agg["n_pairs"] = agg["n_pairs"].astype("int64")
+    return (agg.sort_values(["prev_kind", "kind"])
+            .reset_index(drop=True))
+
+
+def q_span_position_profile(sf_dir: str) -> pd.DataFrame:
+    """Span-kind counts by POSITION DECILE within the document
+    ((10·i) // n_spans, exact integer arithmetic on both engines) —
+    where do images sit inside interleaved documents?  Same zero-copy
+    flatten + offset-arithmetic shape as q_span_kind_bigrams: the
+    within-list index is arange minus the repeated list starts, one
+    vectorized partial per batch, combiner Sum, dynamic UNNEST
+    oracle."""
+    ds = _read_interleaved_spans(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        o, flat = _span_list_layout(t)
+        lens = np.diff(o)
+        tot = int(o[-1])
+        if tot == 0:
+            return pd.DataFrame({"kind": pd.Series([], dtype=str),
+                                 "decile": pd.Series([], dtype="int64"),
+                                 "n_spans": pd.Series([], dtype="int64")})
+        idx = np.arange(tot, dtype=np.int64) - np.repeat(o[:-1], lens)
+        ln = np.repeat(lens, lens)
+        decile = (10 * idx) // ln
+        kind = flat.field("kind").to_pandas()
+        m = kind.notna().to_numpy()
+        df = pd.DataFrame({"kind": kind.to_numpy(dtype=object)[m],
+                           "decile": decile[m]})
+        out = (df.groupby(["kind", "decile"], as_index=False)
+               .size().rename(columns={"size": "n_spans"}))
+        out["n_spans"] = out["n_spans"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = _final_agg(parts, ["kind", "decile"], ["n_spans"])
+    agg["decile"] = agg["decile"].astype("int64")
+    agg["n_spans"] = agg["n_spans"].astype("int64")
+    return (agg.sort_values(["kind", "decile"])
+            .reset_index(drop=True))
+
+
 def q_value_p90_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-GROUP approximate p90 via the mergeable t-digest AggregateFn
     (bytes accumulators through the groupby shuffle — raw values never
@@ -10718,6 +10826,8 @@ QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "value_p90_by_type": q_value_p90_by_type,
     "span_stats": q_span_stats,
+    "span_kind_bigrams": q_span_kind_bigrams,
+    "span_position_profile": q_span_position_profile,
     "chunk_stats": q_chunk_stats,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -14124,6 +14234,37 @@ def dynamic_oracles() -> dict:
                      WHERE media_ref IS NOT NULL AND media_ref <> '')
                     ELSE 0 END AS BIGINT) AS n_distinct_refs
         FROM flat GROUP BY kind ORDER BY kind
+    """
+
+    out["span_kind_bigrams"] = f"""
+        WITH raw AS (
+            SELECT file_row_number AS rid,
+                   UNNEST(generate_series(1, len(spans))) - 1 AS i,
+                   UNNEST(spans) AS s
+            FROM read_parquet('{paths["documents"]}',
+                              file_row_number = true)),
+        f AS (SELECT rid, CAST(i AS INTEGER) AS i, s.kind AS kind
+              FROM raw),
+        l AS (SELECT kind, lag(kind) OVER (PARTITION BY rid
+                                           ORDER BY i) AS prev_kind
+              FROM f)
+        SELECT prev_kind, kind, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM l WHERE prev_kind IS NOT NULL AND kind IS NOT NULL
+        GROUP BY prev_kind, kind ORDER BY prev_kind, kind
+    """
+
+    out["span_position_profile"] = f"""
+        WITH raw AS (
+            SELECT len(spans) AS n,
+                   UNNEST(generate_series(1, len(spans))) - 1 AS i,
+                   UNNEST(spans) AS s
+            FROM read_parquet('{paths["documents"]}')),
+        f AS (SELECT s.kind AS kind,
+                     CAST((10 * i) // n AS BIGINT) AS decile
+              FROM raw)
+        SELECT kind, decile, CAST(count(*) AS BIGINT) AS n_spans
+        FROM f WHERE kind IS NOT NULL
+        GROUP BY kind, decile ORDER BY kind, decile
     """
 
     out["validate_structural"] = f"""

@@ -150,3 +150,43 @@ def test_span_stats_matches_pandas_reconstruction(ray_session):
     assert int(r.loc["image", "n_distinct_refs"]) == len(refs)
     assert int(r.loc["text", "n_distinct_refs"]) == 0
     assert int(r.loc["video", "n_distinct_refs"]) == 0
+
+
+def test_span_sequence_queries_match_pandas(ray_session):
+    """q_span_kind_bigrams / q_span_position_profile (offset-arithmetic
+    pair masks over zero-copy list flattens) equal an independent
+    pandas explode of the SAME materialized corpus parquet."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from butteraugli_ray.pipelines.queries import (
+        build_interleaved_corpus, q_span_kind_bigrams,
+        q_span_position_profile)
+
+    sf = "/root/testdata/sf0.001"
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    paths = build_interleaved_corpus(sf, f"/tmp/butteraugli_ray_corpus_{tag}")
+    docs = pq.read_table(paths["documents"],
+                         columns=["spans"]).to_pandas()
+
+    import collections
+    bigrams = collections.Counter()
+    deciles = collections.Counter()
+    for spans in docs["spans"]:
+        kinds = [s["kind"] for s in spans]
+        n = len(kinds)
+        for a, b in zip(kinds, kinds[1:]):
+            if a is not None and b is not None:
+                bigrams[(a, b)] += 1
+        for i, k in enumerate(kinds):
+            if k is not None:
+                deciles[(k, (10 * i) // n)] += 1
+
+    got_b = q_span_kind_bigrams(sf)
+    assert {(r.prev_kind, r.kind): r.n_pairs
+            for r in got_b.itertuples()} == dict(bigrams)
+
+    got_d = q_span_position_profile(sf)
+    assert {(r.kind, r.decile): r.n_spans
+            for r in got_d.itertuples()} == dict(deciles)
