@@ -183,7 +183,12 @@ def cmd_audit(args) -> int:
                               "out": args.rows_out}))
         else:
             print(rows.head(args.rows_cap).to_string(index=False))
-    return 0 if bool((out["passed"] == 1).all()) else 1
+    # severity-aware exit: only ERROR-severity failures gate the job;
+    # warn failures are reported above but keep exit 0 (Deequ-style
+    # levels — a soft check can't fail the pipeline)
+    err_failed = bool(((out["passed"] == 0)
+                       & (out["severity"] == "error")).any())
+    return 1 if err_failed else 0
 
 
 def main(argv=None) -> int:

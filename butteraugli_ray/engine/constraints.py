@@ -267,6 +267,8 @@ def _validate_suite(suite: List[dict]) -> None:
                       "current_values", "max_ks"):
                 if f not in s:
                     raise ValueError(f"ks_max needs {f}: {s}")
+        if s.get("severity", "error") not in ("error", "warn"):
+            raise ValueError(f"severity must be error|warn: {s}")
         if s["kind"] == "psi_snapshot":
             for f in ("edges", "baseline_counts", "max_psi"):
                 if f not in s:
@@ -1117,6 +1119,11 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["table_name", "column_name",
                                       "check", "n_rows", "n_violations",
                                       "__allowed"])
+    sev_map = {(s["table"], _disp_col(s), s["kind"]):
+               s.get("severity", "error") for s in suite}
+    out.insert(3, "severity", [
+        sev_map[(t, c, k)] for t, c, k in zip(
+            out["table_name"], out["column_name"], out["check"])])
     out["n_rows"] = out["n_rows"].astype("int64")
     out["n_violations"] = out["n_violations"].astype("int64")
     # int64 0/1, not bool: the driver value-hash and DuckDB agree on
@@ -1274,6 +1281,7 @@ def _psi_select(s: dict) -> str:
     return (
         f"SELECT '{t}' AS table_name, '{disp}' AS column_name, "
         f"'psi_max' AS \"check\", "
+        f"'{s.get('severity', 'error')}' AS severity, "
         f"CAST(sum(ne) + sum(na) AS BIGINT) AS n_rows, "
         f"CAST(CASE WHEN sum(ne) = 0 OR sum(na) = 0 THEN 0 "
         f"WHEN sum((pa - pe) * ln((pa + {eps}) / (pe + {eps}))) "
@@ -1309,6 +1317,7 @@ def _psi_snapshot_select(s: dict) -> str:
     return (
         f"SELECT '{t}' AS table_name, '{disp}' AS column_name, "
         f"'psi_snapshot' AS \"check\", "
+        f"'{s.get('severity', 'error')}' AS severity, "
         f"CAST(coalesce(sum(na), 0) AS BIGINT) AS n_rows, "
         f"CAST(CASE WHEN coalesce(sum(na), 0) = 0 OR sum(ne) = 0 THEN 0 "
         f"WHEN sum((pa - pe) * ln((pa + {eps}) / (pe + {eps}))) "
@@ -1339,6 +1348,7 @@ def _ks_select(s: dict) -> str:
     return (
         f"SELECT '{t}' AS table_name, '{disp}' AS column_name, "
         f"'ks_max' AS \"check\", "
+        f"'{s.get('severity', 'error')}' AS severity, "
         f"CAST(coalesce(max(n0t + n1t), 0) AS BIGINT) AS n_rows, "
         f"CAST(CASE WHEN coalesce(max(n0t), 0) = 0 "
         f"OR coalesce(max(n1t), 0) = 0 THEN 0 "
@@ -1372,8 +1382,10 @@ def suite_oracle_sql(suite: List[dict]) -> str:
         mv = (f"(1.0 - {_sql_quote(float(s['mostly']))}) * count(*)"
               if "mostly" in s else "0.0")
         tail = f", CAST({mv} AS DOUBLE) AS max_viol"
+        sev = s.get("severity", "error")
         head = (f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
-                f"'{kind}' AS \"check\", count(*) AS n_rows, ")
+                f"'{kind}' AS \"check\", '{sev}' AS severity, "
+                f"count(*) AS n_rows, ")
         if kind == "foreign_key":
             rt, rc = s["ref_table"], s["ref_column"]
             selects.append(
@@ -1400,8 +1412,8 @@ def suite_oracle_sql(suite: List[dict]) -> str:
                            f"AS n_violations{tail} FROM {t}")
     body = "\nUNION ALL\n".join(selects)
     return (f"WITH audit AS (\n{body}\n)\n"
-            "SELECT table_name, column_name, \"check\", n_rows, "
-            "n_violations, "
+            "SELECT table_name, column_name, \"check\", severity, "
+            "n_rows, n_violations, "
             "CAST(n_violations <= max_viol AS BIGINT) AS passed "
             "FROM audit ORDER BY table_name, column_name, \"check\"")
 
@@ -1965,11 +1977,13 @@ DEFAULT_SUITE: List[dict] = [
      "current_values": ["click"],
      "edges": [10.0, 25.0, 50.0, 75.0, 90.0], "max_psi": 0.1},
     # en vs zh doc-length PSI ≈ 0.01-0.07 across sf: deliberate drift
-    # failure at 0.002
+    # failure at 0.002 — severity WARN (drift alerts shouldn't gate
+    # the job; the CLI exit code only counts error-severity failures)
     {"table": "documents", "column": "n_chars", "kind": "psi_max",
      "split_column": "lang", "baseline_values": ["en"],
      "current_values": ["zh"],
-     "edges": [200.0, 500.0, 1000.0, 2000.0], "max_psi": 0.002},
+     "edges": [200.0, 500.0, 1000.0, 2000.0], "max_psi": 0.002,
+     "severity": "warn"},
     # cross-table volume sanity: ~4 lineitems per order
     {"table": "lineitem", "kind": "row_count_ratio_between",
      "ref_table": "orders", "min": 2.0, "max": 8.0},

@@ -473,6 +473,15 @@ def test_cli_audit_exit_codes(tmp_path):
     r = subprocess.run(base + ["--suite", str(p2)],
                        capture_output=True, text=True)
     assert r.returncode == 2
+    # a failing WARN-severity check reports but does not gate -> exit 0
+    warn = [{"table": "orders", "kind": "row_count_min",
+             "min_rows": 10 ** 9, "severity": "warn"}]
+    p3 = tmp_path / "warn.json"
+    p3.write_text(_json.dumps(warn))
+    r = subprocess.run(base + ["--suite", str(p3)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "warn" in r.stdout
 
 
 def test_default_suite_is_valid_sql():
