@@ -3626,6 +3626,66 @@ def q_span_position_profile(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_media_payload_stats(sf_dir: str) -> pd.DataFrame:
+    """Multimodal payload-contract audit over the derived media table:
+    per (width, height) resolution, media count, total reference /
+    distorted payload bytes, and how many payloads violate the raw-RGB
+    size contract (octet_length == 3·width·height — the validation
+    engine's structural check on opaque binary columns).
+
+    Engine shape: ``pyarrow.compute.binary_length`` reads ONLY the
+    Arrow offsets buffer — payload bytes are never materialized, so
+    the scan cost is metadata-sized even when the payload column is
+    the table's bulk (the 100 TB shape: image bytes stay in the
+    object store).  One vectorized groupby partial per batch →
+    combiner Sum; dynamic SQL oracle via DuckDB octet_length over the
+    same parquet."""
+    import hashlib as _hl
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ..sources.tables import (parquet_schema_no_metadata,
+                                  small_file_num_blocks,
+                                  strip_schema_metadata)
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    paths = build_interleaved_corpus(
+        sf_dir, f"/tmp/butteraugli_ray_corpus_{tag}")
+    path = paths["media"]
+    cols = ["width", "height", "ref_rgb", "dist_rgb"]
+    ds = strip_schema_metadata(rd.read_parquet(
+        path, columns=cols,
+        schema=parquet_schema_no_metadata(path, cols),
+        override_num_blocks=small_file_num_blocks(path)))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        w = t["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rl = pc.binary_length(t["ref_rgb"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dl = pc.binary_length(t["dist_rgb"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        want = 3 * w * h
+        df = pd.DataFrame({
+            "width": w, "height": h, "ref_bytes": rl, "dist_bytes": dl,
+            "n_media": np.int64(1),
+            "n_size_mismatch": ((rl != want) | (dl != want))
+            .astype(np.int64)})
+        return (df.groupby(["width", "height"], as_index=False)
+                .agg(n_media=("n_media", "sum"),
+                     ref_bytes=("ref_bytes", "sum"),
+                     dist_bytes=("dist_bytes", "sum"),
+                     n_size_mismatch=("n_size_mismatch", "sum")))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = _final_agg(parts, ["width", "height"],
+                     ["n_media", "ref_bytes", "dist_bytes",
+                      "n_size_mismatch"])
+    for c in ("width", "height", "n_media", "ref_bytes", "dist_bytes",
+              "n_size_mismatch"):
+        agg[c] = agg[c].astype("int64")
+    return (agg.sort_values(["width", "height"])
+            .reset_index(drop=True))
+
+
 def q_value_p90_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-GROUP approximate p90 via the mergeable t-digest AggregateFn
     (bytes accumulators through the groupby shuffle — raw values never
@@ -10828,6 +10888,7 @@ QUERIES = {
     "span_stats": q_span_stats,
     "span_kind_bigrams": q_span_kind_bigrams,
     "span_position_profile": q_span_position_profile,
+    "media_payload_stats": q_media_payload_stats,
     "chunk_stats": q_chunk_stats,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -14265,6 +14326,20 @@ def dynamic_oracles() -> dict:
         SELECT kind, decile, CAST(count(*) AS BIGINT) AS n_spans
         FROM f WHERE kind IS NOT NULL
         GROUP BY kind, decile ORDER BY kind, decile
+    """
+
+    out["media_payload_stats"] = f"""
+        SELECT CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(octet_length(ref_rgb)) AS BIGINT) AS ref_bytes,
+               CAST(sum(octet_length(dist_rgb)) AS BIGINT) AS dist_bytes,
+               CAST(count(*) FILTER (WHERE
+                    octet_length(ref_rgb) <> 3 * width * height
+                 OR octet_length(dist_rgb) <> 3 * width * height)
+                    AS BIGINT) AS n_size_mismatch
+        FROM read_parquet('{paths["media"]}')
+        GROUP BY width, height ORDER BY width, height
     """
 
     out["validate_structural"] = f"""
