@@ -1368,13 +1368,19 @@ def _ks_select(s: dict) -> str:
         f"({sc} IN ({bvals}) OR {sc} IN ({cvals}))) __p) __e")
 
 
-def suite_oracle_sql(suite: List[dict]) -> str:
+def suite_oracle_sql(suite: List[dict],
+                     table_defs: Dict[str, str] | None = None) -> str:
     """ANSI-SQL audit equivalent to ``audit_constraints`` for the same
     suite — one SELECT per constraint, UNION ALL, same column names and
     ordering as the engine output.  Each SELECT also emits its
     tolerance threshold (max_viol: 0.0, or (1 − mostly) · count(*) for
     ``mostly`` specs); the outer query folds it into ``passed`` and
-    drops it."""
+    drops it.
+
+    ``table_defs`` optionally maps suite table names to parquet paths:
+    each becomes a leading CTE (``name AS (SELECT * FROM
+    read_parquet('path'))``) so suites audit ANY parquet — e.g. the
+    derived interleaved corpus — without pre-registered views."""
     _validate_suite(suite)
     selects = []
     for s in suite:
@@ -1411,7 +1417,10 @@ def suite_oracle_sql(suite: List[dict]) -> str:
                            + f"CAST({_viol_expr(s)} AS BIGINT) "
                            f"AS n_violations{tail} FROM {t}")
     body = "\nUNION ALL\n".join(selects)
-    return (f"WITH audit AS (\n{body}\n)\n"
+    defs = "".join(
+        f"{name} AS (SELECT * FROM read_parquet('{path}')),\n"
+        for name, path in sorted((table_defs or {}).items()))
+    return (f"WITH {defs}audit AS (\n{body}\n)\n"
             "SELECT table_name, column_name, \"check\", severity, "
             "n_rows, n_violations, "
             "CAST(n_violations <= max_viol AS BIGINT) AS passed "

@@ -3686,6 +3686,66 @@ def q_media_payload_stats(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+# Constraint suite over the DERIVED interleaved corpus (flat columns
+# only — the nested spans column is the structural checker's job).
+# The doc_id unique failure is the corpus' PLANTED duplicate_doc_id
+# seeding surfacing through the generic DSL.  expected_score is
+# deliberately absent: it contains NaN, and pandas treats NaN as null
+# where SQL does not — a documented DSL precondition, not a gap.
+CORPUS_SUITE = [
+    {"table": "corpus_documents", "column": "doc_id", "kind": "not_null"},
+    {"table": "corpus_documents", "column": "doc_id", "kind": "unique"},
+    {"table": "corpus_documents", "column": "partition_id",
+     "kind": "range", "min": 0},
+    {"table": "corpus_media", "column": "media_ref", "kind": "not_null"},
+    {"table": "corpus_media", "column": "media_ref", "kind": "unique"},
+    {"table": "corpus_media", "column": "media_ref", "kind": "regex",
+     "pattern": "^img-"},
+    {"table": "corpus_media", "column": "width", "kind": "range",
+     "min": 8.0, "max": 4096.0},
+    {"table": "corpus_media", "column": "height", "kind": "range",
+     "min": 8.0, "max": 4096.0},
+    {"table": "corpus_documents", "kind": "row_count_ratio_between",
+     "ref_table": "corpus_media", "min": 2.0},
+]
+
+
+def _corpus_paths(sf_dir: str) -> dict:
+    import hashlib as _hl
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    return build_interleaved_corpus(
+        sf_dir, f"/tmp/butteraugli_ray_corpus_{tag}")
+
+
+def q_corpus_constraint_audit(sf_dir: str) -> pd.DataFrame:
+    """The declarative constraint DSL pointed at the NORTH-STAR
+    payload itself: audit the derived interleaved corpus tables
+    (documents' doc_id uniqueness — which catches the corpus' planted
+    duplicate — media referential hygiene, resolution ranges,
+    docs-per-media volume).  Engine: the same shared-scan
+    audit_constraints compiler over read_parquet of the corpus files;
+    oracle: suite_oracle_sql with table_defs CTEs over the SAME
+    parquet, generated from the SAME spec list."""
+    import ray.data as rd
+    from ..engine.constraints import audit_constraints
+    from ..sources.tables import (parquet_schema_no_metadata,
+                                  small_file_num_blocks,
+                                  strip_schema_metadata)
+    paths = _corpus_paths(sf_dir)
+    files = {"corpus_documents": paths["documents"],
+             "corpus_media": paths["media"]}
+
+    def read(table, columns):
+        path = files[table]
+        cols = list(columns) if columns else None
+        return strip_schema_metadata(rd.read_parquet(
+            path, columns=cols,
+            schema=parquet_schema_no_metadata(path, cols),
+            override_num_blocks=small_file_num_blocks(path)))
+
+    return audit_constraints(read, CORPUS_SUITE)
+
+
 def q_value_p90_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-GROUP approximate p90 via the mergeable t-digest AggregateFn
     (bytes accumulators through the groupby shuffle — raw values never
@@ -10889,6 +10949,7 @@ QUERIES = {
     "span_kind_bigrams": q_span_kind_bigrams,
     "span_position_profile": q_span_position_profile,
     "media_payload_stats": q_media_payload_stats,
+    "corpus_constraint_audit": q_corpus_constraint_audit,
     "chunk_stats": q_chunk_stats,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -14327,6 +14388,12 @@ def dynamic_oracles() -> dict:
         FROM f WHERE kind IS NOT NULL
         GROUP BY kind, decile ORDER BY kind, decile
     """
+
+    from ..engine.constraints import suite_oracle_sql as _sos
+    out["corpus_constraint_audit"] = _sos(
+        CORPUS_SUITE,
+        table_defs={"corpus_documents": paths["documents"],
+                    "corpus_media": paths["media"]})
 
     out["media_payload_stats"] = f"""
         SELECT CAST(width AS BIGINT) AS width,
