@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "curation_cascade", "semdedup", "pmi_collocations", "hashed_search",
     "quality_classifier", "curate_write", "media_features",
     "user_set_ops", "above_avg_orders", "value_p90_by_type", "span_stats",
+    "span_kind_bigrams", "span_position_profile", "media_payload_stats",
+    "corpus_constraint_audit",
     "chunk_stats", "value_median_by_type", "value_mad_outliers",
     "source_drift", "near_dup_groups", "ann_pq", "hopping_windows",
     "value_quantiles_exact", "token_pack", "order_audit", "source_counts_cms", "streaming_windows",

@@ -64,6 +64,9 @@ Violation semantics (identical on both sides):
                      violation count is the null count, else 0.
 - ``distinct_count_min`` — shortfall of COUNT(DISTINCT col) below
                      min_distinct (bucketed exact distinct).
+- ``distinct_count_max`` — overshoot of COUNT(DISTINCT col) above
+                     max_distinct — the key-cardinality-explosion
+                     gate (same bucketed distinct, shared per column).
 - ``mean_between`` / ``stddev_between`` — statistical gate: violation
                      count 1 if AVG(col) / STDDEV_SAMP(col) falls
                      outside [min, max], else 0.  Engine computes from
@@ -164,7 +167,7 @@ KINDS = ("not_null", "unique", "range", "in_set", "regex",
          "functional_dependency", "min_between", "max_between",
          "freshness", "corr_between", "entropy_between",
          "unique_together", "quantile_between", "ks_max",
-         "psi_snapshot")
+         "psi_snapshot", "distinct_count_max")
 
 # kinds accepting the optional ``mostly`` tolerance (Great-Expectations
 # semantics): the check passes when
@@ -294,6 +297,8 @@ def _validate_suite(suite: List[dict]) -> None:
             raise ValueError(f"null_ratio_max needs max_ratio: {s}")
         if s["kind"] == "distinct_count_min" and "min_distinct" not in s:
             raise ValueError(f"distinct_count_min needs min_distinct: {s}")
+        if s["kind"] == "distinct_count_max" and "max_distinct" not in s:
+            raise ValueError(f"distinct_count_max needs max_distinct: {s}")
         if s["kind"] in ("mean_between", "stddev_between") and (
                 "min" not in s and "max" not in s):
             raise ValueError(f"{s['kind']} needs min and/or max: {s}")
@@ -695,8 +700,8 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                       "corr_between")]
         uniques = [s for s in specs if s["kind"] == "unique"]
         monotonics = [s for s in specs if s["kind"] == "monotonic"]
-        distincts = [s for s in specs
-                     if s["kind"] == "distinct_count_min"]
+        distincts = [s for s in specs if s["kind"] in
+                     ("distinct_count_min", "distinct_count_max")]
         psis = [s for s in specs if s["kind"] == "psi_max"]
         snaps = [s for s in specs if s["kind"] == "psi_snapshot"]
         ratios = [s for s in specs
@@ -1022,9 +1027,11 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
 
         for s in distincts:
             nd = nd_of(s["column"])
-            rows.append((s["table"], _disp_col(s), "distinct_count_min",
-                         n_table, max(0, int(s["min_distinct"]) - nd),
-                         0.0))
+            over = (max(0, int(s["min_distinct"]) - nd)
+                    if s["kind"] == "distinct_count_min"
+                    else max(0, nd - int(s["max_distinct"])))
+            rows.append((s["table"], _disp_col(s), s["kind"],
+                         n_table, over, 0.0))
 
         for s in fds:
             nbad = _fd_violating_keys(ds, s["column"], s["determines"])
@@ -1180,6 +1187,10 @@ def _viol_expr(s: dict) -> str:
         m = int(s["min_distinct"])
         return (f"CASE WHEN count(DISTINCT {c}) < {m} "
                 f"THEN {m} - count(DISTINCT {c}) ELSE 0 END")
+    if kind == "distinct_count_max":
+        m = int(s["max_distinct"])
+        return (f"CASE WHEN count(DISTINCT {c}) > {m} "
+                f"THEN count(DISTINCT {c}) - {m} ELSE 0 END")
     if kind == "row_count_ratio_between":
         ratio = (f"CAST(count(*) AS DOUBLE) / "
                  f"NULLIF((SELECT count(*) FROM {s['ref_table']}), 0)")
@@ -1978,6 +1989,12 @@ DEFAULT_SUITE: List[dict] = [
      "kind": "distinct_count_min", "min_distinct": 4},
     {"table": "documents", "column": "lang",
      "kind": "distinct_count_min", "min_distinct": 5},
+    # cardinality caps: 5 langs ≤ 10 passes; 20 sources > 10 is the
+    # planted key-explosion failure (distinct count shared per column)
+    {"table": "documents", "column": "lang",
+     "kind": "distinct_count_max", "max_distinct": 10},
+    {"table": "documents", "column": "source",
+     "kind": "distinct_count_max", "max_distinct": 10},
     # drift gates (the north rule's distribution-drift category): view
     # vs click event values are both ~uniform → PSI ≈ 0.003-0.005,
     # comfortably under 0.1

@@ -1213,6 +1213,52 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_session_depth_distribution(sf_dir: str) -> pd.DataFrame:
+    """Session-LENGTH histogram (how many sessions have k events) plus
+    total events per depth — the engagement-depth profile on top of
+    the same >30-min-gap sessionization as q_user_sessions.
+
+    Same single-shuffle bucketed window shape; the extra step (session
+    sizes from the boundary mask) is one vectorized
+    ``np.diff(boundary_indices)`` per bucket, and only the per-depth
+    histogram (bounded by the max session length) leaves the bucket.
+    Oracle: lag()-flag → running-sum session ids → per-session counts
+    → depth histogram, all windows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = df["user_id"].to_numpy(dtype=np.int64) & 63
+        return df
+
+    def bucket_depths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap_us = np.int64(30 * 60 * 1_000_000)
+        if not len(g):
+            return pd.DataFrame({"depth": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64")})
+        new_sess = np.empty(len(g), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = ((uid[1:] != uid[:-1])
+                        | (ts[1:] - ts[:-1] > gap_us))
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.r_[starts, len(g)])
+        vc = pd.Series(sizes).value_counts()
+        return pd.DataFrame({"depth": vc.index.to_numpy(dtype=np.int64),
+                             "n_sessions": vc.to_numpy(dtype=np.int64)})
+
+    parts = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("__b").map_groups(bucket_depths,
+                                        batch_format="pandas"))
+    agg = _final_agg(parts, ["depth"], ["n_sessions"])
+    agg["depth"] = agg["depth"].astype("int64")
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["n_events"] = (agg["depth"] * agg["n_sessions"]).astype("int64")
+    return agg.sort_values("depth").reset_index(drop=True)
+
+
 def q_streaming_sessions(sf_dir: str) -> pd.DataFrame:
     """The STREAMING sessionizer (state/streaming.py): time-ordered
     micro-batches through hash-sharded stateful session actors with
@@ -10891,6 +10937,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "embedding_near_dup": q_embedding_near_dup,
     "user_sessions": q_user_sessions,
+    "session_depth_distribution": q_session_depth_distribution,
     "streaming_sessions": q_streaming_sessions,
     "order_priority_revenue": q_order_priority_revenue,
     "click_attribution": q_click_attribution,
@@ -11504,6 +11551,27 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                CAST(sum(new_session) AS BIGINT) AS n_sessions
         FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    "session_depth_distribution": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts) AS sid
+            FROM gaps
+        ), sizes AS (
+            SELECT count(*) AS depth FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(depth * count(*) AS BIGINT) AS n_events
+        FROM sizes GROUP BY depth ORDER BY depth
     """,
     # the stateful streaming engine honors the SAME window contract
     "streaming_sessions": """
