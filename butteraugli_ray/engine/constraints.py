@@ -21,7 +21,11 @@ hash-bucketed distinct-count shuffle per distinct column (shared
 between ``unique`` and ``distinct_count_min``; the functions/dedup.py
 combiner shape — Ray's native groupby never runs at value
 cardinality) and one group-hash bucket shuffle per ``monotonic``
-check.  ``row_count_ratio_between`` reads only parquet metadata.
+check.  ``row_count_ratio_between`` reads only parquet metadata.  Whenever a
+suite needs more than one consumption of a table (shared scan + any
+extra-pass kind), the pruned projection is materialized once — ONE
+storage read per table per audit; the extra passes then stream
+object-store blocks (spill-backed), never the source again.
 ``foreign_key`` builds the distinct reference-key set with the same
 bucketed partial and broadcasts it via ``ray.put``
 (dimension-bounded; for fact→fact keys at 100 TB route through
@@ -180,6 +184,32 @@ MOSTLY_KINDS = ("not_null", "range", "in_set", "regex", "foreign_key",
 
 # PSI smoothing epsilon — identical literal in engine and generated SQL
 PSI_EPS = 1e-6
+
+# driver threads used to overlap the independent extra-pass helper
+# executions within one table's audit (each thread drives its own
+# streaming executor over the SAME materialized blocks — pure
+# wall-clock overlap, results unchanged)
+AUDIT_PARALLELISM = 8
+
+
+import threading as _threading
+
+# Ray's read-plan creation (path resolution) does guarded lazy imports
+# that are NOT thread-safe when the import legitimately fails (e.g.
+# fsspec's http module without aiohttp: two racing threads can observe
+# a half-initialized module and crash with an ImportError the guard
+# doesn't catch).  Plan creation is cheap metadata work — serialize it;
+# plan EXECUTION stays fully concurrent.
+_READ_PLAN_LOCK = _threading.Lock()
+
+
+def _locked(read):
+    """Wrap an injected ``read(table, columns)`` so concurrent audit
+    threads never create read plans simultaneously."""
+    def _read(table, columns):
+        with _READ_PLAN_LOCK:
+            return read(table, columns)
+    return _read
 
 # kinds whose violations are identifiable rows (violation_rows support)
 # (unique_together emits each duplicated composite VALUE as a
@@ -686,12 +716,13 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
     import ray as _ray
 
     _validate_suite(suite)
+    read = _locked(read)
     by_table: Dict[str, List[dict]] = {}
     for s in suite:
         by_table.setdefault(s["table"], []).append(s)
 
-    rows = []
-    for table, specs in sorted(by_table.items()):
+    def _audit_one(table: str, specs: List[dict]) -> list:
+        rows = []
         row_local = [s for s in specs if s["kind"] in
                      ("not_null", "range", "in_set", "regex",
                       "foreign_key", "row_count_min", "null_ratio_max",
@@ -726,6 +757,24 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
                       | {c for s in togethers for c in s["columns"]}
                       | {s["with_column"] for s in corrs})
         ds = read(table, cols or None)
+
+        # ONE storage read per table per audit: every kind beyond the
+        # shared sufficient-stat scan (bucketed distinct / monotonic /
+        # fd / tuple-distinct / entropy / quantile / ks) consumes the
+        # lazy Dataset again, and each consumption would re-read the
+        # parquet.  When more than one consumption is coming,
+        # materialize the PRUNED projection once — the helpers then
+        # stream object-store blocks (spill-backed) instead of paying
+        # another full storage scan per constraint kind.  At 100 TB
+        # this turns a ~10-scan suite into one scan + local re-reads.
+        n_consume = (
+            int(bool(row_local or uniques or togethers or psis or snaps))
+            + len({s["column"] for s in uniques}
+                  | {s["column"] for s in distincts})
+            + len(monotonics) + len(fds) + len(togethers)
+            + len(entropies) + len(quantiles) + len(kss))
+        if n_consume >= 2:
+            ds = ds.materialize()
 
         # one broadcast ref-set per fk spec (dim-bounded)
         fk_refs = {}
@@ -924,21 +973,60 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
         from ray.data.aggregate import Max, Min, Sum
         _agg_cols = ["n_rows", "n_viol", "s0", "s1", "s2", "s3", "s4",
                      "s5", "m0", "m1"]
-        agg = (ds.map_batches(partial, batch_format="pandas")
-               .groupby("cid")
-               .aggregate(Sum("n_rows", alias_name="n_rows"),
-                          Sum("n_viol", alias_name="n_viol"),
-                          Sum("s0", alias_name="s0"),
-                          Sum("s1", alias_name="s1"),
-                          Sum("s2", alias_name="s2"),
-                          Sum("s3", alias_name="s3"),
-                          Sum("s4", alias_name="s4"),
-                          Sum("s5", alias_name="s5"),
-                          Max("m0", alias_name="m0"),
-                          Min("m1", alias_name="m1"))
-               .to_pandas()) if (compiled or psi_parts or snap_parts) \
-            else pd.DataFrame(
-                   columns=["cid"] + _agg_cols)
+
+        def _shared_scan() -> pd.DataFrame:
+            return (ds.map_batches(partial, batch_format="pandas")
+                    .groupby("cid")
+                    .aggregate(Sum("n_rows", alias_name="n_rows"),
+                               Sum("n_viol", alias_name="n_viol"),
+                               Sum("s0", alias_name="s0"),
+                               Sum("s1", alias_name="s1"),
+                               Sum("s2", alias_name="s2"),
+                               Sum("s3", alias_name="s3"),
+                               Sum("s4", alias_name="s4"),
+                               Sum("s5", alias_name="s5"),
+                               Max("m0", alias_name="m0"),
+                               Min("m1", alias_name="m1"))
+                    .to_pandas())
+
+        # The extra-pass helpers are independent Dataset consumptions
+        # over the SAME materialized blocks — launch them concurrently
+        # from driver threads (each gets its own streaming executor) so
+        # the per-job fixed overhead overlaps instead of serializing.
+        # Results are computed identically either way; only wall-clock
+        # changes.
+        from concurrent.futures import ThreadPoolExecutor
+        futs = {}
+        with ThreadPoolExecutor(max_workers=AUDIT_PARALLELISM) as tpe:
+            if compiled or psi_parts or snap_parts:
+                futs["agg"] = tpe.submit(_shared_scan)
+            for col in sorted({s["column"] for s in uniques}
+                              | {s["column"] for s in distincts}):
+                futs[("nd", col)] = tpe.submit(
+                    _distinct_nonnull_count, ds, col)
+            for i, s in enumerate(monotonics):
+                futs[("mono", i)] = tpe.submit(_monotonic_check, ds, s)
+            for i, s in enumerate(fds):
+                futs[("fd", i)] = tpe.submit(
+                    _fd_violating_keys, ds, s["column"], s["determines"])
+            for i, s in enumerate(togethers):
+                futs[("tup", i)] = tpe.submit(
+                    _distinct_tuple_count, ds, list(s["columns"]))
+            for i, s in enumerate(entropies):
+                futs[("ent", i)] = tpe.submit(
+                    _entropy_stats, ds, s["column"])
+            for i, s in enumerate(quantiles):
+                futs[("qnt", i)] = tpe.submit(
+                    _quantile_exact, ds, s["column"], float(s["q"]))
+            for i, s in enumerate(kss):
+                futs[("ks", i)] = tpe.submit(_exact_ks, ds, s)
+            for i, s in enumerate(ratios):
+                # metadata-only count of the un-transformed ref read
+                futs[("ratio", i)] = tpe.submit(
+                    lambda rt=s["ref_table"]: int(read(rt, None).count()))
+
+        agg = (futs["agg"].result() if "agg" in futs
+               else pd.DataFrame(columns=["cid"] + _agg_cols))
         agg_map = {r["cid"]: (int(r["n_rows"]), int(r["n_viol"]),
                               float(r["s0"]), float(r["s1"]),
                               float(r["s2"]), float(r["s3"]),
@@ -1011,19 +1099,16 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
             rows.append((s["table"], _disp_col(s), s["kind"],
                          n_rows, n_viol, allowed))
 
-        for s in monotonics:
-            nn, n_viol = _monotonic_check(ds, s)
+        for i, s in enumerate(monotonics):
+            nn, n_viol = futs[("mono", i)].result()
             rows.append((s["table"], _disp_col(s), "monotonic",
                          nn, n_viol, 0.0))
 
         # exact distinct counts, shared between unique and
-        # distinct_count_min specs on the same column
-        nd_cache: Dict[str, int] = {}
-
+        # distinct_count_min specs on the same column (one future per
+        # column, already resolved)
         def nd_of(column: str) -> int:
-            if column not in nd_cache:
-                nd_cache[column] = _distinct_nonnull_count(ds, column)
-            return nd_cache[column]
+            return futs[("nd", column)].result()
 
         for s in distincts:
             nd = nd_of(s["column"])
@@ -1033,8 +1118,8 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
             rows.append((s["table"], _disp_col(s), s["kind"],
                          n_table, over, 0.0))
 
-        for s in fds:
-            nbad = _fd_violating_keys(ds, s["column"], s["determines"])
+        for i, s in enumerate(fds):
+            nbad = futs[("fd", i)].result()
             rows.append((s["table"], _disp_col(s),
                          "functional_dependency", n_table, nbad, 0.0))
 
@@ -1073,10 +1158,10 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
             rows.append((s["table"], _disp_col(s), "psi_snapshot",
                          int(ta), n_viol, 0.0))
 
-        for s in ratios:
+        for i, s in enumerate(ratios):
             # both counts come from parquet metadata (Dataset.count on
             # an un-transformed read) — no data scan
-            n_ref = int(read(s["ref_table"], None).count())
+            n_ref = futs[("ratio", i)].result()
             lo, hi = s.get("min"), s.get("max")
             if n_ref == 0:
                 n_viol = 0
@@ -1096,32 +1181,44 @@ def audit_constraints(read, suite: List[dict]) -> pd.DataFrame:
             rows.append((s["table"], _disp_col(s), "unique",
                          n_table, nn - nd, 0.0))
 
-        for s in togethers:
+        for i, s in enumerate(togethers):
             # all-non-null row count rode the shared scan (s0); the
             # composite distinct is its own bucketed tuple combiner
             nn = int(agg_map.get(_cid(s), _Z)[2])
-            nd = _distinct_tuple_count(ds, list(s["columns"]))
+            nd = futs[("tup", i)].result()
             rows.append((s["table"], _disp_col(s), "unique_together",
                          n_table, nn - nd, 0.0))
 
-        for s in entropies:
-            n, nlogn = _entropy_stats(ds, s["column"])
+        for i, s in enumerate(entropies):
+            n, nlogn = futs[("ent", i)].result()
             stat = float(np.log(n) - nlogn / n) if n > 0 else None
             rows.append((s["table"], _disp_col(s), "entropy_between",
                          n_table, _gate(stat, s.get("min"),
                                         s.get("max")), 0.0))
 
-        for s in quantiles:
-            stat = _quantile_exact(ds, s["column"], float(s["q"]))
+        for i, s in enumerate(quantiles):
+            stat = futs[("qnt", i)].result()
             rows.append((s["table"], _disp_col(s), "quantile_between",
                          n_table, _gate(stat, s.get("min"),
                                         s.get("max")), 0.0))
 
-        for s in kss:
-            ks, n0, n1 = _exact_ks(ds, s)
+        for i, s in enumerate(kss):
+            ks, n0, n1 = futs[("ks", i)].result()
             n_viol = int(n0 > 0 and n1 > 0 and ks > float(s["max_ks"]))
             rows.append((s["table"], _disp_col(s), "ks_max",
                          n0 + n1, n_viol, 0.0))
+        return rows
+
+    # tables audit concurrently too (driver threads; each table's
+    # pipeline is independent) — assembly order stays deterministic
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    with _TPE(max_workers=min(AUDIT_PARALLELISM,
+                              max(1, len(by_table)))) as tpe:
+        tfuts = {t: tpe.submit(_audit_one, t, sp)
+                 for t, sp in sorted(by_table.items())}
+    rows = []
+    for t in sorted(tfuts):
+        rows.extend(tfuts[t].result())
 
     out = pd.DataFrame(rows, columns=["table_name", "column_name",
                                       "check", "n_rows", "n_violations",
@@ -1457,13 +1554,14 @@ def violation_rows(read, suite: List[dict],
     import ray as _ray
 
     _validate_suite(suite)
+    read = _locked(read)
     suite = [s for s in suite if s["kind"] in ROW_KINDS]
     by_table: Dict[str, List[dict]] = {}
     for s in suite:
         by_table.setdefault(s["table"], []).append(s)
 
-    frames = []
-    for table, specs in sorted(by_table.items()):
+    def _rows_one(table: str, specs: List[dict]) -> list:
+        frames = []
         key = keys[table]
         row_local = [s for s in specs if s["kind"] in
                      ("not_null", "range", "in_set", "regex",
@@ -1484,6 +1582,14 @@ def violation_rows(read, suite: List[dict],
                       | {c for s in togethers for c in s["columns"]}
                       | {key})
         ds = read(table, cols)
+
+        # same one-read rule as audit_constraints: the row-local emit
+        # pass plus each bucketed helper (unique / unique_together /
+        # fd / monotonic) is its own consumption of the lazy Dataset
+        n_consume = (int(bool(row_local)) + len(uniques)
+                     + len(togethers) + len(fds) + len(monotonics))
+        if n_consume >= 2:
+            ds = ds.materialize()
 
         fk_refs = {_cid(s): _ray.put(_ref_key_set(read, s))
                    for s in row_local if s["kind"] == "foreign_key"}
@@ -1538,52 +1644,85 @@ def violation_rows(read, suite: List[dict],
                     return df[c].notna() & ~df[c].isin(_ray.get(r))
                 compiled.append((_disp_col(s), kind, mk))
 
+        # same wall-clock overlap as audit_constraints: every helper is
+        # an independent consumption of the materialized blocks
+        from concurrent.futures import ThreadPoolExecutor
+        futs = {}
+        with ThreadPoolExecutor(max_workers=AUDIT_PARALLELISM) as tpe:
+            if compiled:
+                import pyarrow as pa
+
+                def emit(df: pd.DataFrame,
+                         _c=tuple(compiled)) -> "pa.Table":
+                    # typed Arrow output: empty object-dtype pandas
+                    # columns break Ray's block size estimation
+                    cols_, checks_, keys_ = [], [], []
+                    for col, kind, mask_fn in _c:
+                        k = df.loc[mask_fn(df), key].astype(str).tolist()
+                        cols_ += [col] * len(k)
+                        checks_ += [kind] * len(k)
+                        keys_ += k
+                    return pa.table({
+                        "column_name": pa.array(cols_, pa.string()),
+                        "check": pa.array(checks_, pa.string()),
+                        "key": pa.array(keys_, pa.string())})
+
+                futs["emit"] = tpe.submit(
+                    lambda: ds.map_batches(
+                        emit, batch_format="pandas").to_pandas())
+            for i, s in enumerate(uniques):
+                futs[("uniq", i)] = tpe.submit(
+                    _duplicated_values, ds, s["column"])
+            for i, s in enumerate(togethers):
+                futs[("tup", i)] = tpe.submit(
+                    _duplicated_tuples, ds, list(s["columns"]))
+            for i, s in enumerate(fds):
+                futs[("fd", i)] = tpe.submit(
+                    _fd_violating_keys, ds, s["column"], s["determines"],
+                    as_keys=True)
+            for i, s in enumerate(monotonics):
+                futs[("mono", i)] = tpe.submit(
+                    _monotonic_check, ds, s, key=key)
+
         if compiled:
-            import pyarrow as pa
-
-            def emit(df: pd.DataFrame, _c=tuple(compiled)) -> "pa.Table":
-                # typed Arrow output: empty object-dtype pandas columns
-                # break Ray's block size estimation
-                cols_, checks_, keys_ = [], [], []
-                for col, kind, mask_fn in _c:
-                    k = df.loc[mask_fn(df), key].astype(str).tolist()
-                    cols_ += [col] * len(k)
-                    checks_ += [kind] * len(k)
-                    keys_ += k
-                return pa.table({
-                    "column_name": pa.array(cols_, pa.string()),
-                    "check": pa.array(checks_, pa.string()),
-                    "key": pa.array(keys_, pa.string())})
-
-            part = ds.map_batches(emit, batch_format="pandas").to_pandas()
+            part = futs["emit"].result()
             part.insert(0, "table_name", table)
             frames.append(part)
 
-        for s in uniques:
-            vals = _duplicated_values(ds, s["column"])
+        for i, s in enumerate(uniques):
+            vals = futs[("uniq", i)].result()
             frames.append(pd.DataFrame({
                 "table_name": table, "column_name": s["column"],
                 "check": "unique", "key": [str(v) for v in vals]}))
 
-        for s in togethers:
-            vals = _duplicated_tuples(ds, list(s["columns"]))
+        for i, s in enumerate(togethers):
+            vals = futs[("tup", i)].result()
             frames.append(pd.DataFrame({
                 "table_name": table, "column_name": _disp_col(s),
                 "check": "unique_together", "key": vals}))
 
-        for s in fds:
-            ks = _fd_violating_keys(ds, s["column"], s["determines"],
-                                    as_keys=True)
+        for i, s in enumerate(fds):
+            ks = futs[("fd", i)].result()
             frames.append(pd.DataFrame({
                 "table_name": table, "column_name": _disp_col(s),
                 "check": "functional_dependency",
                 "key": [str(v) for v in ks]}))
 
-        for s in monotonics:
-            ks = _monotonic_check(ds, s, key=key)
+        for i, s in enumerate(monotonics):
+            ks = futs[("mono", i)].result()
             frames.append(pd.DataFrame({
                 "table_name": table, "column_name": s["column"],
                 "check": "monotonic", "key": ks}))
+        return frames
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    with _TPE(max_workers=min(AUDIT_PARALLELISM,
+                              max(1, len(by_table)))) as tpe:
+        tfuts = {t: tpe.submit(_rows_one, t, sp)
+                 for t, sp in sorted(by_table.items())}
+    frames = []
+    for t in sorted(tfuts):
+        frames.extend(tfuts[t].result())
 
     out = (pd.concat(frames, ignore_index=True) if frames
            else pd.DataFrame(columns=["table_name", "column_name",

@@ -453,12 +453,18 @@ def pq_train(ds, m: int = 4, k_codes: int = 16,
 
         cnt = np.zeros((m, k_codes), dtype=np.int64)
         vsum = np.zeros_like(books)
+        raws = []
         for blk in (ds.map_batches(partial, batch_format="pandas")
                     .iter_batches(batch_format="pandas", batch_size=1024)):
-            for raw in blk["part"]:
-                c_i, v_i = pickle.loads(raw)
-                cnt += c_i
-                vsum += v_i
+            raws.extend(blk["part"])
+        # sorted (content-deterministic) reduce order — float sums are
+        # not associative and the ann_pq dynamic oracle re-runs this
+        # fit and embeds the codebooks, so repeated runs over the same
+        # blocks must be BIT-IDENTICAL (the kmeans_fit rule)
+        for raw in sorted(raws):
+            c_i, v_i = pickle.loads(raw)
+            cnt += c_i
+            vsum += v_i
         new_books = books.copy()                     # empty code keeps pos
         nz = cnt > 0
         new_books[nz] = vsum[nz] / cnt[nz][:, None]

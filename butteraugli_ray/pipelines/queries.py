@@ -1771,9 +1771,13 @@ def q_ann_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
     IVF): codebooks from the distributed per-subspace Lloyd pass,
     asymmetric-distance search with broadcast LUTs — codes are 1
     byte/subspace/vector, so a 100 TB embedding table compresses ~100×
-    for the search pass.  Rows-only (codebooks aren't SQL-expressible);
-    recall vs the exact brute-force top-k is pytest-pinned ≥ 0.5 and
-    reported by q_minhash_eval-style self-measurement here."""
+    for the search pass.  Dynamic-oracle-checked: the fit is
+    bit-deterministic (sorted partial reduce, kmeans_fit rule), so
+    ``_ann_pq_dynamic_oracle`` re-runs it, embeds the codebooks as
+    VALUES, and DuckDB independently re-derives the encode (argmin
+    codeword per subspace), the ADC LUT shortlist, the exact cosine
+    re-rank, and the recall vs brute-force top-k.  Recall is also
+    pytest-pinned ≥ 0.5."""
     import pyarrow.parquet as pq
     from ..functions.ann import _normalize, knn_cosine, knn_pq, pq_train
     qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -1811,11 +1815,13 @@ def q_ann_pq(sf_dir: str, k: int = 10) -> pd.DataFrame:
     got = pd.concat(rows, ignore_index=True)
     exact = knn_cosine(ds, queries, k)
     ex = exact.groupby("query_id")["vec_id"].agg(set)
-    rec = (got.groupby("query_id")["vec_id"]
-           .agg(lambda v: len(set(v) & ex[v.name]) / k)
-           .rename("recall"))
+    rec = pd.Series({qi: len(set(g) & ex[qi]) / k
+                     for qi, g in got.groupby("query_id")["vec_id"]},
+                    name="recall").rename_axis("query_id")
     out = got.merge(rec, on="query_id")
-    out["sim"] = out["sim"].round(6)
+    # ROUND 4 on sims — the proven numpy-vs-DuckDB cosine tolerance
+    # (ann_topk / embedding_near_dup oracles)
+    out["sim"] = out["sim"].round(4)
     out["recall"] = out["recall"].round(3)
     for c in ("query_id", "vec_id", "rank"):
         out[c] = out[c].astype("int64")
@@ -14532,6 +14538,8 @@ def dynamic_oracles() -> dict:
         ) ORDER BY doc_id, span_idx, "check"
     """
 
+    out["ann_pq"] = _ann_pq_dynamic_oracle(sf_dir)
+
     verified = q_minhash_near_dup(sf_dir)
     if not len(verified):
         out["near_dup_groups"] = (
@@ -14724,4 +14732,94 @@ def _kmeans_dynamic_oracle(sf_dir: str, k: int = 8) -> str:
         LEFT JOIN sizes s USING (cluster)
         LEFT JOIN norms n USING (cluster)
         ORDER BY c.cluster
+    """
+
+
+def _ann_pq_dynamic_oracle(sf_dir: str, k: int = 10) -> str:
+    """Dynamic SQL oracle for ``ann_pq`` (the int8_ann_recall pattern
+    over product quantization).
+
+    The Lloyd codebook fit is not SQL-expressible, but everything the
+    query REPORTS is a pure function of (raw embeddings, codebooks):
+    re-run the bit-deterministic fit (sorted partial reduce; identical
+    hash-sampled train slice), embed the [m, k_codes, sub] codebooks
+    as a VALUES list, and DuckDB independently re-derives the encode
+    (nearest codeword per normalized subvector, ties to the lowest
+    code like ``np.argmin``), the ADC LUT shortlist (top 20·k by
+    summed squared subspace distance, ties to the lowest vec_id), the
+    exact cosine re-rank of the shortlist, and recall@k against its
+    own brute-force top-k."""
+    from ..functions.ann import pq_train
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    train = ds.map_batches(
+        lambda df: df[df["vec_id"].to_numpy(dtype=np.int64) % 4 == 0],
+        batch_format="pandas")
+    books = pq_train(train, m=8, k_codes=32, max_iters=8)
+    m, kc, sub = books.shape
+    vals = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            s, c, ", ".join(repr(float(v)) for v in books[s, c]))
+        for s in range(m) for c in range(kc))
+    short = 20 * k
+    return f"""
+        WITH books(s, c, bv) AS (VALUES {vals}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+              FROM embeddings),
+        nrm AS (SELECT vec_id, x,
+                       CASE WHEN sqrt(list_sum(
+                                list_transform(x, v -> v * v))) = 0
+                            THEN 1.0
+                            ELSE sqrt(list_sum(
+                                list_transform(x, v -> v * v)))
+                       END AS nm
+                FROM e),
+        subs AS (SELECT vec_id, ss.s AS s,
+                        list_transform(
+                            x[ss.s * {sub} + 1 : ss.s * {sub} + {sub}],
+                            v -> v / nm) AS xv
+                 FROM nrm CROSS JOIN
+                      (SELECT UNNEST(generate_series(0, {m - 1})) AS s)
+                      ss),
+        codes AS (SELECT vec_id, s, c FROM (
+                SELECT sv.vec_id, sv.s, b.c,
+                       row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                           ORDER BY list_distance(sv.xv, b.bv), b.c)
+                           AS rn
+                FROM subs sv JOIN books b ON b.s = sv.s) WHERE rn = 1),
+        lut AS (SELECT q.vec_id AS query_id, b.s, b.c,
+                       list_distance(q.xv, b.bv) ** 2 AS d2
+                FROM subs q JOIN books b ON b.s = q.s
+                WHERE q.vec_id IN (0, 1, 2)),
+        adist AS (SELECT l.query_id, cd.vec_id, sum(l.d2) AS ad
+                  FROM codes cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
+                  GROUP BY 1, 2),
+        short AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY ad, vec_id) AS rn
+                FROM adist) WHERE rn <= {short}),
+        sims AS (SELECT sh.query_id, sh.vec_id,
+                        list_cosine_similarity(ev.x, qq.x) AS sim
+                 FROM short sh JOIN e ev ON ev.vec_id = sh.vec_id
+                      JOIN e qq ON qq.vec_id = sh.query_id),
+        gk AS (SELECT query_id, vec_id, sim, row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id)
+                   AS rank
+               FROM sims QUALIFY rank <= {k}),
+        ek AS (SELECT query_id, vec_id FROM (
+                SELECT qq.vec_id AS query_id, ev.vec_id,
+                       row_number() OVER (PARTITION BY qq.vec_id
+                           ORDER BY list_cosine_similarity(ev.x, qq.x)
+                                    DESC, ev.vec_id) AS rn
+                FROM e ev CROSS JOIN
+                     (SELECT vec_id, x FROM e WHERE vec_id IN (0, 1, 2))
+                     qq) WHERE rn <= {k}),
+        rec AS (SELECT g.query_id, count(ek.vec_id) / {k}.0 AS recall
+                FROM gk g LEFT JOIN ek ON ek.query_id = g.query_id
+                                       AND ek.vec_id = g.vec_id
+                GROUP BY 1)
+        SELECT g.query_id, g.vec_id, ROUND(g.sim, 4) AS sim,
+               CAST(g.rank AS BIGINT) AS rank,
+               ROUND(r.recall, 3) AS recall
+        FROM gk g JOIN rec r USING (query_id)
+        ORDER BY query_id, rank
     """

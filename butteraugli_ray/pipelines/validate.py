@@ -199,18 +199,54 @@ def _violation_writer(out_dir: str):
 
 def sample_violations(out_dir: str, per_check: int = 5):
     """Violation sampling per check (SURVEY.md §2.7): up to ``per_check``
-    example rows for each check kind from the written partition files."""
+    example rows for each check kind from the written partition files.
+
+    Driver memory is bounded by ``per_check × n_checks``, never the
+    violation volume: files stream one at a time (in the same sorted
+    order the old concat used, so the sampled rows are identical), and
+    when the manifests cover every partition file their per-check
+    totals tell us the full check set up front — the stream stops
+    early once every check has min(per_check, total) samples.  A
+    1%-violation run at 10^12 docs reads only as many partition files
+    as it takes to fill the heads."""
     import glob
     import pyarrow.parquet as pq
     files = sorted(glob.glob(os.path.join(ckpt.violations_dir(out_dir),
                                           "part-*.parquet")))
     if not files:
         return {}
-    tbl = pa.concat_tables([pq.read_table(f) for f in files])
-    out = {}
-    for check in pc.unique(tbl["check"]).to_pylist():
-        sel = tbl.filter(pc.equal(tbl["check"], check)).slice(0, per_check)
-        out[check] = sel.to_pylist()
+
+    # per-check totals from the manifests (written atomically alongside
+    # the violation files) — the early-stop targets.  If any partition
+    # file lacks a manifest (mid-crash state), fall back to streaming
+    # every file (still bounded memory, no early stop).
+    manifests = ckpt.load_manifests(out_dir)
+    file_pids = {int(os.path.basename(f)[5:10]) for f in files}
+    totals = None
+    if file_pids <= set(manifests):
+        totals = {}
+        for pid in file_pids:
+            for check, n in manifests[pid]["violations_by_check"].items():
+                totals[check] = totals.get(check, 0) + int(n)
+
+    out: dict = {}
+
+    def filled() -> bool:
+        return totals is not None and all(
+            len(out.get(c, [])) >= min(per_check, t)
+            for c, t in totals.items())
+
+    for f in files:
+        if filled():
+            break
+        tbl = pq.read_table(f)
+        for check in pc.unique(tbl["check"]).to_pylist():
+            have = out.setdefault(check, [])
+            need = per_check - len(have)
+            if need <= 0:
+                continue
+            sel = tbl.filter(pc.equal(tbl["check"], check)).slice(0, need)
+            have.extend(sel.to_pylist())
     return out
 
 

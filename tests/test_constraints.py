@@ -489,3 +489,109 @@ def test_default_suite_is_valid_sql():
     sql = suite_oracle_sql(DEFAULT_SUITE)
     assert sql.count("UNION ALL") == len(DEFAULT_SUITE) - 1
     assert "ORDER BY" in sql
+
+
+def test_audit_single_storage_read_per_table(ray_session, tmp_path):
+    """The 100-TB scan contract: one storage read per table per audit,
+    no matter how many extra-pass kinds (unique / distinct / entropy /
+    quantile / ks / monotonic / fd / unique_together) the suite mixes
+    in — the pruned projection is materialized once and every helper
+    streams object-store blocks.  A counting stage fused onto the
+    parquet read increments per plan EXECUTION; re-consuming the lazy
+    Dataset would re-run it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    import ray
+
+    tabs = _tables()
+    for name, df in tabs.items():
+        pqt.write_table(pa.Table.from_pandas(df),
+                        str(tmp_path / f"{name}.parquet"))
+
+    @ray.remote
+    class ScanCounter:
+        def __init__(self):
+            self.n = {}
+
+        def inc(self, table):
+            self.n[table] = self.n.get(table, 0) + 1
+
+        def get(self):
+            return dict(self.n)
+
+    counter = ScanCounter.remote()
+
+    def read(table, columns):
+        ds = ray.data.read_parquet(
+            str(tmp_path / f"{table}.parquet"),
+            columns=list(columns) if columns else None,
+            override_num_blocks=1)
+
+        def count(t, _t=table):
+            ray.get(counter.inc.remote(_t))
+            return t
+
+        # batch_size=None → whole blocks → exactly one increment per
+        # plan execution of the single-block read
+        return ds.map_batches(count, batch_format="pyarrow",
+                              batch_size=None)
+
+    suite = [
+        {"table": "users", "column": "age", "kind": "range",
+         "min": 0.0, "max": 120.0},
+        {"table": "users", "column": "uid", "kind": "unique"},
+        {"table": "users", "column": "tier", "kind": "entropy_between",
+         "min": 0.1},
+        {"table": "users", "column": "age", "kind": "quantile_between",
+         "q": 0.5, "min": 0.0},
+        {"table": "users", "column": "tier", "kind": "distinct_count_max",
+         "max_distinct": 10},
+        {"table": "users", "kind": "unique_together",
+         "columns": ["name", "tier"]},
+        {"table": "users", "column": "uid",
+         "kind": "functional_dependency", "determines": "name"},
+        {"table": "users", "column": "age", "kind": "ks_max",
+         "split_column": "tier", "baseline_values": ["gold"],
+         "current_values": ["silver"], "max_ks": 0.9},
+        {"table": "orders", "column": "amount", "kind": "monotonic",
+         "group_by": "uid", "order_by": "ts"},
+        {"table": "orders", "column": "oid", "kind": "unique"},
+        {"table": "orders", "column": "amount", "kind": "mean_between",
+         "min": 0.0},
+    ]
+    out = audit_constraints(read, suite)
+    assert len(out) == len(suite)
+    counts = ray.get(counter.get.remote())
+    assert counts == {"users": 1, "orders": 1}, counts
+
+    # violation_rows obeys the same rule
+    counter2 = ScanCounter.remote()
+
+    def read2(table, columns):
+        ds = ray.data.read_parquet(
+            str(tmp_path / f"{table}.parquet"),
+            columns=list(columns) if columns else None,
+            override_num_blocks=1)
+
+        def count(t, _t=table):
+            ray.get(counter2.inc.remote(_t))
+            return t
+
+        return ds.map_batches(count, batch_format="pyarrow",
+                              batch_size=None)
+
+    vsuite = [
+        {"table": "users", "column": "age", "kind": "range",
+         "min": 0.0, "max": 120.0},
+        {"table": "users", "column": "uid", "kind": "unique"},
+        {"table": "users", "kind": "unique_together",
+         "columns": ["name", "tier"]},
+        {"table": "users", "column": "uid",
+         "kind": "functional_dependency", "determines": "name"},
+        {"table": "orders", "column": "amount", "kind": "monotonic",
+         "group_by": "uid", "order_by": "ts"},
+        {"table": "orders", "column": "oid", "kind": "unique"},
+    ]
+    violation_rows(read2, vsuite, keys={"users": "uid", "orders": "oid"})
+    counts2 = ray.get(counter2.get.remote())
+    assert counts2 == {"users": 1, "orders": 1}, counts2

@@ -446,3 +446,78 @@ def test_curate_corpus_resume_identical(ray_session, tmp_path):
         with open(os.path.join(out_b, "manifests",
                                f"part-{pid:05d}.json")) as f:
             assert n == json.load(f)["n_kept"]
+
+
+def test_sample_violations_streams_with_early_stop(tmp_path, monkeypatch):
+    """sample_violations must never concat every violation file on the
+    driver: it streams file-by-file (bounded by per_check × n_checks)
+    and, when the manifests cover all partitions, stops as soon as
+    every check has min(per_check, total) samples — here after ONE of
+    six files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from butteraugli_ray.pipelines import checkpoint as ckpt
+    from butteraugli_ray.pipelines.validate import (VIOLATION_COLS,
+                                                    sample_violations)
+
+    out_dir = str(tmp_path / "run")
+    vdir = ckpt.violations_dir(out_dir)
+    os.makedirs(vdir, exist_ok=True)
+    n_per_file = 50
+    for pid in range(6):
+        tbl = pa.table({
+            "doc_id": pa.array([f"d{pid}-{i}" for i in range(n_per_file)],
+                               pa.string()),
+            "span_idx": pa.array([0] * n_per_file, pa.int32()),
+            "check": pa.array((["null_offset", "invalid_kind"]
+                               * n_per_file)[:n_per_file], pa.string()),
+            "detail": pa.array(["x"] * n_per_file, pa.string()),
+            "partition_id": pa.array([pid] * n_per_file, pa.int32()),
+        }).select(VIOLATION_COLS)
+        pqt.write_table(tbl, os.path.join(vdir, f"part-{pid:05d}.parquet"))
+        ckpt.write_manifest(out_dir, pid, {
+            "partition_id": pid, "n_violations": n_per_file,
+            "violations_by_check": {"null_offset": n_per_file // 2,
+                                    "invalid_kind": n_per_file // 2},
+        })
+
+    # reference semantics: concat-all then head-N per check
+    full = pa.concat_tables(
+        [pqt.read_table(os.path.join(vdir, f"part-{p:05d}.parquet"))
+         for p in range(6)])
+    want = {}
+    import pyarrow.compute as pc
+    for check in pc.unique(full["check"]).to_pylist():
+        want[check] = full.filter(
+            pc.equal(full["check"], check)).slice(0, 5).to_pylist()
+
+    reads = {"n": 0}
+    real_read = pqt.read_table
+
+    def counting_read(path, *a, **kw):
+        reads["n"] += 1
+        return real_read(path, *a, **kw)
+
+    monkeypatch.setattr(pqt, "read_table", counting_read)
+    got = sample_violations(out_dir, per_check=5)
+    assert got == want
+    # both checks fill from the first file (25 rows each ≥ 5)
+    assert reads["n"] == 1, reads["n"]
+
+    # a check that exists only in a later file is still found when the
+    # heads aren't filled early (totals force the stream onward)
+    tbl = pa.table({
+        "doc_id": pa.array(["late-1"], pa.string()),
+        "span_idx": pa.array([0], pa.int32()),
+        "check": pa.array(["negative_offset"], pa.string()),
+        "detail": pa.array(["x"], pa.string()),
+        "partition_id": pa.array([6], pa.int32()),
+    }).select(VIOLATION_COLS)
+    pqt.write_table(tbl, os.path.join(vdir, "part-00006.parquet"))
+    ckpt.write_manifest(out_dir, 6, {
+        "partition_id": 6, "n_violations": 1,
+        "violations_by_check": {"negative_offset": 1},
+    })
+    got2 = sample_violations(out_dir, per_check=5)
+    assert [r["doc_id"] for r in got2["negative_offset"]] == ["late-1"]
