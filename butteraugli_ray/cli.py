@@ -46,9 +46,10 @@ def quality_rating(score: float) -> str:
 
 
 def write_heatmap_ppm(diffmap, path: str) -> None:
-    """Diffmap → blue-cyan-green-yellow-red heatmap, written as binary
-    PPM (no image codecs in this sandbox; PPM is pure bytes) —
-    main.rs:461-519 analog."""
+    """Diffmap → blue-cyan-green-yellow-red heatmap (main.rs:461-519
+    analog).  ``.png`` paths get a real PNG via the pure-stdlib encoder
+    (stages/png.py, matching the reference sink's format); anything
+    else is written as binary PPM (pure bytes, zero deps)."""
     import numpy as np
     dm = np.asarray(diffmap, dtype=np.float64)
     mx = dm.max() or 1.0
@@ -59,6 +60,11 @@ def write_heatmap_ppm(diffmap, path: str) -> None:
     b = np.clip(np.interp(v, [0.0, 0.25, 0.5, 0.75, 1.0], [255, 255, 0, 0, 0]), 0, 255)
     img = np.stack([r, g, b], axis=-1).astype(np.uint8)
     h, w = dm.shape
+    if path.endswith(".png"):
+        from .stages.png import encode_png
+        with open(path, "wb") as f:
+            f.write(encode_png(img))
+        return
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
         f.write(img.tobytes())
@@ -90,21 +96,76 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def load_image_file(path: str):
+    """Image file → uint8 [h, w, 3] — the reference CLI's two-file
+    input surface (main.rs:396-447).  PNG decodes via the pure-stdlib
+    codec (stages/png.py); binary PPM (P6) parses directly; other
+    formats need a codec wheel."""
+    import numpy as np
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .stages.png import decode_png
+        return decode_png(data)
+    if data[:2] == b"P6":
+        # header: P6 <w> <h> <maxval>, whitespace/comment tolerant
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(data) and data[pos:pos + 1].isspace():
+                pos += 1
+            if data[pos:pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported")
+        pos += 1                                 # single whitespace
+        return np.frombuffer(data[pos:pos + w * h * 3],
+                             np.uint8).reshape(h, w, 3)
+    raise ValueError(
+        f"unrecognized image format in {path!r} (PNG and binary PPM "
+        "are built in; other formats need an image library)")
+
+
 def cmd_compare(args) -> int:
     import numpy as np
-    import pyarrow.parquet as pq
     from .metric.api import ButteraugliParams, butteraugli_srgb
     from .metric.strip import butteraugli_strip
-    tbl = pq.read_table(args.media)
-    rows = {r: i for i, r in enumerate(tbl["media_ref"].to_pylist())}
-    if args.media_ref not in rows:
-        print(f"error: media_ref {args.media_ref!r} not found", file=sys.stderr)
+    if args.ref or args.dist:
+        if not (args.ref and args.dist):
+            print("error: --ref and --dist must be given together",
+                  file=sys.stderr)
+            return 2
+        try:
+            a = load_image_file(args.ref)
+            b = load_image_file(args.dist)
+        except (ValueError, NotImplementedError, OSError) as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        media_ref = args.ref
+    elif not (args.media and args.media_ref):
+        print("error: pass either --ref/--dist image files or "
+              "--media/--media-ref", file=sys.stderr)
         return 2
-    i = rows[args.media_ref]
-    w = tbl["width"][i].as_py()
-    h = tbl["height"][i].as_py()
-    a = np.frombuffer(tbl["ref_rgb"][i].as_py(), np.uint8).reshape(h, w, 3)
-    b = np.frombuffer(tbl["dist_rgb"][i].as_py(), np.uint8).reshape(h, w, 3)
+    else:
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(args.media)
+        rows = {r: i for i, r in enumerate(tbl["media_ref"].to_pylist())}
+        if args.media_ref not in rows:
+            print(f"error: media_ref {args.media_ref!r} not found",
+                  file=sys.stderr)
+            return 2
+        i = rows[args.media_ref]
+        w = tbl["width"][i].as_py()
+        h = tbl["height"][i].as_py()
+        a = np.frombuffer(tbl["ref_rgb"][i].as_py(), np.uint8).reshape(h, w, 3)
+        b = np.frombuffer(tbl["dist_rgb"][i].as_py(), np.uint8).reshape(h, w, 3)
+        media_ref = args.media_ref
     params = ButteraugliParams(compute_diffmap=bool(args.heatmap))
     try:
         if args.strip:
@@ -115,7 +176,7 @@ def cmd_compare(args) -> int:
     except Exception as exc:  # noqa: BLE001
         print(f"error: {exc}", file=sys.stderr)
         return 2
-    out = {"media_ref": args.media_ref, "score": res.score,
+    out = {"media_ref": media_ref, "score": res.score,
            "pnorm_3": res.pnorm_3, "rating": quality_rating(res.score)}
     if args.max_score is not None:
         out["threshold_exceeded"] = res.score > args.max_score
@@ -215,12 +276,18 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_synth)
 
     c = sub.add_parser("compare", help="score one media pair")
-    c.add_argument("--media", required=True)
-    c.add_argument("--media-ref", required=True)
+    c.add_argument("--media", default=None,
+                   help="media parquet table (pair mode with --media-ref)")
+    c.add_argument("--media-ref", default=None)
+    c.add_argument("--ref", default=None,
+                   help="reference image file (PNG or binary PPM)")
+    c.add_argument("--dist", default=None,
+                   help="distorted image file (PNG or binary PPM)")
     c.add_argument("--max-score", type=float, default=None)
     c.add_argument("--strip", action="store_true")
     c.add_argument("--strip-height", type=int, default=256)
-    c.add_argument("--heatmap", default=None, help="write diffmap PPM here")
+    c.add_argument("--heatmap", default=None,
+                   help="write diffmap heatmap here (.png → PNG, else PPM)")
     c.set_defaults(fn=cmd_compare)
 
     q = sub.add_parser("query", help="run a registered pipeline query")

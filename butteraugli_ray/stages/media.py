@@ -3,10 +3,11 @@ frame-sample as actor-pool ``map_batches`` stages.
 
 The corpus treats image/audio/video payloads as opaque ``binary``
 columns with typed metadata (media_ref, kind, width/height/duration).
-This sandbox ships no image/audio codecs, so the CODEC step is stubbed:
-``codec="raw"`` (w*h*3 sRGB bytes, the corpus native format) is fully
-implemented; compressed codecs raise ``NotImplementedError`` behind an
-import-try so the Ray-side plumbing — schema, batch sizing, actor
+``codec="raw"`` (w*h*3 sRGB bytes, the corpus native format) and
+``codec="png"`` (pure-stdlib zlib decoder, stages/png.py) are fully
+implemented; the remaining compressed codecs (JPEG/WebP/...) raise
+``NotImplementedError`` behind an import-try — no codec wheel in this
+sandbox — so the Ray-side plumbing — schema, batch sizing, actor
 signature, output layout — is real and tested either way.
 
 Scale notes: decoded frames are large → ``batch_size`` 8-32 and
@@ -23,13 +24,22 @@ import pyarrow as pa
 
 
 def decode_media(payload: bytes, codec: str, width: int, height: int) -> np.ndarray:
-    """binary payload → uint8 [h, w, 3].  Only ``raw`` is available in
-    this sandbox; PNG/JPEG route through PIL/cv2 when importable."""
+    """binary payload → uint8 [h, w, 3].  ``raw`` (w*h*3 sRGB bytes)
+    and ``png`` (pure-stdlib zlib decoder, stages/png.py) are always
+    available; JPEG/WebP/... route through PIL/cv2 when importable."""
     if codec == "raw":
         n = width * height * 3
         if len(payload) != n:
             raise ValueError(f"raw payload size {len(payload)} != {n}")
         return np.frombuffer(payload, np.uint8).reshape(height, width, 3)
+    if codec == "png":
+        from .png import decode_png
+        img = decode_png(bytes(payload))
+        if img.shape[:2] != (height, width):
+            raise ValueError(
+                f"png dims {img.shape[1]}x{img.shape[0]} != metadata "
+                f"{width}x{height}")
+        return img
     try:  # pragma: no cover - codecs absent in sandbox
         from PIL import Image
         import io
@@ -37,7 +47,7 @@ def decode_media(payload: bytes, codec: str, width: int, height: int) -> np.ndar
     except ImportError:
         raise NotImplementedError(
             f"codec {codec!r} needs an image library (none in this sandbox); "
-            "store media as raw sRGB bytes or install PIL/cv2")
+            "store media as raw sRGB bytes or PNG, or install PIL/cv2")
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
