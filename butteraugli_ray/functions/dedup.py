@@ -38,14 +38,13 @@ def add_content_hash(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df
 
 
-def dup_keep_table(hashed, hash_col: str = "content_hash",
-                   id_col: str = "doc_id",
-                   n_buckets: int = 64) -> pd.DataFrame:
-    """(hash, n, keep_id) for every DUPLICATED hash — the tiny
-    broadcast side of exact dedup.  Per-batch (count, min) combiner →
-    int64 hash-bucket shuffle → one vectorized pandas combine per
-    bucket with the n>1 filter inside, so only duplicated hashes ever
-    reach the driver (never a per-key aggregate, never text)."""
+def dup_keep_dataset(hashed, hash_col: str = "content_hash",
+                     id_col: str = "doc_id", n_buckets: int = 64):
+    """DISTRIBUTED (hash, n, keep_id) rows for every DUPLICATED hash —
+    ``dup_keep_table`` without the driver collect, for callers that
+    cap the broadcast and fall back to a partitioned join when the
+    duplicate population is pathologically large (the rows stay in the
+    object store; count() to size them)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(hash_col, as_index=False).agg(
@@ -62,15 +61,25 @@ def dup_keep_table(hashed, hash_col: str = "content_hash",
         s = g.groupby(hash_col, as_index=False).agg(
             n=("n", "sum"), keep_id=("keep_id", "min"))
         s = s[s["n"] > 1]
-        # Arrow out: empty pandas object columns trip Ray's size estimator
         return pa.table(
             {hash_col: pa.array(s[hash_col], pa.string()),
              "n": pa.array(s["n"].astype("int64"), pa.int64()),
              "keep_id": pa.array(s["keep_id"].astype("int64"), pa.int64())})
 
     return (hashed.map_batches(partial, batch_format="pandas")
-            .groupby("__b").map_groups(combine, batch_format="pandas")
-            .to_pandas())
+            .groupby("__b").map_groups(combine, batch_format="pandas"))
+
+
+def dup_keep_table(hashed, hash_col: str = "content_hash",
+                   id_col: str = "doc_id",
+                   n_buckets: int = 64) -> pd.DataFrame:
+    """(hash, n, keep_id) for every DUPLICATED hash — the tiny
+    broadcast side of exact dedup.  Per-batch (count, min) combiner →
+    int64 hash-bucket shuffle → one vectorized pandas combine per
+    bucket with the n>1 filter inside, so only duplicated hashes ever
+    reach the driver (never a per-key aggregate, never text)."""
+    return dup_keep_dataset(hashed, hash_col=hash_col, id_col=id_col,
+                            n_buckets=n_buckets).to_pandas()
 
 
 def exact_dup_groups(ds, id_col: str = "doc_id", text_col: str = "text",

@@ -7942,8 +7942,8 @@ def q_day_streaks(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def q_near_dup_keep_best(sf_dir: str, threshold: float = 0.6
-                         ) -> pd.DataFrame:
+def q_near_dup_keep_best(sf_dir: str, threshold: float = 0.6,
+                         driver_cap: int = 5_000_000) -> pd.DataFrame:
     """Canonical-representative selection: within each exact-Jaccard
     duplicate family, KEEP the longest document (tie → lowest doc_id;
     derived +2,000,000 docs count by their own id) — the real curation
@@ -7952,9 +7952,13 @@ def q_near_dup_keep_best(sf_dir: str, threshold: float = 0.6
 
     Distributed shape: connected components label the pair graph (the
     dup_groups machinery); the label table is bounded by the dup-family
-    node population, so the n_chars attach is one pruned documents read
-    broadcast back, and the per-family arg-max is a vectorized
-    lexicographic sort + drop_duplicates."""
+    node population.  Up to ``driver_cap`` nodes the n_chars attach is
+    one pruned pushed-down documents read on the driver and the
+    per-family arg-max a vectorized sort + drop_duplicates; above the
+    cap (pathological dup rates) it degrades gracefully — partitioned
+    hash join for the n_chars attach, label-bucketed group combine for
+    the arg-max — so the node table never lands on the driver, only
+    the per-family output does."""
     import pyarrow.parquet as pq
     from ..functions.dedup import connected_components
     pairs = _jaccard_pairs_cached(sf_dir, threshold=threshold)
@@ -7963,31 +7967,83 @@ def q_near_dup_keep_best(sf_dir: str, threshold: float = 0.6
         return pd.DataFrame({"id_a": df["doc_a"].astype("int64"),
                              "id_b": df["doc_b"].astype("int64")})
 
-    comp = connected_components(
+    comp_ds = connected_components(
         pairs.map_batches(as_edges, batch_format="pandas"),
-        max_iters=20).to_pandas()
-    if not len(comp):
-        return pd.DataFrame({
-            "label": pd.Series([], dtype="int64"),
-            "kept_doc": pd.Series([], dtype="int64"),
-            "kept_chars": pd.Series([], dtype="int64"),
-            "n_members": pd.Series([], dtype="int64")})
-    comp = comp.drop_duplicates("node")
-    base = np.unique(comp["node"].to_numpy(np.int64) % 2_000_000)
-    docs = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
-        filters=[("doc_id", "in", [int(x) for x in base])]).to_pandas()
-    nmap = dict(zip(docs["doc_id"].astype("int64"),
-                    docs["n_chars"].astype("int64")))
-    comp["n_chars"] = pd.Series(
-        comp["node"].to_numpy(np.int64) % 2_000_000).map(nmap) \
-        .astype("int64").to_numpy()
-    best = (comp.sort_values(["label", "n_chars", "node"],
-                             ascending=[True, False, True])
-            .drop_duplicates("label"))
-    sizes = comp.groupby("label", as_index=False).agg(
-        n_members=("node", "nunique"))
-    out = best.merge(sizes, on="label")
+        max_iters=20).materialize()
+    empty = pd.DataFrame({
+        "label": pd.Series([], dtype="int64"),
+        "kept_doc": pd.Series([], dtype="int64"),
+        "kept_chars": pd.Series([], dtype="int64"),
+        "n_members": pd.Series([], dtype="int64")})
+    n_nodes = comp_ds.count()
+    if not n_nodes:
+        return empty
+
+    if n_nodes <= driver_cap:
+        comp = comp_ds.to_pandas().drop_duplicates("node")
+        base = np.unique(comp["node"].to_numpy(np.int64) % 2_000_000)
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+            filters=[("doc_id", "in", [int(x) for x in base])]).to_pandas()
+        nmap = dict(zip(docs["doc_id"].astype("int64"),
+                        docs["n_chars"].astype("int64")))
+        comp["n_chars"] = pd.Series(
+            comp["node"].to_numpy(np.int64) % 2_000_000).map(nmap) \
+            .astype("int64").to_numpy()
+        best = (comp.sort_values(["label", "n_chars", "node"],
+                                 ascending=[True, False, True])
+                .drop_duplicates("label"))
+        sizes = comp.groupby("label", as_index=False).agg(
+            n_members=("node", "nunique"))
+        out = best.merge(sizes, on="label")
+    else:
+        from ..functions.joins import hash_join
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            node = df["node"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "node": node, "label": df["label"].astype("int64"),
+                "doc_id": node % 2_000_000})
+
+        joined = hash_join(
+            comp_ds.map_batches(prep, batch_format="pandas"),
+            _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+            key="doc_id", n_buckets=32, how="inner")
+
+        def bucket_by_label(df: pd.DataFrame) -> pd.DataFrame:
+            out_ = df[["node", "label", "n_chars"]].copy()
+            out_["__b"] = (out_["label"].to_numpy(np.int64)
+                           % 64).astype("int64")
+            return out_
+
+        import pyarrow as _pa
+
+        def family_stats(g: pd.DataFrame) -> "_pa.Table":
+            # same node always carries the same label → the global
+            # drop_duplicates is exact within its label bucket
+            g = g.drop_duplicates("node")
+            g = g.astype({"node": "int64", "label": "int64",
+                          "n_chars": "int64"})
+            best = (g.sort_values(["label", "n_chars", "node"],
+                                  ascending=[True, False, True])
+                    .drop_duplicates("label"))
+            sizes = g.groupby("label", as_index=False).agg(
+                n_members=("node", "nunique"))
+            m = best.merge(sizes, on="label")
+            return _pa.table({
+                "label": _pa.array(m["label"], _pa.int64()),
+                "node": _pa.array(m["node"], _pa.int64()),
+                "n_chars": _pa.array(m["n_chars"], _pa.int64()),
+                "n_members": _pa.array(m["n_members"].astype("int64"),
+                                       _pa.int64())})
+
+        out = (joined.map_batches(bucket_by_label, batch_format="pandas")
+               .groupby("__b").map_groups(family_stats,
+                                          batch_format="pandas")
+               .to_pandas())
+        if not len(out):
+            return empty
+
     out = pd.DataFrame({
         "label": out["label"].astype("int64"),
         "kept_doc": out["node"].astype("int64"),

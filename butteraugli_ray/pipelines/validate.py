@@ -259,7 +259,8 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                     checker_concurrency: Optional[int] = None,
                     batch_size: int = 1024,
                     broadcast_scores: bool = True,
-                    media_scores_cap: int = 1000) -> dict:
+                    media_scores_cap: int = 1000,
+                    dup_broadcast_cap: int = 2_000_000) -> dict:
     """Run the full validation; returns the summary dict.
 
     ``baseline_snapshot``: path to a summary.json of a previous run whose
@@ -271,6 +272,12 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
     shuffle join (exploded image spans ⋈ scores on media_ref) for media
     tables too large to broadcast — referential integrity then also
     derives from the join (missing key ⇒ no score row).
+
+    ``dup_broadcast_cap``: the duplicate-doc_id check broadcasts the
+    duplicated-key set when it has at most this many keys (the normal
+    regime — dup rates are small); above the cap it degrades
+    gracefully to a partitioned hash semi-join, so a pathological
+    corpus (say 50% duplicates) can never OOM the driver.
     """
     import ray
 
@@ -380,22 +387,15 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
     # 1.65 M keys); only rows of the tiny duplicated-key set shuffle
     # again for the violation rows, and that pass is one vectorized
     # in-bucket sort + duplicated() mask — never per-key Python.
-    from ..functions.dedup import dup_keep_table
+    from ..functions.dedup import dup_keep_dataset
     docs_ids_all = read_table_filtered(docs_path,
                                        columns=["doc_id", "partition_id"])
-    keep = dup_keep_table(docs_ids_all, hash_col="doc_id",
-                          id_col="partition_id", n_buckets=64)
+    keep_ds = dup_keep_dataset(docs_ids_all, hash_col="doc_id",
+                               id_col="partition_id",
+                               n_buckets=64).materialize()
+    n_dup_keys = keep_ds.count()
     dups = None
-    if len(keep):
-        dup_arr = pa.array(sorted(keep["doc_id"]), pa.string())
-
-        def dup_rows_tag(t: pa.Table, _a=dup_arr) -> pa.Table:
-            sel = t.filter(pc.is_in(t["doc_id"], value_set=_a))
-            import pandas as pd
-            b = (pd.util.hash_pandas_object(
-                pd.Series(sel["doc_id"].to_numpy(zero_copy_only=False)),
-                index=False).to_numpy() % 64).astype("int64")
-            return sel.append_column("__b", pa.array(b, pa.int64()))
+    if n_dup_keys:
 
         def dup_viol_bucket(g) -> pa.Table:
             g = g.sort_values(["doc_id", "partition_id"], kind="mergesort")
@@ -418,11 +418,50 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
                 "hll": pa.array([""] * k, pa.string()),
             })
 
-        dups = (read_table_filtered(docs_path,
-                                    columns=["doc_id", "partition_id"])
-                .map_batches(dup_rows_tag, batch_format="pyarrow")
-                .groupby("__b").map_groups(dup_viol_bucket,
-                                           batch_format="pandas"))
+        if n_dup_keys <= dup_broadcast_cap:
+            # normal regime: the duplicated-key SET is tiny — broadcast
+            # it and filter the id projection in place
+            keep = keep_ds.to_pandas()
+            dup_arr = pa.array(sorted(keep["doc_id"]), pa.string())
+
+            def dup_rows_tag(t: pa.Table, _a=dup_arr) -> pa.Table:
+                sel = t.filter(pc.is_in(t["doc_id"], value_set=_a))
+                import pandas as pd
+                b = (pd.util.hash_pandas_object(
+                    pd.Series(sel["doc_id"].to_numpy(zero_copy_only=False)),
+                    index=False).to_numpy() % 64).astype("int64")
+                return sel.append_column("__b", pa.array(b, pa.int64()))
+
+            tagged_dups = (read_table_filtered(
+                docs_path, columns=["doc_id", "partition_id"])
+                .map_batches(dup_rows_tag, batch_format="pyarrow"))
+        else:
+            # pathological duplicate population (e.g. a 50%-dup
+            # corpus): never copy the key set to the driver — select
+            # the dup rows with a partitioned hash semi-join instead
+            from ..functions.joins import hash_join
+            joined = hash_join(
+                read_table_filtered(docs_path,
+                                    columns=["doc_id", "partition_id"]),
+                keep_ds.select_columns(["doc_id"]),
+                key="doc_id", n_buckets=64, how="inner")
+
+            def retag(df) -> pa.Table:
+                import pandas as pd
+                sel = df[["doc_id", "partition_id"]]
+                b = (pd.util.hash_pandas_object(
+                    sel["doc_id"], index=False).to_numpy()
+                    % 64).astype("int64")
+                return pa.table({
+                    "doc_id": pa.array(sel["doc_id"].astype(str)),
+                    "partition_id": pa.array(
+                        sel["partition_id"].astype("int64"), pa.int32()),
+                    "__b": pa.array(b, pa.int64())})
+
+            tagged_dups = joined.map_batches(retag, batch_format="pandas")
+
+        dups = tagged_dups.groupby("__b").map_groups(
+            dup_viol_bucket, batch_format="pandas")
         if done:
             done_arr = pa.array(sorted(done), pa.int32())
             dups = dups.map_batches(

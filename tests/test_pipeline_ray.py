@@ -521,3 +521,34 @@ def test_sample_violations_streams_with_early_stop(tmp_path, monkeypatch):
     })
     got2 = sample_violations(out_dir, per_check=5)
     assert [r["doc_id"] for r in got2["negative_offset"]] == ["late-1"]
+
+
+def test_dup_check_join_fallback_matches_broadcast(
+        ray_session, tmp_path_factory, tmp_path):
+    """A pathological duplicate population (half the corpus) above
+    dup_broadcast_cap must degrade to the partitioned hash semi-join
+    and produce the identical violation summary — never a driver copy
+    of the duplicated-key set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+    from butteraugli_ray.corpus.synth import write_corpus
+    from butteraugli_ray.pipelines.validate import validate_corpus
+
+    d = tmp_path_factory.mktemp("dupcorpus")
+    paths = write_corpus(str(d), n_docs=200, seed=9, violation_rate=0.0)
+    # duplicate every other doc_id once more (≈50% dup rate)
+    docs = pqt.read_table(paths["documents"])
+    half = docs.slice(0, 100)
+    dup = pa.concat_tables([docs, half])
+    pqt.write_table(dup, paths["documents"])
+
+    out_b = str(tmp_path / "broadcast")
+    out_j = str(tmp_path / "join")
+    s_b = validate_corpus(paths["documents"], paths["media"], out_b,
+                          resume=False, scorer_concurrency=2)
+    s_j = validate_corpus(paths["documents"], paths["media"], out_j,
+                          resume=False, scorer_concurrency=2,
+                          dup_broadcast_cap=1)
+    assert s_b["violations_by_check"]["duplicate_doc_id"] == 100
+    assert s_j["violations_by_check"] == s_b["violations_by_check"]
+    assert s_j["n_docs"] == s_b["n_docs"] == 300

@@ -650,3 +650,15 @@ def test_phash_brute_force_parity(ray_session):
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype("int64"),
                                   want.astype("int64"))
+
+
+def test_near_dup_keep_best_join_fallback_parity(ray_session):
+    """Above driver_cap the keep-best selection must switch to the
+    partitioned-join + label-bucket path and return the identical
+    per-family table (the node table never lands on the driver)."""
+    import pandas as pd
+    from butteraugli_ray.pipelines.queries import q_near_dup_keep_best
+    a = q_near_dup_keep_best("/root/testdata/sf0.001")
+    b = q_near_dup_keep_best("/root/testdata/sf0.001", driver_cap=0)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
