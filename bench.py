@@ -140,16 +140,35 @@ def main() -> None:
         t_lo = results[lo]["headline"]["docs_per_sec"]
         t_hi = results[hi]["headline"]["docs_per_sec"]
         eff = (t_hi / t_lo) / (hi / lo)
-        print(json.dumps({"metric": f"scaling_efficiency_{lo}_to_{hi}",
-                          f"docs_per_sec_{lo}": t_lo,
-                          f"docs_per_sec_{hi}": t_hi,
-                          f"trials_{lo}": results[lo]["headline"].get("trials_docs_per_sec"),
-                          f"trials_{hi}": results[hi]["headline"].get("trials_docs_per_sec"),
-                          "speedup": round(t_hi / t_lo, 3),
-                          "scaling_efficiency": round(eff, 3),
-                          "n_docs": int(scaling_env["BENCH_HEADLINE_DOCS"]),
-                          "px": int(scaling_env["BENCH_HEADLINE_PX"]),
-                          "compare_batch": int(scaling_env["BENCH_COMPARE_BATCH"])}))
+        line = {"metric": f"scaling_efficiency_{lo}_to_{hi}",
+                f"docs_per_sec_{lo}": t_lo,
+                f"docs_per_sec_{hi}": t_hi,
+                f"trials_{lo}": results[lo]["headline"].get("trials_docs_per_sec"),
+                f"trials_{hi}": results[hi]["headline"].get("trials_docs_per_sec"),
+                "speedup": round(t_hi / t_lo, 3),
+                "scaling_efficiency": round(eff, 3),
+                "n_docs": int(scaling_env["BENCH_HEADLINE_DOCS"]),
+                "px": int(scaling_env["BENCH_HEADLINE_PX"]),
+                "compare_batch": int(scaling_env["BENCH_COMPARE_BATCH"])}
+        if "--no-controls" not in sys.argv:
+            # SAME-WINDOW hardware controls (tools/scaling_controls.py):
+            # spin ≈ core reality, kernel = this box's no-Ray memory-bus
+            # ceiling for the identical compare.  normalized_efficiency
+            # = engine / kernel is the hardware-independent read — every
+            # reading now carries its own ceiling.
+            ctrl_out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__) or ".",
+                              "tools", "scaling_controls.py"),
+                 str(lo), str(hi)],
+                capture_output=True, text=True, check=True).stdout
+            ctrl = json.loads(ctrl_out.strip().splitlines()[-1])
+            line["spin_efficiency"] = ctrl["spin_efficiency"]
+            line["kernel_efficiency"] = ctrl["kernel_efficiency"]
+            line["normalized_efficiency"] = round(
+                eff / ctrl["kernel_efficiency"], 3) \
+                if ctrl["kernel_efficiency"] else None
+        print(json.dumps(line))
         return
 
     import ray

@@ -595,3 +595,51 @@ def test_audit_single_storage_read_per_table(ray_session, tmp_path):
     violation_rows(read2, vsuite, keys={"users": "uid", "orders": "oid"})
     counts2 = ray.get(counter2.get.remote())
     assert counts2 == {"users": 1, "orders": 1}, counts2
+
+
+def test_schema_check_roundtrip_all_arrow_types(tmp_path):
+    """check_schemas vs the generated information_schema oracle over a
+    table carrying EVERY Arrow type _arrow_to_sql claims to map — the
+    engine's footer read and DuckDB's view of the same parquet must
+    agree on names, ordinals and type spellings (all rows 'ok')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from butteraugli_ray.engine.constraints import (check_schemas,
+                                                    schema_oracle_sql)
+
+    tbl = pa.table({
+        "c_i64": pa.array([1], pa.int64()),
+        "c_i32": pa.array([1], pa.int32()),
+        "c_i16": pa.array([1], pa.int16()),
+        "c_i8": pa.array([1], pa.int8()),
+        "c_f64": pa.array([1.0], pa.float64()),
+        "c_f32": pa.array([1.0], pa.float32()),
+        "c_str": pa.array(["x"], pa.string()),
+        "c_bool": pa.array([True], pa.bool_()),
+        "c_ts": pa.array([pd.Timestamp("2024-01-01")],
+                         pa.timestamp("us")),
+        "c_date": pa.array([18262], pa.date32()),
+        "c_bin": pa.array([b"x"], pa.binary()),
+        "c_list_f32": pa.array([[1.0]], pa.list_(pa.float32())),
+        "c_list_i64": pa.array([[1]], pa.list_(pa.int64())),
+    })
+    path = str(tmp_path / "alltypes.parquet")
+    pqt.write_table(tbl, path)
+
+    from butteraugli_ray.engine.constraints import _arrow_to_sql
+    expected = {"alltypes": [(f.name, _arrow_to_sql(f.type))
+                             for f in tbl.schema]}
+
+    got = check_schemas(lambda t: pqt.read_schema(path), expected)
+    assert (got["status"] == "ok").all(), got[got["status"] != "ok"]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW alltypes AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    want = con.execute(schema_oracle_sql(expected)).df()
+    assert (want["status"] == "ok").all(), want[want["status"] != "ok"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"expected_pos": "int64",
+                     "actual_pos": "int64"}).reset_index(drop=True))

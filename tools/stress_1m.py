@@ -1,0 +1,218 @@
+"""1M-key uniqueness/dup stress fixture (BASELINE.md "key-cardinality
+stress" section).
+
+The repo's systemic lesson (BASELINE.md round 2) was that per-key
+aggregate paths degenerate at high key cardinality (255 s at 1.65M
+keys).  This tool synthesizes a ≥1M-doc corpus and pins the walls of
+the three key-cardinality-critical pipelines — dedup_exact,
+minhash_near_dup, validate_corpus — proving the bucketed combiner
+shapes hold where the lesson came from.
+
+Generation is distributed (Ray range → map_batches), deterministic,
+and written as ONE parquet file per table (streamed through a
+ParquetWriter so the driver never holds the table; row groups keep the
+read splittable).
+
+Usage: python tools/stress_1m.py [n_docs] [out_dir]
+Prints one JSON line with walls + sanity counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = 4999           # prime-ish vocab size for synthetic words
+WORDS_PER_DOC = 18
+DUP_EVERY = 200        # i % 200 == 1 copies text of i-1 (~0.5% exact dups)
+N_PARTITIONS = 64
+GOOD_REFS = 16
+
+
+# one distinct prime modulus PER WORD POSITION: two ids share word j
+# only when congruent mod P_j, and the position prefix keeps words from
+# different slots disjoint — so no pair of distinct base ids can reach
+# Jaccard 0.5 by hash coincidence (a single shared modulus would cycle
+# whole texts every VOCAB ids and plant millions of phantom dups)
+_PRIMES = np.array([4999, 5003, 5009, 5011, 5021, 5023, 5039, 5051,
+                    5059, 5077, 5081, 5087, 5099, 5101, 5107, 5113,
+                    5119, 5147], dtype=np.int64)[:WORDS_PER_DOC]
+
+
+def _texts_for(base_ids: np.ndarray) -> list:
+    """Deterministic ~130-char text per base id (vectorized hash);
+    injective — texts are equal iff base ids are equal."""
+    k = np.arange(WORDS_PER_DOC, dtype=np.int64)
+    w = (base_ids[:, None] * 2654435761 + k[None, :] * 40503) \
+        % _PRIMES[None, :]
+    return [" ".join(f"w{j}_{v}" for j, v in enumerate(row)) for row in w]
+
+
+def _doc_batch(df: pd.DataFrame) -> pd.DataFrame:
+    ids = df["id"].to_numpy(np.int64)
+    base = np.where(ids % DUP_EVERY == 1, ids - 1, ids)
+    texts = _texts_for(base)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "text": texts,
+        "lang": [("en", "de", "fr", "es", "zh")[int(i) % 5] for i in ids],
+        "source": [f"src{int(i) % 20}" for i in ids],
+        "n_chars": np.array([len(t) for t in texts], np.int64),
+    })
+
+
+def _write_single_parquet(ds, path: str, schema: pa.Schema) -> int:
+    """Stream a Dataset into ONE parquet file (row-group per batch)."""
+    n = 0
+    writer = pq.ParquetWriter(path, schema)
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        writer.write_table(pa.table({f.name: b[f.name].cast(f.type)
+                                     for f in schema}))
+        n += b.num_rows
+    writer.close()
+    return n
+
+
+def gen_flat_documents(out_dir: str, n_docs: int) -> str:
+    import ray.data as rd
+    path = os.path.join(out_dir, "documents.parquet")
+    ds = rd.range(n_docs, override_num_blocks=256).map_batches(
+        _doc_batch, batch_format="pandas")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                       ("lang", pa.string()), ("source", pa.string()),
+                       ("n_chars", pa.int64())])
+    _write_single_parquet(ds, path, schema)
+    return path
+
+
+_SPAN_T = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                     ("media_ref", pa.string()), ("offset", pa.int32())])
+
+
+def _interleaved_batch(df: pd.DataFrame, n_docs: int) -> pa.Table:
+    ids = df["id"].to_numpy(np.int64)
+    # planted duplicate doc_ids: i % DUP_EVERY == 1 reuses i-1's id
+    base = np.where(ids % DUP_EVERY == 1, ids - 1, ids)
+    texts = _texts_for(ids)
+    spans = []
+    for i, t in zip(ids, texts):
+        cut = len(t) // 2
+        spans.append([
+            {"kind": "text", "text": t[:cut], "media_ref": "",
+             "offset": 0},
+            {"kind": "image", "text": "",
+             "media_ref": f"img-ref-{int(i) % GOOD_REFS}",
+             "offset": cut},
+            {"kind": "text", "text": t[cut:], "media_ref": "",
+             "offset": cut + 1},
+        ])
+    return pa.table({
+        "doc_id": pa.array([f"doc-{int(b):08d}" for b in base]),
+        "spans": pa.array(spans, pa.list_(_SPAN_T)),
+        "partition_id": pa.array(
+            (ids * N_PARTITIONS // max(n_docs, 1)).astype(np.int32),
+            pa.int32()),
+    })
+
+
+def gen_interleaved(out_dir: str, n_docs: int) -> dict:
+    import ray.data as rd
+    from butteraugli_ray.corpus import generators as G
+    docs_path = os.path.join(out_dir, "idocs.parquet")
+    media_path = os.path.join(out_dir, "imedia.parquet")
+    schema = pa.schema([("doc_id", pa.string()),
+                        ("spans", pa.list_(_SPAN_T)),
+                        ("partition_id", pa.int32())])
+    ds = rd.range(n_docs, override_num_blocks=256).map_batches(
+        _interleaved_batch, batch_format="pandas",
+        fn_kwargs=dict(n_docs=n_docs))
+    _write_single_parquet(ds, docs_path, schema)
+    # small media table: GOOD_REFS 32px pairs (ref + mild distortion)
+    rows = {"media_ref": [], "width": [], "height": [],
+            "ref_rgb": [], "dist_rgb": []}
+    for i in range(GOOD_REFS):
+        img = G.gen_random_midrange(32, 32, 1000 + i)
+        dist = G.distort_noise(img, 2, 1000 + i)
+        rows["media_ref"].append(f"img-ref-{i}")
+        rows["width"].append(32)
+        rows["height"].append(32)
+        rows["ref_rgb"].append(img.tobytes())
+        rows["dist_rgb"].append(dist.tobytes())
+    pq.write_table(pa.table({
+        "media_ref": pa.array(rows["media_ref"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "ref_rgb": pa.array(rows["ref_rgb"], pa.binary()),
+        "dist_rgb": pa.array(rows["dist_rgb"], pa.binary()),
+    }), media_path)
+    return {"documents": docs_path, "media": media_path}
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/stress_1m"
+    os.makedirs(out_dir, exist_ok=True)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    out = {"metric": "stress_1m", "n_docs": n_docs}
+
+    t0 = time.time()
+    gen_flat_documents(out_dir, n_docs)
+    out["gen_flat_s"] = round(time.time() - t0, 1)
+
+    from butteraugli_ray.pipelines.queries import QUERIES
+    t0 = time.time()
+    dd = QUERIES["dedup_exact"](out_dir)
+    out["dedup_exact_s"] = round(time.time() - t0, 1)
+    out["dedup_exact_groups"] = int(len(dd))
+
+    t0 = time.time()
+    md = QUERIES["minhash_near_dup"](out_dir)
+    out["minhash_near_dup_s"] = round(time.time() - t0, 1)
+    out["minhash_pairs"] = int(len(md))
+
+    t0 = time.time()
+    paths = gen_interleaved(out_dir, n_docs)
+    out["gen_interleaved_s"] = round(time.time() - t0, 1)
+
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    vdir = os.path.join(out_dir, "validate_out")
+    import shutil
+    shutil.rmtree(vdir, ignore_errors=True)
+    t0 = time.time()
+    summary = validate_corpus(paths["documents"], paths["media"], vdir,
+                              resume=False, scorer_concurrency=4,
+                              batch_size=4096)
+    out["validate_corpus_s"] = round(time.time() - t0, 1)
+    out["validate_docs_per_sec"] = round(
+        summary["n_docs"] / max(out["validate_corpus_s"], 1e-9), 1)
+    out["validate_n_docs"] = summary["n_docs"]
+    out["validate_dup_violations"] = summary["violations_by_check"].get(
+        "duplicate_doc_id", 0)
+    # planted: each i%200==1 doc collides with i-1 → 1 extra row each
+    out["expected_dup_violations"] = sum(
+        1 for i in range(n_docs) if i % DUP_EVERY == 1)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
