@@ -97,39 +97,12 @@ def cmd_synth(args) -> int:
 
 
 def load_image_file(path: str):
-    """Image file → uint8 [h, w, 3] — the reference CLI's two-file
-    input surface (main.rs:396-447).  PNG decodes via the pure-stdlib
-    codec (stages/png.py); binary PPM (P6) parses directly; other
-    formats need a codec wheel."""
-    import numpy as np
-    with open(path, "rb") as f:
-        data = f.read()
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        from .stages.png import decode_png
-        return decode_png(data)
-    if data[:2] == b"P6":
-        # header: P6 <w> <h> <maxval>, whitespace/comment tolerant
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(data) and data[pos:pos + 1].isspace():
-                pos += 1
-            if data[pos:pos + 1] == b"#":
-                while pos < len(data) and data[pos] != 0x0A:
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(data) and not data[pos:pos + 1].isspace():
-                pos += 1
-            fields.append(int(data[start:pos]))
-        w, h, maxval = fields
-        if maxval != 255:
-            raise ValueError(f"PPM maxval {maxval} unsupported")
-        pos += 1                                 # single whitespace
-        return np.frombuffer(data[pos:pos + w * h * 3],
-                             np.uint8).reshape(h, w, 3)
-    raise ValueError(
-        f"unrecognized image format in {path!r} (PNG and binary PPM "
-        "are built in; other formats need an image library)")
+    """Image file → uint8 [h, w, 3] — the reference CLI's file input
+    surface (main.rs:396-447).  PNG/PPM/BMP/GIF decode via the
+    pure-stdlib codecs (stages/imageio.py); JPEG/WebP need a codec
+    wheel."""
+    from .stages.imageio import load_image_file as _load
+    return _load(path)
 
 
 def cmd_compare(args) -> int:
@@ -185,6 +158,101 @@ def cmd_compare(args) -> int:
         write_heatmap_ppm(res.diffmap, args.heatmap)
     if args.max_score is not None and res.score > args.max_score:
         return 1
+    return 0
+
+
+class _FilePairScorer:
+    """Actor-pool stage for compare-dirs: load + decode + score one
+    batch of (reference, distorted) file pairs.  Decoders and params
+    build once per actor; errors become per-row strings (the reference
+    --keep-going contract), never exceptions."""
+
+    def __init__(self, params=None):
+        from .metric.api import ButteraugliParams
+        self.params = params or ButteraugliParams()
+
+    def __call__(self, df):
+        import numpy as np
+        import pandas as pd
+        from .metric.api import butteraugli_srgb
+        from .stages.imageio import load_image_file as _load
+        scores = np.full(len(df), np.nan)
+        pnorms = np.full(len(df), np.nan)
+        errors = [None] * len(df)
+        for i, (rp, dp) in enumerate(zip(df["ref_path"], df["dist_path"])):
+            try:
+                a = _load(rp)
+                b = _load(dp)
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"dimension mismatch: {a.shape[1]}x{a.shape[0]} "
+                        f"vs {b.shape[1]}x{b.shape[0]}")
+                r = butteraugli_srgb(a, b, self.params)
+                scores[i], pnorms[i] = r.score, r.pnorm_3
+            except (ValueError, NotImplementedError, OSError) as exc:
+                errors[i] = f"{type(exc).__name__}: {exc}"
+        return pd.DataFrame({"name": df["name"], "score": scores,
+                             "pnorm_3": pnorms, "error": errors})
+
+
+def cmd_compare_dirs(args) -> int:
+    """Batch directory mode (main.rs:280-393 semantics): matched
+    filenames from two directories, scored by an actor-pool Ray
+    stage; exit 1 if any score exceeds --max-score, 2 on errors
+    (immediately unless --keep-going) or empty/missing dirs."""
+    import os
+
+    if not os.path.isdir(args.reference) or not os.path.isdir(args.distorted):
+        print("error: both arguments must be directories", file=sys.stderr)
+        return 2
+    exts = {e.strip().lower().lstrip(".")
+            for e in args.extensions.split(",") if e.strip()}
+    pairs = []
+    for name in sorted(os.listdir(args.reference)):
+        ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+        if ext not in exts:
+            continue
+        rp = os.path.join(args.reference, name)
+        dp = os.path.join(args.distorted, name)
+        if os.path.isfile(rp) and os.path.isfile(dp):
+            pairs.append({"name": name, "ref_path": rp, "dist_path": dp})
+    if not pairs:
+        print("warning: no matching image files found", file=sys.stderr)
+        return 2
+
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+    from .functions.pool import actor_pool
+    n_blocks = max(1, min(len(pairs), 4 * (args.concurrency or 4)))
+    out = (rd.from_items(pairs, override_num_blocks=n_blocks)
+           .map_batches(_FilePairScorer, batch_format="pandas",
+                        batch_size=max(1, -(-len(pairs) // n_blocks)),
+                        concurrency=actor_pool(args.concurrency or 4))
+           .to_pandas().sort_values("name").reset_index(drop=True))
+
+    had_errors = False
+    exceeded = False
+    rows = []
+    for _, r in out.iterrows():
+        if r["error"]:
+            had_errors = True
+            if not args.keep_going:
+                print(f"error: {r['name']}: {r['error']}", file=sys.stderr)
+                return 2
+            rows.append({"name": r["name"], "error": r["error"]})
+            continue
+        rec = {"name": r["name"], "score": round(float(r["score"]), 6),
+               "pnorm_3": round(float(r["pnorm_3"]), 6),
+               "rating": quality_rating(float(r["score"]))}
+        if args.max_score is not None and r["score"] > args.max_score:
+            exceeded = True
+            rec["threshold_exceeded"] = True
+        rows.append(rec)
+    print(json.dumps({"n_pairs": len(rows), "results": rows}, indent=1))
+    if exceeded:
+        return 1
+    if had_errors:
+        return 2
     return 0
 
 
@@ -289,6 +357,19 @@ def main(argv=None) -> int:
     c.add_argument("--heatmap", default=None,
                    help="write diffmap heatmap here (.png → PNG, else PPM)")
     c.set_defaults(fn=cmd_compare)
+
+    d = sub.add_parser("compare-dirs",
+                       help="score matched file pairs from two directories")
+    d.add_argument("reference", help="directory of reference images")
+    d.add_argument("distorted", help="directory of distorted images")
+    d.add_argument("--extensions", default="png,ppm,bmp,gif,jpg,jpeg,webp",
+                   help="comma-separated extensions to include")
+    d.add_argument("--max-score", type=float, default=None)
+    d.add_argument("--keep-going", action="store_true",
+                   help="continue past per-pair errors (exit 2 at end)")
+    d.add_argument("--concurrency", type=int, default=4)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_compare_dirs)
 
     q = sub.add_parser("query", help="run a registered pipeline query")
     q.add_argument("name", nargs="?", default=None)

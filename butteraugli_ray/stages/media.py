@@ -32,12 +32,12 @@ def decode_media(payload: bytes, codec: str, width: int, height: int) -> np.ndar
         if len(payload) != n:
             raise ValueError(f"raw payload size {len(payload)} != {n}")
         return np.frombuffer(payload, np.uint8).reshape(height, width, 3)
-    if codec == "png":
-        from .png import decode_png
-        img = decode_png(bytes(payload))
+    if codec in ("png", "ppm", "bmp", "gif"):
+        from .imageio import load_image_bytes
+        img = load_image_bytes(bytes(payload))
         if img.shape[:2] != (height, width):
             raise ValueError(
-                f"png dims {img.shape[1]}x{img.shape[0]} != metadata "
+                f"{codec} dims {img.shape[1]}x{img.shape[0]} != metadata "
                 f"{width}x{height}")
         return img
     try:  # pragma: no cover - codecs absent in sandbox
