@@ -2,11 +2,13 @@
 
 The reference CLI's batch mode accepts png,jpg,jpeg,webp,gif,bmp
 (/root/reference/butteraugli-cli/src/main.rs:92-98, image::open at
-:401-405).  This sandbox has no codec wheel, so the formats that need
-only stdlib bit-twiddling are implemented here from their public
-specs — PNG (stages/png.py), binary PPM, uncompressed BMP, GIF
-(LZW) — and JPEG/WebP fall through to a PIL/cv2 import-try with a
-clear error.  All decoders return uint8 [h, w, 3] RGB.
+:401-405).  This sandbox has no codec wheel, so the formats
+implementable with stdlib+numpy alone are built here from their
+public specs — PNG (stages/png.py), baseline JPEG (stages/jpeg.py),
+binary PPM, uncompressed BMP, GIF (LZW) — covering five of the
+reference's six formats; WebP (and progressive JPEG) fall through to
+a PIL/cv2 import-try with a clear error.  All decoders return uint8
+[h, w, 3] RGB.
 """
 
 from __future__ import annotations
@@ -190,14 +192,17 @@ def load_image_bytes(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data)
     try:  # pragma: no cover - codec wheels absent in sandbox
         from PIL import Image
         import io
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     except ImportError:
         raise ValueError(
-            "unrecognized image format (PNG/PPM/BMP/GIF built in; "
-            "JPEG/WebP need an image library)")
+            "unrecognized image format (PNG/PPM/BMP/GIF/baseline-JPEG "
+            "built in; WebP and progressive JPEG need an image library)")
 
 
 def load_image_file(path: str) -> np.ndarray:
