@@ -447,8 +447,17 @@ def verify_jaccard_pairs_ds(pairs_ds, docs_ds, threshold: float,
     dropped at the scan.)
     """
     # pairs are small by design (LSH banding); pin them so the id-set
-    # pass and the union don't re-execute the whole candidate pipeline
-    pairs_ds = pairs_ds.materialize()
+    # pass and the union don't re-execute the whole candidate pipeline.
+    # The from_arrow_refs rebuild matters: Dataset.union composes the
+    # inputs' LOGICAL plans, and a MaterializedDataset's logical plan
+    # still carries the full upstream lineage — union(materialized, x)
+    # re-executes the entire candidate pipeline (measured: 2× banding
+    # + an extra sort, ~100 s of the 188 s minhash wall at 1M docs).
+    # Rebuilding from the materialized block refs gives union a pure
+    # InputData plan with nothing upstream to re-run (zero-copy refs).
+    import ray as _ray
+    pairs_ds = _ray.data.from_arrow_refs(
+        pairs_ds.materialize().to_arrow_refs())
     ids_small = pairs_ds.map_batches(
         lambda t: pa.table({"doc_id": pa.concat_arrays([
             t["id_a"].combine_chunks().cast(pa.int64()),

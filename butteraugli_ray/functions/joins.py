@@ -180,7 +180,8 @@ def hash_join(left_ds, right_ds, key: str, n_buckets: int = 32,
         df["__bkey"] = df["__bucket"].astype("int64") * 4096 + df["__salt"].astype("int64")
         return df.drop(columns=["__bucket", "__salt"])
 
-    return both.map_batches(pack, batch_format="pandas").groupby(
-        "__bkey").map_groups(merge_bucket, batch_format="pandas")
+    return (both.map_batches(pack, batch_format="pandas")
+            .groupby("__bkey").map_groups(merge_bucket,
+                                          batch_format="pandas"))
 
 

@@ -19,9 +19,28 @@ from __future__ import annotations
 import numpy as np
 
 
+def polars_ready():
+    """Import polars and wait until it is FULLY initialized.
+
+    polars populates its namespace during module exec, and Ray Data's
+    own sort path imports it concurrently inside the same worker
+    process — a UDF thread can observe the half-initialized module and
+    crash with ``AttributeError: module 'polars' has no attribute
+    'Series'`` (seen intermittently under the full test suite).  The
+    attribute probe below returns only once the racing import has
+    finished; the retry budget is far above any real import time."""
+    import time
+    import polars as pl
+    for _ in range(500):
+        if hasattr(pl, "Series") and hasattr(pl, "from_arrow"):
+            return pl
+        time.sleep(0.01)
+    return pl
+
+
 def hash64(values, seed: int = 0) -> np.ndarray:
     """Vectorized 64-bit hash of a string/number sequence → uint64."""
-    import polars as pl
+    pl = polars_ready()
     s = pl.Series("v", values)
     return s.hash(seed=seed).to_numpy().astype(np.uint64)
 

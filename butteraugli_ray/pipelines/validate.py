@@ -94,7 +94,8 @@ class DocChecker:
         }
 
     def _metrics_rows(self, batch: pa.Table) -> dict:
-        import polars as pl
+        from ..functions.sketches import polars_ready
+        pl = polars_ready()
         pids = batch["partition_id"].to_numpy(zero_copy_only=False)
         n_spans = pc.list_value_length(batch["spans"]).to_numpy(zero_copy_only=False)
         # ONE vectorized polars hash over the whole doc_id column

@@ -21,21 +21,33 @@ def _have_lance() -> bool:
 
 def small_file_num_blocks(path: str, target_bytes: int = 4 << 20,
                           lo: int = 16, hi: int = 64):
-    """Block-count override for SMALL local files, None for big ones.
+    """Block-count override keeping blocks ≥ ~4 MB on local files.
 
     Ray's default parallelism heuristic splits any file into ~2×CPU
-    blocks; on a sub-64MB file that yields hundreds-of-row blocks, and
-    every downstream shuffle pays per-block scheduling that dwarfs the
-    data (measured 2-3× whole-query slowdowns at sf0.1).  Under ~64MB we
-    cap blocks at size/4MB in [16, 64]; at real scale (>64MB) Ray's own
-    size-based splitting is correct, so return None and let it decide."""
+    blocks (a 99 MB file became 310 ~0.3 MB blocks); every downstream
+    shuffle then pays per-block scheduling that dwarfs the data — and
+    Ray's SORT (behind every groupby) creates one reduce partition per
+    input block, so fragment count grows QUADRATICALLY with block
+    count (measured: two groupby Sorts totaling 135 s over ~60 MB of
+    rows at 1M docs, and 2-3× whole-query slowdowns at sf0.1).  We cap
+    blocks at size/4MB in [lo, cpu-scaled hi]: single files up to a
+    few GB read in ≤ a-few-hundred 4-16 MB blocks, which keeps every
+    downstream sort's partition fan-out proportional to compute, not
+    to Ray's splitting heuristic.  (On a multi-node cluster the hi cap
+    scales with cluster CPUs; genuinely huge inputs arrive as MANY
+    files and parallelize across files regardless.)"""
     try:
         size = os.path.getsize(path)
     except OSError:
         return None
-    if size > (64 << 20):
-        return None
-    return max(lo, min(hi, size // target_bytes))
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 16)) \
+            if ray.is_initialized() else 16
+    except Exception:
+        cpus = 16
+    hi = max(hi, 4 * cpus)
+    return int(max(lo, min(hi, size // target_bytes)))
 
 
 def parquet_schema_no_metadata(path: str, columns=None):

@@ -81,8 +81,10 @@ class TestMediaStages:
         assert errs[0] is None
 
     def test_unknown_codec_stubbed(self):
+        # webp is the one reference-CLI format still behind the
+        # import-try stub (png/jpeg/gif/bmp decode natively now)
         from butteraugli_ray.stages.media import MediaFeaturizer
-        out = MediaFeaturizer()(self._batch(codec="jpeg"))
+        out = MediaFeaturizer()(self._batch(codec="webp"))
         assert all("NotImplementedError" in e
                    for e in out["decode_error"].to_pylist())
 
