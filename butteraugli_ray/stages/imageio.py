@@ -2,13 +2,13 @@
 
 The reference CLI's batch mode accepts png,jpg,jpeg,webp,gif,bmp
 (/root/reference/butteraugli-cli/src/main.rs:92-98, image::open at
-:401-405).  This sandbox has no codec wheel, so the formats
-implementable with stdlib+numpy alone are built here from their
-public specs — PNG (stages/png.py), baseline JPEG (stages/jpeg.py),
-binary PPM, uncompressed BMP, GIF (LZW) — covering five of the
-reference's six formats; WebP (and progressive JPEG) fall through to
-a PIL/cv2 import-try with a clear error.  All decoders return uint8
-[h, w, 3] RGB.
+:401-405).  This sandbox has no codec wheel, so the formats are built
+here from their public specs with stdlib+numpy alone — PNG
+(stages/png.py), baseline JPEG (stages/jpeg.py), lossless WebP/VP8L
+(stages/webp.py), binary PPM, uncompressed BMP, GIF (LZW) — all six
+of the reference's extensions decode natively; only lossy-WebP (VP8)
+and progressive-JPEG payloads fall through to a PIL/cv2 import-try
+with a clear error.  All decoders return uint8 [h, w, 3] RGB.
 """
 
 from __future__ import annotations
@@ -195,6 +195,9 @@ def load_image_bytes(data: bytes) -> np.ndarray:
     if data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+        return decode_webp(data)
     try:  # pragma: no cover - codec wheels absent in sandbox
         from PIL import Image
         import io

@@ -32,7 +32,7 @@ def decode_media(payload: bytes, codec: str, width: int, height: int) -> np.ndar
         if len(payload) != n:
             raise ValueError(f"raw payload size {len(payload)} != {n}")
         return np.frombuffer(payload, np.uint8).reshape(height, width, 3)
-    if codec in ("png", "ppm", "bmp", "gif", "jpg", "jpeg"):
+    if codec in ("png", "ppm", "bmp", "gif", "jpg", "jpeg", "webp"):
         from .imageio import load_image_bytes
         img = load_image_bytes(bytes(payload))
         if img.shape[:2] != (height, width):

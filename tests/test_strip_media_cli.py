@@ -81,12 +81,18 @@ class TestMediaStages:
         assert errs[0] is None
 
     def test_unknown_codec_stubbed(self):
-        # webp is the one reference-CLI format still behind the
-        # import-try stub (png/jpeg/gif/bmp decode natively now)
-        from butteraugli_ray.stages.media import MediaFeaturizer
-        out = MediaFeaturizer()(self._batch(codec="webp"))
-        assert all("NotImplementedError" in e
-                   for e in out["decode_error"].to_pylist())
+        # lossy WebP (VP8) is the one reference-CLI input still behind
+        # the import-try stub (png/jpeg/gif/bmp/lossless-webp decode
+        # natively) — a VP8 chunk must surface NotImplementedError
+        import struct
+        from butteraugli_ray.stages.media import decode_media
+        lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+                 + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+        try:
+            decode_media(lossy, "webp", 4, 4)
+            raise AssertionError("lossy webp should not decode")
+        except NotImplementedError:
+            pass
 
     def test_frame_sampler(self):
         from butteraugli_ray.stages.media import FrameSampler
