@@ -87,7 +87,7 @@ BENCH_QUERIES = [
     "diversified_topk", "abc_analysis", "ewma_by_type", "above_p95",
     "shipping_priority", "late_orders", "forecast_revenue", "debounce",
     "chi_square", "trending_terms", "rank_with_ties", "adaptive_join",
-    "cross_source_dups", "rank_delta", "day_streaks",
+    "cross_source_dups", "rank_delta", "day_streaks", "snapshot_diff",
     "near_dup_keep_best",
     "activity_full_outer", "events_pivot", "hourly_autocorr",
     "degree_assortativity", "geo_mean_value",

@@ -8056,6 +8056,71 @@ def q_near_dup_keep_best(sf_dir: str, threshold: float = 0.6,
 # q_activity_full_outer — distributed FULL OUTER hash join
 # ---------------------------------------------------------------------------
 
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Corpus snapshot diff — classify every key across two table
+    versions as added / removed / changed / unchanged (the data-eng
+    "what changed between ingest N and N+1" operator).  v2 is derived
+    DETERMINISTICALLY from documents so both engines construct it
+    identically: doc_id%13 rows dropped, doc_id%7 rows get n_chars+10,
+    doc_id%17 rows re-appended at id+3,000,000.
+
+    Distributed shape: both versions stay Datasets; ONE partitioned
+    FULL OUTER hash join on doc_id classifies rows inside the bucket
+    tasks, and per-(lang, change_type) counts + key checksums reduce
+    through the bucketed combiner — the diff of two 10^12-row
+    snapshots never materializes anywhere."""
+    from ..functions.joins import hash_join
+    v1 = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def as_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "lang_a": df["lang"].astype(str),
+                             "nc_a": df["n_chars"].astype("int64")})
+
+    def mk_v2(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = df[ids % 13 != 0]
+        kid = keep["doc_id"].to_numpy(np.int64)
+        nc = keep["n_chars"].to_numpy(np.int64)
+        nc = np.where(kid % 7 == 0, nc + 10, nc)
+        base = pd.DataFrame({"doc_id": kid,
+                             "lang_b": keep["lang"].astype(str),
+                             "nc_b": nc})
+        adds = df[ids % 17 == 0]
+        extra = pd.DataFrame({
+            "doc_id": adds["doc_id"].to_numpy(np.int64) + 3_000_000,
+            "lang_b": adds["lang"].astype(str),
+            "nc_b": adds["n_chars"].astype("int64")})
+        return pd.concat([base, extra], ignore_index=True)
+
+    joined = hash_join(v1.map_batches(as_a, batch_format="pandas"),
+                       v1.map_batches(mk_v2, batch_format="pandas"),
+                       key="doc_id", n_buckets=32, how="outer")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        a_missing = df["lang_a"].isna()
+        b_missing = df["lang_b"].isna()
+        kind = np.where(b_missing, "removed",
+                        np.where(a_missing, "added",
+                                 np.where(df["nc_a"].to_numpy()
+                                          != df["nc_b"].to_numpy(),
+                                          "changed", "unchanged")))
+        lang = df["lang_a"].where(~a_missing, df["lang_b"])
+        out = pd.DataFrame({
+            "lang": lang.astype(str), "change_type": kind,
+            "n": np.int64(1),
+            "key_checksum": df["doc_id"].astype("int64")})
+        return out.groupby(["lang", "change_type"],
+                           as_index=False).sum()
+
+    out = _final_agg(joined.map_batches(classify, batch_format="pandas"),
+                     ["lang", "change_type"], ["n", "key_checksum"])
+    out["n"] = out["n"].astype("int64")
+    out["key_checksum"] = out["key_checksum"].astype("int64")
+    return (out.sort_values(["lang", "change_type"])
+            .reset_index(drop=True))
+
+
 def q_activity_full_outer(sf_dir: str) -> pd.DataFrame:
     """Per-key event activity FULL OUTER JOIN order spend — the
     reconcile-two-ledgers shape where BOTH unmatched sides must
@@ -11142,6 +11207,7 @@ QUERIES = {
     "debounce": q_debounce,
     "chi_square": q_chi_square,
     "activity_full_outer": q_activity_full_outer,
+    "snapshot_diff": q_snapshot_diff,
     "events_pivot": q_events_pivot,
     "hourly_autocorr": q_hourly_autocorr,
     "degree_assortativity": q_degree_assortativity,
@@ -13341,6 +13407,30 @@ ORACLE_SQL = {
         FROM a JOIN b ON a.n_name = b.n_name ORDER BY a.n_name
     """,
 }
+
+ORACLE_SQL["snapshot_diff"] = """
+    WITH v2 AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 10
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 3000000, lang, n_chars
+        FROM documents WHERE doc_id % 17 = 0
+    ),
+    d AS (
+        SELECT coalesce(a.lang, b.lang) AS lang,
+               CASE WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN a.n_chars <> b.n_chars THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               coalesce(a.doc_id, b.doc_id) AS key
+        FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT lang, change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(key) AS BIGINT) AS key_checksum
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 ORACLE_SQL["activity_full_outer"] = """
     WITH e AS (SELECT user_id AS uid, count(*) AS n_events,
