@@ -34,7 +34,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.sketches import FixedHistogram, HyperLogLog, ks_statistic, psi
+from ..functions.sketches import (FixedHistogram, HyperLogLog, TDigest,
+                                  ks_statistic, psi)
 from ..functions.pool import actor_pool
 from ..metric.api import ButteraugliParams
 from ..sources.tables import read_table_filtered
@@ -316,6 +317,7 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
             if sc is not None and np.isfinite(sc):
                 finite_scores.append(sc)
         score_hist.add(np.array(finite_scores))
+        score_td = TDigest().add(np.array(finite_scores))
         keys_ref = ray.put(set(score_map))
         scores_ref = ray.put(score_map)
         n_media = len(score_map)
@@ -336,10 +338,12 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
             sc = t["score"].to_numpy(zero_copy_only=False).astype(np.float64)
             finite = np.isfinite(sc)
             h = FixedHistogram(*_HIST_RANGE, _HIST_BINS).add(sc[finite])
+            td = TDigest().add(sc[finite])
             order = np.lexsort((np.where(finite, -sc, 0.0), finite))
             keep = order[:_cap]
             return pa.table({
                 "hist_json": pa.array([json.dumps(h.to_dict())], pa.string()),
+                "td_json": pa.array([json.dumps(td.to_dict())], pa.string()),
                 "n": pa.array([t.num_rows], pa.int64()),
                 "top_refs": pa.array(
                     [pc.take(t["media_ref"], pa.array(keep)).to_pylist()],
@@ -351,9 +355,12 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
         sp = (scored_ds.map_batches(score_partials, batch_format="pyarrow")
               .to_pandas())
         n_media = int(sp["n"].sum()) if len(sp) else 0
+        score_td = TDigest()
         for hj in sp["hist_json"]:
             score_hist = score_hist.merge(FixedHistogram.from_dict(
                 json.loads(hj)))
+        for tj in sp["td_json"]:
+            score_td = score_td.merge(TDigest.from_dict(json.loads(tj)))
         cand = [(r, s) for refs, scs in zip(sp["top_refs"], sp["top_scores"])
                 for r, s in zip(refs, scs)]
         worst = sorted(cand,
@@ -608,6 +615,13 @@ def validate_corpus(docs_path: str, media_path: str, out_dir: str, *,
         "media_scores": {k: (None if not np.isfinite(v) else v)
                          for k, v in worst},
         "n_media": n_media,
+        # t-digest quantiles of the butteraugli distances (the north
+        # rule's per-corpus score-distribution summary; mergeable
+        # per-batch partials in join mode, never a second scan)
+        "score_quantiles": {
+            q: round(score_td.quantile(float(q[1:]) / 100), 4)
+            for q in ("p50", "p90", "p99")
+        } if len(score_td.means) else None,
         "media_scores_truncated": n_media > media_scores_cap,
         "threshold": threshold,
         "wall_time_s": round(time.time() - t0, 3),

@@ -552,3 +552,25 @@ def test_dup_check_join_fallback_matches_broadcast(
     assert s_b["violations_by_check"]["duplicate_doc_id"] == 100
     assert s_j["violations_by_check"] == s_b["violations_by_check"]
     assert s_j["n_docs"] == s_b["n_docs"] == 300
+
+
+def test_summary_score_quantiles_both_modes(ray_session, corpus_paths,
+                                            tmp_path):
+    """The summary carries t-digest quantiles of the butteraugli
+    scores (the north rule's score-distribution summary) in BOTH
+    scoring modes, and they agree — broadcast computes them on the
+    driver copy, join mode from merged per-batch digest partials."""
+    from butteraugli_ray.pipelines.validate import validate_corpus
+    s_b = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                          str(tmp_path / "b"), resume=False,
+                          scorer_concurrency=2)
+    s_j = validate_corpus(corpus_paths["documents"], corpus_paths["media"],
+                          str(tmp_path / "j"), resume=False,
+                          scorer_concurrency=2, broadcast_scores=False)
+    qb, qj = s_b["score_quantiles"], s_j["score_quantiles"]
+    assert qb is not None and qj is not None
+    assert qb["p50"] <= qb["p90"] <= qb["p99"]
+    for k in ("p50", "p90", "p99"):
+        # t-digest is approximate; partial-merge order differs between
+        # modes, so allow a small relative tolerance
+        assert abs(qb[k] - qj[k]) <= 0.05 * max(abs(qb[k]), 1e-9), (k, qb, qj)
