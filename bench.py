@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "shipping_priority", "late_orders", "forecast_revenue", "debounce",
     "chi_square", "trending_terms", "rank_with_ties", "adaptive_join",
     "cross_source_dups", "rank_delta", "day_streaks", "snapshot_diff",
+    "cluster_silhouette",
     "near_dup_keep_best",
     "activity_full_outer", "events_pivot", "hourly_autocorr",
     "degree_assortativity", "geo_mean_value",

@@ -904,6 +904,95 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8) -> pd.DataFrame:
         "n_iters": np.int64(iters)})
 
 
+def q_cluster_silhouette(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster —
+    the clustering-quality audit behind SemDeDup-style curation:
+    s(i) = (b−a)/max(a,b) with a = distance to the own centroid and
+    b = the nearest OTHER centroid, averaged per cluster.
+
+    Distributed shape: the bit-deterministic Lloyd fit runs once
+    (kmeans_fit, sorted partial reduce); the PRE-UPDATE assignment
+    centroids broadcast via ray.put; ONE streaming pass emits
+    per-cluster (n, Σs) sufficient-stat partials through the bucketed
+    combiner — embeddings never move.  Dynamic-oracle-checked: the
+    same centroids embed as VALUES and DuckDB independently re-derives
+    assignment (argmin ties to the lowest cluster), both distances and
+    the per-cluster means."""
+    import ray as _ray
+    from ..functions.ann import kmeans_fit
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, _, _, _, acent = kmeans_fit(ds, k=k, max_iters=25,
+                                   return_assign_cent=True)
+    cref = _ray.put(acent)
+
+    def partial(df: pd.DataFrame, _ref=cref) -> pd.DataFrame:
+        c = _ray.get(_ref)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        d2 = (np.sum(x * x, axis=1)[:, None] - 2.0 * (x @ c.T)
+              + np.sum(c * c, axis=1)[None, :])
+        d2 = np.maximum(d2, 0.0)
+        assign = np.argmin(d2, axis=1)
+        d = np.sqrt(d2)
+        a = d[np.arange(len(x)), assign]
+        d_masked = d.copy()
+        d_masked[np.arange(len(x)), assign] = np.inf
+        b = d_masked.min(axis=1)
+        denom = np.maximum(np.maximum(a, b), 1e-300)
+        s = np.where(np.maximum(a, b) > 0, (b - a) / denom, 0.0)
+        out = pd.DataFrame({"cluster": assign.astype(np.int64),
+                            "n": np.int64(1), "s_sum": s})
+        return out.groupby("cluster", as_index=False).sum()
+
+    m = _final_agg(ds.map_batches(partial, batch_format="pandas"),
+                   ["cluster"], ["n", "s_sum"])
+    m["mean_silhouette"] = _round_half_away(m["s_sum"] / m["n"], 6)
+    m["cluster"] = m["cluster"].astype("int64")
+    m["n"] = m["n"].astype("int64")
+    return (m[["cluster", "n", "mean_silhouette"]]
+            .sort_values("cluster").reset_index(drop=True))
+
+
+def _silhouette_dynamic_oracle(sf_dir: str, k: int = 8) -> str:
+    """Dynamic SQL oracle for ``cluster_silhouette``: re-run the
+    bit-deterministic fit, embed the assignment centroids, let DuckDB
+    recompute assignment + both centroid distances + per-cluster mean
+    silhouette from the raw embeddings."""
+    from ..functions.ann import kmeans_fit
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, _, _, _, acent = kmeans_fit(ds, k=k, max_iters=25,
+                                   return_assign_cent=True)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            ci, ", ".join(repr(float(v)) for v in acent[ci]))
+        for ci in range(k))
+    return f"""
+        WITH cent(cluster, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                FROM embeddings),
+        d AS (SELECT e.vec_id, c.cluster,
+                     list_distance(e.x, c.cvec) AS dist
+              FROM emb e CROSS JOIN cent c),
+        a AS (SELECT vec_id, cluster, dist, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist * dist, cluster)
+                  AS rn
+              FROM d),
+        own AS (SELECT vec_id, cluster, dist AS adist FROM a
+                WHERE rn = 1),
+        other AS (SELECT d.vec_id, min(d.dist) AS bdist
+                  FROM d JOIN own ON d.vec_id = own.vec_id
+                                  AND d.cluster <> own.cluster
+                  GROUP BY d.vec_id),
+        s AS (SELECT own.cluster,
+                     CASE WHEN greatest(adist, bdist) > 0
+                          THEN (bdist - adist) / greatest(adist, bdist)
+                          ELSE 0 END AS sil
+              FROM own JOIN other USING (vec_id))
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+               ROUND(avg(sil), 6) AS mean_silhouette
+        FROM s GROUP BY cluster ORDER BY cluster
+    """
+
+
 # ---------------------------------------------------------------------------
 # q_token_shards — token-budget sharding via exact distributed prefix sum
 # ---------------------------------------------------------------------------
@@ -11208,6 +11297,7 @@ QUERIES = {
     "chi_square": q_chi_square,
     "activity_full_outer": q_activity_full_outer,
     "snapshot_diff": q_snapshot_diff,
+    "cluster_silhouette": q_cluster_silhouette,
     "events_pivot": q_events_pivot,
     "hourly_autocorr": q_hourly_autocorr,
     "degree_assortativity": q_degree_assortativity,
@@ -14685,6 +14775,7 @@ def dynamic_oracles() -> dict:
     """
 
     out["ann_pq"] = _ann_pq_dynamic_oracle(sf_dir)
+    out["cluster_silhouette"] = _silhouette_dynamic_oracle(sf_dir)
 
     verified = q_minhash_near_dup(sf_dir)
     if not len(verified):
