@@ -47,7 +47,13 @@ def small_file_num_blocks(path: str, target_bytes: int = 4 << 20,
     except Exception:
         cpus = 16
     hi = max(hi, 4 * cpus)
-    return int(max(lo, min(hi, size // target_bytes)))
+    n = int(max(lo, min(hi, size // target_bytes)))
+    # Per-block BYTES must stay bounded too: with only the count cap, a
+    # 100 GB single file on 16 CPUs would become ~1.6 GB blocks and OOM
+    # workers.  Enforce blocks ≤128 MB, raising the count past ``hi``
+    # when a single file is genuinely huge.
+    max_block_bytes = 128 << 20
+    return max(n, -(-size // max_block_bytes))
 
 
 def parquet_schema_no_metadata(path: str, columns=None):

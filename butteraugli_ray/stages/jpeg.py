@@ -148,7 +148,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
-        marker = data[i + 1]
+        if i + 1 >= len(data):
+            break
+        if data[i + 1] == 0xFF:               # fill byte (T.81 B.1.1.2):
+            i += 1                            # any run of 0xFF may pad a
+            continue                          # marker; only the last
+        marker = data[i + 1]                  # 0xFF starts it
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -273,8 +273,11 @@ def _inverse_predictor(img: np.ndarray, tiles: np.ndarray,
                 L = img[y, x - 1].astype(np.int64)
                 T = img[y - 1, x].astype(np.int64)
                 TL = img[y - 1, x - 1].astype(np.int64)
+                # RFC 9649 4.2.1.1: at the right edge TR wraps to the
+                # LEFTMOST pixel of the CURRENT row (already decoded),
+                # not the row above.
                 TR = (img[y - 1, x + 1] if x + 1 < w
-                      else img[y - 1, 0]).astype(np.int64)
+                      else img[y, 0]).astype(np.int64)
                 if mode == 0:
                     pred = np.array([255, 0, 0, 0], np.int64)
                 elif mode == 1:
@@ -305,8 +308,12 @@ def _inverse_predictor(img: np.ndarray, tiles: np.ndarray,
                 elif mode == 12:              # ClampAddSubtractFull
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:              # ClampAddSubtractHalf
+                    # Spec uses C integer division (truncate toward 0),
+                    # not Python floor division, for (avg - TL) / 2.
                     avg = (L + T) // 2
-                    pred = np.clip(avg + (avg - TL) // 2, 0, 255)
+                    d = avg - TL
+                    half = np.where(d < 0, -((-d) // 2), d // 2)
+                    pred = np.clip(avg + half, 0, 255)
                 else:
                     raise ValueError(f"bad predictor mode {mode}")
             img[y, x] = (img[y, x] + pred) & 0xFF

@@ -131,3 +131,17 @@ def test_media_stage_and_compare_dirs_jpeg(ray_session, tmp_path, capsys):
     import json
     res = json.loads(capsys.readouterr().out)
     assert res["n_pairs"] == 1 and res["results"][0]["score"] > 0
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any run of 0xFF bytes may pad a marker; only the
+    final 0xFF starts it.  Insert a 0xFF fill byte before the DQT
+    marker — the header scan must skip it, not parse marker 0xFF with
+    a bogus length."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=95))
+    # first marker after SOI starts at offset 2 (0xFF xx); pad it
+    assert data[2] == 0xFF
+    padded = bytes(data[:2]) + b"\xff\xff" + bytes(data[2:])
+    np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(bytes(data)))

@@ -190,3 +190,21 @@ def test_span_sequence_queries_match_pandas(ray_session):
     got_d = q_span_position_profile(sf)
     assert {(r.kind, r.decile): r.n_spans
             for r in got_d.itertuples()} == dict(deciles)
+
+
+def test_small_file_num_blocks_caps_block_bytes(tmp_path):
+    """Block-count override must bound per-block BYTES too: a huge
+    single file raises the count past the CPU-scaled cap so blocks
+    stay ≤128 MB (ADVICE r4: a 100 GB file must not become GB blocks)."""
+    from unittest import mock
+
+    from butteraugli_ray.sources.tables import small_file_num_blocks
+
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"x")
+    with mock.patch("os.path.getsize", return_value=100 << 30):  # 100 GB
+        n = small_file_num_blocks(str(p))
+    assert (100 << 30) / n <= 128 << 20
+    # small files keep the old floor behavior
+    with mock.patch("os.path.getsize", return_value=1 << 20):
+        assert small_file_num_blocks(str(p)) == 16

@@ -385,3 +385,69 @@ def test_palette_bundling_2bit():
                      np.full(5, 8, np.uint8),
                      np.full(5, 7, np.uint8)], axis=-1)[None]
     np.testing.assert_array_equal(img, want)
+
+
+def test_predictor_mode3_right_edge_uses_current_row_left():
+    """RFC 9649 4.2.1.1: at x == w-1 the TR pixel wraps to the LEFTMOST
+    pixel of the CURRENT row (already decoded), not the row above.
+    2×2 image, one mode-3 (TR) tile: greens decode to
+    (0,0)=10, (0,1)=10 (left rule), (1,0)=15 (top rule),
+    (1,1)=0+TR = img[1,0].g = 15 (the old row-above bug gave 10)."""
+    bw = BitW()
+    bw.w(1, 14).w(1, 14).w(0, 1).w(0, 3)  # 2×2
+    bw.w(1, 1).w(0, 2)     # PREDICTOR transform
+    bw.w(0, 3)             # size_bits=2 → 4-px tiles → 1×1 tile grid
+    bw.w(0, 1)             # tile sub-image: no cache
+    _simple1(bw, 3)        # tile green = predictor mode 3 (TR)
+    _simple1(bw, 0)        # red
+    _simple1(bw, 0)        # blue
+    _simple1(bw, 0)        # alpha
+    _simple1(bw, 0)        # distance
+    bw.w(0, 1)             # end of transforms
+    bw.w(0, 1).w(0, 1)     # main: no cache, no meta
+    gcodes = _complex_syms4(bw, [0, 5, 7, 10], 280)
+    _simple1(bw, 0)        # red residuals
+    _simple1(bw, 0)        # blue
+    _simple1(bw, 0)        # alpha
+    _simple1(bw, 0)        # distance
+    for g in (10, 0, 5, 0):
+        bw.code(*gcodes[g])
+    img = decode_webp(bw.wrap())
+    want = np.zeros((2, 2, 3), np.uint8)
+    want[0, :, 1] = 10
+    want[1, :, 1] = 15
+    np.testing.assert_array_equal(img, want)
+
+
+def test_predictor_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf (mode 13) uses C-style integer division:
+    (avg - TL) / 2 truncates TOWARD ZERO.  With TL.g=13, L.g=T.g=10:
+    avg=10, d=-3 → trunc -1 → pred green 9 (floor division gave 8)."""
+    bw = BitW()
+    bw.w(1, 14).w(1, 14).w(0, 1).w(0, 3)  # 2×2
+    bw.w(1, 1).w(0, 2)     # PREDICTOR transform
+    bw.w(0, 3)
+    bw.w(0, 1)
+    _simple1(bw, 13)       # tile green = predictor mode 13
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    bw.w(0, 1)
+    bw.w(0, 1).w(0, 1)
+    gcodes = _complex_syms4(bw, [0, 13, 100, 253], 280)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    _simple1(bw, 0)
+    # greens raster order: (0,0)=13; (0,1)=10 via left → res 253;
+    # (1,0)=10 via top → res 253; (1,1)=pred-only → res 0
+    for g in (13, 253, 253, 0):
+        bw.code(*gcodes[g])
+    img = decode_webp(bw.wrap())
+    want = np.zeros((2, 2, 3), np.uint8)
+    want[0, 0, 1] = 13
+    want[0, 1, 1] = 10
+    want[1, 0, 1] = 10
+    want[1, 1, 1] = 9
+    np.testing.assert_array_equal(img, want)
