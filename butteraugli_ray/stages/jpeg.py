@@ -106,30 +106,91 @@ def _build_huff(counts, symbols) -> dict:
     return table
 
 
+_LUT_CACHE: dict = {}
+
+
+def _huff_lut(table: dict, is_ac: bool) -> list:
+    """16-bit-window LUT: ONE list lookup decodes a whole (Huffman code
+    + magnitude bits) pair — the round-5 vectorization of the entropy
+    decode (the old tree walk burned ~30-60 Python ops per symbol).
+
+    Entry encoding (plain Python ints, built vectorized in numpy):
+      e >= 0   full entry: total_bits = e & 31; run = (e >> 5) & 31
+               (run sentinel 31 = EOB; ZRL is folded in as run=15 with
+               value 0); value = (e >> 10) - 32768
+      e == -1  invalid window (no code within 16 bits)
+      e < -1   symbol-only entry (codelen + size > 16): p = -e - 2;
+               codelen = p & 31; run = (p >> 5) & 31; size = p >> 10 —
+               the caller reads the magnitude bits itself.
+    """
+    key = (is_ac, tuple(sorted(table.items())))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = np.full(65536, -1, np.int64)
+    for (clen, code), sym in table.items():
+        base = code << (16 - clen)
+        span = 1 << (16 - clen)
+        if is_ac:
+            r, s = sym >> 4, sym & 0x0F
+            if sym == 0x00:                   # EOB
+                e[base:base + span] = clen | (31 << 5) | (32768 << 10)
+                continue
+            if sym == 0xF0:                   # ZRL → run 15, value 0
+                r, s = 15, 0
+        else:
+            r, s = 0, sym
+        if s == 0:
+            e[base:base + span] = clen | (r << 5) | (32768 << 10)
+        elif clen + s <= 16:
+            m = np.arange(1 << s, dtype=np.int64)
+            val = np.where(m >= (1 << (s - 1)), m, m - (1 << s) + 1)
+            ent = (clen + s) | (r << 5) | ((val + 32768) << 10)
+            e[base:base + span] = np.repeat(ent, 1 << (16 - clen - s))
+        else:
+            e[base:base + span] = -(2 + (clen | (r << 5) | (s << 10)))
+    lut = e.tolist()
+    if len(_LUT_CACHE) > 16:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
 def _destuff(data: bytes):
     """Entropy-coded bytes → list of de-stuffed segments split at
-    restart markers (FF00 → FF; FFD0-D7 delimit segments)."""
+    restart markers (FF00 → FF; FFD0-D7 delimit segments).  Vectorized:
+    one pass finds every 0xFF, classifies its successor, truncates at
+    the first real marker, deletes the stuffed 0x00s, and splits at the
+    restart positions — no per-byte Python loop."""
+    a = np.frombuffer(data, np.uint8)
+    ff = np.flatnonzero(a == 0xFF)
+    if ff.size and ff[-1] == len(a) - 1:      # trailing lone 0xFF: treat
+        a = a[:-1]                            # as end-of-data (old code
+        ff = ff[:-1]                          # mapped it to EOI)
+    nxt = a[ff + 1]
+    stuffed = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    real = ~(stuffed | rst)
+    if real.any():                            # first real marker ends it
+        end = ff[real][0]
+        keep = ff < end
+        a = a[:end]
+        ff, stuffed, rst = ff[keep], stuffed[keep], rst[keep]
+    # drop the 0x00 after each stuffed FF, and both bytes of a restart
+    drop = np.concatenate([ff[stuffed] + 1, ff[rst], ff[rst] + 1])
+    mask = np.ones(len(a), bool)
+    mask[drop] = False
+    # split positions in the compacted stream: count kept bytes before
+    # each restart marker
+    kept_before = np.cumsum(mask) - mask      # kept strictly before i
+    cuts = kept_before[ff[rst]] if rst.any() else np.array([], np.int64)
+    out = a[mask].tobytes()
     segs = []
-    cur = bytearray()
-    i = 0
-    n = len(data)
-    while i < n:
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segs.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break                             # next real marker: done
-        cur.append(b)
-        i += 1
-    segs.append(bytes(cur))
+    prev = 0
+    for c in np.sort(cuts).tolist():
+        segs.append(out[prev:c])
+        prev = c
+    segs.append(out[prev:])
     return segs
 
 
@@ -224,46 +285,141 @@ def _decode_scan(ent: bytes, frame, scomp, qt, huff_dc, huff_ac,
     vmax = max(c["v"] for c in frame["comps"])
     mx = -(-w // (8 * hmax))
     my = -(-h // (8 * vmax))
-    # coefficient storage: per component, block grid covering the MCUs
-    coefs = {c["id"]: np.zeros((my * c["v"], mx * c["h"], 64),
-                               np.int64)
-             for c, _, _ in scomp}
+    # LUT entropy decode: one list lookup per (code + magnitude) pair;
+    # decoded coefficients accumulate in flat Python lists and scatter
+    # into the numpy grids once at the end (no per-symbol numpy writes).
+    comps = []
+    for ci, (comp, td, ta) in enumerate(scomp):
+        comps.append((comp["id"], _huff_lut(huff_dc[td], False),
+                      _huff_lut(huff_ac[ta], True), comp["h"], comp["v"],
+                      mx * comp["h"], ci))
+    pos_l = {c["id"]: [] for c, _, _ in scomp}
+    val_l = {c["id"]: [] for c, _, _ in scomp}
+    appends = {cid: (pos_l[cid].append, val_l[cid].append)
+               for cid in pos_l}
     segs = _destuff(ent)
     seg_i = 0
-    br = _BitReader(segs[0])
-    preds = {c["id"]: 0 for c, _, _ in scomp}
+    seg = segs[0]
+    slen = len(seg)
+    # bit-buffer locals: acc holds nb valid low bits; vb counts virtual
+    # padding bytes shifted in past the segment end (consuming any of
+    # them beyond the refill lookahead = truncated stream)
+    acc = nb = pos = vb = 0
+    preds = [0] * len(scomp)
     n_mcus = mx * my
     for m in range(n_mcus):
         if restart and m and m % restart == 0:
             seg_i += 1
             if seg_i >= len(segs):
                 raise ValueError("JPEG missing restart segment")
-            br = _BitReader(segs[seg_i])
-            preds = {k: 0 for k in preds}
+            seg = segs[seg_i]
+            slen = len(seg)
+            acc = nb = pos = vb = 0
+            preds = [0] * len(scomp)
         myi, mxi = divmod(m, mx)
-        for comp, td, ta in scomp:
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    blk = coefs[comp["id"]][myi * comp["v"] + by,
-                                            mxi * comp["h"] + bx]
-                    s = br.decode_huff(huff_dc[td])
-                    diff = _extend(br.receive(s), s) if s else 0
-                    preds[comp["id"]] += diff
-                    blk[0] = preds[comp["id"]]
+        for cid, dlut, alut, ch_, cv, gw, ci in comps:
+            pappend, vappend = appends[cid]
+            for by in range(cv):
+                row = (myi * cv + by) * gw + mxi * ch_
+                for bx in range(ch_):
+                    boff = (row + bx) * 64
+                    # ---- DC ----
+                    while nb < 16:
+                        if pos < slen:
+                            acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                            pos += 1
+                        else:
+                            acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                            vb += 1
+                        nb += 8
+                    e = dlut[(acc >> (nb - 16)) & 0xFFFF]
+                    if e >= 0:
+                        nb -= e & 31
+                        diff = (e >> 10) - 32768
+                    else:
+                        if e == -1:
+                            raise ValueError("invalid JPEG Huffman code")
+                        p = -e - 2
+                        s = p >> 10
+                        nb -= p & 31
+                        while nb < s:
+                            if pos < slen:
+                                acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                                pos += 1
+                            else:
+                                acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                                vb += 1
+                            nb += 8
+                        nb -= s
+                        v = (acc >> nb) & ((1 << s) - 1)
+                        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    pred = preds[ci] + diff
+                    preds[ci] = pred
+                    pappend(boff)
+                    vappend(pred)
+                    # ---- AC ----
                     k = 1
                     while k < 64:
-                        rs = br.decode_huff(huff_ac[ta])
-                        if rs == 0x00:        # EOB
-                            break
-                        if rs == 0xF0:        # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        sz = rs & 0x0F
-                        blk[k] = _extend(br.receive(sz), sz)
-                        k += 1
+                        while nb < 16:
+                            if pos < slen:
+                                acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                                pos += 1
+                            else:
+                                acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                                vb += 1
+                            nb += 8
+                        e = alut[(acc >> (nb - 16)) & 0xFFFF]
+                        if e >= 0:
+                            nb -= e & 31
+                            run = (e >> 5) & 31
+                            if run == 31:     # EOB
+                                break
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            val = (e >> 10) - 32768
+                            if val:
+                                pappend(boff + k)
+                                vappend(val)
+                            k += 1
+                        else:
+                            if e == -1:
+                                raise ValueError(
+                                    "invalid JPEG Huffman code")
+                            p = -e - 2
+                            run = (p >> 5) & 31
+                            s = p >> 10
+                            nb -= p & 31
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            while nb < s:
+                                if pos < slen:
+                                    acc = ((acc << 8) | seg[pos]) \
+                                        & 0xFFFFFFFF
+                                    pos += 1
+                                else:
+                                    acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                                    vb += 1
+                                nb += 8
+                            nb -= s
+                            v = (acc >> nb) & ((1 << s) - 1)
+                            pappend(boff + k)
+                            vappend(
+                                v if v >= (1 << (s - 1))
+                                else v - (1 << s) + 1)
+                            k += 1
+                    # consumed = 8*(pos+vb) - nb; past-end iff > 8*slen
+                    if vb and vb * 8 > nb:
+                        raise ValueError("JPEG entropy data exhausted")
+
+    coefs = {}
+    for comp, _, _ in scomp:
+        cid = comp["id"]
+        flat = np.zeros(my * comp["v"] * mx * comp["h"] * 64, np.int64)
+        if pos_l[cid]:
+            flat[pos_l[cid]] = val_l[cid]
+        coefs[cid] = flat.reshape(my * comp["v"], mx * comp["h"], 64)
 
     planes = []
     for comp, _, _ in scomp:
