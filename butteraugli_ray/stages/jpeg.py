@@ -17,10 +17,16 @@ conformant decoder reads tables from the stream, so no Annex-K
 constants are required), used by the heatmap/fixture paths and the
 round-trip tests.
 
-Perf note: entropy decode is sequential Python (~1M symbols/s); block
-math is vectorized numpy.  Fine for fixtures and CLI use — bulk
-corpus media should be decoded by a real codec wheel on a production
-cluster (the Ray plumbing in stages/media.py is codec-agnostic).
+Perf note (round 5): entropy decode uses a 16-bit-window LUT — one
+list lookup decodes a whole (Huffman code + magnitude bits) pair —
+plus vectorized destuffing and a single end-of-scan coefficient
+scatter (~3x over the old per-bit tree walk; ~4 Mpx/s at q90).  The
+symbol loop itself stays sequential Python because JPEG's Huffman
+phase (DC vs AC, component interleave, in-block index) depends on
+every prior symbol, so windows can't be decoded speculatively without
+restart markers.  Bulk corpus media should still be decoded by a real
+codec wheel on a production cluster (the Ray plumbing in
+stages/media.py is codec-agnostic).
 """
 
 from __future__ import annotations

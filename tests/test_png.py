@@ -220,3 +220,42 @@ def test_cli_compare_file_pair(tmp_path):
     r4 = subprocess.run([sys.executable, "-m", "butteraugli_ray.cli",
                          "compare"], capture_output=True, text=True)
     assert r4.returncode == 2
+
+
+def test_unfilter_wavefront_matches_scalar():
+    """Differential: the anti-diagonal wavefront unfilter must equal
+    the spec-literal per-byte reference on random filter mixes across
+    shapes and bpp (incl. bpp that doesn't divide typical widths)."""
+    from butteraugli_ray.stages.png import _unfilter, _unfilter_scalar
+    for bpp, w, h in [(3, 37, 23), (1, 64, 5), (3, 2, 2), (1, 1, 7),
+                      (4, 16, 16), (2, 31, 9), (3, 129, 61)]:
+        stride = w * bpp
+        for seed in range(3):
+            rng = np.random.default_rng(seed * 997 + h + w)
+            raw = rng.integers(0, 256, h * (stride + 1), dtype=np.uint8)
+            raw[::stride + 1] = rng.integers(0, 5, h)
+            np.testing.assert_array_equal(
+                _unfilter(raw, h, stride, bpp),
+                _unfilter_scalar(raw, h, stride, bpp),
+                err_msg=f"bpp={bpp} w={w} h={h} seed={seed}")
+
+
+def test_adaptive_encoder_roundtrip_and_uses_paeth():
+    """The adaptive encoder must round-trip and actually exercise the
+    left-sequential filters on a smooth image."""
+    import zlib
+
+    from butteraugli_ray.stages.png import (_iter_chunks, decode_png,
+                                            encode_png)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(np.stack([xx * 2, yy * 3, (xx + yy)], -1),
+                  0, 255).astype(np.uint8)
+    data = encode_png(img)
+    np.testing.assert_array_equal(decode_png(data), img)
+    idat = b"".join(p for t, p in _iter_chunks(data) if t == b"IDAT")
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    ftypes = set(raw[::64 * 3 + 1].tolist())
+    assert ftypes & {3, 4}, f"no Average/Paeth rows chosen: {ftypes}"
+    # filter-0 mode still round-trips
+    flat = encode_png(img, adaptive=False)
+    np.testing.assert_array_equal(decode_png(flat), img)

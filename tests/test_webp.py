@@ -451,3 +451,23 @@ def test_predictor_mode13_truncates_toward_zero():
     want[1, 0, 1] = 10
     want[1, 1, 1] = 9
     np.testing.assert_array_equal(img, want)
+
+
+def test_inverse_predictor_wavefront_matches_scalar():
+    """Differential: the d = 2y + x wavefront inverse predictor must
+    equal the spec-literal scalar path on random tiles over all 14
+    modes, including 1-wide/1-tall shapes (scalar fallback)."""
+    from butteraugli_ray.stages.webp import (_inverse_predictor,
+                                             _inverse_predictor_scalar)
+    for h, w, bits in [(23, 37, 2), (16, 16, 2), (8, 64, 3), (5, 5, 4),
+                       (1, 9, 2), (9, 1, 2), (2, 2, 2), (64, 48, 2)]:
+        tw, th = -(-w // (1 << bits)), -(-h // (1 << bits))
+        for seed in range(3):
+            rng = np.random.default_rng(seed * 100 + h * 31 + w)
+            tiles = rng.integers(0, 14, (th, tw))
+            res = rng.integers(0, 256, (h, w, 4)).astype(np.int32)
+            a, b = res.copy(), res.copy()
+            _inverse_predictor(a, tiles, bits)
+            _inverse_predictor_scalar(b, tiles, bits)
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"h={h} w={w} bits={bits} seed={seed}")
