@@ -8,8 +8,12 @@ the stream's DHT segments) → dequantize → dezigzag → vectorized
 orthonormal IDCT over all blocks at once (one einsum) → chroma
 upsample → JFIF YCbCr→RGB.  Supported: 8-bit baseline (SOF0/SOF1),
 1- or 3-component, any h/v sampling factors up to 2 (4:4:4, 4:2:2,
-4:2:0), restart intervals.  Progressive (SOF2) and arithmetic coding
-raise ``NotImplementedError``.
+4:2:0), restart intervals, and — round 5 — progressive (SOF2) with
+spectral selection + successive approximation (T.81 Annex G: DC/AC
+first and refinement scans, EOBRUN, interleaved DC scans,
+non-interleaved AC scans over each component's own block grid).
+Hierarchical and arithmetic-coded variants raise
+``NotImplementedError``.
 
 ``encode_jpeg`` is the matching baseline encoder (quality-scaled flat
 quant tables, simple canonical Huffman tables emitted via DHT — any
@@ -177,8 +181,9 @@ def _destuff(data: bytes):
     stuffed = nxt == 0x00
     rst = (nxt >= 0xD0) & (nxt <= 0xD7)
     real = ~(stuffed | rst)
+    end = len(data)
     if real.any():                            # first real marker ends it
-        end = ff[real][0]
+        end = int(ff[real][0])
         keep = ff < end
         a = a[:end]
         ff, stuffed, rst = ff[keep], stuffed[keep], rst[keep]
@@ -197,11 +202,12 @@ def _destuff(data: bytes):
         segs.append(out[prev:c])
         prev = c
     segs.append(out[prev:])
-    return segs
+    return segs, end
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 [h, w, 3] RGB."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG bytes → uint8
+    [h, w, 3] RGB."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -209,6 +215,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
+    progressive = False
+    store: dict = {}
+    mx = my = 0
     restart = 0
     i = 2
     while i < len(data):
@@ -242,7 +251,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                          ).astype(np.int64)
                     p += 64
                 qt[tq] = vals
-        elif marker in (0xC0, 0xC1):          # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):    # SOF0/1 baseline, SOF2
+            progressive = marker == 0xC2      # progressive (Annex G)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} unsupported")
@@ -252,10 +262,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mx = -(-w // (8 * hmax))
+                my = -(-h // (8 * vmax))
+                store = {c["id"]: [0] * (my * c["v"] * mx * c["h"] * 64)
+                         for c in comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported")
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                "JPEG are supported")
         elif marker == 0xC4:                  # DHT
             p = 0
             while p < len(seg):
@@ -278,9 +296,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scomp.append((comp, tt >> 4, tt & 0x0F))
             ent_start = i + 2 + ln
-            return _decode_scan(data[ent_start:], frame, scomp, qt,
-                                huff_dc, huff_ac, restart)
+            if not progressive:
+                return _decode_scan(data[ent_start:], frame, scomp, qt,
+                                    huff_dc, huff_ac, restart)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            consumed = _progressive_scan(
+                data[ent_start:], frame, scomp, huff_dc, huff_ac,
+                restart, ss, se, ahal >> 4, ahal & 0x0F, store, mx, my)
+            i = ent_start + consumed
+            continue
         i += 2 + ln
+    if progressive and frame is not None and store:
+        coefs = {c["id"]: np.array(store[c["id"]], np.int64).reshape(
+            my * c["v"], mx * c["h"], 64) for c in frame["comps"]}
+        return _finish(frame, qt, coefs)
     raise ValueError("JPEG has no scan data")
 
 
@@ -303,7 +333,7 @@ def _decode_scan(ent: bytes, frame, scomp, qt, huff_dc, huff_ac,
     val_l = {c["id"]: [] for c, _, _ in scomp}
     appends = {cid: (pos_l[cid].append, val_l[cid].append)
                for cid in pos_l}
-    segs = _destuff(ent)
+    segs, _ = _destuff(ent)
     seg_i = 0
     seg = segs[0]
     slen = len(seg)
@@ -427,8 +457,18 @@ def _decode_scan(ent: bytes, frame, scomp, qt, huff_dc, huff_ac,
             flat[pos_l[cid]] = val_l[cid]
         coefs[cid] = flat.reshape(my * comp["v"], mx * comp["h"], 64)
 
+    return _finish(frame, qt, coefs)
+
+
+def _finish(frame, qt, coefs) -> np.ndarray:
+    """Zigzag coefficient grids (cid → int64 [gy, gx, 64]) →
+    dequantize + IDCT + upsample + color convert → uint8 RGB."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
-    for comp, _, _ in scomp:
+    for comp in comps:
         grid = coefs[comp["id"]]
         gy, gx = grid.shape[:2]
         q = qt[comp["tq"]]
@@ -455,8 +495,218 @@ def _decode_scan(ent: bytes, frame, scomp, qt, huff_dc, huff_ac,
 
 
 # ---------------------------------------------------------------------------
-# Encoder — baseline, simple canonical tables shipped in the stream
+# Progressive (SOF2) decode — T.81 Annex G spectral-selection /
+# successive-approximation scans over the same Huffman + IDCT machinery
 # ---------------------------------------------------------------------------
+
+
+def _huff_lut_sym(table: dict) -> list:
+    """16-bit-window → (symbol << 5 | codelen) LUT (symbol only — the
+    progressive scans interleave their own EOBRUN / correction /
+    magnitude bit reads, so the baseline combined-magnitude LUT does
+    not apply).  -1 = invalid window."""
+    key = ("sym", tuple(sorted(table.items())))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = np.full(65536, -1, np.int64)
+    for (clen, code), sym in table.items():
+        base = code << (16 - clen)
+        e[base:base + (1 << (16 - clen))] = (sym << 5) | clen
+    lut = e.tolist()
+    if len(_LUT_CACHE) > 16:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+class _PReader:
+    """MSB-first segment bit reader for progressive scans: symbol-LUT
+    Huffman decode + raw bit reads, virtual-padding-bounded."""
+
+    __slots__ = ("seg", "slen", "acc", "nb", "pos", "vb")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.slen = len(seg)
+        self.acc = 0
+        self.nb = 0
+        self.pos = 0
+        self.vb = 0
+
+    def _refill(self, want: int) -> None:
+        while self.nb < want:
+            if self.pos < self.slen:
+                self.acc = ((self.acc << 8) | self.seg[self.pos]) \
+                    & 0xFFFFFFFF
+                self.pos += 1
+            else:
+                self.acc = ((self.acc << 8) | 0xFF) & 0xFFFFFFFF
+                self.vb += 1
+                if self.vb > 8:
+                    raise ValueError("JPEG entropy data exhausted")
+            self.nb += 8
+
+    def huff(self, lut: list) -> int:
+        self._refill(16)
+        e = lut[(self.acc >> (self.nb - 16)) & 0xFFFF]
+        if e < 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nb -= e & 31
+        return e >> 5
+
+    def bits(self, n: int) -> int:
+        if not n:
+            return 0
+        self._refill(n)
+        self.nb -= n
+        return (self.acc >> self.nb) & ((1 << n) - 1)
+
+
+def _progressive_scan(ent: bytes, frame, scomp, huff_dc, huff_ac,
+                      restart: int, ss: int, se: int, ah: int, al: int,
+                      store: dict, mx: int, my: int) -> int:
+    """Decode one progressive scan into ``store`` (cid → flat Python
+    coefficient list, zigzag order).  Returns bytes consumed."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    segs, end = _destuff(ent)
+    seg_i = 0
+    rd = _PReader(segs[0])
+    eobrun = 0
+    preds = {c["id"]: 0 for c, _, _ in scomp}
+    dc = ss == 0
+    if dc and se != 0:
+        raise ValueError("JPEG DC scan with nonzero Se")
+    if not dc and len(scomp) != 1:
+        raise ValueError("JPEG progressive AC scan must be "
+                         "non-interleaved")
+    if not dc and (ss > se or se > 63):
+        raise ValueError("bad JPEG spectral band")
+    p1 = 1 << al
+    m1 = -p1
+
+    def dc_first(coef, boff, lut, cid):
+        s = rd.huff(lut)
+        diff = 0
+        if s:
+            v = rd.bits(s)
+            diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        preds[cid] += diff
+        coef[boff] = preds[cid] << al
+
+    def dc_refine(coef, boff):
+        if rd.bits(1):
+            coef[boff] |= p1
+
+    def ac_first(coef, boff, lut):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rd.huff(lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:                   # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            v = rd.bits(s)
+            coef[boff + k] = (v if v >= (1 << (s - 1))
+                              else v - (1 << s) + 1) << al
+            k += 1
+
+    def ac_refine(coef, boff, lut):
+        # libjpeg-structured T.81 G.1.2.3 correction-bit pass
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.huff(lut)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                        break
+                    val = 0                   # ZRL: 16 zero-history taps
+                else:
+                    val = p1 if rd.bits(1) else m1
+                while k <= se:
+                    c = coef[boff + k]
+                    if c:
+                        if rd.bits(1) and (c & p1) == 0:
+                            coef[boff + k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    coef[boff + k] = val
+                k += 1
+        if eobrun:
+            while k <= se:
+                c = coef[boff + k]
+                if c:
+                    if rd.bits(1) and (c & p1) == 0:
+                        coef[boff + k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def do_block(comp, td, ta, boff):
+        coef = store[comp["id"]]
+        if dc:
+            if ah == 0:
+                dc_first(coef, boff, _huff_lut_sym(huff_dc[td]),
+                         comp["id"])
+            else:
+                dc_refine(coef, boff)
+        else:
+            if ah == 0:
+                ac_first(coef, boff, _huff_lut_sym(huff_ac[ta]))
+            else:
+                ac_refine(coef, boff, _huff_lut_sym(huff_ac[ta]))
+
+    def advance_restart():
+        nonlocal seg_i, rd, eobrun, preds
+        seg_i += 1
+        if seg_i >= len(segs):
+            raise ValueError("JPEG missing restart segment")
+        rd = _PReader(segs[seg_i])
+        eobrun = 0
+        preds = {c["id"]: 0 for c, _, _ in scomp}
+
+    if len(scomp) > 1:                        # interleaved (DC only)
+        for m in range(mx * my):
+            if restart and m and m % restart == 0:
+                advance_restart()
+            myi, mxi = divmod(m, mx)
+            for comp, td, ta in scomp:
+                gw = mx * comp["h"]
+                for by in range(comp["v"]):
+                    row = (myi * comp["v"] + by) * gw + mxi * comp["h"]
+                    for bx in range(comp["h"]):
+                        do_block(comp, td, ta, (row + bx) * 64)
+    else:                                     # single component
+        comp, td, ta = scomp[0]
+        # the component's OWN block grid (not padded to MCU multiples)
+        cw = -(-(frame["w"] * comp["h"]) // hmax)
+        ch = -(-(frame["h"] * comp["v"]) // vmax)
+        wb = -(-cw // 8)
+        hb = -(-ch // 8)
+        gw = mx * comp["h"]
+        for m in range(wb * hb):
+            if restart and m and m % restart == 0:
+                advance_restart()
+            by, bx = divmod(m, wb)
+            do_block(comp, td, ta, (by * gw + bx) * 64)
+    return end
 
 # DC: symbols 0..11 all at length 4; AC: all 162 (run, size) symbols at
 # length 8.  Canonical codes never reach all-ones at their length, so
@@ -483,6 +733,13 @@ def _enc_table(counts, symbols) -> dict:
 
 _DC_ENC = _enc_table(_DC_COUNTS, _DC_SYMS)
 _AC_ENC = _enc_table(_AC_COUNTS, _AC_SYMS)
+
+# progressive AC table: the baseline (run, size) symbols plus the EOBn
+# symbols 0x10..0xE0 (T.81 Annex G), all at length 8
+_AC_SYMS_PROG = sorted(_AC_SYMS + [r << 4 for r in range(1, 15)])
+_AC_COUNTS_PROG = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMS_PROG),
+                   0, 0, 0, 0, 0, 0, 0, 0]
+_AC_ENC_PROG = _enc_table(_AC_COUNTS_PROG, _AC_SYMS_PROG)
 
 
 class _BitWriter:
@@ -523,11 +780,118 @@ def _quant_table(quality: int) -> np.ndarray:
     return np.full(64, step, np.int64)
 
 
+def _flush_eob_first(bw: "_BitWriter", eobrun: int) -> int:
+    """Emit a pending EOBn symbol for an AC-first scan."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        ln, code = _AC_ENC_PROG[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(eobrun - (1 << nb), nb)
+    return 0
+
+
+def _flush_eob_refine(bw: "_BitWriter", eobrun: int,
+                      be_bits: list) -> int:
+    """Emit a pending EOBn symbol plus its run's buffered correction
+    bits for an AC-refinement scan."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        ln, code = _AC_ENC_PROG[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(eobrun - (1 << nb), nb)
+    for b in be_bits:
+        bw.write(b, 1)
+    be_bits.clear()
+    return 0
+
+
+def _enc_ac_first_block(bw, blk, ss, se, al, eobrun):
+    """AC first scan for one block (T.81 G.1.2.2, libjpeg-structured):
+    point transform is a sign-magnitude shift by Al."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            eobrun = _flush_eob_first(bw, eobrun)
+            ln, code = _AC_ENC_PROG[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        eobrun = _flush_eob_first(bw, eobrun)
+        s_ = t.bit_length()
+        ln, code = _AC_ENC_PROG[(r << 4) | s_]
+        bw.write(code, ln)
+        bw.write(t if v > 0 else (~t) & ((1 << s_) - 1), s_)
+        r = 0
+    if r > 0:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eob_first(bw, eobrun)
+    return eobrun
+
+
+def _enc_ac_refine_block(bw, blk, ss, se, al, eobrun, be_bits):
+    """AC refinement scan for one block (T.81 G.1.2.3,
+    libjpeg-structured correction-bit buffering)."""
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (-v if v < 0 else v) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    br: list = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs not foldable into the EOB run — runs at correction
+        # positions too (decoder reads their bits after the ZRL)
+        while r > 15 and k <= eob:
+            eobrun = _flush_eob_refine(bw, eobrun, be_bits)
+            ln, code = _AC_ENC_PROG[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:                             # history nonzero →
+            br.append(t & 1)                  # correction bit
+            continue
+        eobrun = _flush_eob_refine(bw, eobrun, be_bits)
+        ln, code = _AC_ENC_PROG[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(blk[k]) < 0 else 1, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eobrun += 1
+        be_bits.extend(br)
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eob_refine(bw, eobrun, be_bits)
+    return eobrun
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """uint8 [h, w, 3] RGB (or [h, w] gray) → baseline JPEG bytes.
-    ``subsample=True`` uses 4:2:0 (luma 2x2 per MCU)."""
+    ``subsample=True`` uses 4:2:0 (luma 2x2 per MCU);
+    ``progressive=True`` emits an SOF2 stream with the classic
+    spectral-selection + one-level successive-approximation scan
+    script (DC Al=1 → per-component AC bands Al=1 → DC/AC
+    refinements), exercising every Annex G decode path."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg needs uint8 input")
@@ -573,6 +937,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         zz = coef.reshape(-1, 64)[:, ZIGZAG]
         blocks.append(np.round(zz / q[None, :]).astype(np.int64)
                       .reshape(ph // 8, pw // 8, 64))
+
+    if progressive:
+        if restart_interval:
+            raise ValueError("progressive encoder does not support "
+                             "restart intervals")
+        return _emit_progressive(blocks, samps, h, w, mx, my, q)
 
     bw = _BitWriter()
     preds = [0] * len(planes)
@@ -647,3 +1017,97 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     return out + bytes(entropy) + b"\xff\xd9"
+
+
+def _emit_progressive(blocks, samps, h, w, mx, my, q) -> bytes:
+    """Assemble the SOF2 stream: headers + the classic scan script
+    (DC first Al=1 interleaved; per-component AC-first bands at Al=1,
+    component 0 split 1-5 / 6-63; DC refine; matching AC refines)."""
+    nc = len(samps)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+
+    def comp_blocks(ci):
+        hs, vs = samps[ci]
+        wb = -(-(-(-w * hs // hmax)) // 8)
+        hb = -(-(-(-h * vs // vmax)) // 8)
+        return wb, hb
+
+    def dc_scan(refine):
+        bw = _BitWriter()
+        preds = [0] * nc
+        for m in range(mx * my):
+            myi, mxi = divmod(m, mx)
+            for ci, (hs, vs) in enumerate(samps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        dcv = int(blocks[ci][myi * vs + by,
+                                             mxi * hs + bx, 0])
+                        if refine:
+                            bw.write(dcv & 1, 1)
+                        else:
+                            sh = dcv >> 1
+                            diff = sh - preds[ci]
+                            preds[ci] = sh
+                            s_, magv = _mag(diff)
+                            ln, code = _DC_ENC[s_]
+                            bw.write(code, ln)
+                            if s_:
+                                bw.write(magv, s_)
+        comps = list(range(nc))
+        ahal = 0x10 if refine else 0x01
+        return comps, 0, 0, ahal, bw.flush()
+
+    def ac_scan(ci, ss, se, refine):
+        bw = _BitWriter()
+        wb, hb = comp_blocks(ci)
+        eobrun = 0
+        be_bits: list = []
+        for m in range(wb * hb):
+            by, bx = divmod(m, wb)
+            blk = blocks[ci][by, bx]
+            if refine:
+                eobrun = _enc_ac_refine_block(bw, blk, ss, se, 0,
+                                              eobrun, be_bits)
+            else:
+                eobrun = _enc_ac_first_block(bw, blk, ss, se, 1, eobrun)
+        if refine:
+            _flush_eob_refine(bw, eobrun, be_bits)
+        else:
+            _flush_eob_first(bw, eobrun)
+        ahal = 0x10 if refine else 0x01
+        return [ci], ss, se, ahal, bw.flush()
+
+    scans = [dc_scan(False)]
+    bands0 = [(1, 5), (6, 63)]
+    for ss, se in bands0:
+        scans.append(ac_scan(0, ss, se, False))
+    for ci in range(1, nc):
+        scans.append(ac_scan(ci, 1, 63, False))
+    scans.append(dc_scan(True))
+    for ss, se in bands0:
+        scans.append(ac_scan(0, ss, se, True))
+    for ci in range(1, nc):
+        scans.append(ac_scan(ci, 1, 63, True))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hs, vs) in enumerate(samps):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS_PROG)
+               + bytes(_AC_SYMS_PROG))
+    for comps, ss, se, ahal, entropy in scans:
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, ahal])
+        out += seg(0xDA, sos) + entropy
+    return out + b"\xff\xd9"

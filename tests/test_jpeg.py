@@ -96,17 +96,35 @@ def test_round_trips():
     assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).max() <= 4
 
 
-def test_progressive_rejected_and_sniffing():
+def test_progressive_roundtrip_matches_baseline():
+    """SOF2 decode (round 5): the progressive scan script — DC Al=1,
+    spectral bands, EOBRUN, ZRL, and both refinement passes — must
+    reconstruct the exact same coefficients as the baseline stream."""
+    rng = np.random.default_rng(3)
+    for shape, kw in [((24, 33, 3), {}), ((17, 31), {}),
+                      ((37, 45, 3), {"subsample": True}),
+                      ((8, 8, 3), {})]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=92, **kw))
+        prog = decode_jpeg(encode_jpeg(img, quality=92,
+                                       progressive=True, **kw))
+        np.testing.assert_array_equal(base, prog, err_msg=str(shape))
+
+
+def test_progressive_malformed_and_sniffing():
     img = np.full((8, 8, 3), 90, np.uint8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2                        # flip SOF0 → SOF2
-    with pytest.raises(NotImplementedError):
+    data[i + 1] = 0xC2    # SOF2 header with a baseline Ss=0/Se=63 scan
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
 
     from butteraugli_ray.stages.imageio import load_image_bytes
     out = load_image_bytes(encode_jpeg(img, quality=100))
     assert np.abs(out.astype(int) - 90).max() <= 3
+    prog = load_image_bytes(encode_jpeg(img, quality=100,
+                                        progressive=True))
+    assert np.abs(prog.astype(int) - 90).max() <= 3
 
 
 def test_media_stage_and_compare_dirs_jpeg(ray_session, tmp_path, capsys):

@@ -471,3 +471,35 @@ def test_inverse_predictor_wavefront_matches_scalar():
             _inverse_predictor_scalar(b, tiles, bits)
             np.testing.assert_array_equal(
                 a, b, err_msg=f"h={h} w={w} bits={bits} seed={seed}")
+
+
+def test_lossy_vp8_produces_typed_violation_row(ray_session):
+    """Scope decision (round 5): lossy VP8 stays a documented
+    production-wheel dependency — a lossy payload flowing through the
+    media feature stage must yield a TYPED decode_error row (never a
+    silent drop or a crash)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from butteraugli_ray.stages.media import MediaFeaturizer
+
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
+    good = encode_webp_lossless(np.full((4, 4, 3), 7, np.uint8))
+    t = pa.table({
+        "media_ref": ["m_lossy", "m_ok"],
+        "payload": pa.array([lossy, good], pa.binary()),
+        "codec": ["webp", "webp"],
+        "width": [4, 4],
+        "height": [4, 4],
+    })
+    out = rd.from_arrow(t).map_batches(
+        MediaFeaturizer, batch_format="pyarrow", concurrency=1,
+        batch_size=2).to_pandas().set_index("media_ref")
+    assert out.loc["m_lossy", "decode_error"].startswith(
+        "NotImplementedError")
+    assert out.loc["m_lossy", "features"] is None \
+        or out.loc["m_lossy", "features"] != out.loc["m_lossy", "features"] \
+        or not len(out.loc["m_lossy", "features"])
+    assert out.loc["m_ok", "decode_error"] is None
+    assert len(out.loc["m_ok", "features"]) > 0
