@@ -235,12 +235,10 @@ def _decode_entropy_image(br: _Bits, w: int, h: int,
                           allow_meta: bool) -> np.ndarray:
     """Spatially-coded ARGB image (spec 5): returns uint32 [h, w]."""
     cache_bits = 0
-    cache = None
     if br.read(1):
         cache_bits = br.read(4)
         if not (1 <= cache_bits <= 11):
             raise ValueError(f"bad color-cache bits {cache_bits}")
-        cache = np.zeros(1 << cache_bits, np.uint32)
     meta = None
     meta_bits = 0
     n_groups = 1
