@@ -68,11 +68,15 @@ def main() -> None:
     out["expected_dup_violations"] = sum(
         1 for i in range(n_docs) if i % DUP_EVERY == 1)
 
-    # spill evidence straight from Ray's own accounting
+    # spill evidence straight from Ray's own accounting (address pinned
+    # so a concurrent Ray instance on the host can't break the probe)
     try:
-        mem = ray._private.internal_api.memory_summary(stats_only=True)
+        mem = ray._private.internal_api.memory_summary(
+            address=ray.get_runtime_context().gcs_address,
+            stats_only=True)
         for line in mem.splitlines():
-            if "Spilled" in line or "Restored" in line:
+            if "Spilled" in line or "Restored" in line \
+                    or "Plasma memory usage" in line:
                 out.setdefault("spill_lines", []).append(line.strip())
     except Exception as exc:  # noqa: BLE001
         out["spill_lines"] = [f"unavailable: {exc}"]
