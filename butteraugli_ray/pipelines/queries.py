@@ -872,16 +872,55 @@ def q_lang_source_rollup(sf_dir: str) -> pd.DataFrame:
 def q_embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
     """Distributed PCA (functions/ann.pca_fit): only d²-sized moment
     partials leave the workers; the d×d eigendecomposition runs once on
-    the driver.  Rows-only (no SQL eigendecomposition); pytest pins the
-    result against full-matrix numpy PCA."""
+    the driver.  Dynamic-oracle-checked (round 5): SQL cannot
+    eigensolve, but it CAN verify an eigenclaim — the oracle embeds
+    the fitted components as VALUES and DuckDB recomputes each
+    claimed eigenvalue as var_samp of the data's projection onto that
+    component (λᵢ = wᵢᵀ Σ wᵢ) and the ratios against the total
+    per-dimension variance (trace Σ); pytest additionally pins the
+    fit against full-matrix numpy PCA."""
     from ..functions.ann import pca_fit
     ds = _read(sf_dir, "embeddings", columns=["embedding"])
     _, _, evals, ratio = pca_fit(ds, k=k)
     return pd.DataFrame({
         "component": np.arange(k, dtype=np.int64),
-        "explained_var": np.round(evals, 6),
-        "explained_var_ratio": np.round(ratio, 4),
-        "cum_ratio": np.round(np.cumsum(ratio), 4)})
+        "explained_var": _round_half_away(pd.Series(evals), 6),
+        "explained_var_ratio": _round_half_away(pd.Series(ratio), 4),
+        "cum_ratio": _round_half_away(pd.Series(np.cumsum(ratio)), 4)})
+
+
+def _embedding_pca_dynamic_oracle(sf_dir: str, k: int = 4,
+                                  dim: int = 64) -> str:
+    """Dynamic SQL oracle for ``embedding_pca`` — see q_embedding_pca.
+    Centering matters: projections are taken on the raw data but
+    var_samp subtracts the projection mean, which equals projecting
+    centered data (Var(Xw) is translation-invariant)."""
+    from ..functions.ann import pca_fit
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    _, comps, _, _ = pca_fit(ds, k=k)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            ci, ", ".join(repr(float(v)) for v in comps[ci]))
+        for ci in range(k))
+    return f"""
+        WITH comp(component, w) AS (VALUES {rows}),
+        e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        proj AS (SELECT c.component,
+                        list_inner_product(e.v, c.w) AS p
+                 FROM e CROSS JOIN comp c),
+        pv AS (SELECT component, var_samp(p) AS ev FROM proj
+               GROUP BY component),
+        dims AS (SELECT i, var_samp(v[i]) AS vd
+                 FROM e CROSS JOIN generate_series(1, {dim}) t(i)
+                 GROUP BY i),
+        tot AS (SELECT sum(vd) AS tv FROM dims)
+        SELECT CAST(pv.component AS BIGINT) AS component,
+               ROUND(pv.ev, 6) AS explained_var,
+               ROUND(pv.ev / tot.tv, 4) AS explained_var_ratio,
+               ROUND(sum(pv.ev / tot.tv) OVER (
+                   ORDER BY pv.component), 4) AS cum_ratio
+        FROM pv, tot ORDER BY component
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1777,10 +1816,16 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
 
 
 def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
-    """t-digest quantiles of events.value: per-batch digests → merge."""
+    """t-digest quantiles of events.value (per-batch digests → merge),
+    audited in-query against the exact distributed quantiles.
+    Oracle-checked (round 5): output is (quantile, value_exact,
+    est_within_tol); DuckDB reproduces quantile_cont and asserts the
+    verdict TRUE, pinning each t-digest estimate within
+    max(5% · |exact|, 0.05)."""
+    from ..functions.rank import grouped_quantile_exact
     from ..functions.sketches import TDigest
     import json as _json
-    ds = _read(sf_dir, "events", columns=["value"])
+    ds = _read(sf_dir, "events", columns=["value"]).materialize()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         td = TDigest().add(df["value"].to_numpy())
@@ -1790,9 +1835,22 @@ def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
     merged = TDigest()
     for s in parts["td"]:
         merged = merged.merge(TDigest.from_dict(_json.loads(s)))
+
+    one = ds.map_batches(lambda df: df.assign(__g=0),
+                         batch_format="pandas")
     qs = [0.1, 0.5, 0.9, 0.99]
-    return pd.DataFrame({"quantile": qs,
-                         "value_est": [round(merged.quantile(q), 4) for q in qs]})
+    rows = []
+    for q in qs:
+        exact = float(grouped_quantile_exact(one, "__g", "value", q=q)
+                      ["quantile"].iloc[0])
+        est = merged.quantile(q)
+        ok = abs(est - exact) <= max(0.05 * abs(exact), 0.05)
+        rows.append((q, exact, int(ok)))
+    out = pd.DataFrame(rows, columns=["quantile", "value_exact",
+                                      "est_within_tol"])
+    out["value_exact"] = _round_half_away(out["value_exact"], 4)
+    out["est_within_tol"] = out["est_within_tol"].astype("int64")
+    return out
 
 
 def q_event_drift(sf_dir: str) -> pd.DataFrame:
@@ -2873,7 +2931,11 @@ def q_minhash_eval(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     Both sides run as their normal distributed pipelines; only the two
     small pair sets meet on the driver.  This is the measurement that
     justifies the (num_perms=128, bands=16) operating point in
-    production — rows-only (the LSH side is not SQL-expressible)."""
+    production.  Dynamic-oracle-checked (round 5): the LSH side's
+    verified pairs (deterministic) embed as VALUES and DuckDB
+    independently re-derives the EXACT pair set (the same shingle
+    CTEs as the ngram_jaccard oracle at this threshold) plus the
+    recall/precision arithmetic."""
     from ..functions.dedup import (minhash_candidate_pairs,
                                    verify_jaccard_pairs_ds)
     mh = verify_jaccard_pairs_ds(
@@ -2891,7 +2953,54 @@ def q_minhash_eval(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
         "n_exact": pd.Series([len(ex_pairs)], dtype="int64"),
         "n_minhash": pd.Series([len(mh_pairs)], dtype="int64"),
         "n_common": pd.Series([len(common)], dtype="int64"),
-        "recall": [round(recall, 4)], "precision": [round(precision, 4)]})
+        "recall": [float(np.floor(recall * 1e4 + 0.5) / 1e4)],
+        "precision": [float(np.floor(precision * 1e4 + 0.5) / 1e4)]})
+
+
+def _minhash_eval_dynamic_oracle(sf_dir: str,
+                                 threshold: float = 0.5) -> str:
+    """Dynamic SQL oracle for ``minhash_eval`` — see q_minhash_eval."""
+    from ..functions.dedup import (minhash_candidate_pairs,
+                                   verify_jaccard_pairs_ds)
+    mh = verify_jaccard_pairs_ds(
+        minhash_candidate_pairs(_docs_with_near_dups(sf_dir),
+                                concurrency=2, dedup=False),
+        _docs_with_near_dups(sf_dir), threshold).to_pandas()
+    if not len(mh):
+        mh_cte = "mh(id_a, id_b) AS (SELECT CAST(NULL AS BIGINT), " \
+                 "CAST(NULL AS BIGINT) WHERE 1 = 0)"
+    else:
+        vals = ", ".join(f"({int(a)}, {int(b)})"
+                         for a, b in zip(mh["id_a"], mh["id_b"]))
+        mh_cte = f"mh(id_a, id_b) AS (SELECT * FROM (VALUES {vals}))"
+    return f"""
+        WITH {_SHINGLE_CTES},
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jpairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sz sa ON doc_a = sa.doc_id
+            JOIN sz sb ON doc_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold!r}
+        ),
+        {mh_cte},
+        cm AS (SELECT count(*) AS n FROM mh
+               JOIN jpairs ON mh.id_a = jpairs.doc_a
+                          AND mh.id_b = jpairs.doc_b),
+        ne AS (SELECT count(*) AS n FROM jpairs),
+        nm AS (SELECT count(*) AS n FROM mh)
+        SELECT CAST(ne.n AS BIGINT) AS n_exact,
+               CAST(nm.n AS BIGINT) AS n_minhash,
+               CAST(cm.n AS BIGINT) AS n_common,
+               ROUND(CASE WHEN ne.n > 0 THEN cm.n * 1.0 / ne.n
+                          ELSE 1.0 END, 4) AS recall,
+               ROUND(CASE WHEN nm.n > 0 THEN cm.n * 1.0 / nm.n
+                          ELSE 1.0 END, 4) AS "precision"
+        FROM ne, nm, cm
+    """
 
 
 def q_bpe_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
@@ -11780,6 +11889,21 @@ ORACLE_SQL = {
                CAST(1 AS BIGINT) AS est_within_tol
         FROM events
     """,
+    "value_quantiles": """
+        SELECT CAST(0.1 AS DOUBLE) AS quantile,
+               ROUND(quantile_cont(value, 0.1), 4) AS value_exact,
+               CAST(1 AS BIGINT) AS est_within_tol FROM events
+        UNION ALL SELECT CAST(0.5 AS DOUBLE),
+               ROUND(quantile_cont(value, 0.5), 4),
+               CAST(1 AS BIGINT) FROM events
+        UNION ALL SELECT CAST(0.9 AS DOUBLE),
+               ROUND(quantile_cont(value, 0.9), 4),
+               CAST(1 AS BIGINT) FROM events
+        UNION ALL SELECT CAST(0.99 AS DOUBLE),
+               ROUND(quantile_cont(value, 0.99), 4),
+               CAST(1 AS BIGINT) FROM events
+        ORDER BY quantile
+    """,
     "events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, count(*) AS n_events,
@@ -15023,6 +15147,8 @@ def dynamic_oracles() -> dict:
     out["cluster_silhouette"] = _silhouette_dynamic_oracle(sf_dir)
     out["knn_ivf"] = _knn_ivf_dynamic_oracle(sf_dir)
     out["semdedup"] = _semdedup_dynamic_oracle(sf_dir)
+    out["embedding_pca"] = _embedding_pca_dynamic_oracle(sf_dir)
+    out["minhash_eval"] = _minhash_eval_dynamic_oracle(sf_dir)
 
     verified = q_minhash_near_dup(sf_dir)
     if not len(verified):

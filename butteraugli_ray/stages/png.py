@@ -11,10 +11,11 @@ compressed codecs stay import-try stubs in stages/media.py.
 
 Decode supports bit depths 1/2/4/8/16 and color types gray / RGB /
 palette / gray+alpha / RGBA, always returning uint8 RGB (16-bit takes
-the high byte; alpha is dropped — the scorer consumes opaque sRGB).
-Adam7 interlacing raises ``NotImplementedError`` (streaming corpora
-should never store interlaced files).  Encode writes 8-bit RGB (or
-grayscale), filter 0, one IDAT — the heatmap-sink path.
+the high byte; alpha is dropped — the scorer consumes opaque sRGB),
+plus Adam7 interlacing (round 5: each pass unfilters through the
+shared vectorized path and scatters via one strided assignment).
+Encode writes 8-bit RGB (or grayscale) with adaptive per-row filters,
+one IDAT — the heatmap-sink path.
 
 Perf note (round 5): the unfilter is fully vectorized — None/Sub/Up
 rows via whole-row numpy, Average/Paeth via an anti-diagonal wavefront
@@ -197,6 +198,41 @@ def _expand_bits(row: np.ndarray, w: int, depth: int) -> np.ndarray:
     return out[:w]
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _deinterlace_adam7(raw: np.ndarray, w: int, h: int, ch: int,
+                       depth: int) -> np.ndarray:
+    """Adam7 (round 5): each of the 7 passes is an independently
+    filtered sub-image; unfilter each with the shared (vectorized)
+    ``_unfilter`` and scatter its samples onto the full grid with one
+    strided assignment per pass.  Returns [h, w*ch] sample VALUES
+    (sub-byte depths unscaled, 16-bit reduced to the high byte)."""
+    bpp = max(1, ch * depth // 8)
+    out = np.zeros((h, w, ch), np.uint8)
+    pos = 0
+    for xs, ys, xst, yst in _ADAM7:
+        pw = -(-(w - xs) // xst) if w > xs else 0
+        ph = -(-(h - ys) // yst) if h > ys else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = (pw * ch * depth + 7) // 8
+        need = ph * (pstride + 1)
+        recon = _unfilter(raw[pos:pos + need], ph, pstride, bpp)
+        pos += need
+        if depth < 8:
+            vals = np.stack([_expand_bits(recon[y], pw * ch, depth)
+                             for y in range(ph)])
+        elif depth == 16:
+            vals = recon.reshape(ph, pw * ch, 2)[:, :, 0]
+        else:
+            vals = recon[:, :pw * ch]
+        out[ys::yst, xs::xst, :] = vals.reshape(ph, pw, ch)
+    return out.reshape(h, w * ch)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 [h, w, 3] RGB."""
     data = bytes(data)
@@ -218,9 +254,8 @@ def decode_png(data: bytes) -> np.ndarray:
             idat.append(payload)
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if interlace:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG unsupported (store non-interlaced)")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {ctype}")
     if depth not in (1, 2, 4, 8, 16) or (
@@ -231,16 +266,18 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = (w * ch * depth + 7) // 8
     bpp = max(1, ch * depth // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    recon = _unfilter(raw, h, stride, bpp)
-
-    if depth < 8:
-        samples = np.stack([_expand_bits(recon[y], w * ch, depth)
-                            for y in range(h)])
-    elif depth == 16:
-        # high byte ≈ v >> 8 — the standard 16→8 reduction
-        samples = recon.reshape(h, w * ch, 2)[:, :, 0]
+    if interlace:
+        samples = _deinterlace_adam7(raw, w, h, ch, depth)
     else:
-        samples = recon[:, :w * ch]
+        recon = _unfilter(raw, h, stride, bpp)
+        if depth < 8:
+            samples = np.stack([_expand_bits(recon[y], w * ch, depth)
+                                for y in range(h)])
+        elif depth == 16:
+            # high byte ≈ v >> 8 — the standard 16→8 reduction
+            samples = recon.reshape(h, w * ch, 2)[:, :, 0]
+        else:
+            samples = recon[:, :w * ch]
     px = samples.reshape(h, w, ch)
 
     if ctype == 3:

@@ -110,8 +110,13 @@ def test_alpha_dropped_and_16bit_high_byte():
 
 
 def test_interlaced_and_malformed_rejected():
-    with pytest.raises(NotImplementedError):
-        decode_png(_png(1, 1, 8, 0, bytes([0, 7]), interlace=1))
+    # interlace=1 now DECODES (Adam7, round 5): a 1×1 gray image is a
+    # single pass-1 pixel
+    out = decode_png(_png(1, 1, 8, 0, bytes([0, 7]), interlace=1))
+    np.testing.assert_array_equal(out, np.full((1, 1, 3), 7, np.uint8))
+    with pytest.raises(ValueError):
+        # unknown interlace method
+        decode_png(_png(1, 1, 8, 0, bytes([0, 7]), interlace=2))
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
     with pytest.raises(ValueError):
@@ -259,3 +264,54 @@ def test_adaptive_encoder_roundtrip_and_uses_paeth():
     # filter-0 mode still round-trips
     flat = encode_png(img, adaptive=False)
     np.testing.assert_array_equal(decode_png(flat), img)
+
+
+def _interlace_adam7_png(img):
+    """Independent Adam7 writer for the decode test: per-pass
+    sub-images, per-row filters chosen round-robin from {0 (None),
+    1 (Sub), 2 (Up)} (applied literally per the spec)."""
+    import struct
+    import zlib
+
+    from butteraugli_ray.stages.png import _ADAM7, _SIG, _chunk
+
+    h, w, ch = img.shape
+    ctype = 2 if ch == 3 else 0
+    raw = bytearray()
+    for xs, ys, xst, yst in _ADAM7:
+        sub = img[ys::yst, xs::xst, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        rows = sub.reshape(ph, pw * ch).astype(np.int16)
+        for y in range(ph):
+            ft = (y + ph) % 3
+            line = rows[y]
+            if ft == 1:
+                left = np.zeros_like(line)
+                left[ch:] = line[:-ch]
+                out = (line - left) % 256
+            elif ft == 2:
+                prev = rows[y - 1] if y else np.zeros_like(line)
+                out = (line - prev) % 256
+            else:
+                out = line
+            raw.append(ft)
+            raw.extend(out.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def test_adam7_interlaced_decode():
+    """Round 5: Adam7 decode — every pass independently filtered,
+    scattered back onto the full grid; odd sizes exercise empty and
+    single-pixel passes."""
+    from butteraugli_ray.stages.png import decode_png
+    rng = np.random.default_rng(19)
+    for h, w in [(16, 16), (13, 7), (1, 1), (2, 3), (9, 31), (5, 4)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = _interlace_adam7_png(img)
+        np.testing.assert_array_equal(decode_png(data), img,
+                                      err_msg=f"{h}x{w}")
