@@ -4476,19 +4476,24 @@ def q_hll_users_by_type(sf_dir: str) -> pd.DataFrame:
            .aggregate(hll_distinct("user_id", alias="n_users_est"))
            .to_pandas())
 
+    # exact side: batch-local pair dedup → ONE user-hash bucket
+    # shuffle (64 int keys, users disjoint across buckets so the
+    # per-bucket distinct counts sum exactly) → tiny final agg
     def pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+        d = df.drop_duplicates().copy()
+        d["__b"] = (d["user_id"].to_numpy(np.int64)
+                    * 2654435761) % 64
+        return d
 
-    pairs = (ds.map_batches(pair_dedup, batch_format="pandas")
-             .groupby(["event_type", "user_id"]).count())
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "n_users_exact"})
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("event_type", as_index=False).size()
-        return g.rename(columns={"size": "n_users_exact"})
-
-    exact = _final_agg(pairs.map_batches(count_partial,
-                                         batch_format="pandas"),
-                       ["event_type"], ["n_users_exact"])
+    exact = _final_agg(
+        ds.map_batches(pair_dedup, batch_format="pandas")
+        .groupby("__b").map_groups(bucket_count, batch_format="pandas"),
+        ["event_type"], ["n_users_exact"])
     out = est.merge(exact, on="event_type")
     err = (out["n_users_est"] - out["n_users_exact"]).abs()
     tol = np.maximum(0.05 * out["n_users_exact"], 2.0)
