@@ -520,6 +520,243 @@ def _huff_lut_sym(table: dict) -> list:
     return lut
 
 
+def _huff_lut_prog_ac(table: dict) -> list:
+    """16-bit-window LUT for progressive AC-FIRST scans: one lookup
+    decodes (code + magnitude bits) like the baseline LUT, and EOBn
+    symbols fold their run-length extension bits in too.
+
+      e >= 0   tot = e & 31; run = (e >> 5) & 31; val = (e >> 10) - 32768
+               run 31 = EOBn with val = decoded eobrun (covers current
+               block: (1<<r) - 1 + extra); ZRL folds as run 15, val 0
+      e == -1  invalid
+      e < -1   fallback: p = -e - 2; codelen = p & 31;
+               run = (p >> 5) & 31 (31 = EOBn); size/r = p >> 10
+    """
+    key = ("pac", tuple(sorted(table.items())))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e = np.full(65536, -1, np.int64)
+    for (clen, code), sym in table.items():
+        base = code << (16 - clen)
+        span = 1 << (16 - clen)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:                       # ZRL
+                e[base:base + span] = clen | (15 << 5) | (32768 << 10)
+            elif clen + r <= 16:              # EOBn, extension folded
+                m = np.arange(1 << r, dtype=np.int64)
+                ent = (clen + r) | (31 << 5) \
+                    | (((1 << r) - 1 + m + 32768) << 10)
+                e[base:base + span] = np.repeat(ent,
+                                                1 << (16 - clen - r))
+            else:
+                e[base:base + span] = -(2 + (clen | (31 << 5)
+                                             | (r << 10)))
+        elif clen + s <= 16:
+            m = np.arange(1 << s, dtype=np.int64)
+            val = np.where(m >= (1 << (s - 1)), m, m - (1 << s) + 1)
+            ent = (clen + s) | (r << 5) | ((val + 32768) << 10)
+            e[base:base + span] = np.repeat(ent, 1 << (16 - clen - s))
+        else:
+            e[base:base + span] = -(2 + (clen | (r << 5) | (s << 10)))
+    lut = e.tolist()
+    if len(_LUT_CACHE) > 16:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+def _ac_first_scan(segs, lut, coef, boffs, ss, se, al, restart):
+    """Inlined AC-first scan over every block of the component —
+    flat locals, one LUT lookup per symbol (incl. folded EOBn)."""
+    seg_i = 0
+    seg = segs[0]
+    slen = len(seg)
+    acc = nb = pos = vb = 0
+    eobrun = 0
+    for m, boff in enumerate(boffs):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            seg = segs[seg_i]
+            slen = len(seg)
+            acc = nb = pos = vb = 0
+            eobrun = 0
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            while nb < 16:
+                if pos < slen:
+                    acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                    pos += 1
+                else:
+                    acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                    vb += 1
+                    if vb > 8:
+                        raise ValueError("JPEG entropy data exhausted")
+                nb += 8
+            e = lut[(acc >> (nb - 16)) & 0xFFFF]
+            if e >= 0:
+                nb -= e & 31
+                run = (e >> 5) & 31
+                if run == 31:                 # EOBn (covers this block)
+                    eobrun = (e >> 10) - 32768
+                    break
+                k += run
+                val = (e >> 10) - 32768
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    coef[boff + k] = val << al
+                k += 1
+            else:
+                if e == -1:
+                    raise ValueError("invalid JPEG Huffman code")
+                p = -e - 2
+                run = (p >> 5) & 31
+                s = p >> 10
+                nb -= p & 31
+                while nb < s:
+                    if pos < slen:
+                        acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                        pos += 1
+                    else:
+                        acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                        vb += 1
+                        if vb > 8:
+                            raise ValueError(
+                                "JPEG entropy data exhausted")
+                    nb += 8
+                nb -= s
+                v = (acc >> nb) & ((1 << s) - 1)
+                if run == 31:                 # long EOBn
+                    eobrun = (1 << s) - 1 + v
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                coef[boff + k] = (v if v >= (1 << (s - 1))
+                                  else v - (1 << s) + 1) << al
+                k += 1
+
+
+def _ac_refine_scan(segs, lut, coef, boffs, ss, se, al, restart):
+    """Inlined AC-refinement scan (T.81 G.1.2.3) — symbol LUT plus
+    inline correction-bit reads."""
+    p1 = 1 << al
+    m1 = -p1
+    seg_i = 0
+    seg = segs[0]
+    slen = len(seg)
+    acc = nb = pos = vb = 0
+    eobrun = 0
+    for m, boff in enumerate(boffs):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            seg = segs[seg_i]
+            slen = len(seg)
+            acc = nb = pos = vb = 0
+            eobrun = 0
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                while nb < 16:
+                    if pos < slen:
+                        acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                        pos += 1
+                    else:
+                        acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                        vb += 1
+                        if vb > 8:
+                            raise ValueError(
+                                "JPEG entropy data exhausted")
+                    nb += 8
+                e = lut[(acc >> (nb - 16)) & 0xFFFF]
+                if e < 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                nb -= e & 31
+                rs = e >> 5
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        while nb < r:
+                            if pos < slen:
+                                acc = ((acc << 8) | seg[pos]) \
+                                    & 0xFFFFFFFF
+                                pos += 1
+                            else:
+                                acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                                vb += 1
+                            nb += 8
+                        if r:
+                            nb -= r
+                            eobrun = (1 << r) \
+                                + ((acc >> nb) & ((1 << r) - 1))
+                        else:
+                            eobrun = 1
+                        break
+                    val = 0                   # ZRL
+                else:
+                    if nb < 1:
+                        if pos < slen:
+                            acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                            pos += 1
+                        else:
+                            acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                            vb += 1
+                        nb += 8
+                    nb -= 1
+                    val = p1 if (acc >> nb) & 1 else m1
+                while k <= se:
+                    c = coef[boff + k]
+                    if c:
+                        if nb < 1:
+                            if pos < slen:
+                                acc = ((acc << 8) | seg[pos]) \
+                                    & 0xFFFFFFFF
+                                pos += 1
+                            else:
+                                acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                                vb += 1
+                            nb += 8
+                        nb -= 1
+                        if (acc >> nb) & 1 and (c & p1) == 0:
+                            coef[boff + k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[boff + k] = val
+                k += 1
+        if eobrun:
+            while k <= se:
+                c = coef[boff + k]
+                if c:
+                    if nb < 1:
+                        if pos < slen:
+                            acc = ((acc << 8) | seg[pos]) & 0xFFFFFFFF
+                            pos += 1
+                        else:
+                            acc = ((acc << 8) | 0xFF) & 0xFFFFFFFF
+                            vb += 1
+                        nb += 8
+                    nb -= 1
+                    if (acc >> nb) & 1 and (c & p1) == 0:
+                        coef[boff + k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        if vb > 8:
+            raise ValueError("JPEG entropy data exhausted")
+
+
 class _PReader:
     """MSB-first segment bit reader for progressive scans: symbol-LUT
     Huffman decode + raw bit reads, virtual-padding-bounded."""
@@ -701,11 +938,20 @@ def _progressive_scan(ent: bytes, frame, scomp, huff_dc, huff_ac,
         wb = -(-cw // 8)
         hb = -(-ch // 8)
         gw = mx * comp["h"]
-        for m in range(wb * hb):
-            if restart and m and m % restart == 0:
-                advance_restart()
-            by, bx = divmod(m, wb)
-            do_block(comp, td, ta, (by * gw + bx) * 64)
+        boffs = [((m // wb) * gw + m % wb) * 64 for m in range(wb * hb)]
+        if dc:
+            for m, boff in enumerate(boffs):
+                if restart and m and m % restart == 0:
+                    advance_restart()
+                do_block(comp, td, ta, boff)
+        elif ah == 0:                         # inlined AC-first
+            _ac_first_scan(segs, _huff_lut_prog_ac(huff_ac[ta]),
+                           store[comp["id"]], boffs, ss, se, al,
+                           restart)
+        else:                                 # inlined AC-refine
+            _ac_refine_scan(segs, _huff_lut_sym(huff_ac[ta]),
+                            store[comp["id"]], boffs, ss, se, al,
+                            restart)
     return end
 
 # DC: symbols 0..11 all at length 4; AC: all 162 (run, size) symbols at
