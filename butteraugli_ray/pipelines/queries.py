@@ -1853,13 +1853,12 @@ def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def q_event_drift(sf_dir: str) -> pd.DataFrame:
-    """KS/PSI drift of `value` between the first and second half of the
-    event stream (histogram partials per batch, merged)."""
-    from ..functions.sketches import FixedHistogram, TDigest, ks_statistic, psi
+def _event_drift_mid(sf_dir: str) -> pd.Timestamp:
+    """Deterministic split point for q_event_drift: distributed
+    t-digest median of ts (as int64 ns), floored to the table's µs
+    resolution so the embedded SQL literal compares identically."""
+    from ..functions.sketches import TDigest
     import json as _j
-    # split point via a distributed t-digest median over ts (as int64 ns)
-    # — no driver-side full-column read
     ts_ds = _read(sf_dir, "events", columns=["ts"])
 
     def ts_digest(df: pd.DataFrame) -> pd.DataFrame:
@@ -1867,12 +1866,27 @@ def q_event_drift(sf_dir: str) -> pd.DataFrame:
         td = TDigest().add(ns.astype(np.float64))
         return pd.DataFrame({"td": [_j.dumps(td.to_dict())]})
 
-    td_parts = ts_ds.map_batches(ts_digest, batch_format="pandas").to_pandas()
+    td_parts = ts_ds.map_batches(ts_digest,
+                                 batch_format="pandas").to_pandas()
     td = TDigest()
     for s in td_parts["td"]:
         td = td.merge(TDigest.from_dict(_j.loads(s)))
     # float64 ns epoch carries ~200ns rounding — irrelevant for a split
-    mid = pd.Timestamp(int(round(td.quantile(0.5))))
+    return pd.Timestamp(int(round(td.quantile(0.5))) // 1000 * 1000)
+
+
+def q_event_drift(sf_dir: str) -> pd.DataFrame:
+    """KS/PSI drift of `value` between the first and second half of the
+    event stream (histogram partials per batch, merged).
+
+    Dynamic-oracle-checked (round 5): the t-digest median split point
+    embeds as a timestamp literal, and BOTH statistics are exactly
+    reproducible from the shared 32-bin fixed histogram — DuckDB
+    re-bins the raw values and recomputes the binned-CDF KS max and
+    the ε-clamped PSI sum, so the driver hash pins the full pipeline
+    (binning, merge, formulas) value-exactly."""
+    from ..functions.sketches import FixedHistogram, ks_statistic, psi
+    mid = _event_drift_mid(sf_dir)
     ds = _read(sf_dir, "events", columns=["ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1891,8 +1905,47 @@ def q_event_drift(sf_dir: str) -> pd.DataFrame:
         ha = ha.merge(FixedHistogram.from_dict(_json.loads(r["ha"])))
         hb = hb.merge(FixedHistogram.from_dict(_json.loads(r["hb"])))
     return pd.DataFrame({"metric": ["ks", "psi"],
-                         "value": [round(ks_statistic(ha, hb), 6),
-                                   round(psi(ha, hb), 6)]})
+                         "value": [
+                             float(np.floor(ks_statistic(ha, hb) * 1e6
+                                            + 0.5) / 1e6),
+                             float(np.floor(psi(ha, hb) * 1e6 + 0.5)
+                                   / 1e6)]})
+
+
+def _event_drift_dynamic_oracle(sf_dir: str) -> str:
+    """Dynamic SQL oracle for ``event_drift`` — see q_event_drift."""
+    mid = _event_drift_mid(sf_dir)
+    lit = mid.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return f"""
+        WITH v AS (SELECT ts, value FROM events WHERE isfinite(value)),
+        b AS (SELECT CASE WHEN value < -10 THEN -1
+                          WHEN value >= 10 THEN 32
+                          ELSE LEAST(CAST(floor((value + 10) / 20.0
+                                                * 32) AS INTEGER), 31)
+                     END AS bin,
+                     (ts <= TIMESTAMP '{lit}') AS is_a
+              FROM v),
+        c AS (SELECT bin,
+                     count(*) FILTER (WHERE is_a) AS ca,
+                     count(*) FILTER (WHERE NOT is_a) AS cb
+              FROM b GROUP BY bin),
+        g AS (SELECT gs.bin, CAST(COALESCE(c.ca, 0) AS DOUBLE) AS ca,
+                     CAST(COALESCE(c.cb, 0) AS DOUBLE) AS cb
+              FROM generate_series(-1, 32) gs(bin)
+              LEFT JOIN c ON gs.bin = c.bin),
+        t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM g),
+        prob AS (SELECT g.bin,
+                        sum(g.ca) OVER (ORDER BY g.bin) / t.ta AS fa,
+                        sum(g.cb) OVER (ORDER BY g.bin) / t.tb AS fb,
+                        greatest(g.ca / t.ta, 1e-6) AS pe,
+                        greatest(g.cb / t.tb, 1e-6) AS pa
+                 FROM g, t)
+        SELECT 'ks' AS metric,
+               ROUND(max(abs(fa - fb)), 6) AS value FROM prob
+        UNION ALL
+        SELECT 'psi', ROUND(sum((pa - pe) * ln(pa / pe)), 6) FROM prob
+        ORDER BY metric
+    """
 
 
 def q_knn_ivf(sf_dir: str, k: int = 5) -> pd.DataFrame:
@@ -15154,6 +15207,7 @@ def dynamic_oracles() -> dict:
     out["semdedup"] = _semdedup_dynamic_oracle(sf_dir)
     out["embedding_pca"] = _embedding_pca_dynamic_oracle(sf_dir)
     out["minhash_eval"] = _minhash_eval_dynamic_oracle(sf_dir)
+    out["event_drift"] = _event_drift_dynamic_oracle(sf_dir)
 
     verified = q_minhash_near_dup(sf_dir)
     if not len(verified):
