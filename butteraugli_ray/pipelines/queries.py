@@ -3501,6 +3501,91 @@ def _hashed_bow(df: pd.DataFrame, n_buckets: int) -> np.ndarray:
     return dv / np.maximum(n, 1e-12)
 
 
+def _quality_featurize(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc features + rule label for the quality classifier —
+    module-level so the query and its dynamic oracle share the exact
+    same math (the oracle re-derives every feature in SQL)."""
+    text = df["text"].fillna("")
+    toks = text.str.lower().str.findall(T.WS_TOKEN_RE)
+    ntok = toks.str.len().to_numpy(dtype=np.int64)
+    alpha = (text.str.count(T.ALPHA_RE).to_numpy(dtype=np.float64)
+             / np.maximum(text.str.len().to_numpy(np.int64), 1))
+    ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                        "tok": toks}).explode("tok")
+          .dropna(subset=["tok"]))
+    uc = ex.groupby(["doc_id", "tok"]).size()
+    top = (uc.groupby("doc_id").max() * 1.0
+           / uc.groupby("doc_id").sum()).reindex(
+        df["doc_id"]).to_numpy(dtype=np.float64)
+    bgf = _ngram_frame(df["doc_id"], toks, 2)
+    bstat = bgf.groupby("id")["gram"].agg(total="size", dist="nunique")
+    dupf = (1.0 - (bstat["dist"] * 1.0) / bstat["total"]).reindex(
+        df["doc_id"]).to_numpy(dtype=np.float64)
+    top = np.where(np.isnan(top), 0.0, top)
+    dupf = np.where(np.isnan(dupf), 0.0, dupf)
+    y = ((ntok < 17) | (alpha <= 0.813)
+         | (top > 0.2) | (dupf > 0.09))
+    x = np.column_stack([np.log1p(ntok), alpha, top, dupf])
+    return pd.DataFrame({"x": list(x),
+                         "y": y.astype(np.int64),
+                         "source": df["source"].to_numpy()})
+
+
+def _quality_classifier_dynamic_oracle(sf_dir: str) -> str:
+    """Dynamic SQL oracle for ``quality_classifier`` (round 5): the
+    IRLS fit is deterministic, so the five fitted weights embed as
+    literals and DuckDB independently re-derives every feature
+    (token counts, alpha ratio, top-unigram and dup-bigram fractions —
+    the same CTE shapes as the repetition_filter oracle), the rule
+    label, the linear decision x·w > 0, and the per-source counts."""
+    from ..functions.ann import logreg_fit
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    feats = ds.map_batches(_quality_featurize, batch_format="pandas")
+    w, _ = logreg_fit(feats, n_iters=6)
+    w0, w1, w2, w3, w4 = (repr(float(v)) for v in w)
+    return rf"""
+        WITH base AS (SELECT doc_id, source, COALESCE(text, '') AS text
+                      FROM documents),
+        f0 AS (SELECT doc_id, source,
+                      regexp_extract_all(lower(text), '\S+') AS t,
+                      (length(text) - length(regexp_replace(
+                           text, '[A-Za-z]', '', 'g'))) * 1.0
+                          / greatest(length(text), 1) AS alpha
+               FROM base),
+        uni AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM (
+                  SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id, unnest(t) AS tok FROM f0)
+                  GROUP BY doc_id, tok) GROUP BY doc_id),
+        big AS (SELECT doc_id,
+                       1.0 - count(DISTINCT g) * 1.0 / count(*) AS dupf
+                FROM (SELECT doc_id, unnest(list_transform(
+                          generate_series(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+1], ' '))) AS g
+                      FROM f0 WHERE len(t) >= 2) GROUP BY doc_id),
+        feat AS (SELECT f0.doc_id, f0.source, len(f0.t) AS ntok,
+                        f0.alpha,
+                        COALESCE(uni.topf, 0.0) AS topf,
+                        COALESCE(big.dupf, 0.0) AS dupf
+                 FROM f0
+                 LEFT JOIN uni ON f0.doc_id = uni.doc_id
+                 LEFT JOIN big ON f0.doc_id = big.doc_id),
+        sc AS (SELECT source,
+                      (ntok < 17 OR alpha <= 0.813 OR topf > 0.2
+                       OR dupf > 0.09) AS y,
+                      ({w0} * ln(1 + ntok) + {w1} * alpha
+                       + {w2} * topf + {w3} * dupf + {w4}) > 0.0 AS pred
+               FROM feat)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE pred) AS BIGINT)
+                   AS n_pred_reject,
+               CAST(count(*) FILTER (WHERE y) AS BIGINT)
+                   AS n_true_reject,
+               ROUND(count(*) FILTER (WHERE pred = y) * 1.0 / count(*),
+                     4) AS accuracy
+        FROM sc GROUP BY source ORDER BY source
+    """
+
+
 def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
     """Trained quality classifier — the filter-DISTILLATION pattern
     (replace an expensive rule cascade with a cheap linear scorer):
@@ -3513,8 +3598,11 @@ def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
     and accuracy.  (The OR-of-thresholds target is not linearly
     separable, so ~0.87 accuracy vs 0.83 majority is the honest
     linear-model ceiling here — the point is the distributed
-    train/score machinery, not the toy label.)  Rows-only (iterative
-    optimizer); pytest pins the distributed fit against a
+    train/score machinery, not the toy label.)
+    Dynamic-oracle-checked (round 5): the deterministic IRLS weights
+    embed as literals and DuckDB re-derives features, labels, the
+    linear decision and all counts (_quality_classifier_dynamic_oracle);
+    pytest additionally pins the distributed fit against a
     single-process IRLS on identical features.
 
     The corpus label could never be lang-based: the synthetic tables
@@ -3525,33 +3613,7 @@ def q_quality_classifier(sf_dir: str) -> pd.DataFrame:
     import ray
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
-    def featurize(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        toks = text.str.lower().str.findall(T.WS_TOKEN_RE)
-        ntok = toks.str.len().to_numpy(dtype=np.int64)
-        alpha = (text.str.count(T.ALPHA_RE).to_numpy(dtype=np.float64)
-                 / np.maximum(text.str.len().to_numpy(np.int64), 1))
-        ex = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                            "tok": toks}).explode("tok")
-              .dropna(subset=["tok"]))
-        uc = ex.groupby(["doc_id", "tok"]).size()
-        top = (uc.groupby("doc_id").max() * 1.0
-               / uc.groupby("doc_id").sum()).reindex(
-            df["doc_id"]).to_numpy(dtype=np.float64)
-        bgf = _ngram_frame(df["doc_id"], toks, 2)
-        bstat = bgf.groupby("id")["gram"].agg(total="size", dist="nunique")
-        dupf = (1.0 - (bstat["dist"] * 1.0) / bstat["total"]).reindex(
-            df["doc_id"]).to_numpy(dtype=np.float64)
-        top = np.where(np.isnan(top), 0.0, top)
-        dupf = np.where(np.isnan(dupf), 0.0, dupf)
-        y = ((ntok < 17) | (alpha <= 0.813)
-             | (top > 0.2) | (dupf > 0.09))
-        x = np.column_stack([np.log1p(ntok), alpha, top, dupf])
-        return pd.DataFrame({"x": list(x),
-                             "y": y.astype(np.int64),
-                             "source": df["source"].to_numpy()})
-
-    feats = ds.map_batches(featurize, batch_format="pandas")
+    feats = ds.map_batches(_quality_featurize, batch_format="pandas")
     w, _ = logreg_fit(feats, n_iters=6)
     wref = ray.put(w)
 
@@ -15208,6 +15270,7 @@ def dynamic_oracles() -> dict:
     out["embedding_pca"] = _embedding_pca_dynamic_oracle(sf_dir)
     out["minhash_eval"] = _minhash_eval_dynamic_oracle(sf_dir)
     out["event_drift"] = _event_drift_dynamic_oracle(sf_dir)
+    out["quality_classifier"] = _quality_classifier_dynamic_oracle(sf_dir)
 
     verified = q_minhash_near_dup(sf_dir)
     if not len(verified):
