@@ -182,11 +182,19 @@ def run(n_docs: int = 1_000_000, out_dir: str = "/tmp/stress_1m") -> dict:
     out["minhash_pairs"] = int(len(md))
 
     # PPJoin prefix-filtered exact n-gram Jaccard at 1M+ rows (r4 judge
-    # item #3: the prefix-filter bound proven at 10^6 keys)
+    # item #3: the prefix-filter bound proven at 10^6 keys).  Guarded:
+    # a known Ray 2.49 core bug (worker segfaults inside _raylet.so at
+    # ~73M-row materialized shuffle inputs on a single node, BASELINE.md
+    # round-5 "known limit") kills this family at ≥4M docs — keep the
+    # rest of the tier alive if a family dies for any recoverable
+    # reason.
     t0 = time.time()
-    pj = QUERIES["ngram_jaccard_prefix"](out_dir)
-    out["ngram_prefix_s"] = round(time.time() - t0, 1)
-    out["ngram_prefix_pairs"] = int(len(pj))
+    try:
+        pj = QUERIES["ngram_jaccard_prefix"](out_dir)
+        out["ngram_prefix_s"] = round(time.time() - t0, 1)
+        out["ngram_prefix_pairs"] = int(len(pj))
+    except Exception as exc:  # noqa: BLE001
+        out["ngram_prefix_s"] = f"ERROR: {type(exc).__name__}: {exc}"
 
     t0 = time.time()
     paths = gen_interleaved(out_dir, n_docs)
