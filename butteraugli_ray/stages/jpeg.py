@@ -1185,10 +1185,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                       .reshape(ph // 8, pw // 8, 64))
 
     if progressive:
-        if restart_interval:
-            raise ValueError("progressive encoder does not support "
-                             "restart intervals")
-        return _emit_progressive(blocks, samps, h, w, mx, my, q)
+        return _emit_progressive(blocks, samps, h, w, mx, my, q,
+                                 restart_interval)
 
     bw = _BitWriter()
     preds = [0] * len(planes)
@@ -1265,10 +1263,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     return out + bytes(entropy) + b"\xff\xd9"
 
 
-def _emit_progressive(blocks, samps, h, w, mx, my, q) -> bytes:
+def _emit_progressive(blocks, samps, h, w, mx, my, q,
+                      restart: int = 0) -> bytes:
     """Assemble the SOF2 stream: headers + the classic scan script
     (DC first Al=1 interleaved; per-component AC-first bands at Al=1,
-    component 0 split 1-5 / 6-63; DC refine; matching AC refines)."""
+    component 0 split 1-5 / 6-63; DC refine; matching AC refines).
+    ``restart`` > 0 splits every scan into RSTn-delimited chunks of
+    that many MCUs (DC scans) / blocks (AC scans), with the pending
+    EOB run flushed before each boundary — exercising the decoder's
+    per-scan restart handling."""
     nc = len(samps)
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
@@ -1279,10 +1282,21 @@ def _emit_progressive(blocks, samps, h, w, mx, my, q) -> bytes:
         hb = -(-(-(-h * vs // vmax)) // 8)
         return wb, hb
 
+    def join_chunks(chunks):
+        out = bytearray(chunks[0])
+        for i, c in enumerate(chunks[1:]):
+            out += bytes([0xFF, 0xD0 + (i % 8)]) + c
+        return bytes(out)
+
     def dc_scan(refine):
+        chunks = []
         bw = _BitWriter()
         preds = [0] * nc
         for m in range(mx * my):
+            if restart and m and m % restart == 0:
+                chunks.append(bw.flush())
+                bw = _BitWriter()
+                preds = [0] * nc
             myi, mxi = divmod(m, mx)
             for ci, (hs, vs) in enumerate(samps):
                 for by in range(vs):
@@ -1300,16 +1314,25 @@ def _emit_progressive(blocks, samps, h, w, mx, my, q) -> bytes:
                             bw.write(code, ln)
                             if s_:
                                 bw.write(magv, s_)
+        chunks.append(bw.flush())
         comps = list(range(nc))
         ahal = 0x10 if refine else 0x01
-        return comps, 0, 0, ahal, bw.flush()
+        return comps, 0, 0, ahal, join_chunks(chunks)
 
     def ac_scan(ci, ss, se, refine):
+        chunks = []
         bw = _BitWriter()
         wb, hb = comp_blocks(ci)
         eobrun = 0
         be_bits: list = []
         for m in range(wb * hb):
+            if restart and m and m % restart == 0:
+                if refine:
+                    eobrun = _flush_eob_refine(bw, eobrun, be_bits)
+                else:
+                    eobrun = _flush_eob_first(bw, eobrun)
+                chunks.append(bw.flush())
+                bw = _BitWriter()
             by, bx = divmod(m, wb)
             blk = blocks[ci][by, bx]
             if refine:
@@ -1321,8 +1344,9 @@ def _emit_progressive(blocks, samps, h, w, mx, my, q) -> bytes:
             _flush_eob_refine(bw, eobrun, be_bits)
         else:
             _flush_eob_first(bw, eobrun)
+        chunks.append(bw.flush())
         ahal = 0x10 if refine else 0x01
-        return [ci], ss, se, ahal, bw.flush()
+        return [ci], ss, se, ahal, join_chunks(chunks)
 
     scans = [dc_scan(False)]
     bands0 = [(1, 5), (6, 63)]
@@ -1350,6 +1374,8 @@ def _emit_progressive(blocks, samps, h, w, mx, my, q) -> bytes:
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS))
     out += seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS_PROG)
                + bytes(_AC_SYMS_PROG))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
     for comps, ss, se, ahal, entropy in scans:
         sos = bytes([len(comps)])
         for ci in comps:

@@ -163,3 +163,20 @@ def test_fill_bytes_before_marker():
     assert data[2] == 0xFF
     padded = bytes(data[:2]) + b"\xff\xff" + bytes(data[2:])
     np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(bytes(data)))
+
+
+def test_progressive_restart_intervals_match_baseline():
+    """Progressive scans split by RSTn markers (DRI) must decode
+    identically — exercises the decoder's per-scan restart reset of
+    DC predictors, EOB runs and the bit buffer."""
+    rng = np.random.default_rng(5)
+    for shape, kw in [((24, 33, 3), {}),
+                      ((37, 45, 3), {"subsample": True}), ((17, 31), {})]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=92, **kw))
+        for interval in (1, 3, 7):
+            prog = decode_jpeg(encode_jpeg(
+                img, quality=92, progressive=True,
+                restart_interval=interval, **kw))
+            np.testing.assert_array_equal(base, prog,
+                                          err_msg=f"{shape} R={interval}")
